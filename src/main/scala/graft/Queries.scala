@@ -1,0 +1,385 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.VectorFunctions
+import graft.operators._
+
+/** One engine query: the Spark plan builder plus (when the semantics
+  * are SQL-expressible) the equivalent DuckDB oracle SQL the driver
+  * hash-compares against.
+  */
+final case class QueryDef(
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Central registry wiring [[Tables]] to the operator families.
+  * `SparkEntry` exposes exactly this map to the driver.
+  *
+  * Oracle dialect notes (DuckDB 1.0):
+  *  - tokenization mirrors [[graft.functions.TextFunctions.tokens]]
+  *    exactly (same regex, same empty-drop, same lower());
+  *  - counts are BIGINT on both sides (Spark `size()` is cast);
+  *  - double aggregates are rounded identically on both sides;
+  *  - vector math reproduces the same IEEE754 op sequence as the
+  *    native expressions in [[graft.functions.expressions]].
+  */
+object Queries {
+
+  /** DuckDB: lower-cased whitespace tokens, empties dropped. */
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), w -> w <> '')"""
+
+  /** DuckDB: distinct word n-gram shingles of the token list `ws`. */
+  private def shinglesSql(n: Int): String =
+    s"list_distinct(list_transform(generate_series(1, len(ws) - ${n - 1}), i -> array_to_string(ws[i:i+${n - 1}], ' ')))"
+
+  /** DuckDB: double-precision cosine between two list<float> exprs —
+    * identical op order to CosineSimilarityFloat.doGenCode.
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  private def l2Sql(a: String): String =
+    s"sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))"
+
+  val registry: Seq[(String, QueryDef)] = Seq(
+
+    // ----- reference parity: the wordcount family ---------------------
+    "wordcount" -> QueryDef(
+      (s, d) => WordCountOps.wordCount(Tables.documents(s, d)),
+      Some(s"""SELECT word, count(*) AS cnt FROM (
+              |  SELECT unnest($toksSql) AS word FROM documents
+              |) GROUP BY word ORDER BY word""".stripMargin)),
+
+    "wordcount_per_source" -> QueryDef(
+      (s, d) => WordCountOps.wordCountPerSource(Tables.documents(s, d)),
+      Some(s"""SELECT source, word, count(*) AS cnt FROM (
+              |  SELECT source, unnest($toksSql) AS word FROM documents
+              |) GROUP BY source, word ORDER BY source, word""".stripMargin)),
+
+    "wordcount_topk" -> QueryDef(
+      (s, d) => WordCountOps.wordCountTopK(Tables.documents(s, d)),
+      Some(s"""SELECT word, count(*) AS cnt FROM (
+              |  SELECT unnest($toksSql) AS word FROM documents
+              |) GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin)),
+
+    "distinct_words" -> QueryDef(
+      (s, d) => WordCountOps.distinctWords(Tables.documents(s, d)),
+      Some(s"""SELECT DISTINCT word FROM (
+              |  SELECT unnest($toksSql) AS word FROM documents
+              |) ORDER BY word""".stripMargin)),
+
+    "grouped_key_agg" -> QueryDef(
+      (s, d) => WordCountOps.groupedKeyAgg(Tables.documents(s, d)),
+      Some(s"""SELECT lang, word, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs FROM (
+              |  SELECT lang, doc_id, unnest($toksSql) AS word FROM documents
+              |) GROUP BY lang, word ORDER BY lang, word""".stripMargin)),
+
+    "packets_baseline" -> QueryDef(
+      (s, d) => WordCountOps.packetsBaseline(Tables.documents(s, d)),
+      Some(s"""WITH pa AS (
+              |  SELECT source, word, count(*) AS cnt FROM (
+              |    SELECT source, unnest($toksSql) AS word FROM documents
+              |  ) GROUP BY source, word)
+              |SELECT source, count(*) AS packets, CAST(sum(cnt) AS BIGINT) AS tokens
+              |FROM pa GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----- text analysis ----------------------------------------------
+    "token_stats" -> QueryDef(
+      (s, d) => TextAnalysisOps.tokenStats(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents)
+              |SELECT doc_id, len(ws) AS n_tokens,
+              |  round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4) AS avg_token_len,
+              |  CAST(list_max(list_transform(ws, w -> length(w))) AS BIGINT) AS max_token_len
+              |FROM t WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin)),
+
+    "token_count_bpe" -> QueryDef(
+      (s, d) => TextAnalysisOps.tokenCountBpe(Tables.documents(s, d)),
+      Some("""SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]'))::BIGINT AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "quality_score" -> QueryDef(
+      (s, d) => TextAnalysisOps.qualityScore(Tables.documents(s, d)),
+      Some {
+        val stops = TextAnalysisOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS ws FROM documents)
+           |SELECT doc_id, len(ws) AS n_tokens,
+           |  round(len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws), 4) AS stopword_ratio,
+           |  round(len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\r\f]'))::DOUBLE / length(text), 4) AS punct_ratio,
+           |  round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4) AS avg_word_len
+           |FROM t WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin
+      }),
+
+    "lang_id" -> QueryDef(
+      (s, d) => TextAnalysisOps.langId(Tables.documents(s, d)),
+      Some {
+        val langs = TextAnalysisOps.StopwordsByLang.map(_._1)
+        val hitCols = TextAnalysisOps.StopwordsByLang.map { case (l, stops) =>
+          val in = stops.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(ws, w -> w IN ($in))) AS hits_$l"
+        }.mkString(",\n  ")
+        val cases = langs.init.map { l =>
+          val conds = langs.filterNot(_ == l).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString("\n  ")
+        s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $toksSql AS ws FROM documents),
+           |h AS (SELECT doc_id, labeled_lang,
+           |  $hitCols
+           |FROM t)
+           |SELECT doc_id, labeled_lang,
+           |  CASE $cases ELSE '${langs.last}' END AS pred_lang
+           |FROM h ORDER BY doc_id""".stripMargin
+      }),
+
+    "doc_fingerprint" -> QueryDef(
+      (s, d) => TextAnalysisOps.docFingerprint(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS ws FROM documents)
+              |SELECT doc_id, md5(text) AS fp_md5,
+              |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws, w -> CAST(7*length(w) + ascii(w) AS BIGINT))), (h, c) -> (31*h + c) % 1000000007) AS BIGINT) AS fp_roll
+              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    "ngram_freq" -> QueryDef(
+      (s, d) => TextAnalysisOps.ngramFreq(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT $toksSql AS ws FROM documents),
+              |n AS (SELECT array_to_string(ws[i:i+1], ' ') AS ngram
+              |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g)
+              |SELECT ngram, count(*) AS cnt FROM n
+              |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 30""".stripMargin)),
+
+    // ----- dedup -------------------------------------------------------
+    "exact_dedup" -> QueryDef(
+      (s, d) => DedupOps.exactDedup(Tables.documents(s, d)),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(lower(text)) AS fp
+             |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin)),
+
+    "near_dedup_jaccard" -> QueryDef(
+      (s, d) => DedupOps.nearDupJaccard(Tables.documents(s, d)),
+      Some(jaccardOracle)),
+
+    // minhash+LSH candidates are exact-verified, so at recall 1 the
+    // result set IS the exact-jaccard result: same oracle.
+    "near_dedup_minhash" -> QueryDef(
+      (s, d) => DedupOps.nearDupMinhash(Tables.documents(s, d)),
+      Some(jaccardOracle)),
+
+    "simhash_fingerprint" -> QueryDef(
+      (s, d) => DedupOps.simhash(Tables.documents(s, d)),
+      Some {
+        val bitTerms = (0 until 20).map { j =>
+          s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" +\n  ")
+        s"""WITH t AS (SELECT doc_id,
+           |  list_transform($toksSql, w -> (7919*length(w) + 131*ascii(w) + ascii(reverse(w))) % 1048573) AS hs
+           |FROM documents)
+           |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+           |FROM t WHERE len(hs) > 0 ORDER BY doc_id""".stripMargin
+      }),
+
+    // ----- similarity search / embeddings ------------------------------
+    "similarity_topk" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.similarityTopK(Tables.embeddings(s, d)) },
+      Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings WHERE vec_id < 10),
+              |s AS (SELECT probe_id, vec_id, ${cosSql("probe_vec", "embedding")} AS score
+              |      FROM embeddings CROSS JOIN p WHERE vec_id <> probe_id),
+              |r AS (SELECT probe_id, vec_id, score,
+              |        row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
+              |      FROM s)
+              |SELECT probe_id, rnk, vec_id, round(score, 4) AS score
+              |FROM r WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+
+    "ann_ivf" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.annIvf(Tables.embeddings(s, d)) },
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+              |ps AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
+              |       FROM embeddings e CROSS JOIN c),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM ps),
+              |assign AS (SELECT vec_id, centroid_id, embedding FROM r WHERE crank = 1),
+              |pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec FROM r WHERE vec_id < 10 AND crank <= 3),
+              |sc AS (SELECT pl.probe_id, a.vec_id, ${cosSql("pl.probe_vec", "a.embedding")} AS score
+              |       FROM pl JOIN assign a ON pl.centroid_id = a.centroid_id WHERE a.vec_id <> pl.probe_id),
+              |r2 AS (SELECT probe_id, vec_id, score,
+              |         row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
+              |       FROM sc)
+              |SELECT probe_id, rnk, vec_id, round(score, 4) AS score
+              |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+
+    "doc_embedding_join" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.docEmbeddingJoin(Tables.documents(s, d), Tables.embeddings(s, d)) },
+      Some(s"""SELECT d.doc_id, d.lang, e.label, d.n_chars, round(${l2Sql("e.embedding")}, 4) AS emb_norm
+              |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY d.doc_id""".stripMargin)),
+
+    "embedding_lsh_dup" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.embeddingLshDup(Tables.embeddings(s, d)) },
+      Some {
+        val keyExprs = (0 until 8).map { t =>
+          val bits = (0 until 8).map { b =>
+            s"(CASE WHEN embedding[${t * 8 + b + 1}] > 0 THEN ${1 << b} ELSE 0 END)"
+          }.mkString(" + ")
+          s"'$t' || ':' || ($bits)::VARCHAR"
+        }.mkString(", ")
+        s"""WITH k AS (SELECT vec_id, unnest([$keyExprs]) AS bkey FROM embeddings),
+           |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           |         FROM k a JOIN k b ON a.bkey = b.bkey AND a.vec_id < b.vec_id),
+           |sc AS (SELECT a_id, b_id, round(${cosSql("ea.embedding", "eb.embedding")}, 4) AS score
+           |       FROM cand JOIN embeddings ea ON ea.vec_id = a_id JOIN embeddings eb ON eb.vec_id = b_id)
+           |SELECT a_id, b_id, score FROM sc WHERE score >= 0.5 ORDER BY a_id, b_id""".stripMargin
+      }),
+
+    // ----- relational (the surface the reference lacks, SURVEY §2.2) ---
+    "q1_pricing" -> QueryDef(
+      (s, d) => RelationalOps.q1Pricing(Tables.lineitem(s, d)),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q3_shipping" -> QueryDef(
+      (s, d) => RelationalOps.q3Shipping(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT o_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+             |GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    "q5_region" -> QueryDef(
+      (s, d) => RelationalOps.q5Region(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lineitems
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |  JOIN customer ON c_nationkey = n_nationkey
+             |  JOIN orders ON o_custkey = c_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    "orders_window" -> QueryDef(
+      (s, d) => RelationalOps.ordersWindow(Tables.orders(s, d)),
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
+             |FROM orders)
+             |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice, prev_price
+             |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    "lineitem_rollup" -> QueryDef(
+      (s, d) => RelationalOps.lineitemRollup(Tables.lineitem(s, d)),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    "set_ops" -> QueryDef(
+      (s, d) => RelationalOps.setOps(Tables.customer(s, d), Tables.orders(s, d)),
+      Some("""(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             | INTERSECT SELECT o_custkey FROM orders)
+             |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+             |ORDER BY custkey""".stripMargin)),
+
+    "join_semi" -> QueryDef(
+      (s, d) => RelationalOps.joinSemi(Tables.customer(s, d), Tables.orders(s, d)),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "join_anti" -> QueryDef(
+      (s, d) => RelationalOps.joinAnti(Tables.customer(s, d), Tables.orders(s, d)),
+      Some("""SELECT c_custkey, c_acctbal FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "part_topk" -> QueryDef(
+      (s, d) => RelationalOps.partTopk(Tables.part(s, d)),
+      Some("""WITH r AS (SELECT p_brand, p_partkey, p_retailprice,
+             |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS brand_rank
+             |FROM part)
+             |SELECT p_brand, CAST(brand_rank AS BIGINT) AS brand_rank, p_partkey, p_retailprice
+             |FROM r WHERE brand_rank <= 3 ORDER BY p_brand, brand_rank""".stripMargin)),
+
+    // ----- events ------------------------------------------------------
+    "events_hourly" -> QueryDef(
+      (s, d) => EventsOps.hourly(Tables.events(s, d)),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+             |  count(*) AS n, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    "events_sessionize" -> QueryDef(
+      (s, d) => EventsOps.sessionize(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+             |f AS (SELECT user_id, event_id, ms,
+             |  CASE WHEN lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+             |         OR ms - lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+             |       THEN 1 ELSE 0 END AS new_session
+             |FROM e),
+             |g AS (SELECT user_id, ms,
+             |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |FROM f),
+             |s AS (SELECT user_id, session_id, count(*) AS n_events, max(ms) - min(ms) AS span_ms
+             |      FROM g GROUP BY user_id, session_id)
+             |SELECT user_id, count(*) AS n_sessions,
+             |  round(avg(n_events), 4) AS avg_events_per_session,
+             |  CAST(max(span_ms) AS BIGINT) AS max_span_ms
+             |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    "events_json" -> QueryDef(
+      (s, d) => EventsOps.jsonProps(Tables.events(s, d)),
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(avg(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)), 4) AS avg_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "events_topusers" -> QueryDef(
+      (s, d) => EventsOps.topUsers(Tables.events(s, d)),
+      Some("""SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_purchases
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin)),
+
+    // ----- multimodal --------------------------------------------------
+    "multimodal_features" -> QueryDef(
+      (s, d) => MultimodalOps.mediaFeatures(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+             |  CAST(CASE WHEN length(text) > 0 THEN ascii(text) ELSE -1 END AS BIGINT) AS first_byte,
+             |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 65521 AS BIGINT) AS checksum,
+             |  CAST((octet_length(CAST(text AS BLOB)) + 255) // 256 AS BIGINT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+
+  /** Exact word-5-gram Jaccard near-dup pairs (threshold 0.8) — the
+    * oracle for both the inverted-index join and the MinHash+LSH
+    * variant (whose exact verification makes them set-equal).
+    */
+  private lazy val jaccardOracle: String =
+    s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |t AS (SELECT doc_id, ${shinglesSql(DedupOps.ShingleN)} AS sh FROM w),
+       |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+       |inv AS (SELECT doc_id, unnest(sh) AS s FROM t2),
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |         GROUP BY a.doc_id, b.doc_id),
+       |cnt AS (SELECT doc_id, len(sh)::BIGINT AS n FROM t2)
+       |SELECT a_id, b_id, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jac
+       |FROM cand JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+       |WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, v) => k -> v.run }.toMap
+
+  lazy val oracleSql: Map[String, String] =
+    registry.flatMap { case (k, v) => v.oracle.map(k -> _) }.toMap
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication family for a training-data pipeline:
+  *
+  *  - exact: hash-groupBy on content digest — one shuffle of
+  *    (digest, doc_id), fully scalable.
+  *  - exact n-gram Jaccard: shingle inverted-index self-join. The
+  *    reference semantics for "near duplicate"; exact but the join
+  *    fans out on high-document-frequency shingles.
+  *  - MinHash+LSH: the 100 TB path. Signature is 64 mins over a
+  *    2-universal hash family applied to `xxhash64(shingle)`; 16
+  *    bands x 4 rows; candidate pairs from band-bucket equijoin are
+  *    *verified with exact Jaccard*, so precision is 1 and the output
+  *    equals the exact-join output whenever LSH recall is 1 (which it
+  *    is for any pair with J >= ~0.9; the threshold here is 0.8).
+  *  - SimHash: 20-bit per-document fingerprint from per-word hash
+  *    sign sums; row-local, shuffle-free.
+  *
+  * Scale notes: the exact shingle join is quadratic in per-shingle
+  * document frequency — at 100 TB you run `nearDupMinhash` (bucket
+  * fan-out bounded by band width) and cap pathological buckets; the
+  * exact join stays as the small-scale oracle of record.
+  */
+object DedupOps {
+
+  val ShingleN = 5
+  val NumHashes = 64
+  val NumBands = 16
+  val RowsPerBand = 4
+  val P = 1000000007L
+
+  /** Exact dedup: group by content digest, keep the smallest doc_id. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(lower(col("text"))).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "fp")
+      .orderBy("keep_id")
+
+  /** (doc_id, shingles array) — the shared dedup input. */
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(tokens(col("text")), ShingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  /** Exact near-dup pairs by word-5-gram Jaccard >= threshold,
+    * via inverted-index self-join on shingles.
+    */
+  def nearDupJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val ds = docShingles(docs).cache()
+    val inv = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cand = inv.as("a").join(inv.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val cnt = ds.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    jaccardFilter(cand, cnt, threshold)
+  }
+
+  /** MinHash + LSH near-dup with exact-Jaccard verification.
+    * Same output schema/semantics as [[nearDupJaccard]]; candidate
+    * generation is the banded minhash join instead of the full
+    * inverted index.
+    */
+  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val ds = docShingles(docs).cache()
+    // base hash per shingle, reduced mod P to keep a_i*x ANSI-safe
+    val xs = transform(col("sh"), s => pmod(xxhash64(s), lit(P)))
+    // signature: sig(i) = min_s ((2i+1)*x_s + i^2 + 7) mod P
+    val sig = transform(sequence(lit(0), lit(NumHashes - 1)), i =>
+      array_min(transform(col("xs"), x =>
+        pmod((i.cast("long") * 2L + 1L) * x + i.cast("long") * i.cast("long") + 7L, lit(P)))))
+    val signed = ds.withColumn("xs", xs).withColumn("sig", sig)
+    // bands: key = band index + joined 4-row slice of the signature
+    val bands = signed.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        concat_ws(":", b.cast("string"),
+          concat_ws(",", transform(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
+            v => v.cast("string")))))).as("band"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact verification: intersect the shingle sets of candidate pairs
+    val withSh = cand
+      .join(ds.select(col("doc_id"), col("sh").as("sh_a")), col("a_id") === col("doc_id"))
+      .drop("doc_id")
+      .join(ds.select(col("doc_id"), col("sh").as("sh_b")), col("b_id") === col("doc_id"))
+      .drop("doc_id")
+    val verified = withSh.select(
+      col("a_id"), col("b_id"),
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+      size(col("sh_a")).cast("long").as("na"),
+      size(col("sh_b")).cast("long").as("nb"))
+    verified
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .where(col("jac") >= threshold)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  private def jaccardFilter(cand: DataFrame, cnt: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na")), "a_id")
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb")), "b_id")
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .where(col("jac") >= threshold)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+
+  /** SimHash fingerprint: 20-bit signature from the sign of per-bit
+    * weighted sums of word hashes. Row-local (20 array-aggregates per
+    * doc), shuffle-free; pairing at scale is a bucketed hamming join
+    * over signature chunks.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val hs = transform(ws, w => wordHash20(w))
+    val bits = 20
+    val simhashCol = (0 until bits).map { j =>
+      val sumJ = aggregate(col("hs"), lit(0L),
+        (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * 2L - 1L))
+      when(sumJ > 0, lit(1L << j).cast("long")).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs
+      .select(col("doc_id"), hs.as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), simhashCol.as("simhash"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stream-shaped analytics over the `events` table (batch plans here;
+  * the Structured Streaming variants live in [[graft.streaming]]).
+  *
+  * Timestamps: `events.ts` arrives as nanos-since-epoch Long (see
+  * [[graft.Tables.events]]). All time math is integer (`div`), so the
+  * DuckDB oracle (`epoch_ms` over TIMESTAMP_NS) sees identical values
+  * — no float rounding, no sub-ms ordering ambiguity.
+  */
+object EventsOps {
+
+  /** ts (nanos long) -> epoch milliseconds, floor. */
+  private def tsMs = expr("ts div 1000000")
+
+  /** Tumbling-hour aggregates per event type. */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", timestamp_millis(tsMs)).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization: a session breaks after `gapMinutes` of user
+    * inactivity. Classic lag + cumulative-sum session ids, then
+    * per-user session stats. Two exchanges total (both on user_id —
+    * the second reuses the partitioning).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60L * 1000L
+    // order by the millisecond value (not raw ts): the oracle runs at
+    // ms precision, so sub-ms ordering must not influence the result
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms").asc, col("event_id").asc)
+    val flagged = events
+      .withColumn("ms", tsMs)
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val perSession = flagged
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), (max(col("ms")) - min(col("ms"))).as("span_ms"))
+    perSession
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        round(avg(col("n_events")), 4).as("avg_events_per_session"),
+        max(col("span_ms")).as("max_span_ms"))
+      .orderBy("user_id")
+  }
+
+  /** JSON property extraction + aggregation: average of `props.$.k`
+    * per event type. The engine path uses `get_json_object`.
+    */
+  def jsonProps(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  /** Top-10 purchasing users by total purchase value. */
+  def topUsers(events: DataFrame, k: Int = 10): DataFrame =
+    events
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(round(sum("value"), 4).as("total_value"), count(lit(1)).as("n_purchases"))
+      .orderBy(desc("total_value"), asc("user_id"))
+      .limit(k)
+}

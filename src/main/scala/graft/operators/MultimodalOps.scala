@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed per-partition in batches.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic FAKE decoder — but everything around
+  * it is the real pipeline shape: binary column in, typed
+  * `Dataset[MediaFeatures]` out, per-partition batched processing via
+  * `mapPartitions` (the Scala analog of `mapInPandas` batches), and a
+  * schema the downstream relational operators can join on.
+  *
+  * At 100 TB: the binary payloads dominate IO, so the scan projects
+  * only (doc_id, blob); feature extraction is map-only (no shuffle);
+  * a real decoder would slot into [[decodeStub]] unchanged.
+  */
+object MultimodalOps {
+
+  /** Typed record entering the decode stage. */
+  case class MediaRecord(doc_id: Long, blob: Array[Byte])
+
+  /** Typed features leaving the decode stage. */
+  case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      first_byte: Long,
+      checksum: Long,
+      n_frames: Long)
+
+  /** STUB "decoder": a real implementation would decode image/audio
+    * bytes here (libs unavailable in this container). The fake is
+    * deterministic pure-byte math so the DuckDB oracle can reproduce
+    * it: Adler-style checksum mod 65521, 256-byte "frames".
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.blob.length.toLong
+    var checksum = 0L
+    var i = 0
+    while (i < r.blob.length) {
+      checksum = (checksum + (r.blob(i) & 0xff)) % 65521L
+      i += 1
+    }
+    MediaFeatures(
+      doc_id = r.doc_id,
+      n_bytes = n,
+      first_byte = if (n > 0) (r.blob(0) & 0xff).toLong else -1L,
+      checksum = checksum,
+      n_frames = (n + 255L) / 256L)
+  }
+
+  /** The pipeline: project (doc_id, binary blob) — here the UTF-8
+    * bytes of `text` standing in for media bytes — then batch-decode
+    * per partition into typed features.
+    */
+  def mediaFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val records: Dataset[MediaRecord] = docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+    records
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-ish star schema — the query
+  * surface the reference lacks entirely (SURVEY.md §2.2): joins,
+  * filters, rollup, windows, set ops, semi/anti joins, top-k.
+  *
+  * Scale decisions:
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    `broadcast()` so fact-side scans never shuffle for the join;
+  *  - aggregates rely on partial (map-side) aggregation;
+  *  - top-k is `orderBy + limit` => TakeOrderedAndProject (per
+  *    partition heaps, no global sort);
+  *  - double sums round to 2 decimals, averages to 4, so the oracle
+  *    hash-compare is insensitive to summation order at any SF.
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def q1Pricing(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: top-10 undelivered orders by revenue for one
+    * market segment. customer is broadcast; orders⋈lineitem shuffles
+    * on the order key.
+    */
+  def q3Shipping(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cutoff = lit("1997-06-01").cast("timestamp")
+    customer.where(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < cutoff)
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > cutoff)
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_orderdate", "revenue")
+  }
+
+  /** TPC-H Q5-style: revenue per nation for customers of one region
+    * in a date window. The region→nation→customer dimension chain is
+    * broadcast down onto the fact join.
+    */
+  def q5Region(region: DataFrame, nation: DataFrame, customer: DataFrame,
+               orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val dims = region.where(col("r_name") === "ASIA")
+      .join(nation, col("n_regionkey") === col("r_regionkey"))
+      .join(customer, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    orders
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("n_name")
+  }
+
+  /** Window functions: per-customer top-3 orders by price, with the
+    * previous order price (lag) along the ranking.
+    */
+  def ordersWindow(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice", "prev_price")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** ROLLUP over (returnflag, linestatus): subtotals + grand total. */
+  def lineitemRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Set operations: BUILDING-segment customers who ordered
+    * (INTERSECT) minus the big spenders (EXCEPT).
+    */
+  def setOps(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val building = customer.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val buyers = orders.select(col("o_custkey").as("custkey"))
+    val big = orders.where(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey"))
+    building.intersect(buyers).except(big).orderBy("custkey")
+  }
+
+  /** Left-semi join: customers with at least one open ('O') order. */
+  def joinSemi(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders.where(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers with no order above 400k. */
+  def joinAnti(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders.where(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** Top-k parts by retail price with dense_rank over brand. */
+  def partTopk(part: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    part
+      .withColumn("brand_rank", row_number().over(w).cast("long"))
+      .where(col("brand_rank") <= 3)
+      .select("p_brand", "brand_rank", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "brand_rank")
+  }
+}

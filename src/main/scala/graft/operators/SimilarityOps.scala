@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over `array<float>` embedding columns.
+  *
+  * Scoring runs through the native codegen'd
+  * [[graft.functions.expressions.CosineSimilarityFloat]] expression —
+  * primitive loops inside whole-stage codegen, no per-element boxing.
+  *
+  * Ranking determinism: ranks order by `round(score, 6) DESC, vec_id`
+  * so the DuckDB oracle (identical IEEE754 op sequence, identical
+  * rounding) ranks identically.
+  *
+  * Scale paths:
+  *  - `similarityTopK`: brute force, probes broadcast — each executor
+  *    scans its corpus slice once per probe batch; O(n·probes·dim)
+  *    flops but exactly one pass over the big side and zero shuffle of
+  *    the corpus (the only exchange is the tiny top-k heap merge).
+  *  - `annIvf`: IVF-flat — corpus pre-assigned to nearest centroid
+  *    (broadcast centroid table), probes search only `nprobe` inverted
+  *    lists; at 100 TB the assignment is a bucketed write and a probe
+  *    touches ~nprobe/C of the data.
+  *  - `embeddingLshDup`: sign-LSH banding for near-duplicate vectors,
+  *    candidates verified exactly — the embedding analog of
+  *    MinHash+verify in [[DedupOps]].
+  */
+object SimilarityOps {
+
+  /** Brute-force cosine top-k for probe vectors (vec_id < nProbes). */
+  def similarityTopK(emb: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame = {
+    val probes = emb.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorFunctions.cosine(col("probe_vec"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** IVF-flat ANN: centroids are the deterministic sample
+    * `vec_id % centroidMod == 0`; every vector is assigned to its
+    * max-cosine centroid; a probe searches the `nprobe` nearest
+    * inverted lists and returns its top-k by cosine.
+    */
+  def annIvf(emb: DataFrame, centroidMod: Int = 97, nprobe: Int = 3,
+             nProbes: Int = 10, k: Int = 10): DataFrame = {
+    val centroids = emb.where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    // rank of every (vector, centroid) pair by cosine — reused for both
+    // list assignment (rank 1) and probe centroid selection (rank <= nprobe)
+    val pairScores = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"),
+        VectorFunctions.cosine(col("embedding"), col("cvec")).as("cscore"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("cscore"), 6).desc, col("centroid_id").asc)
+    val ranked = pairScores.withColumn("crank", row_number().over(wAssign))
+    val assignment = ranked.where(col("crank") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+    val probeLists = ranked
+      .where(col("vec_id") < nProbes && col("crank") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("centroid_id"),
+        col("embedding").as("probe_vec"))
+    val scored = probeLists.join(assignment, Seq("centroid_id"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorFunctions.cosine(col("probe_vec"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** documents joined with their embedding vector (doc_id == vec_id)
+    * plus the L2 norm — the multimodal "attach features to metadata"
+    * join. Equi-join on the shared key; Catalyst/AQE picks broadcast
+    * vs shuffled hash by size.
+    */
+  def docEmbeddingJoin(docs: DataFrame, emb: DataFrame): DataFrame =
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
+        round(VectorFunctions.l2Norm(col("embedding")), 4).as("emb_norm"))
+      .orderBy("doc_id")
+
+  /** Near-duplicate vectors by cosine >= threshold via sign-LSH:
+    * 8 tables x 8 axis-aligned hyperplanes (the sign bits of dims
+    * t*8..t*8+7); bucket-colliding pairs are verified with the exact
+    * cosine. Output (a_id, b_id, score).
+    */
+  def embeddingLshDup(emb: DataFrame, threshold: Double = 0.5,
+                      tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+    def bucket(t: Int): Column =
+      (0 until bitsPerTable).map { b =>
+        when(element_at(col("embedding"), t * bitsPerTable + b + 1) > 0f,
+          lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val keys = emb.select(
+      col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        concat_ws(":", lit(t), bucket(t).cast("string"))): _*)).as("bkey"))
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val withVecs = cand
+      .join(emb.select(col("vec_id"), col("embedding").as("vec_a")),
+        col("a_id") === col("vec_id")).drop("vec_id")
+      .join(emb.select(col("vec_id"), col("embedding").as("vec_b")),
+        col("b_id") === col("vec_id")).drop("vec_id")
+    withVecs
+      .select(col("a_id"), col("b_id"),
+        round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 4).as("score"))
+      .where(col("score") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a training-data pipeline: token stats,
+  * BPE-ish token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting, n-gram frequencies.
+  *
+  * Design rule: everything per-document is computed with array
+  * higher-order functions on the row — *no shuffle at all* for
+  * token_stats / quality / fingerprints. Only corpus-level frequency
+  * queries (ngram_freq) aggregate across documents. At 100 TB the
+  * per-doc family is embarrassingly parallel map work.
+  */
+object TextAnalysisOps {
+
+  /** Per-language stopword lists for the language-ID heuristic.
+    * Deterministic, tiny, and inlined into the plan as literals.
+    */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai", "you", "wo"))
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "it", "on", "for")
+
+  /** Per-doc token statistics: count, average/max token length.
+    * Computed row-local (size/aggregate over the token array) — the
+    * plan is a single projection over the scan, no exchange.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val lens = transform(ws, w => length(w).cast("long"))
+    val n = size(ws).cast("long")
+    docs
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        round(aggregate(lens, lit(0L), (a, x) => a + x).cast("double") / n, 4)
+          .as("avg_token_len"),
+        array_max(lens).as("max_token_len"))
+      .where(col("n_tokens") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * single non-alphanumeric marks (the classic pre-tokenizer regex).
+    */
+  def tokenCountBpe(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"), lit(0))).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: token count, stopword ratio, punctuation ratio,
+    * average word length — the standard cheap text-quality signals.
+    * Row-local, shuffle-free.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val n = size(ws).cast("long")
+    val stop = size(filter(ws, w => w.isin(EnStopwords.map(x => x: Any): _*)))
+    val punct = size(regexp_extract_all(lower(col("text")),
+      lit("[^a-z0-9 \\t\\n\\r\\f]"), lit(0)))
+    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    docs
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        round(stop.cast("double") / n, 4).as("stopword_ratio"),
+        round(punct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+        round(sumLen.cast("double") / n, 4).as("avg_word_len"))
+      .where(col("n_tokens") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: count stopword hits per language profile,
+    * predict the argmax (ties broken by language-code order — the
+    * CASE chain evaluates in sorted-lang order with >=). Deterministic
+    * and SQL-reproducible.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val hits: Seq[(String, Column)] = StopwordsByLang.map { case (lang, stops) =>
+      lang -> size(filter(ws, w => w.isin(stops.map(x => x: Any): _*)))
+    }
+    val withHits = docs.select(
+      col("doc_id") +: col("lang").as("labeled_lang") +:
+        hits.map { case (l, c) => c.as(s"hits_$l") }: _*)
+    // argmax with first-wins tie-break over the sorted lang order
+    val langs = StopwordsByLang.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val c = col(s"hits_$l")
+      val others = langs.filterNot(_ == l).map(o => c >= col(s"hits_$o"))
+      when(others.reduce(_ && _), lit(l)).otherwise(rest)
+    }
+    withHits
+      .select(col("doc_id"), col("labeled_lang"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: md5 of the raw text plus a rolling
+    * polynomial hash over the token stream (reproducible in SQL).
+    */
+  def docFingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_md5"),
+        rollingFingerprint(tokens(col("text"))).as("fp_roll"))
+      .orderBy("doc_id")
+
+  /** Corpus-wide word-bigram frequencies, top-k. */
+  def ngramFreq(docs: DataFrame, n: Int = 2, k: Int = 30): DataFrame =
+    docs
+      .select(explode(wordNgrams(tokens(col("text")), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("ngram"))
+      .limit(k)
+}

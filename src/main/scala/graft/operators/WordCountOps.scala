@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** The reference's entire query surface — word count and its direct
+  * derivatives (reference `src/wordcount/WordCount.java:44-63,226-241`)
+  * — re-expressed as declarative DataFrame plans.
+  *
+  * Physical shape of `wordCount` (see `.explain("formatted")`):
+  * {{{
+  * HashAggregate(final)          <- reference O10 IntSumReducer
+  *   Exchange hashpartitioning   <- reference O8 HashPartitioner shuffle
+  *     HashAggregate(partial)    <- reference O5 combiner
+  *       Generate explode        <- reference O2 tokenizer
+  *         FileScan parquet [text]  (column-pruned: only `text` is read)
+  * }}}
+  * Partial aggregation before the exchange is what the reference built
+  * its combiner for; Catalyst inserts it automatically, and at cluster
+  * scale the shuffle carries one row per (partition, word) — not one
+  * per token.
+  */
+object WordCountOps {
+
+  /** (word, cnt) — `SELECT word, count(*) GROUP BY word`. */
+  def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Counts grouped by provenance — the analog of the reference's
+    * split-location tagging (O3, `WordCount.java:48-59`): the `source`
+    * column plays the role of the input-split host list.
+    */
+  def wordCountPerSource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy("source", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("source", "word")
+
+  /** Top-k words. TakeOrderedAndProject: each partition keeps a k-sized
+    * heap, the driver merges — no global sort at any scale.
+    */
+  def wordCountTopK(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(k)
+
+  /** Distinct vocabulary (dedup on the token stream). */
+  def distinctWords(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .distinct()
+      .orderBy("word")
+
+  /** Composite-key aggregation — the reference's `GroupedWord`
+    * (locations[], word) key semantics (`GroupedWord.java:12-35`),
+    * with (lang, word) as the composite grouping key.
+    */
+  def groupedKeyAgg(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("lang", "word")
+
+  /** Uncoded shuffle-packet accounting — the reference's PACKETS_SENT
+    * counter semantics (O14, `WordCountDriver.java:17-20`): one packet
+    * per distinct (map-locality, word) partial aggregate. Two-level
+    * aggregation; the first level is exactly the partial-aggregate
+    * count the combiner would emit.
+    */
+  def packetsBaseline(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("source").agg(count(lit(1)).as("packets"), sum("cnt").as("tokens"))
+      .orderBy("source")
+}
