@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the events analytics: the same
+  * logical queries as [[graft.operators.EventsOps]], expressed as
+  * incremental plans with watermarks and keyed state.
+  *
+  * The batch versions remain the oracle-checkable surface (streams
+  * can't be hash-compared by the driver); these exist so a user of
+  * the engine can run the same semantics continuously. Tests drive
+  * them with a MemoryStream / file source over the same fixtures.
+  */
+object EventStreams {
+
+  /** Schema of the events fixture with `ts` as nanos-since-epoch Long
+    * (matching [[graft.Tables.events]]'s batch read).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a directory of events parquet.
+    * `maxFilesPerTrigger=1` gives deterministic micro-batches locally;
+    * on a cluster this is the same plan over a real queue/log source.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+  }
+
+  /** Sliding/tumbling windowed counts per event type with a watermark:
+    * the incremental form of `EventsOps.hourly`. Late data beyond the
+    * watermark is dropped; state is bounded by (watermark / window).
+    */
+  def windowedCounts(events: DataFrame,
+                     window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  // --- stateful sessionization -------------------------------------
+
+  case class SessionInput(user_id: Long, ms: Long)
+  case class SessionState(sessionStartMs: Long, lastMs: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_start_ms: Long,
+                        n_events: Long, span_ms: Long)
+
+  /** Custom keyed state: emit a session record when a user goes quiet
+    * for `gapMinutes`. This is the `flatMapGroupsWithState` path — the
+    * preference-order slot for custom streaming state.
+    *
+    * `useProcessingTimeTimeout=true` additionally flushes idle
+    * sessions on a wall-clock timeout — correct for a live stream,
+    * but on a bounded replay it makes the micro-batch engine poll
+    * continuously (timeouts force empty batches), so it defaults off;
+    * bounded runs close sessions on observed gaps only.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 useProcessingTimeTimeout: Boolean = false): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val timeoutConf =
+      if (useProcessingTimeTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    def fn(userId: Long, rows: Iterator[SessionInput],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ms)
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[SessionOut]
+      for (r <- sorted) {
+        if (st == null) {
+          st = SessionState(r.ms, r.ms, 1L)
+        } else if (r.ms - st.lastMs > gapMs) {
+          out += SessionOut(userId, st.sessionStartMs, st.nEvents, st.lastMs - st.sessionStartMs)
+          st = SessionState(r.ms, r.ms, 1L)
+        } else {
+          st = SessionState(st.sessionStartMs, r.ms, st.nEvents + 1L)
+        }
+      }
+      if (st != null) {
+        if (state.hasTimedOut) {
+          out += SessionOut(userId, st.sessionStartMs, st.nEvents, st.lastMs - st.sessionStartMs)
+          state.remove()
+        } else {
+          state.update(st)
+          if (useProcessingTimeTimeout) state.setTimeoutDuration(gapMs)
+        }
+      }
+      out.result().iterator
+    }
+
+    events
+      .withColumn("ms", expr("ts div 1000000"))
+      .select(col("user_id"), col("ms"))
+      .as[SessionInput]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
+  }
+}

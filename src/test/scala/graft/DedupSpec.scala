@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupOps
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = Tables.documents(spark, TestSpark.Sf0001).cache()
+
+  test("minhash+verify equals exact jaccard join") {
+    val exact = DedupOps.nearDupJaccard(docs).collect().toSet
+    val lsh = DedupOps.nearDupMinhash(docs).collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicate documents")
+    assert(lsh === exact)
+  }
+
+  test("exact dedup groups are disjoint and cover all docs") {
+    val total = docs.count()
+    val groups = DedupOps.exactDedup(docs).collect()
+    assert(groups.map(_.getLong(1)).sum === total)
+  }
+
+  test("simhash is stable and near-dup pairs agree on most bits") {
+    val sh = DedupOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupOps.nearDupJaccard(docs).collect()
+    assert(sh.nonEmpty)
+    // near-dup docs should have close simhashes (hamming <= 6 of 20 bits)
+    pairs.foreach { r =>
+      val h = java.lang.Long.bitCount(sh(r.getLong(0)) ^ sh(r.getLong(1)))
+      assert(h <= 6, s"pair ${r.getLong(0)},${r.getLong(1)} hamming $h")
+    }
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventsOps
+
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkEvents(rows: (Long, Long, Long)*) = // (event_id, ms, user_id)
+    rows.toDF("event_id", "ms", "user_id")
+      .selectExpr("event_id", "ms * 1000000 AS ts", "user_id",
+        "'click' AS event_type", "1.0 AS value", "'{}' AS props")
+
+  test("sessionize splits on gaps > 30 min") {
+    val m = 60L * 1000L
+    val ev = mkEvents(
+      (1, 0, 1), (2, 10 * m, 1), (3, 50 * m, 1),     // user 1: 2 sessions
+      (4, 0, 2), (5, 29 * m, 2), (6, 58 * m, 2))     // user 2: 1 session (gaps 29m)
+    val res = EventsOps.sessionize(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res === Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("sessionize on fixture: spans below gap-free bound") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val res = EventsOps.sessionize(ev).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(1) >= 1L)                  // n_sessions
+      assert(r.getDouble(2) >= 1.0)               // avg events/session
+      assert(r.getLong(3) >= 0L)                  // max span
+    }
+  }
+
+  test("hourly buckets cover all events") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val total = ev.count()
+    val bucketed = EventsOps.hourly(ev).collect().map(_.getLong(2)).sum
+    assert(bucketed === total)
+  }
+}

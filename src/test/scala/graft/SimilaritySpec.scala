@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.SimilarityOps
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val emb = Tables.embeddings(spark, TestSpark.Sf0001).cache()
+
+  test("brute-force rank 1 is the true nearest neighbor") {
+    VectorFunctions.register(spark)
+    val topk = SimilarityOps.similarityTopK(emb).collect()
+    assert(topk.length === 10 * 10)
+    // recompute probe 0's best match on the driver
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = vecs(0L)
+    val best = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(probe, v) }
+      .maxBy { case (id, s) => (math.rint(s * 1e6) / 1e6, -id) }
+    val got = topk.filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L).head
+    assert(got.getLong(2) === best._1)
+  }
+
+  test("ann_ivf returns k results per probe with valid scores") {
+    VectorFunctions.register(spark)
+    val res = SimilarityOps.annIvf(emb).collect()
+    assert(res.nonEmpty)
+    val byProbe = res.groupBy(_.getLong(0))
+    byProbe.foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("ann recall@10 vs brute force is reasonable on fixture") {
+    VectorFunctions.register(spark)
+    val exact = SimilarityOps.similarityTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityOps.annIvf(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall collapsed: $recall")
+  }
+}
