@@ -25,6 +25,8 @@ object TextFunctions {
   /** Word n-grams as space-joined strings ("w1 w2 ... wn").
     * Empty array when the document has fewer than `n` tokens
     * (guard needed: Spark's `sequence(1, 0)` counts *down*).
+    * `slice` per position is O(n) per gram and benches faster than
+    * the per-element `element_at` formulation (ANSI bounds checks).
     */
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,

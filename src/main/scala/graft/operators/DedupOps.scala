@@ -43,10 +43,16 @@ object DedupOps {
       .select("keep_id", "n_copies", "fp")
       .orderBy("keep_id")
 
-  /** (doc_id, shingles array) — the shared dedup input. */
-  private def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(tokens(col("text")), ShingleN).as("sh"))
+  /** (doc_id, shingles array) — the shared dedup input. Native
+    * tokenize + n-gram expressions (hot path at scale).
+    */
+  private def docShingles(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        graft.functions.NativeText.shingles(
+          graft.functions.NativeText.tokens(col("text")), ShingleN).as("sh"))
       .where(size(col("sh")) > 0)
+  }
 
   /** Exact near-dup pairs by word-5-gram Jaccard >= threshold,
     * via inverted-index self-join on shingles.
@@ -69,13 +75,13 @@ object DedupOps {
     */
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val ds = docShingles(docs).cache()
-    // base hash per shingle, reduced mod P to keep a_i*x ANSI-safe
-    val xs = transform(col("sh"), s => pmod(xxhash64(s), lit(P)))
-    // signature: sig(i) = min_s ((2i+1)*x_s + i^2 + 7) mod P
-    val sig = transform(sequence(lit(0), lit(NumHashes - 1)), i =>
-      array_min(transform(col("xs"), x =>
-        pmod((i.cast("long") * 2L + 1L) * x + i.cast("long") * i.cast("long") + 7L, lit(P)))))
-    val signed = ds.withColumn("xs", xs).withColumn("sig", sig)
+    // native one-pass signature (see MinHashSignature scaladoc); the
+    // HOF formulation of the same math benches ~20x slower interpreted
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => graft.functions.expressions.MinHashSignature(exprs.head, NumHashes, P),
+      "scala_udf")
+    val signed = ds.withColumn("sig", call_function("graft_minhash_sig", col("sh")))
     // bands: key = band index + joined 4-row slice of the signature
     val bands = signed.select(
       col("doc_id"),
@@ -122,7 +128,8 @@ object DedupOps {
     * over signature chunks.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val ws = tokens(col("text"))
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
     val hs = transform(ws, w => wordHash20(w))
     val bits = 20
     val simhashCol = (0 until bits).map { j =>

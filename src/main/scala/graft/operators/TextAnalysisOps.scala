@@ -110,21 +110,30 @@ object TextAnalysisOps {
 
   /** Document fingerprints: md5 of the raw text plus a rolling
     * polynomial hash over the token stream (reproducible in SQL).
+    * Native tokenize + fold expressions.
     */
-  def docFingerprint(docs: DataFrame): DataFrame =
+  def docFingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
     docs
       .select(
         col("doc_id"),
         md5(col("text")).as("fp_md5"),
-        rollingFingerprint(tokens(col("text"))).as("fp_roll"))
+        graft.functions.NativeText.rollingFingerprint(
+          graft.functions.NativeText.tokens(col("text"))).as("fp_roll"))
       .orderBy("doc_id")
+  }
 
-  /** Corpus-wide word-bigram frequencies, top-k. */
-  def ngramFreq(docs: DataFrame, n: Int = 2, k: Int = 30): DataFrame =
+  /** Corpus-wide word-bigram frequencies, top-k. Native tokenize +
+    * n-gram expressions feed the aggregate.
+    */
+  def ngramFreq(docs: DataFrame, n: Int = 2, k: Int = 30): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
     docs
-      .select(explode(wordNgrams(tokens(col("text")), n)).as("ngram"))
+      .select(explode(graft.functions.NativeText.wordNgrams(
+        graft.functions.NativeText.tokens(col("text")), n)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("ngram"))
       .limit(k)
+  }
 }

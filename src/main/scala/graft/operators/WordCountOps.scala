@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions._
+import graft.functions.NativeText
 
 /** The reference's entire query surface — word count and its direct
   * derivatives (reference `src/wordcount/WordCount.java:44-63,226-241`)
@@ -24,10 +24,16 @@ import graft.functions.TextFunctions._
   */
 object WordCountOps {
 
+  /** Native tokenizer column (registers the expression first). */
+  private def tokens(docs: DataFrame, textCol: String = "text"): Column = {
+    NativeText.register(docs.sparkSession)
+    NativeText.tokens(col(textCol))
+  }
+
   /** (word, cnt) — `SELECT word, count(*) GROUP BY word`. */
   def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .select(explode(tokens(col(textCol))).as("word"))
+      .select(explode(tokens(docs, textCol)).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
@@ -38,7 +44,7 @@ object WordCountOps {
     */
   def wordCountPerSource(docs: DataFrame): DataFrame =
     docs
-      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .select(col("source"), explode(tokens(docs)).as("word"))
       .groupBy("source", "word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("source", "word")
@@ -48,7 +54,7 @@ object WordCountOps {
     */
   def wordCountTopK(docs: DataFrame, k: Int = 20): DataFrame =
     docs
-      .select(explode(tokens(col("text"))).as("word"))
+      .select(explode(tokens(docs)).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("word"))
@@ -57,7 +63,7 @@ object WordCountOps {
   /** Distinct vocabulary (dedup on the token stream). */
   def distinctWords(docs: DataFrame): DataFrame =
     docs
-      .select(explode(tokens(col("text"))).as("word"))
+      .select(explode(tokens(docs)).as("word"))
       .distinct()
       .orderBy("word")
 
@@ -67,7 +73,7 @@ object WordCountOps {
     */
   def groupedKeyAgg(docs: DataFrame): DataFrame =
     docs
-      .select(col("lang"), col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .select(col("lang"), col("doc_id"), explode(tokens(docs)).as("word"))
       .groupBy("lang", "word")
       .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy("lang", "word")
@@ -80,7 +86,7 @@ object WordCountOps {
     */
   def packetsBaseline(docs: DataFrame): DataFrame =
     docs
-      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .select(col("source"), explode(tokens(docs)).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
       .groupBy("source").agg(count(lit(1)).as("packets"), sum("cnt").as("tokens"))
       .orderBy("source")

@@ -30,6 +30,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(short.head.getSeq[String](0) === Seq.empty)
   }
 
+  test("native expressions equal the functions-API reference implementations") {
+    import graft.functions.NativeText
+    NativeText.register(spark)
+    val edge = Seq("a b\tc\nd\re\ff", "  x  ", "", " \t\n", "MiXeD Case", "one")
+    val fixture = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val df = (edge ++ fixture).toDF("text")
+    val cmp = df.select(
+      tokens(col("text")).as("ref_t"),
+      NativeText.tokens(col("text")).as("nat_t"),
+      wordNgrams(tokens(col("text")), 5).as("ref_g"),
+      NativeText.wordNgrams(NativeText.tokens(col("text")), 5).as("nat_g"),
+      rollingFingerprint(tokens(col("text"))).as("ref_f"),
+      NativeText.rollingFingerprint(NativeText.tokens(col("text"))).as("nat_f"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+      assert(r.getSeq[String](2) === r.getSeq[String](3))
+      assert(r.getLong(4) === r.getLong(5))
+    }
+  }
+
   test("rollingFingerprint is deterministic and order-sensitive") {
     def fp(s: String): Long =
       Seq(s).toDF("text").select(rollingFingerprint(tokens(col("text"))).as("h"))
