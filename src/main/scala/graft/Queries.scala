@@ -310,6 +310,12 @@ object Queries {
              |SELECT p_brand, CAST(brand_rank AS BIGINT) AS brand_rank, p_partkey, p_retailprice
              |FROM r WHERE brand_rank <= 3 ORDER BY p_brand, brand_rank""".stripMargin)),
 
+    "orders_monthly" -> QueryDef(
+      (s, d) => RelationalOps.ordersMonthly(Tables.orders(s, d)),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue, round(avg(o_totalprice), 4) AS avg_price
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- events ------------------------------------------------------
     "events_hourly" -> QueryDef(
       (s, d) => EventsOps.hourly(Tables.events(s, d)),
@@ -347,6 +353,18 @@ object Queries {
       Some("""SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_purchases
              |FROM events WHERE event_type = 'purchase'
              |GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin)),
+
+    "events_distinct_users" -> QueryDef(
+      (s, d) => EventsOps.distinctUsersSalted(Tables.events(s, d)),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // the reference's coded-shuffle research metric, simulated with
+    // the *intended* (bug-fixed) semantics — packet accounting has no
+    // SQL form, so the driver records the weaker rows-only check
+    "coded_shuffle_sim" -> QueryDef(
+      (s, d) => graft.plans.CodedShuffleSim.asDataFrame(Tables.documents(s, d)),
+      None),
 
     // ----- multimodal --------------------------------------------------
     "multimodal_features" -> QueryDef(

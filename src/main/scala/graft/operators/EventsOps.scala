@@ -64,6 +64,23 @@ object EventsOps {
       .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))
       .orderBy("event_type")
 
+  /** Exact `count(DISTINCT user_id)` per event type via two-stage
+    * salted aggregation: stage 1 dedups within (type, hash-bucket),
+    * stage 2 sums bucket cardinalities. Same answer as a direct
+    * countDistinct, but the first exchange spreads a hot grouping key
+    * over `buckets` partitions — the standard skew-mitigation shape
+    * when one key dominates at cluster scale.
+    */
+  def distinctUsersSalted(events: DataFrame, buckets: Int = 16): DataFrame =
+    events
+      .select(col("event_type"), col("user_id"),
+        pmod(hash(col("user_id")), lit(buckets)).as("salt"))
+      .groupBy("event_type", "salt")
+      .agg(countDistinct(col("user_id")).as("part"))
+      .groupBy("event_type")
+      .agg(sum("part").as("n_users"))
+      .orderBy("event_type")
+
   /** Top-10 purchasing users by total purchase value. */
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events

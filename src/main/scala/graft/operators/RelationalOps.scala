@@ -125,6 +125,21 @@ object RelationalOps {
       .select("c_custkey", "c_acctbal")
       .orderBy("c_custkey")
 
+  /** Date-function breakdown: orders per (year, month) with revenue.
+    * Exercises the temporal scalar functions over the timestamp
+    * column; aggregation is a plain two-key groupBy.
+    */
+  def ordersMonthly(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("yr", "mo")
+
   /** Top-k parts by retail price with dense_rank over brand. */
   def partTopk(part: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))

@@ -90,4 +90,10 @@ object WordCountOps {
       .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
       .groupBy("source").agg(count(lit(1)).as("packets"), sum("cnt").as("tokens"))
       .orderBy("source")
+
+  /** Reference O11 sink parity (`WordCountDriver.java:59`, default
+    * TextOutputFormat): write `word TAB count` text lines.
+    */
+  def writeTsv(wordcounts: DataFrame, path: String): Unit =
+    wordcounts.write.mode("overwrite").option("sep", "\t").csv(path)
 }
