@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.expressions._
+import graft.operators.DedupOps
+
+/** `spark.sql.extensions` entry point: installs every graft native
+  * expression as a SQL function at session build time, so a cluster
+  * user gets the full surface with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — no
+  * per-session registration calls.
+  *
+  * The same functions are also registered imperatively by the
+  * operators (`NativeText.register` / `VectorFunctions.register`) for
+  * sessions built without the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+    e.injectFunction((FunctionIdentifier("graft_tokenize"),
+      info("graft_tokenize", "lower+whitespace-split+drop-empty tokens"),
+      exprs => Tokenize(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams", "space-joined word n-grams"),
+      exprs => WordNgramsExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("graft_rolling_fp"),
+      info("graft_rolling_fp", "rolling polynomial fingerprint"),
+      exprs => RollingFingerprintExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "minhash signature of a shingle set"),
+      exprs => MinHashSignature(exprs.head, DedupOps.NumHashes, DedupOps.P)))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "cosine similarity of two float vectors"),
+      exprs => CosineSimilarityFloat(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "dot product of two float vectors"),
+      exprs => DotProductFloat(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,26 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw-text ingestion — the reference's actual input format (O1,
+  * `TextInputFormat` at `WordCountDriver.java:58`): line-oriented
+  * text files become a documents-shaped DataFrame, so every text
+  * operator (wordcount, dedup, fingerprints, ...) runs unchanged on
+  * plain text corpora.
+  *
+  * The reference's `(byteOffset, line)` pair maps to
+  * (`monotonically_increasing_id`, `value`); the originating file
+  * (`input_file_name`) plays the split-location role (O3).
+  */
+object TextSource {
+
+  /** Read line-oriented text file(s) as (doc_id, text, source, n_chars). */
+  def readAsDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(
+        monotonically_increasing_id().as("doc_id"),
+        col("value").as("text"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("source"),
+        length(col("value")).cast("long").as("n_chars"))
+}
