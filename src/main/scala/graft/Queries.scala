@@ -150,6 +150,19 @@ object Queries {
               |SELECT ngram, count(*) AS cnt FROM n
               |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 30""".stripMargin)),
 
+    "tfidf_topk" -> QueryDef(
+      (s, d) => TextAnalysisOps.tfidfTopK(Tables.documents(s, d)),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+              |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+              |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |s AS (SELECT doc_id, word, tf,
+              |        round(tf * ln(n.n::DOUBLE / df.df), 4) AS score,
+              |        row_number() OVER (PARTITION BY doc_id
+              |          ORDER BY round(tf * ln(n.n::DOUBLE / df.df), 6) DESC, word) AS rnk
+              |      FROM tf JOIN df USING (word) CROSS JOIN n)
+              |SELECT doc_id, rnk, word, tf, score FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
     // ----- dedup -------------------------------------------------------
     "exact_dedup" -> QueryDef(
       (s, d) => DedupOps.exactDedup(Tables.documents(s, d)),
@@ -347,6 +360,29 @@ object Queries {
       Some("""SELECT event_type, count(*) AS n,
              |  round(avg(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)), 4) AS avg_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "events_asof_join" -> QueryDef(
+      (s, d) => EventsOps.asofPurchaseClick(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+             |f AS (SELECT event_id, user_id, event_type, ms,
+             |  LAST_VALUE(CASE WHEN event_type = 'click' THEN ms END IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY ms, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ms
+             |FROM e)
+             |SELECT event_id, user_id, ms AS purchase_ms, last_click_ms, ms - last_click_ms AS gap_ms
+             |FROM f WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    "events_cube" -> QueryDef(
+      (s, d) => EventsOps.cubeDaily(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT event_type, strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day, value FROM events)
+             |SELECT coalesce(event_type, 'ALL') AS event_type, coalesce(day, 'ALL') AS day,
+             |  count(*) AS n, round(sum(value), 4) AS sum_value
+             |FROM e GROUP BY CUBE(event_type, day) ORDER BY event_type, day""".stripMargin)),
+
+    // HLL++ sketch values are implementation-specific: rows-only check
+    "events_approx_users" -> QueryDef(
+      (s, d) => EventsOps.approxDistinctUsers(Tables.events(s, d)),
+      None),
 
     "events_topusers" -> QueryDef(
       (s, d) => EventsOps.topUsers(Tables.events(s, d)),

@@ -81,6 +81,53 @@ object EventsOps {
       .agg(sum("part").as("n_users"))
       .orderBy("event_type")
 
+  /** As-of join (the classic time-series operator Spark lacks as a
+    * primitive, composed from window functions): every purchase event
+    * is joined to the same user's most recent *strictly prior* click.
+    * One exchange on user_id; `last(ignoreNulls)` over an ordered
+    * window with an `UNBOUNDED PRECEDING .. 1 PRECEDING` frame is the
+    * as-of backward lookup.
+    */
+  def asofPurchaseClick(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("ms", tsMs)
+      .withColumn("click_ms",
+        when(col("event_type") === "click", col("ms")))
+      .withColumn("last_click_ms", last(col("click_ms"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"),
+        col("last_click_ms"),
+        (col("ms") - col("last_click_ms")).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  /** CUBE over (event_type, day): all grouping-set combinations with
+    * coalesced 'ALL' labels.
+    */
+  def cubeDaily(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_format(date_trunc("day", timestamp_millis(tsMs)), "yyyy-MM-dd"))
+      .cube("event_type", "day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "day")
+
+  /** Sketch aggregation: HyperLogLog++ approximate distinct users per
+    * type. Implementation-specific values — no SQL oracle; the test
+    * bounds the error against the exact count.
+    */
+  def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .orderBy("event_type")
+
   /** Top-10 purchasing users by total purchase value. */
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events

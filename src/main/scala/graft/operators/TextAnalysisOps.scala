@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -121,6 +122,31 @@ object TextAnalysisOps {
         graft.functions.NativeText.rollingFingerprint(
           graft.functions.NativeText.tokens(col("text"))).as("fp_roll"))
       .orderBy("doc_id")
+  }
+
+  /** TF-IDF top-k terms per document: tf(doc, word) * ln(N / df(word)),
+    * ranked per doc. Two aggregations (both shuffling on `word` /
+    * `(doc_id, word)`), document frequency joined back broadcast —
+    * df is bounded by vocabulary, not corpus size.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "word")
+      .withColumn("score_raw", col("tf") * log(lit(n.toDouble) / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("score_raw"), 6).desc, col("word").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"),
+        round(col("score_raw"), 4).as("score"))
+      .orderBy("doc_id", "rnk")
   }
 
   /** Corpus-wide word-bigram frequencies, top-k. Native tokenize +

@@ -34,6 +34,31 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join picks the strictly prior click") {
+    val m = 60L * 1000L
+    val ev = Seq(
+      (1L, 0L, 1L, "click"), (2L, 5 * m, 1L, "purchase"),   // gap 5m
+      (3L, 6 * m, 1L, "click"), (4L, 6 * m, 1L, "purchase"), // same-ms click is prior by event_id
+      (5L, 0L, 2L, "purchase"))                              // no prior click -> null
+      .toDF("event_id", "ms", "user_id", "event_type")
+      .selectExpr("event_id", "ms * 1000000 AS ts", "user_id", "event_type",
+        "1.0 AS value", "'{}' AS props")
+    val rows = EventsOps.asofPurchaseClick(ev).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(rows === Map(2L -> 5 * m, 4L -> 0L, 5L -> -1L))
+  }
+
+  test("approx distinct users within rsd of exact") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val approx = EventsOps.approxDistinctUsers(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = EventsOps.distinctUsersSalted(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(approx(t) - n).toDouble / n < 0.1, s"$t: ${approx(t)} vs $n")
+    }
+  }
+
   test("hourly buckets cover all events") {
     val ev = Tables.events(spark, TestSpark.Sf0001)
     val total = ev.count()
