@@ -54,6 +54,17 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id with watermark-bounded state:
+    * duplicates arriving within the watermark horizon are dropped,
+    * state for expired event-times is evicted — the streaming form of
+    * `DedupOps.exactDedup` for an at-least-once upstream.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("event_id", "event_time")
+
   // --- stateful sessionization -------------------------------------
 
   case class SessionInput(user_id: Long, ms: Long)

@@ -38,7 +38,16 @@ object StreamDemo {
     try sess.processAllAvailable() finally sess.stop()
     val sessions = spark.table("demo_sess").count()
 
-    println(s"""{"windows":$windows,"events":$events,"closed_sessions":$sessions}""")
+    // at-least-once replay: stage the fixture twice, dedup the stream
+    val dupDir = Files.createTempDirectory("graft-stream-demo-dup")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dupDir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dupDir.resolve("b.parquet"))
+    val dedup = EventStreams.dedupEvents(EventStreams.readEventsStream(spark, dupDir.toString))
+      .writeStream.outputMode("append").format("memory").queryName("demo_dedup").start()
+    try dedup.processAllAvailable() finally dedup.stop()
+    val deduped = spark.table("demo_dedup").count()
+
+    println(s"""{"windows":$windows,"events":$events,"closed_sessions":$sessions,"replayed_deduped":$deduped}""")
     spark.stop()
   }
 }

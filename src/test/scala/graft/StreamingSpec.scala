@@ -37,6 +37,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming dedup drops replayed duplicates") {
+    // stage the same fixture TWICE: an at-least-once replay
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = EventStreams.readEventsStream(spark, dir.toString)
+    val q = EventStreams.dedupEvents(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val originals = Tables.events(spark, TestSpark.Sf0001).count()
+    assert(spark.table("dedup_stream").count() === originals)
+  }
+
   test("stateful sessionize emits closed sessions") {
     val stream = EventStreams.readEventsStream(spark, eventsDir)
     val q = EventStreams.sessionize(stream)
