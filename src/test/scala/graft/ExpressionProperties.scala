@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.expressions.{MinHashSignature, RollingFingerprintExpr, Tokenize, WordNgramsExpr}
+
+/** Property-based checks of the native expressions via direct
+  * Catalyst `eval` (no Spark jobs — thousands of cases per second).
+  */
+object ExpressionProperties extends Properties("graft.expressions") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
+  private val delimChars = Gen.oneOf(' ', '\t', '\n', '\r', '\f')
+  private val wordChar = Gen.frequency(
+    9 -> Gen.alphaChar, 2 -> Gen.numChar, 1 -> Gen.oneOf('.', ',', '!', '_'))
+  private val rawString: Gen[String] = Gen.listOfN(
+    40, Gen.frequency(4 -> wordChar, 1 -> delimChars)).map(_.mkString)
+  private val wordList: Gen[List[String]] =
+    Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)).map(_.take(20))
+
+  private def tokenize(s: String): Seq[String] =
+    Tokenize(Literal(UTF8String.fromString(s), StringType))
+      .eval(null).asInstanceOf[ArrayData]
+      .toObjectArray(StringType).toSeq.map(_.toString)
+
+  private def strArrayLit(xs: Seq[String]) =
+    Literal.create(xs, ArrayType(StringType))
+
+  property("tokenize matches java.util.StringTokenizer semantics") =
+    forAll(rawString) { s =>
+      val model = {
+        val st = new java.util.StringTokenizer(s.toLowerCase)
+        val b = Seq.newBuilder[String]
+        while (st.hasMoreTokens) b += st.nextToken()
+        b.result()
+      }
+      tokenize(s) == model
+    }
+
+  property("tokenize distributes over whitespace concatenation") =
+    forAll(rawString, rawString) { (a, b) =>
+      tokenize(a + " " + b) == tokenize(a) ++ tokenize(b)
+    }
+
+  property("ngram count is len-n+1 (or 0 below n)") =
+    forAll(wordList, Gen.choose(1, 6)) { (ws, n) =>
+      val out = WordNgramsExpr(strArrayLit(ws), n)
+        .eval(null).asInstanceOf[ArrayData].numElements()
+      out == math.max(0, ws.length - n + 1)
+    }
+
+  property("rolling fingerprint equals the fold model") =
+    forAll(wordList) { ws =>
+      val got = RollingFingerprintExpr(strArrayLit(ws)).eval(null)
+        .asInstanceOf[Long]
+      val model = ws.foldLeft(0L) { (h, w) =>
+        (h * 31L + (7L * w.length + (if (w.isEmpty) 0L else w.codePointAt(0).toLong))) % 1000000007L
+      }
+      got == model
+    }
+
+  private def sig(xs: Seq[String]): Seq[Long] =
+    MinHashSignature(strArrayLit(xs), 16, 1000000007L)
+      .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+
+  property("minhash signature of a union is the elementwise min") =
+    forAll(wordList, wordList) { (a, b) =>
+      sig(a ++ b) == sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+    }
+
+  property("minhash signature is order- and duplicate-invariant") =
+    forAll(wordList) { ws =>
+      sig(ws) == sig(scala.util.Random.shuffle(ws ++ ws))
+    }
+}
