@@ -27,7 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => Tokenize(exprs.head)))
     e.injectFunction((FunctionIdentifier("graft_word_ngrams"),
       info("graft_word_ngrams", "space-joined word n-grams"),
-      exprs => WordNgramsExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+      exprs => WordNgramsExpr(exprs(0),
+        ExpressionArgs.literalInt(exprs(1), "graft_word_ngrams"))))
     e.injectFunction((FunctionIdentifier("graft_rolling_fp"),
       info("graft_rolling_fp", "rolling polynomial fingerprint"),
       exprs => RollingFingerprintExpr(exprs.head)))

@@ -358,7 +358,7 @@ object Queries {
     "events_json" -> QueryDef(
       (s, d) => EventsOps.jsonProps(Tables.events(s, d)),
       Some("""SELECT event_type, count(*) AS n,
-             |  round(avg(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)), 4) AS avg_k
+             |  round(avg(CAST(regexp_extract(props, '"k"\s*:\s*([0-9]+)', 1) AS BIGINT)), 4) AS avg_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     "events_asof_join" -> QueryDef(

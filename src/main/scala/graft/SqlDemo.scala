@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql.extensions=graft.GraftExtensions` answers engine
   * queries in pure SQL, graft functions included.
   *
-  * Usage: SqlDemo [sfDir]
+  * Usage: SqlDemo [sfDir]            — run the built-in demo queries
+  *        SqlDemo [sfDir] <sql...>   — run ad-hoc SQL statements and
+  *                                     print each result (or error)
   */
 object SqlDemo {
   def main(args: Array[String]): Unit = {
@@ -20,6 +22,17 @@ object SqlDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Catalog.registerViews(spark, sfDir)
+
+    if (args.length > 1) {
+      args.drop(1).foreach { sql =>
+        try spark.sql(sql).show(20, truncate = false)
+        catch { case e: Exception =>
+          println(s"SQL ERROR: ${e.getMessage.linesIterator.next()}")
+        }
+      }
+      spark.stop()
+      return
+    }
 
     val vocab = spark.sql(
       """SELECT count(*) AS n FROM (

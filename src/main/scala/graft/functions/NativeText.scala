@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{RollingFingerprintExpr, Tokenize, WordNgramsExpr}
+import graft.functions.expressions.{ExpressionArgs, RollingFingerprintExpr, Tokenize, WordNgramsExpr}
 
 /** Column API over the native text expressions
   * ([[graft.functions.expressions]]). Output-equivalent to
@@ -22,7 +22,7 @@ object NativeText {
       TokenizeName, es => Tokenize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       NgramsName,
-      es => WordNgramsExpr(es(0), es(1).eval().asInstanceOf[Int]),
+      es => WordNgramsExpr(es(0), ExpressionArgs.literalInt(es(1), NgramsName)),
       "scala_udf")
     reg.createOrReplaceTempFunction(
       FingerprintName, es => RollingFingerprintExpr(es.head), "scala_udf")

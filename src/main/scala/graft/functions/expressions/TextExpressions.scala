@@ -2,6 +2,7 @@ package graft.functions.expressions
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -26,6 +27,9 @@ case class Tokenize(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprChecks.require(child.dataType == StringType, prettyName, "string", child.dataType)
 
   @inline private def isDelim(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
@@ -57,6 +61,9 @@ case class WordNgramsExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprChecks.requireStringArray(child.dataType, prettyName)
 
   private val space = UTF8String.fromString(" ")
 
@@ -91,6 +98,9 @@ case class RollingFingerprintExpr(child: Expression)
 
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprChecks.requireStringArray(child.dataType, prettyName)
+
   private val P = 1000000007L
 
   override def nullSafeEval(input: Any): Any = {
@@ -115,4 +125,36 @@ case class RollingFingerprintExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Resolve a function's `n` argument from SQL: accepts int/long
+  * literals (or any foldable integral expression) with a clear error
+  * otherwise, instead of a raw ClassCastException at plan time.
+  */
+object ExpressionArgs {
+  def literalInt(e: Expression, fn: String): Int =
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: the n argument must be a constant, got a non-literal expression")
+    else e.eval() match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long    => l.intValue
+      case s: java.lang.Short   => s.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: the n argument must be an integer literal, got $other")
+    }
+}
+
+/** Shared analysis-time type checks for the SQL-exposed expressions. */
+private[expressions] object TextExprChecks {
+  def require(ok: Boolean, fn: String, expected: String,
+              got: org.apache.spark.sql.types.DataType): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$fn requires $expected, got ${got.sql}")
+
+  def requireStringArray(dt: org.apache.spark.sql.types.DataType, fn: String): TypeCheckResult =
+    dt match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"$fn requires array<string>, got ${other.sql}")
+    }
 }

@@ -1,5 +1,6 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,9 +20,22 @@ import org.apache.spark.sql.types._
   * (`list_sum(list_transform(...))`), which keeps hash-compare exact.
   */
 abstract class FloatVectorBinary extends BinaryExpression {
-  // inputs are guaranteed array<float> by the operator layer; no
-  // implicit-cast contract needed (AbstractDataType is private[sql])
   override def dataType: DataType = DoubleType
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // exposed to arbitrary SQL via GraftExtensions/Catalog, so reject
+  // wrong argument types at analysis instead of reinterpreting bits
+  // (AbstractDataType is private[sql], hence no ExpectsInputTypes)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
 }
 
 /** dot(a, b) = sum_i a(i)*b(i), in double precision. */

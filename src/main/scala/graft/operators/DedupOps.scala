@@ -30,8 +30,12 @@ object DedupOps {
 
   val ShingleN = 5
   val NumHashes = 64
-  val NumBands = 16
-  val RowsPerBand = 4
+  // 32 bands x 2 rows: candidate probability 1-(1-J^2)^32 — recall at
+  // the 0.8 threshold is 1 - 2e-14 (16x4 left ~2e-4 miss odds per
+  // borderline pair); the exact-verify stage keeps precision at 1, so
+  // wider banding costs only extra cheap verifications
+  val NumBands = 32
+  val RowsPerBand = 2
   val P = 1000000007L
 
   /** Exact dedup: group by content digest, keep the smallest doc_id. */
@@ -58,14 +62,19 @@ object DedupOps {
     * via inverted-index self-join on shingles.
     */
   def nearDupJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val ds = docShingles(docs).cache()
+    // no .cache(): the shingle projection is cheap native compute and
+    // a session-lifetime cached corpus would pin executor storage
+    val ds = docShingles(docs)
     val inv = ds.select(col("doc_id"), explode(col("sh")).as("s"))
     val cand = inv.as("a").join(inv.as("b"), col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     val cnt = ds.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    jaccardFilter(cand, cnt, threshold)
+    val withCounts = cand
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na")), "a_id")
+      .join(broadcast(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb")), "b_id")
+    jaccardOutput(withCounts, threshold)
   }
 
   /** MinHash + LSH near-dup with exact-Jaccard verification.
@@ -74,7 +83,7 @@ object DedupOps {
     * inverted index.
     */
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val ds = docShingles(docs).cache()
+    val ds = docShingles(docs)
     // native one-pass signature (see MinHashSignature scaladoc); the
     // HOF formulation of the same math benches ~20x slower interpreted
     docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -82,7 +91,7 @@ object DedupOps {
       exprs => graft.functions.expressions.MinHashSignature(exprs.head, NumHashes, P),
       "scala_udf")
     val signed = ds.withColumn("sig", call_function("graft_minhash_sig", col("sh")))
-    // bands: key = band index + joined 4-row slice of the signature
+    // bands: key = band index + joined row-slice of the signature
     val bands = signed.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
@@ -104,18 +113,15 @@ object DedupOps {
       size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
       size(col("sh_a")).cast("long").as("na"),
       size(col("sh_b")).cast("long").as("nb"))
-    verified
-      .withColumn("jac", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 4))
-      .where(col("jac") >= threshold)
-      .select("a_id", "b_id", "jac")
-      .orderBy("a_id", "b_id")
+    jaccardOutput(verified, threshold)
   }
 
-  private def jaccardFilter(cand: DataFrame, cnt: DataFrame, threshold: Double): DataFrame =
-    cand
-      .join(broadcast(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na")), "a_id")
-      .join(broadcast(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb")), "b_id")
+  /** Canonical tail shared by both near-dup variants: given
+    * (a_id, b_id, inter, na, nb), compute + round + filter Jaccard
+    * and emit the ordered (a_id, b_id, jac) contract.
+    */
+  private def jaccardOutput(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))
       .where(col("jac") >= threshold)

@@ -73,9 +73,20 @@ object CodedShuffleSim {
       if (math.floorMod(word.hashCode, 2) == 0) p else (p + 1) % Nodes
 
     var naive = 0L; var sent = 0L; var encoded = 0L
+    var decodeFailures = 0L
     val decoded = scala.collection.mutable.Map.empty[String, Long]
     def credit(word: String, cnt: Long): Unit =
       decoded(word) = decoded.getOrElse(word, 0L) + cnt
+    // what each physical node knows from its own map phase: the
+    // partial counts of every node-set it replicates — the decode
+    // below may ONLY strip values from the target's own knowledge
+    // (this is what the reference's static-map side channel faked)
+    val localKnowledge: Map[Int, Map[(Int, String), Long]] =
+      (0 until Nodes).map { n =>
+        n -> partials
+          .filter(r => r.getInt(0) == n || (r.getInt(0) + 1) % Nodes == n)
+          .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      }.toMap
 
     partials.groupBy(r => encoderNode(r.getInt(0), r.getString(1)))
       .toSeq.sortBy(_._1)
@@ -99,10 +110,18 @@ object CodedShuffleSim {
           if (m >= 0) {
             val other = cache.remove(m)
             sent += 1; encoded += 1
-            // XOR multicast + correct-key decode at each target
+            // XOR multicast; each target decodes by stripping the
+            // OTHER word's partial from its own local knowledge —
+            // if the target doesn't hold it, decoding genuinely fails
             val packet = e.getLong(2) ^ other.getLong(2)
-            credit(e.getString(1), packet ^ other.getLong(2))
-            credit(other.getString(1), packet ^ e.getLong(2))
+            def decodeAt(tgt: Row, known: Row): Unit =
+              localKnowledge(target(tgt.getString(1)))
+                .get((known.getInt(0), known.getString(1))) match {
+                case Some(k) => credit(tgt.getString(1), packet ^ k)
+                case None    => decodeFailures += 1
+              }
+            decodeAt(e, other)
+            decodeAt(other, e)
           } else {
             cache += e
           }
@@ -114,12 +133,14 @@ object CodedShuffleSim {
     accPackets.foreach(_.add(sent))
     accEncoded.foreach(_.add(encoded))
 
-    // decode must reproduce the true word counts exactly
+    // decode must reproduce the true word counts exactly, with zero
+    // packets the targets couldn't strip
     val truth = docs
       .select(explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ok = truth.forall { case (w, c) => decoded.getOrElse(w, 0L) == c } &&
+    val ok = decodeFailures == 0L &&
+      truth.forall { case (w, c) => decoded.getOrElse(w, 0L) == c } &&
       decoded.keys.forall(truth.contains)
 
     Result(naive, sent, encoded, ok)
