@@ -323,6 +323,30 @@ object Queries {
              |SELECT p_brand, CAST(brand_rank AS BIGINT) AS brand_rank, p_partkey, p_retailprice
              |FROM r WHERE brand_rank <= 3 ORDER BY p_brand, brand_rank""".stripMargin)),
 
+    "lineitem_quantiles" -> QueryDef(
+      (s, d) => RelationalOps.lineitemQuantiles(Tables.lineitem(s, d)),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // exercises the SQL layer (views + parser + scalar subquery)
+    // inside the driver's correctness gate
+    "sql_orders_above_avg" -> QueryDef(
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM orders
+                |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     "orders_monthly" -> QueryDef(
       (s, d) => RelationalOps.ordersMonthly(Tables.orders(s, d)),
       Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,

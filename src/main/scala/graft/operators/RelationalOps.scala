@@ -140,6 +140,19 @@ object RelationalOps {
         round(avg("o_totalprice"), 4).as("avg_price"))
       .orderBy("yr", "mo")
 
+  /** Exact percentiles (interpolated) of line quantity per return
+    * flag — the continuous-quantile aggregate surface.
+    */
+  def lineitemQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Top-k parts by retail price with dense_rank over brand. */
   def partTopk(part: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))
