@@ -427,6 +427,10 @@ object Queries {
       None),
 
     // ----- multimodal --------------------------------------------------
+    // NOTE: the oracle mirrors the byte-level decodeStub with
+    // character functions (ascii / per-char codepoint sum), which is
+    // equivalent only for ASCII text — verified true for all fixtures;
+    // a non-ASCII corpus would need a byte-level oracle
     "multimodal_features" -> QueryDef(
       (s, d) => MultimodalOps.mediaFeatures(Tables.documents(s, d)),
       Some("""SELECT doc_id,
