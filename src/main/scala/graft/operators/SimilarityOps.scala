@@ -58,18 +58,25 @@ object SimilarityOps {
              nProbes: Int = 10, k: Int = 10): DataFrame = {
     val centroids = emb.where(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-    // rank of every (vector, centroid) pair by cosine — reused for both
-    // list assignment (rank 1) and probe centroid selection (rank <= nprobe)
-    val pairScores = emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("centroid_id"), col("embedding"),
-        VectorFunctions.cosine(col("embedding"), col("cvec")).as("cscore"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("cscore"), 6).desc, col("centroid_id").asc)
-    val ranked = pairScores.withColumn("crank", row_number().over(wAssign))
-    val assignment = ranked.where(col("crank") === 1)
+    // corpus x centroids is the expensive pass: compute it exactly once
+    // (list assignment, rank 1); the probe-side centroid ranking only
+    // needs probes x centroids — a separate, tiny cross join — so it
+    // must NOT be derived from the full ranking (that would recompute
+    // the heavy join a second time)
+    val assignment = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"),
+        VectorFunctions.cosine(col("embedding"), col("cvec")).as("cscore"))
+      .withColumn("crank", row_number().over(wAssign))
+      .where(col("crank") === 1)
       .select(col("vec_id"), col("centroid_id"), col("embedding"))
-    val probeLists = ranked
-      .where(col("vec_id") < nProbes && col("crank") <= nprobe)
+    val probeLists = emb.where(col("vec_id") < nProbes)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"),
+        VectorFunctions.cosine(col("embedding"), col("cvec")).as("cscore"))
+      .withColumn("crank", row_number().over(wAssign))
+      .where(col("crank") <= nprobe)
       .select(col("vec_id").as("probe_id"), col("centroid_id"),
         col("embedding").as("probe_vec"))
     val scored = probeLists.join(assignment, Seq("centroid_id"))
