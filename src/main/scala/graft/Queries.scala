@@ -206,7 +206,7 @@ object Queries {
 
     "ann_ivf" -> QueryDef(
       (s, d) => { VectorFunctions.register(s); SimilarityOps.annIvf(Tables.embeddings(s, d)) },
-      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),
               |ps AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
               |       FROM embeddings e CROSS JOIN c),
               |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM ps),

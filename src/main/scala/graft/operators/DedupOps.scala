@@ -70,10 +70,13 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint: cnt is one row PER DOCUMENT (corpus-sized, not
+    // dimension-sized) — let AQE pick broadcast vs shuffled-hash by the
+    // actual runtime size
     val cnt = ds.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val withCounts = cand
-      .join(broadcast(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na")), "a_id")
-      .join(broadcast(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb")), "b_id")
+      .join(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
     jaccardOutput(withCounts, threshold)
   }
 

@@ -50,32 +50,44 @@ object SimilarityOps {
   }
 
   /** IVF-flat ANN: centroids are the deterministic sample
-    * `vec_id % centroidMod == 0`; every vector is assigned to its
-    * max-cosine centroid; a probe searches the `nprobe` nearest
-    * inverted lists and returns its top-k by cosine.
+    * `vec_id % centroidMod == 0 AND vec_id < centroidMod * numCentroids`
+    * — at most `numCentroids` rows, a CONSTANT independent of corpus
+    * size, so the centroid broadcast is bounded and the assignment pass
+    * is O(n · K) flops, not O(n²). Every vector is assigned to its
+    * max-cosine centroid with a `max_by`-style aggregate (no sort, no
+    * window — partial aggregation collapses map-side before the one
+    * n-row exchange); a probe searches the `nprobe` nearest inverted
+    * lists and returns its top-k by cosine.
     */
-  def annIvf(emb: DataFrame, centroidMod: Int = 97, nprobe: Int = 3,
-             nProbes: Int = 10, k: Int = 10): DataFrame = {
-    val centroids = emb.where(col("vec_id") % centroidMod === 0)
+  def annIvf(emb: DataFrame, centroidMod: Int = 97, numCentroids: Int = 16,
+             nprobe: Int = 3, nProbes: Int = 10, k: Int = 10): DataFrame = {
+    val centroids = emb
+      .where(col("vec_id") % centroidMod === 0 &&
+        col("vec_id") < centroidMod.toLong * numCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(round(col("cscore"), 6).desc, col("centroid_id").asc)
-    // corpus x centroids is the expensive pass: compute it exactly once
-    // (list assignment, rank 1); the probe-side centroid ranking only
-    // needs probes x centroids — a separate, tiny cross join — so it
-    // must NOT be derived from the full ranking (that would recompute
-    // the heavy join a second time)
+    // ordering key for "best centroid": max cosine (rounded like the
+    // oracle), ties to the SMALLEST centroid_id — struct comparison is
+    // lexicographic, so negate the id to make max() pick the minimum
+    def assignKey: Column =
+      struct(round(col("cscore"), 6), (col("centroid_id") * -1).as("neg_id"))
+    // corpus x K-centroids is the expensive pass: compute it exactly
+    // once; the aggregate keeps the winning (centroid_id, embedding)
+    // payload so no second join against the corpus is needed
     val assignment = emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"), col("embedding"),
         VectorFunctions.cosine(col("embedding"), col("cvec")).as("cscore"))
-      .withColumn("crank", row_number().over(wAssign))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("centroid_id"), col("embedding")), assignKey).as("best"))
+      .select(col("vec_id"), col("best.centroid_id"), col("best.embedding"))
+    // probe-side centroid ranking is probes x K — tiny; the window here
+    // sorts ~nProbes*K rows, never corpus-sized
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("cscore"), 6).desc, col("centroid_id").asc)
     val probeLists = emb.where(col("vec_id") < nProbes)
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"), col("embedding"),
         VectorFunctions.cosine(col("embedding"), col("cvec")).as("cscore"))
-      .withColumn("crank", row_number().over(wAssign))
+      .withColumn("crank", row_number().over(wProbe))
       .where(col("crank") <= nprobe)
       .select(col("vec_id").as("probe_id"), col("centroid_id"),
         col("embedding").as("probe_vec"))

@@ -125,20 +125,22 @@ object TextAnalysisOps {
   }
 
   /** TF-IDF top-k terms per document: tf(doc, word) * ln(N / df(word)),
-    * ranked per doc. Two aggregations (both shuffling on `word` /
-    * `(doc_id, word)`), document frequency joined back broadcast —
-    * df is bounded by vocabulary, not corpus size.
+    * ranked per doc. Fully in-plan, single job: N is a 1-row aggregate
+    * cross-joined in (Spark broadcasts the single row — no driver
+    * `count()` pre-scan), and the df join carries no broadcast hint —
+    * a web-corpus vocabulary is billions of tokens, so AQE must decide
+    * from runtime size, not a pinned hint.
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
-    val n = docs.count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs
       .select(col("doc_id"),
         explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "word")
-      .withColumn("score_raw", col("tf") * log(lit(n.toDouble) / col("df")))
+    val scored = tf.join(df, "word").crossJoin(nDocs)
+      .withColumn("score_raw", col("tf") * log(col("n_docs") / col("df")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(round(col("score_raw"), 6).desc, col("word").asc)
     scored

@@ -1,7 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.LongAccumulator
 
 /** Faithful simulation of the reference's coded-shuffle *intended*
@@ -29,12 +30,21 @@ import org.apache.spark.util.LongAccumulator
   *  - counters `PACKETS_SENT` / `ENCODED_PACKETS_SENT`
   *    (`WordCountDriver.java:17-20`) = LongAccumulators.
   *
-  * This is observability, not a physical shuffle replacement: the
-  * real engine lets HashAggregateExec partial/final modes +
-  * ShuffleExchangeExec move the data (SURVEY §0). The distributed
-  * part (tokenize + two-level aggregation) scales like wordcount;
-  * only the per-node packet accounting — O(#nodes x vocabulary) —
-  * is driver-side.
+  * Execution shape (nothing corpus-sized touches the driver):
+  *  - tokenize + two-level aggregation: ordinary distributed plan;
+  *  - per-encoder-node pairing: `repartition` on the encoder node +
+  *    `mapPartitions` — each task replays ONE node's combiner-cache
+  *    scan over its local partials (the reference encoder is a
+  *    single-node cache scan by construction, `WordCount.java:142`),
+  *    bumping accumulators for the packet counters;
+  *  - decode: packets are "multicast" as rows keyed by target node and
+  *    joined against the exploded local-knowledge table (node-set →
+  *    replica nodes), so each target strips its half exactly where a
+  *    real reducer would — a left-outer join whose null side counts
+  *    genuine decode failures;
+  *  - the exact truth comparison (a second tokenize of the corpus) is
+  *    gated behind `checkDecode` — the spec turns it on; the query
+  *    path reports structural decode success (zero failed strips).
   */
 object CodedShuffleSim {
 
@@ -42,108 +52,131 @@ object CodedShuffleSim {
       naivePackets: Long,      // partial aggregates, uncoded unicast
       packetsSent: Long,       // with coding: coded pairs count once
       encodedPackets: Long,    // packets that carried 2 words
-      decodedOk: Boolean)      // decode reproduces true counts
+      decodedOk: Boolean)      // zero failed strips (+ exact counts when checkDecode)
 
   private val Nodes = 3
 
   /** Run the simulation over (source, word) partial aggregates
     * derived from `docs`; optionally bump the provided accumulators
-    * (the O14 counter analog).
+    * (the O14 counter analog). `checkDecode` additionally verifies the
+    * decoded stream against the true word counts (costs one extra
+    * corpus tokenize — test-time only).
     */
   def simulate(docs: DataFrame,
                accPackets: Option[LongAccumulator] = None,
-               accEncoded: Option[LongAccumulator] = None): Result = {
+               accEncoded: Option[LongAccumulator] = None,
+               checkDecode: Boolean = false): Result = {
     val spark = docs.sparkSession
+    import spark.implicits._
     graft.functions.NativeText.register(spark)
 
     // combiner output: partial counts per (node-set p, word); the
-    // heavy lifting (tokenize + aggregate) is fully distributed
+    // word's reducer target and its encoder replica node are plain
+    // column expressions (murmur hash — any deterministic hash works),
+    // so the pairing task below never hashes strings itself
     val partials = docs
       .select(col("source"), explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
       .withColumn("p", pmod(hash(col("source")), lit(Nodes)).cast("int"))
       .groupBy(col("p"), col("word")).agg(sum("cnt").as("cnt"))
-      .collect().toSeq
+      .withColumn("tgt", pmod(hash(col("word")), lit(Nodes)).cast("int"))
+      .withColumn("enc",
+        when(pmod(hash(col("word")), lit(2)) === 0, col("p"))
+          .otherwise(pmod(col("p") + 1, lit(Nodes))).cast("int"))
 
-    def target(word: String): Int = math.floorMod(word.hashCode, Nodes)
-    // each partial {p, p+1} is encoded at one replica node: p when the
-    // word hashes even, else p+1 — so an encoder node sees partials
-    // from two different node sets (overlap exactly itself)
-    def encoderNode(p: Int, word: String): Int =
-      if (math.floorMod(word.hashCode, 2) == 0) p else (p + 1) % Nodes
+    val naiveAcc = spark.sparkContext.longAccumulator("graft.codedshuffle.naive")
+    val sentAcc = spark.sparkContext.longAccumulator("graft.codedshuffle.sent")
+    val encodedAcc = spark.sparkContext.longAccumulator("graft.codedshuffle.encoded")
 
-    var naive = 0L; var sent = 0L; var encoded = 0L
-    var decodeFailures = 0L
-    val decoded = scala.collection.mutable.Map.empty[String, Long]
-    def credit(word: String, cnt: Long): Unit =
-      decoded(word) = decoded.getOrElse(word, 0L) + cnt
-    // what each physical node knows from its own map phase: the
-    // partial counts of every node-set it replicates — the decode
-    // below may ONLY strip values from the target's own knowledge
-    // (this is what the reference's static-map side channel faked)
-    val localKnowledge: Map[Int, Map[(Int, String), Long]] =
-      (0 until Nodes).map { n =>
-        n -> partials
-          .filter(r => r.getInt(0) == n || (r.getInt(0) + 1) % Nodes == n)
-          .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-      }.toMap
-
-    partials.groupBy(r => encoderNode(r.getInt(0), r.getString(1)))
-      .toSeq.sortBy(_._1)
-      .foreach { case (_, group) =>
-        val entries = group.sortBy(r => (r.getString(1), r.getInt(0)))
-        naive += entries.size
-        // combiner cache scan (WordCount.java:142-188): pair with the
-        // first cached entry from a DIFFERENT node set (overlap == 1)
-        // addressed to a DIFFERENT reducer; additionally require the
-        // coded-MapReduce decodability condition the reference leaves
-        // implicit: each target must hold the *other* partial locally
+    // the packet stream, one task per encoder node: a coded multicast
+    // emits one row PER TARGET carrying the XOR payload and the key of
+    // the partial that target must strip; a unicast flush row carries
+    // its value directly. A task buffers one node's partials — the
+    // same working set the reference's encoder cache holds.
+    val packets = partials
+      .repartition(Nodes, col("enc"))
+      .sortWithinPartitions("enc", "word", "p")
+      .as[(Int, String, Long, Int, Int)] // p, word, cnt, tgt, enc
+      .mapPartitions { it =>
         def nodeSet(p: Int): Set[Int] = Set(p, (p + 1) % Nodes)
-        val cache = scala.collection.mutable.ArrayBuffer.empty[Row]
-        entries.foreach { e =>
-          val m = cache.indexWhere { c =>
-            c.getInt(0) != e.getInt(0) &&
-              target(c.getString(1)) != target(e.getString(1)) &&
-              nodeSet(c.getInt(0)).contains(target(e.getString(1))) &&
-              nodeSet(e.getInt(0)).contains(target(c.getString(1)))
-          }
-          if (m >= 0) {
-            val other = cache.remove(m)
-            sent += 1; encoded += 1
-            // XOR multicast; each target decodes by stripping the
-            // OTHER word's partial from its own local knowledge —
-            // if the target doesn't hold it, decoding genuinely fails
-            val packet = e.getLong(2) ^ other.getLong(2)
-            def decodeAt(tgt: Row, known: Row): Unit =
-              localKnowledge(target(tgt.getString(1)))
-                .get((known.getInt(0), known.getString(1))) match {
-                case Some(k) => credit(tgt.getString(1), packet ^ k)
-                case None    => decodeFailures += 1
+        // a partition can hold >1 encoder node (hash collision): replay
+        // each node's cache scan separately, in deterministic order
+        it.toVector.groupBy(_._5).toSeq.sortBy(_._1).iterator.flatMap {
+          case (_, group) =>
+            val entries = group.sortBy(r => (r._2, r._1))
+            naiveAcc.add(entries.size)
+            val cache = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Int, Int)]
+            val out = Vector.newBuilder[(Int, Int, String, String, Long, Boolean)]
+            entries.foreach { e =>
+              // pair with the first cached entry from a DIFFERENT node
+              // set addressed to a DIFFERENT reducer (overlap == 1 is
+              // implied at replication 2), requiring the coded-
+              // MapReduce decodability condition the reference leaves
+              // implicit: each target holds the OTHER partial locally
+              val m = cache.indexWhere { c =>
+                c._1 != e._1 && c._4 != e._4 &&
+                  nodeSet(c._1).contains(e._4) && nodeSet(e._1).contains(c._4)
               }
-            decodeAt(e, other)
-            decodeAt(other, e)
-          } else {
-            cache += e
-          }
+              if (m >= 0) {
+                val other = cache.remove(m)
+                sentAcc.add(1); encodedAcc.add(1)
+                val payload = e._3 ^ other._3
+                out += ((e._4, other._1, other._2, e._2, payload, true))
+                out += ((other._4, e._1, e._2, other._2, payload, true))
+              } else {
+                cache += e
+              }
+            }
+            // cleanup flush: unicast leftovers (WordCount.java:211-223)
+            cache.foreach { c => sentAcc.add(1); out += ((c._4, c._1, c._2, c._2, c._3, false)) }
+            out.result().iterator
         }
-        // cleanup flush: unicast leftovers (WordCount.java:211-223)
-        cache.foreach { c => sent += 1; credit(c.getString(1), c.getLong(2)) }
       }
+      .toDF("tgt_node", "known_p", "known_word", "tgt_word", "payload", "coded")
 
-    accPackets.foreach(_.add(sent))
-    accEncoded.foreach(_.add(encoded))
+    // what each physical node knows from its own map phase: the
+    // partials of every node-set it replicates — decode may ONLY strip
+    // values from the target's own knowledge (this is what the
+    // reference's static-map side channel faked)
+    val knowledge = partials
+      .withColumn("k_node",
+        explode(array(col("p"), pmod(col("p") + 1, lit(Nodes)).cast("int"))))
+      .select(col("k_node"), col("p").as("k_p"), col("word").as("k_word"),
+        col("cnt").as("k_cnt"))
 
-    // decode must reproduce the true word counts exactly, with zero
-    // packets the targets couldn't strip
-    val truth = docs
-      .select(explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ok = decodeFailures == 0L &&
-      truth.forall { case (w, c) => decoded.getOrElse(w, 0L) == c } &&
-      decoded.keys.forall(truth.contains)
+    // persist the packet stream: the accumulator-filling pairing pass
+    // must run exactly once across the decode actions below
+    packets.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val codedAtTarget = packets.where(col("coded")).join(knowledge,
+        packets("tgt_node") === col("k_node") &&
+          col("known_p") === col("k_p") && col("known_word") === col("k_word"),
+        "left_outer")
+      val failedStrips = codedAtTarget.where(col("k_cnt").isNull).count()
+      val decodedOk =
+        if (!checkDecode) failedStrips == 0L
+        else {
+          val credits = codedAtTarget.where(col("k_cnt").isNotNull)
+            .select(col("tgt_word").as("word"),
+              col("payload").bitwiseXOR(col("k_cnt")).as("cnt"))
+            .unionByName(packets.where(!col("coded"))
+              .select(col("tgt_word").as("word"), col("payload").as("cnt")))
+          val decoded = credits.groupBy("word").agg(sum("cnt").as("dcnt"))
+          val truth = docs
+            .select(explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
+            .groupBy("word").agg(count(lit(1)).as("tcnt"))
+          val mismatches = decoded.join(truth, Seq("word"), "full_outer")
+            .where(coalesce(col("dcnt"), lit(-1L)) =!= coalesce(col("tcnt"), lit(-2L)))
+            .count()
+          failedStrips == 0L && mismatches == 0L
+        }
 
-    Result(naive, sent, encoded, ok)
+      accPackets.foreach(_.add(sentAcc.value))
+      accEncoded.foreach(_.add(encodedAcc.value))
+      Result(naiveAcc.value, sentAcc.value, encodedAcc.value, decodedOk)
+    } finally {
+      packets.unpersist()
+    }
   }
 
   /** DataFrame form for the query registry: one deterministic row. */

@@ -12,7 +12,7 @@ class CodedShuffleSpec extends AnyFunSuite {
   test("coded shuffle reduces packets and decode is exact") {
     val acc = spark.sparkContext.longAccumulator("packetsSent")
     val accEnc = spark.sparkContext.longAccumulator("encodedPacketsSent")
-    val r = CodedShuffleSim.simulate(docs, Some(acc), Some(accEnc))
+    val r = CodedShuffleSim.simulate(docs, Some(acc), Some(accEnc), checkDecode = true)
     assert(r.decodedOk, "XOR decode must reproduce the exact word counts")
     assert(r.encodedPackets > 0, "fixture should offer coding opportunities")
     assert(r.packetsSent == r.naivePackets - r.encodedPackets)
