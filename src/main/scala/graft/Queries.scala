@@ -67,6 +67,22 @@ object Queries {
               |  SELECT unnest($toksSql) AS word FROM documents
               |) GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin)),
 
+    // the reference's actual O1 input format, driver-gated: documents
+    // round-trip through line-oriented text files and the wordcount
+    // runs on the raw-text scan; global token counts are invariant to
+    // the line re-splitting, so the parquet wordcount oracle applies
+    "wordcount_textscan" -> QueryDef(
+      (s, d) => {
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft_textscan_" + Integer.toHexString(d.hashCode)).getPath
+        graft.sources.TextSource.writeTextFixture(Tables.documents(s, d), fixture)
+        WordCountOps.wordCount(graft.sources.TextSource.readAsDocuments(s, fixture))
+      },
+      Some(s"""SELECT word, count(*) AS cnt FROM (
+              |  SELECT unnest($toksSql) AS word FROM documents
+              |) GROUP BY word ORDER BY word""".stripMargin)),
+
     "distinct_words" -> QueryDef(
       (s, d) => WordCountOps.distinctWords(Tables.documents(s, d)),
       Some(s"""SELECT DISTINCT word FROM (
@@ -314,6 +330,26 @@ object Queries {
       Some("""SELECT c_custkey, c_acctbal FROM customer c
              |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
              |ORDER BY c_custkey""".stripMargin)),
+
+    "join_left_outer" -> QueryDef(
+      (s, d) => RelationalOps.custOrdersLeftOuter(Tables.customer(s, d), Tables.orders(s, d)),
+      Some("""WITH po AS (SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+             |            FROM orders GROUP BY o_custkey)
+             |SELECT c_custkey, c_mktsegment,
+             |  coalesce(n_orders, 0) AS n_orders,
+             |  coalesce(total_spend, 0.0) AS total_spend
+             |FROM customer LEFT JOIN po ON c_custkey = o_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "join_full_outer" -> QueryDef(
+      (s, d) => RelationalOps.nationAccountsFullOuter(Tables.customer(s, d), Tables.supplier(s, d)),
+      Some("""WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1),
+             |     s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+             |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+             |  coalesce(n_customers, 0) AS n_customers,
+             |  coalesce(n_suppliers, 0) AS n_suppliers
+             |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+             |ORDER BY nationkey""".stripMargin)),
 
     "part_topk" -> QueryDef(
       (s, d) => RelationalOps.partTopk(Tables.part(s, d)),

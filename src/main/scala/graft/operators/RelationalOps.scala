@@ -125,6 +125,40 @@ object RelationalOps {
       .select("c_custkey", "c_acctbal")
       .orderBy("c_custkey")
 
+  /** Left-outer dim→fact join with null aggregation: every customer,
+    * with order count and total spend, zero-filled for customers who
+    * never ordered. Orders are pre-aggregated per custkey BEFORE the
+    * join, so the fact table shuffles once as collapsed partials and
+    * the outer join matches two keyed sides (AQE broadcasts the
+    * smaller); join-then-aggregate would shuffle every raw order row.
+    */
+  def custOrdersLeftOuter(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_spend"))
+    customer.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full-outer join of two keyed aggregates: customers vs suppliers
+    * per nation key, zero-filled on either unmatched side. Both inputs
+    * collapse to at most |nation| rows before the join.
+    */
+  def nationAccountsFullOuter(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = supplier.groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
   /** Date-function breakdown: orders per (year, month) with revenue.
     * Exercises the temporal scalar functions over the timestamp
     * column; aggregation is a plain two-key groupBy.

@@ -23,4 +23,13 @@ object TextSource {
         col("value").as("text"),
         regexp_extract(input_file_name(), "([^/]+)$", 1).as("source"),
         length(col("value")).cast("long").as("n_chars"))
+
+  /** Materialize a documents table's text as plain line-oriented text
+    * files (the reference's on-disk input format). Any embedded
+    * newline re-splits a document into multiple lines on read-back —
+    * global token counts are invariant to that, which is what the
+    * text-scan wordcount query relies on.
+    */
+  def writeTextFixture(docs: DataFrame, path: String): Unit =
+    docs.select(col("text")).write.mode("overwrite").text(path)
 }
