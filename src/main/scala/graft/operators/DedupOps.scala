@@ -13,11 +13,14 @@ import graft.functions.TextFunctions._
   *    reference semantics for "near duplicate"; exact but the join
   *    fans out on high-document-frequency shingles.
   *  - MinHash+LSH: the 100 TB path. Signature is 64 mins over a
-  *    2-universal hash family applied to `xxhash64(shingle)`; 16
-  *    bands x 4 rows; candidate pairs from band-bucket equijoin are
+  *    2-universal hash family applied to `xxhash64(shingle)`; 32
+  *    bands x 2 rows; candidate pairs from band-bucket equijoin are
   *    *verified with exact Jaccard*, so precision is 1 and the output
   *    equals the exact-join output whenever LSH recall is 1 (which it
-  *    is for any pair with J >= ~0.9; the threshold here is 0.8).
+  *    is for any pair with J >= 0.8, the threshold here — see the
+  *    banding-probability note at [[NumBands]]). Buckets larger than
+  *    `maxBucket` are dropped before the pair fan-out, so one
+  *    degenerate bucket cannot go quadratic.
   *  - SimHash: 20-bit per-document fingerprint from per-word hash
   *    sign sums; row-local, shuffle-free.
   *
@@ -27,6 +30,8 @@ import graft.functions.TextFunctions._
   * exact join stays as the small-scale oracle of record.
   */
 object DedupOps {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   val ShingleN = 5
   val NumHashes = 64
@@ -84,8 +89,18 @@ object DedupOps {
     * Same output schema/semantics as [[nearDupJaccard]]; candidate
     * generation is the banded minhash join instead of the full
     * inverted index.
+    *
+    * `maxBucket` bounds the per-band bucket size: a bucket with more
+    * than `maxBucket` colliding documents is dropped BEFORE the
+    * band self-join (a count aggregate + co-partitioned filter join,
+    * never a collected list, so executor memory stays bounded too).
+    * A true J>=0.8 pair collides in ~all 32 bands, so losing one
+    * pathological bucket costs essentially no recall; a genuinely
+    * dense duplicate cluster is exactDedup's job, not LSH's.
     */
-  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.8,
+                     maxBucket: Int = 1000): DataFrame = {
+    log.info(s"nearDupMinhash: capping LSH band buckets at $maxBucket docs")
     val ds = docShingles(docs)
     // native one-pass signature (see MinHashSignature scaladoc); the
     // HOF formulation of the same math benches ~20x slower interpreted
@@ -101,7 +116,15 @@ object DedupOps {
         concat_ws(":", b.cast("string"),
           concat_ws(",", transform(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
             v => v.cast("string")))))).as("band"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // cap pathological buckets: count per band key (partial agg
+    // collapses map-side), keep only rows of buckets <= maxBucket;
+    // the count table and the bands are co-partitioned on band, so
+    // the filter join and the self-join below share one exchange
+    val bandCounts = bands.groupBy("band").agg(count(lit(1)).as("bn"))
+    val bounded = bands.join(bandCounts, "band")
+      .where(col("bn") <= maxBucket)
+      .select("band", "doc_id")
+    val cand = bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()

@@ -50,4 +50,39 @@ class DedupScaleSpec extends AnyFunSuite {
         s"(${nDocs} docs x C($copies,2) + ${basePairs.length} base pairs x $copies^2)")
     assert(got === expected.toSet)
   }
+
+  test("pathological LSH bucket is capped without disturbing normal pairs") {
+    val base = Tables.documents(spark, TestSpark.Sf0001)
+    val basePairs = DedupOps.nearDupJaccard(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inPairs = basePairs.flatMap(p => Set(p._1, p._2))
+    // clone a document that has NO near-dup partner, so the dense
+    // cluster's buckets are disjoint from every legitimate pair's
+    val loner = base.select("doc_id").collect().map(_.getLong(0))
+      .filterNot(inPairs).min
+    val cloneBase = 20000000L
+    val clones = (1 to 8)
+      .map(i => base.where(col("doc_id") === loner)
+        .withColumn("doc_id", lit(cloneBase + i)))
+      .reduce(_ unionAll _)
+    val big = base.unionAll(clones)
+
+    // cap below the 9-doc identical cluster: its buckets are dropped
+    // in every band, so the cluster contributes nothing — and normal
+    // pairs (tiny buckets) are untouched
+    val capped = DedupOps.nearDupMinhash(big, maxBucket = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === basePairs)
+
+    // default cap admits the cluster: all C(9,2) identical pairs at 1.0
+    val clusterIds = loner +: (1 to 8).map(cloneBase + _)
+    val clusterPairs = (for {
+      i <- clusterIds.indices; j <- (i + 1) until clusterIds.size
+      a = math.min(clusterIds(i), clusterIds(j))
+      b = math.max(clusterIds(i), clusterIds(j))
+    } yield (a, b, 1.0)).toSet
+    val uncapped = DedupOps.nearDupMinhash(big).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped === (basePairs ++ clusterPairs))
+  }
 }
