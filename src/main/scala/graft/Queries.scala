@@ -67,6 +67,14 @@ object Queries {
               |  SELECT unnest($toksSql) AS word FROM documents
               |) GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin)),
 
+    // case-preserving reference StringTokenizer semantics (the default
+    // wordcount lowercases by documented choice — SURVEY §7)
+    "wordcount_cased" -> QueryDef(
+      (s, d) => WordCountOps.wordCountCased(Tables.documents(s, d)),
+      Some("""SELECT word, count(*) AS cnt FROM (
+             |  SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), w -> w <> '')) AS word FROM documents
+             |) GROUP BY word ORDER BY word""".stripMargin)),
+
     // the reference's actual O1 input format, driver-gated: documents
     // round-trip through line-oriented text files and the wordcount
     // runs on the raw-text scan; global token counts are invariant to

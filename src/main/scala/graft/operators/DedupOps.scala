@@ -91,9 +91,10 @@ object DedupOps {
     * inverted index.
     *
     * `maxBucket` bounds the per-band bucket size: a bucket with more
-    * than `maxBucket` colliding documents is dropped BEFORE the
-    * band self-join (a count aggregate + co-partitioned filter join,
-    * never a collected list, so executor memory stays bounded too).
+    * than `maxBucket` colliding documents is dropped BEFORE the band
+    * self-join, via a count window that rides the band-key shuffle
+    * the self-join pays anyway (never a collected list; WindowExec
+    * spills oversized groups, so executor memory stays bounded too).
     * A true J>=0.8 pair collides in ~all 32 bands, so losing one
     * pathological bucket costs essentially no recall; a genuinely
     * dense duplicate cluster is exactDedup's job, not LSH's.
@@ -116,12 +117,14 @@ object DedupOps {
         concat_ws(":", b.cast("string"),
           concat_ws(",", transform(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
             v => v.cast("string")))))).as("band"))
-    // cap pathological buckets: count per band key (partial agg
-    // collapses map-side), keep only rows of buckets <= maxBucket;
-    // the count table and the bands are co-partitioned on band, so
-    // the filter join and the self-join below share one exchange
-    val bandCounts = bands.groupBy("band").agg(count(lit(1)).as("bn"))
-    val bounded = bands.join(bandCounts, "band")
+    // cap pathological buckets: a count window over the band key —
+    // the window's hash-partitioning on band is exactly what the
+    // self-join below needs, so the cap rides the shuffle the join
+    // pays anyway (one exchange, computed once, reused for both join
+    // sides) instead of adding an aggregate + filter-join
+    val bounded = bands
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
       .where(col("bn") <= maxBucket)
       .select("band", "doc_id")
     val cand = bounded.as("a").join(bounded.as("b"),

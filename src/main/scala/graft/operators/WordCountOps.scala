@@ -60,6 +60,21 @@ object WordCountOps {
       .orderBy(desc("cnt"), asc("word"))
       .limit(k)
 
+  /** Case-PRESERVING word count — the reference's raw
+    * `StringTokenizer` semantics (`WordCount.java:45-47`: split on
+    * `" \t\n\r\f"`, no normalization). The default [[wordCount]]
+    * lowercases as a deliberate normalization choice (most text
+    * pipelines want case-folded counts); this variant is the exact
+    * reference token identity, driver-gated with its own oracle.
+    */
+  def wordCountCased(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(filter(split(col("text"), "[ \\t\\n\\r\\f]+"),
+        w => w =!= "")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
   /** Distinct vocabulary (dedup on the token stream). */
   def distinctWords(docs: DataFrame): DataFrame =
     docs
