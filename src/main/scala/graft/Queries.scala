@@ -46,6 +46,18 @@ object Queries {
   private def l2Sql(a: String): String =
     s"sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))"
 
+  /** DuckDB CTE `sigs(doc_id, simhash)` mirroring [[DedupOps.simhash]]. */
+  private val simhashSqlCte: String = {
+    val bitTerms = (0 until 20).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_transform($toksSql, w -> (7919*length(w) + 131*ascii(w) + ascii(reverse(w))) % 1048573) AS hs
+       |FROM documents),
+       |sigs AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+       |         FROM t WHERE len(hs) > 0)""".stripMargin
+  }
+
   val registry: Seq[(String, QueryDef)] = Seq(
 
     // ----- reference parity: the wordcount family ---------------------
@@ -111,6 +123,24 @@ object Queries {
               |  ) GROUP BY source, word)
               |SELECT source, count(*) AS packets, CAST(sum(cnt) AS BIGINT) AS tokens
               |FROM pa GROUP BY source ORDER BY source""".stripMargin)),
+
+    // faithful O4 (FileLocationsLookup): offset -> block -> replica
+    // hosts; running-sum offsets, arithmetic host hash the oracle
+    // reproduces exactly
+    "offset_range_lookup" -> QueryDef(
+      (s, d) => WordCountOps.offsetRangeLookup(Tables.documents(s, d)),
+      Some("""WITH o AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+             |  FROM documents),
+             |b AS (SELECT source, off // 4096 AS block,
+             |        (off // 4096 + length(source)) % 3 AS h, off
+             |      FROM o)
+             |SELECT source, block,
+             |  'node' || h::VARCHAR || ',node' || ((h + 1) % 3)::VARCHAR AS hosts,
+             |  count(*) AS n_docs, min(off) AS first_offset
+             |FROM b GROUP BY source, block, h ORDER BY source, block""".stripMargin)),
 
     // ----- text analysis ----------------------------------------------
     "token_stats" -> QueryDef(
@@ -205,16 +235,19 @@ object Queries {
 
     "simhash_fingerprint" -> QueryDef(
       (s, d) => DedupOps.simhash(Tables.documents(s, d)),
-      Some {
-        val bitTerms = (0 until 20).map { j =>
-          s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" +\n  ")
-        s"""WITH t AS (SELECT doc_id,
-           |  list_transform($toksSql, w -> (7919*length(w) + 131*ascii(w) + ascii(reverse(w))) % 1048573) AS hs
-           |FROM documents)
-           |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
-           |FROM t WHERE len(hs) > 0 ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""$simhashSqlCte
+              |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin)),
+
+    // oracle is the INDEPENDENT all-pairs formulation — a hash match
+    // proves the chunk-bucket candidate generation has recall 1
+    "simhash_dup" -> QueryDef(
+      (s, d) => DedupOps.simhashDup(Tables.documents(s, d)),
+      Some(s"""$simhashSqlCte
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+              |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY a_id, b_id""".stripMargin)),
 
     // ----- similarity search / embeddings ------------------------------
     "similarity_topk" -> QueryDef(

@@ -162,7 +162,13 @@ object DedupOps {
     * doc), shuffle-free; pairing at scale is a bucketed hamming join
     * over signature chunks.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    simhashSigs(docs).orderBy("doc_id")
+
+  /** (doc_id, simhash) without the result ordering — the shared input
+    * of [[simhash]] and [[simhashDup]].
+    */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     val ws = graft.functions.NativeText.tokens(col("text"))
     val hs = transform(ws, w => wordHash20(w))
@@ -176,6 +182,37 @@ object DedupOps {
       .select(col("doc_id"), hs.as("hs"))
       .where(size(col("hs")) > 0)
       .select(col("doc_id"), simhashCol.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup PAIRING at scale: the 20-bit fingerprint splits
+    * into 4 chunks of 5 bits; by pigeonhole any pair within hamming
+    * distance 3 agrees on at least one whole chunk, so a chunk-bucket
+    * equijoin generates candidates with recall exactly 1 — never
+    * all-pairs — and `bit_count` of the XOR verifies the distance.
+    * The hamming analog of [[nearDupMinhash]]'s band join (its DuckDB
+    * oracle is the independent all-pairs formulation, so a hash match
+    * is itself the recall-1 proof).
+    */
+  def simhashDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunkBits = 5
+    val nChunks = 4 // 20 bits / 5; recall 1 requires maxHamming < nChunks
+    require(maxHamming < nChunks, "pigeonhole recall needs maxHamming < nChunks")
+    val sigs = simhashSigs(docs)
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nChunks).map { c =>
+        concat_ws(":", lit(c).cast("string"),
+          shiftright(col("simhash"), c * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
+      }: _*)).as("ck"))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+    cand
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.NativeText
@@ -111,4 +112,33 @@ object WordCountOps {
     */
   def writeTsv(wordcounts: DataFrame, path: String): Unit =
     wordcounts.write.mode("overwrite").option("sep", "\t").csv(path)
+
+  /** Faithful O4: the reference's `FileLocationsLookup`
+    * (`FileLocationsLookup.java:20-65`) maps a record's byte offset
+    * to its HDFS block and that block's replica hosts. Analog: a
+    * document's offset within its source file is the running sum of
+    * `n_chars` (one window pass, partitioned by source); offset /
+    * blockSize is the block; the replica pair {h, (h+1) % 3}
+    * (reference topology: 3 nodes, replication 2,
+    * `WordCount.java:141,174`) comes from an arithmetic hash of
+    * (source, block) that the SQL oracle reproduces exactly. Output
+    * is the per-block lookup table — block, hosts, document count,
+    * first offset — that a locality-aware scheduler would consume.
+    */
+  def offsetRangeLookup(docs: DataFrame, blockSize: Long = 4096): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("offset", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("block", floor(col("offset") / blockSize).cast("long"))
+      .withColumn("h", pmod(col("block") + length(col("source")), lit(3)).cast("long"))
+      .groupBy("source", "block", "h")
+      .agg(count(lit(1)).as("n_docs"), min("offset").as("first_offset"))
+      .select(col("source"), col("block"),
+        concat(lit("node"), col("h").cast("string"),
+          lit(",node"), pmod(col("h") + 1, lit(3)).cast("string")).as("hosts"),
+        col("n_docs"), col("first_offset"))
+      .orderBy("source", "block")
+  }
 }
