@@ -392,6 +392,19 @@ object Queries {
              |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
              |ORDER BY nationkey""".stripMargin)),
 
+    // bucketed co-location under the correctness gate: both fact
+    // tables are written bucketed+sorted by the order key, the join
+    // reads bucket files pairwise with NO shuffle exchange (asserted
+    // by BucketingSpec), and the aggregate runs on top — the way a
+    // 100 TB fact-fact join is amortized across a query workload
+    "bucketed_join_agg" -> QueryDef(
+      (s, d) => graft.sources.Bucketing.bucketedJoinAgg(s, d),
+      Some("""SELECT o_orderpriority,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_lines
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     "part_topk" -> QueryDef(
       (s, d) => RelationalOps.partTopk(Tables.part(s, d)),
       Some("""WITH r AS (SELECT p_brand, p_partkey, p_retailprice,

@@ -12,18 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write orders and lineitem bucketed by order key into the session
-    * catalog (idempotent via overwrite), then return the exchange-free
-    * join of the two bucketed tables.
+    * catalog (idempotent via overwrite; external tables under a fixed
+    * /tmp location so the session's warehouse dir is irrelevant), then
+    * return the exchange-free join of the two bucketed tables.
     */
   def bucketedOrdersLineitem(spark: SparkSession, sfDir: String,
                              buckets: Int = 8): DataFrame = {
+    val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_bucketed_" + Integer.toHexString(sfDir.hashCode)).getPath
     graft.Tables.orders(spark, sfDir)
       .write.mode("overwrite")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$baseDir/orders")
       .saveAsTable("graft_orders_bucketed")
     graft.Tables.lineitem(spark, sfDir)
       .write.mode("overwrite")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$baseDir/lineitem")
       .saveAsTable("graft_lineitem_bucketed")
     // one SQL analysis pass: catalog relations get re-resolved with
     // fresh attribute ids when mixed across Dataset handles, which
@@ -31,6 +36,20 @@ object Bucketing {
     spark.sql(
       """SELECT * FROM graft_lineitem_bucketed l
         |JOIN graft_orders_bucketed o ON l.l_orderkey = o.o_orderkey""".stripMargin)
+  }
+
+  /** Revenue per order priority over the bucketed join — the
+    * oracle-gated query surface: the join below it is exchange-free,
+    * so the only shuffle in the whole plan is the tiny post-join
+    * aggregate exchange.
+    */
+  def bucketedJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    bucketedOrdersLineitem(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
   }
 
   /** True when the physical plan contains no shuffle exchange. */
