@@ -277,6 +277,33 @@ object Queries {
               |SELECT probe_id, rnk, vec_id, round(score, 4) AS score
               |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
 
+    // one distributed Lloyd iteration in-plan; the oracle recomputes
+    // the per-dimension means (round 4, cast float) and re-assigns.
+    // pos is 0-based in Spark and 1-based in DuckDB — it only keys the
+    // grouping and the rebuild order, so the groups and values match.
+    "ann_ivf_kmeans" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.annIvfKmeans(Tables.embeddings(s, d)) },
+      Some(s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),
+              |s0 AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
+              |       FROM embeddings e CROSS JOIN c0 c),
+              |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM s0),
+              |a0 AS (SELECT vec_id, centroid_id, embedding FROM r0 WHERE crank = 1),
+              |e1 AS (SELECT centroid_id, embedding, unnest(generate_series(1, len(embedding))) AS pos FROM a0),
+              |ref0 AS (SELECT centroid_id, pos, round(avg(embedding[pos]::DOUBLE), 4) AS m FROM e1 GROUP BY centroid_id, pos),
+              |cr AS (SELECT centroid_id, list(m::FLOAT ORDER BY pos) AS cvec FROM ref0 GROUP BY centroid_id),
+              |s1 AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
+              |       FROM embeddings e CROSS JOIN cr c),
+              |r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM s1),
+              |assign AS (SELECT vec_id, centroid_id, embedding FROM r1 WHERE crank = 1),
+              |pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec FROM r1 WHERE vec_id < 10 AND crank <= 3),
+              |sc AS (SELECT pl.probe_id, a.vec_id, ${cosSql("pl.probe_vec", "a.embedding")} AS score
+              |       FROM pl JOIN assign a ON pl.centroid_id = a.centroid_id WHERE a.vec_id <> pl.probe_id),
+              |r2 AS (SELECT probe_id, vec_id, score,
+              |         row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
+              |       FROM sc)
+              |SELECT probe_id, rnk, vec_id, round(score, 4) AS score
+              |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+
     "doc_embedding_join" -> QueryDef(
       (s, d) => { VectorFunctions.register(s)
         SimilarityOps.docEmbeddingJoin(Tables.documents(s, d), Tables.embeddings(s, d)) },

@@ -49,38 +49,44 @@ object SimilarityOps {
       .orderBy("probe_id", "rnk")
   }
 
-  /** IVF-flat ANN: centroids are the deterministic sample
-    * `vec_id % centroidMod == 0 AND vec_id < centroidMod * numCentroids`
-    * — at most `numCentroids` rows, a CONSTANT independent of corpus
-    * size, so the centroid broadcast is bounded and the assignment pass
-    * is O(n · K) flops, not O(n²). Every vector is assigned to its
-    * max-cosine centroid with a `max_by`-style aggregate (no sort, no
-    * window — partial aggregation collapses map-side before the one
-    * n-row exchange); a probe searches the `nprobe` nearest inverted
-    * lists and returns its top-k by cosine.
+  /** Deterministic seed centroids: `vec_id % centroidMod == 0 AND
+    * vec_id < centroidMod * numCentroids` — at most `numCentroids`
+    * rows, a CONSTANT independent of corpus size, so the centroid
+    * broadcast is bounded and every assignment pass is O(n · K)
+    * flops, not O(n²).
     */
-  def annIvf(emb: DataFrame, centroidMod: Int = 97, numCentroids: Int = 16,
-             nprobe: Int = 3, nProbes: Int = 10, k: Int = 10): DataFrame = {
-    val centroids = emb
+  private def seedCentroids(emb: DataFrame, centroidMod: Int,
+                            numCentroids: Int): DataFrame =
+    emb
       .where(col("vec_id") % centroidMod === 0 &&
         col("vec_id") < centroidMod.toLong * numCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-    // ordering key for "best centroid": max cosine (rounded like the
-    // oracle), ties to the SMALLEST centroid_id — struct comparison is
-    // lexicographic, so negate the id to make max() pick the minimum
-    def assignKey: Column =
+
+  /** Assign every corpus vector to its max-cosine centroid with a
+    * `max_by`-style aggregate (no sort, no window — partial
+    * aggregation collapses map-side before the one n-row exchange).
+    * Ordering key: max rounded cosine, ties to the SMALLEST
+    * centroid_id — struct comparison is lexicographic, so the negated
+    * id makes max() pick the minimum.
+    */
+  private def assignToCentroids(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val assignKey =
       struct(round(col("cscore"), 6), (col("centroid_id") * -1).as("neg_id"))
-    // corpus x K-centroids is the expensive pass: compute it exactly
-    // once; the aggregate keeps the winning (centroid_id, embedding)
-    // payload so no second join against the corpus is needed
-    val assignment = emb.crossJoin(broadcast(centroids))
+    emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"), col("embedding"),
         VectorFunctions.cosine(col("embedding"), col("cvec")).as("cscore"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("centroid_id"), col("embedding")), assignKey).as("best"))
       .select(col("vec_id"), col("best.centroid_id"), col("best.embedding"))
-    // probe-side centroid ranking is probes x K — tiny; the window here
-    // sorts ~nProbes*K rows, never corpus-sized
+  }
+
+  /** The probe side of IVF search: rank centroids per probe (a tiny
+    * probes x K window), search the `nprobe` nearest inverted lists,
+    * return top-k by exact cosine.
+    */
+  private def ivfSearch(emb: DataFrame, centroids: DataFrame,
+                        assignment: DataFrame, nprobe: Int, nProbes: Int,
+                        k: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("cscore"), 6).desc, col("centroid_id").asc)
     val probeLists = emb.where(col("vec_id") < nProbes)
@@ -103,6 +109,41 @@ object SimilarityOps {
       .select(col("probe_id"), col("rnk"), col("vec_id"),
         round(col("score"), 4).as("score"))
       .orderBy("probe_id", "rnk")
+  }
+
+  /** IVF-flat ANN over the deterministic seed centroids. */
+  def annIvf(emb: DataFrame, centroidMod: Int = 97, numCentroids: Int = 16,
+             nprobe: Int = 3, nProbes: Int = 10, k: Int = 10): DataFrame = {
+    val centroids = seedCentroids(emb, centroidMod, numCentroids)
+    ivfSearch(emb, centroids, assignToCentroids(emb, centroids),
+      nprobe, nProbes, k)
+  }
+
+  /** IVF with one distributed Lloyd (k-means) refinement iteration,
+    * entirely in-plan: seed-assign the corpus, recompute each
+    * centroid as the per-dimension mean of its cluster (posexplode →
+    * (centroid, dim) avg → rebuild the vector ordered by dim), then
+    * re-assign and search against the refined centroids. Means are
+    * rounded to 4 decimals and cast back to float so the SQL oracle
+    * reproduces the exact IEEE values; every pass stays O(n · K) with
+    * partial aggregation ahead of each exchange. Each seed centroid
+    * is assigned to itself (self-cosine 1), so no cluster is empty
+    * and centroid ids are stable across the iteration.
+    */
+  def annIvfKmeans(emb: DataFrame, centroidMod: Int = 97,
+                   numCentroids: Int = 16, nprobe: Int = 3,
+                   nProbes: Int = 10, k: Int = 10): DataFrame = {
+    val c0 = seedCentroids(emb, centroidMod, numCentroids)
+    val a0 = assignToCentroids(emb, c0)
+    val refined = a0
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(round(avg(col("v")), 4).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("cvec"))
+    ivfSearch(emb, refined, assignToCentroids(emb, refined),
+      nprobe, nProbes, k)
   }
 
   /** documents joined with their embedding vector (doc_id == vec_id)
