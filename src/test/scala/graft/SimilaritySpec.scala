@@ -52,4 +52,19 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall > 0.2, s"IVF recall collapsed: $recall")
   }
+
+  test("kmeans-refined ivf keeps valid shape and reasonable recall") {
+    VectorFunctions.register(spark)
+    val res = SimilarityOps.annIvfKmeans(emb).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    }
+    val exact = SimilarityOps.similarityTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = res.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"kmeans IVF recall collapsed: $recall")
+  }
 }
