@@ -548,6 +548,24 @@ object Queries {
     // character functions (ascii / per-char codepoint sum), which is
     // equivalent only for ASCII text — verified true for all fixtures;
     // a non-ASCII corpus would need a byte-level oracle
+    // frame-sampling stage: 256-byte frames, every 4th kept; per-frame
+    // sums stay < 65521 so the oracle's plain sum equals the running
+    // mod; char==byte holds on the ASCII fixture (as in
+    // multimodal_features)
+    "multimodal_frame_sample" -> QueryDef(
+      (s, d) => MultimodalOps.frameSample(Tables.documents(s, d)),
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(0, (octet_length(CAST(text AS BLOB)) + 255) // 256 - 1)) AS frame_idx
+             |  FROM documents),
+             |s AS (SELECT doc_id, frame_idx,
+             |        substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256) AS frame
+             |      FROM f WHERE frame_idx % 4 = 0)
+             |SELECT doc_id, frame_idx,
+             |  CAST(length(frame) AS BIGINT) AS frame_len,
+             |  CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) % 65521 AS BIGINT) AS frame_checksum
+             |FROM s ORDER BY doc_id, frame_idx""".stripMargin)),
+
     "multimodal_features" -> QueryDef(
       (s, d) => MultimodalOps.mediaFeatures(Tables.documents(s, d)),
       Some("""SELECT doc_id,

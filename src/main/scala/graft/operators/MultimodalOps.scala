@@ -66,4 +66,37 @@ object MultimodalOps {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** One sampled frame of a media blob. */
+  case class FrameSample(
+      doc_id: Long, frame_idx: Long, frame_len: Long, frame_checksum: Long)
+
+  /** Frame sampling — the video-ish stage of the pipeline: the blob
+    * splits into 256-byte "frames", every `every`-th frame is kept,
+    * and per-frame features come out typed. A real decoder would
+    * replace the byte-window arithmetic with actual frame extraction
+    * (and a resize would be one more map over the frame bytes); the
+    * fan-out shape (one blob row → sampled frame rows, map-only, no
+    * shuffle until the caller aggregates) is the production shape.
+    */
+  def frameSample(docs: DataFrame, every: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val nFrames = ((r.blob.length + 255) / 256)
+        (0 until nFrames).filter(_ % every == 0).map { f =>
+          val start = f * 256
+          val end = math.min(start + 256, r.blob.length)
+          var cs = 0L
+          var i = start
+          while (i < end) { cs = (cs + (r.blob(i) & 0xff)) % 65521L; i += 1 }
+          FrameSample(r.doc_id, f.toLong, (end - start).toLong, cs)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
 }
