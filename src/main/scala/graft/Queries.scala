@@ -46,13 +46,15 @@ object Queries {
   private def l2Sql(a: String): String =
     s"sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))"
 
-  /** DuckDB CTE `sigs(doc_id, simhash)` mirroring [[DedupOps.simhash]]. */
-  private val simhashSqlCte: String = {
-    val bitTerms = (0 until 20).map { j =>
+  /** DuckDB CTE `sigs(doc_id, simhash)` mirroring
+    * [[DedupOps.simhash]] (`bits` = fingerprint width).
+    */
+  private def simhashSqlCte(bits: Int): String = {
+    val bitTerms = (0 until bits).map { j =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" +\n  ")
     s"""WITH t AS (SELECT doc_id,
-       |  list_transform($toksSql, w -> (7919*length(w) + 131*ascii(w) + ascii(reverse(w))) % 1048573) AS hs
+       |  list_transform($toksSql, w -> CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT % 4294967291 AS BIGINT)) AS hs
        |FROM documents),
        |sigs AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
        |         FROM t WHERE len(hs) > 0)""".stripMargin
@@ -235,18 +237,18 @@ object Queries {
 
     "simhash_fingerprint" -> QueryDef(
       (s, d) => DedupOps.simhash(Tables.documents(s, d)),
-      Some(s"""$simhashSqlCte
+      Some(s"""${simhashSqlCte(20)}
               |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin)),
 
     // oracle is the INDEPENDENT all-pairs formulation — a hash match
     // proves the chunk-bucket candidate generation has recall 1
     "simhash_dup" -> QueryDef(
       (s, d) => DedupOps.simhashDup(Tables.documents(s, d)),
-      Some(s"""$simhashSqlCte
+      Some(s"""${simhashSqlCte(32)}
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
               |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
               |ORDER BY a_id, b_id""".stripMargin)),
 
     // ----- similarity search / embeddings ------------------------------

@@ -49,13 +49,15 @@ object TextFunctions {
       lit(0L),
       (h, w) => pmod(h * lit(31L) + (length(w).cast("long") * lit(7L) + ascii(w).cast("long")), lit(1000000007L)))
 
-  /** Cheap deterministic per-word hash into 20 bits (for SimHash):
-    * (7919*len + 131*ascii(first) + ascii(last)) mod 2^20-3.
+  /** Deterministic per-word hash with full 32-bit entropy (for
+    * SimHash): the first 60 bits of md5(w), mod the largest prime
+    * below 2^32. Every fingerprint bit drawn from this hash is
+    * informative — an earlier length/first-char arithmetic hash
+    * spanned only ~17 bits, which made high fingerprint bits
+    * near-constant and collapsed simhash chunk buckets into
+    * corpus-sized skew. Reproducible in DuckDB as
+    * `('0x' || substr(md5(w),1,15))::UBIGINT % 4294967291`.
     */
-  def wordHash20(w: Column): Column =
-    pmod(
-      length(w).cast("long") * lit(7919L) +
-        ascii(w).cast("long") * lit(131L) +
-        ascii(reverse(w)).cast("long"),
-      lit(1048573L))
+  def wordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long") % lit(4294967291L)
 }

@@ -163,16 +163,18 @@ object DedupOps {
     * over signature chunks.
     */
   def simhash(docs: DataFrame): DataFrame =
-    simhashSigs(docs).orderBy("doc_id")
+    simhashSigs(docs, 20).orderBy("doc_id")
 
   /** (doc_id, simhash) without the result ordering — the shared input
-    * of [[simhash]] and [[simhashDup]].
+    * of [[simhash]] (20-bit surface) and [[simhashDup]] (32-bit:
+    * pairing needs the wider fingerprint for bucket selectivity; the
+    * word hash has full 32-bit entropy so any prefix of bits is
+    * informative).
     */
-  private def simhashSigs(docs: DataFrame): DataFrame = {
+  private def simhashSigs(docs: DataFrame, bits: Int): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     val ws = graft.functions.NativeText.tokens(col("text"))
-    val hs = transform(ws, w => wordHash20(w))
-    val bits = 20
+    val hs = transform(ws, w => wordHash(w))
     val simhashCol = (0 until bits).map { j =>
       val sumJ = aggregate(col("hs"), lit(0L),
         (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * 2L - 1L))
@@ -184,35 +186,58 @@ object DedupOps {
       .select(col("doc_id"), simhashCol.as("simhash"))
   }
 
-  /** SimHash near-dup PAIRING at scale: the 20-bit fingerprint splits
-    * into 4 chunks of 5 bits; by pigeonhole any pair within hamming
-    * distance 3 agrees on at least one whole chunk, so a chunk-bucket
-    * equijoin generates candidates with recall exactly 1 — never
-    * all-pairs — and `bit_count` of the XOR verifies the distance.
-    * The hamming analog of [[nearDupMinhash]]'s band join (its DuckDB
-    * oracle is the independent all-pairs formulation, so a hash match
-    * is itself the recall-1 proof).
+  /** SimHash near-dup PAIRING at scale: a 32-bit fingerprint splits
+    * into 3 chunks (11+11+10 bits); by pigeonhole any pair within
+    * hamming distance 2 agrees on at least one whole chunk, so a
+    * chunk-bucket equijoin generates candidates with recall exactly
+    * 1 — never all-pairs — and `bit_count` of the XOR verifies the
+    * distance. The hamming analog of [[nearDupMinhash]]'s band join
+    * (its DuckDB oracle is the independent all-pairs formulation, so
+    * a hash match is itself the recall-1 proof).
+    *
+    * Width sizing: expected bucket population is n / 2^chunkBits per
+    * chunk value, so candidate volume grows O(nChunks · n² /
+    * 2^chunkBits). A same-language corpus clusters its fingerprints,
+    * so chunk width must beat BOTH uniform density and semantic
+    * skew — 20-bit fingerprints (6/7-bit chunks) measured millions of
+    * candidate pairs at sf0.1 where 32-bit (10/11-bit chunks) stays
+    * in the hundreds of thousands. At web scale keep widening
+    * (64-bit simhash, 16-bit chunks), same plan shape.
     */
-  def simhashDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val chunkBits = 5
-    val nChunks = 4 // 20 bits / 5; recall 1 requires maxHamming < nChunks
-    require(maxHamming < nChunks, "pigeonhole recall needs maxHamming < nChunks")
-    val sigs = simhashSigs(docs)
+  def simhashDup(docs: DataFrame, maxHamming: Int = 2,
+                 maxBucket: Int = 1000): DataFrame = {
+    val chunkBitWidths = Seq(11, 11, 10) // covers all 32 fingerprint bits
+    val offsets = chunkBitWidths.scanLeft(0)(_ + _)
+    require(maxHamming < chunkBitWidths.size,
+      "pigeonhole recall needs maxHamming < number of chunks")
+    val sigs = simhashSigs(docs, 32)
     val keyed = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until nChunks).map { c =>
+      explode(array(chunkBitWidths.zipWithIndex.map { case (w, c) =>
         concat_ws(":", lit(c).cast("string"),
-          shiftright(col("simhash"), c * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
+          shiftright(col("simhash"), offsets(c))
+            .bitwiseAND(lit((1L << w) - 1)).cast("string"))
       }: _*)).as("ck"))
-    val cand = keyed.as("a").join(keyed.as("b"),
+    // semantic mega-clusters (one language's docs agreeing on a whole
+    // chunk) are the quadratic risk at corpus scale — same answer as
+    // nearDupMinhash: a count window riding the join's own chunk-key
+    // shuffle drops buckets over maxBucket (dense identical clusters
+    // are exactDedup's job). Inert at fixture SFs (max bucket < 1000),
+    // so the all-pairs oracle equality holds.
+    val bounded = keyed
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))))
+      .where(col("bn") <= maxBucket)
+      .select("doc_id", "simhash", "ck")
+    // popcount-verify BEFORE the distinct: the filter is one codegen'd
+    // instruction per candidate, so the (expensive, shuffling) dedup
+    // of pairs seen in multiple chunks runs over survivors only
+    bounded.as("a").join(bounded.as("b"),
         col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
-      .distinct()
-    cand
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 }

@@ -11,25 +11,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write orders and lineitem bucketed by order key into the session
-    * catalog (idempotent via overwrite; external tables under a fixed
-    * /tmp location so the session's warehouse dir is irrelevant), then
-    * return the exchange-free join of the two bucketed tables.
+  /** Register orders and lineitem bucketed by order key (external
+    * tables under a fixed per-sfDir /tmp location, so the session's
+    * warehouse dir is irrelevant), then return the exchange-free join
+    * of the two bucketed tables.
+    *
+    * Write-once semantics: the point of bucketing is paying the
+    * layout shuffle ONCE and amortizing it over every later join, so
+    * if the bucket files already exist on disk the table is
+    * re-registered over them with bucketed DDL instead of rewritten
+    * (a fresh session has an empty in-memory catalog but /tmp keeps
+    * the files).
     */
   def bucketedOrdersLineitem(spark: SparkSession, sfDir: String,
                              buckets: Int = 8): DataFrame = {
     val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_bucketed_" + Integer.toHexString(sfDir.hashCode)).getPath
-    graft.Tables.orders(spark, sfDir)
-      .write.mode("overwrite")
-      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$baseDir/orders")
-      .saveAsTable("graft_orders_bucketed")
-    graft.Tables.lineitem(spark, sfDir)
-      .write.mode("overwrite")
-      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$baseDir/lineitem")
-      .saveAsTable("graft_lineitem_bucketed")
+
+    def ensure(table: String, key: String, path: String,
+               source: => org.apache.spark.sql.DataFrame): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      if (new java.io.File(path, "_SUCCESS").exists()) {
+        spark.sql(
+          s"""CREATE TABLE $table (${source.schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      } else {
+        source.write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", path)
+          .saveAsTable(table)
+      }
+    }
+    ensure("graft_orders_bucketed", "o_orderkey", s"$baseDir/orders",
+      graft.Tables.orders(spark, sfDir))
+    ensure("graft_lineitem_bucketed", "l_orderkey", s"$baseDir/lineitem",
+      graft.Tables.lineitem(spark, sfDir))
     // one SQL analysis pass: catalog relations get re-resolved with
     // fresh attribute ids when mixed across Dataset handles, which
     // dangles df("col") (and even expr) join conditions
