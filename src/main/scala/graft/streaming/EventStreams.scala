@@ -39,6 +39,32 @@ object EventStreams {
       .parquet(dir)
   }
 
+  /** File-based streaming source over a directory of documents
+    * parquet (schema taken from a batch read of the same files —
+    * streaming file sources require one up front).
+    */
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** The reference's wordcount as a CONTINUOUS query — the same
+    * tokenize → explode → count logical plan as
+    * [[graft.operators.WordCountOps.wordCount]] run incrementally
+    * over a document stream: each micro-batch folds its partial
+    * counts into keyed state exactly where the batch plan puts its
+    * partial/final HashAggregate pair. Run with Update/Complete
+    * output mode (a running count has no append point).
+    */
+  def streamingWordCount(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    docs
+      .select(explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Sliding/tumbling windowed counts per event type with a watermark:
     * the incremental form of `EventsOps.hourly`. Late data beyond the
     * watermark is dropped; state is bounded by (watermark / window).

@@ -19,6 +19,25 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("streaming wordcount equals the batch wordcount") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf0001}/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = EventStreams.readDocumentsStream(spark, dir.toString)
+    val q = EventStreams.streamingWordCount(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("swc_stream")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("swc_stream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.WordCountOps
+      .wordCount(Tables.documents(spark, TestSpark.Sf0001))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming windowed counts equal the batch hourly totals") {
     val stream = EventStreams.readEventsStream(spark, eventsDir)
     // complete mode: append would (correctly) hold back the windows
