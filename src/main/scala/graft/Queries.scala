@@ -550,6 +550,17 @@ object Queries {
     // character functions (ascii / per-char codepoint sum), which is
     // equivalent only for ASCII text — verified true for all fixtures;
     // a non-ASCII corpus would need a byte-level oracle
+    // resize stage: keep every 4th byte; positions 1,5,9,... in SQL
+    "multimodal_resize" -> QueryDef(
+      (s, d) => MultimodalOps.resize(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |  octet_length(CAST(text AS BLOB)) AS orig_bytes,
+             |  CAST((octet_length(CAST(text AS BLOB)) + 3) // 4 AS BIGINT) AS resized_bytes,
+             |  CAST(coalesce(list_sum(list_transform(
+             |    generate_series(1, (length(text) + 3) // 4),
+             |    i -> ascii(substring(text, (i - 1) * 4 + 1, 1)))), 0) % 65521 AS BIGINT) AS resized_checksum
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // frame-sampling stage: 256-byte frames, every 4th kept; per-frame
     // sums stay < 65521 so the oracle's plain sum equals the running
     // mod; char==byte holds on the ASCII fixture (as in

@@ -67,6 +67,37 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Result of the resize stage. */
+  case class Resized(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
+                     resized_checksum: Long)
+
+  /** Resize stub — nearest-neighbor downsample by `factor`: keep
+    * every `factor`-th byte (a real image resize would interpolate
+    * decoded pixels here; the map-only shape and the typed in/out
+    * schema are the production contract). Emits original size,
+    * resized size, and the checksum of the resized bytes.
+    */
+  def resize(docs: DataFrame, factor: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        var cs = 0L
+        var n = 0L
+        var i = 0
+        while (i < r.blob.length) {
+          cs = (cs + (r.blob(i) & 0xff)) % 65521L
+          n += 1
+          i += factor
+        }
+        Resized(r.doc_id, r.blob.length.toLong, n, cs)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** One sampled frame of a media blob. */
   case class FrameSample(
       doc_id: Long, frame_idx: Long, frame_len: Long, frame_checksum: Long)
