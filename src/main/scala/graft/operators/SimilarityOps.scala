@@ -142,7 +142,14 @@ object SimilarityOps {
       .groupBy(col("centroid_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m").cast("float")).as("cvec"))
-    ivfSearch(emb, refined, assignToCentroids(emb, refined),
+    // centroids are O(K) model state: materialize them once on the
+    // driver (bounded by numCentroids, same size class as any
+    // broadcast) — `refined` feeds TWO broadcasts below, and leaving
+    // it lazy would recompute the whole O(n·K) seed-assignment
+    // subtree for each
+    val refinedDf = emb.sparkSession.createDataFrame(
+      refined.collectAsList(), refined.schema)
+    ivfSearch(emb, refinedDf, assignToCentroids(emb, refinedDf),
       nprobe, nProbes, k)
   }
 
