@@ -97,7 +97,11 @@ object SimilarityOps {
       .where(col("crank") <= nprobe)
       .select(col("vec_id").as("probe_id"), col("centroid_id"),
         col("embedding").as("probe_vec"))
-    val scored = probeLists.join(assignment, Seq("centroid_id"))
+    // probeLists is <= nProbes * nprobe rows — broadcast it so the
+    // corpus-sized assignment never shuffles on centroid_id (window
+    // output hides size stats from the optimizer, which otherwise
+    // plans a sort-merge join here)
+    val scored = assignment.join(broadcast(probeLists), Seq("centroid_id"))
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         VectorFunctions.cosine(col("probe_vec"), col("embedding")).as("score"))
