@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * filters, rollup, windows, set ops, semi/anti joins, top-k.
   *
   * Scale decisions:
-  *  - dimension tables (region/nation/customer/supplier/part) are
-  *    `broadcast()` so fact-side scans never shuffle for the join;
+  *  - only genuinely bounded dimensions (region: 5 rows, nation: 25)
+  *    may carry broadcast hints; SF-scaling tables (customer,
+  *    supplier, part, orders) never do — AQE flips those joins from
+  *    runtime sizes;
   *  - aggregates rely on partial (map-side) aggregation;
   *  - top-k is `orderBy + limit` => TakeOrderedAndProject (per
   *    partition heaps, no global sort);
@@ -54,8 +56,11 @@ object RelationalOps {
   }
 
   /** TPC-H Q5-style: revenue per nation for customers of one region
-    * in a date window. The region→nation→customer dimension chain is
-    * broadcast down onto the fact join.
+    * in a date window. region⋈nation is genuinely bounded (5/25 rows)
+    * and broadcasts on its own; the customer hop carries NO hint —
+    * customer scales with SF, so AQE must pick broadcast vs
+    * shuffled-hash from runtime size (a pinned broadcast here is the
+    * 100 TB OOM).
     */
   def q5Region(region: DataFrame, nation: DataFrame, customer: DataFrame,
                orders: DataFrame, lineitem: DataFrame): DataFrame = {
@@ -66,7 +71,7 @@ object RelationalOps {
     orders
       .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
