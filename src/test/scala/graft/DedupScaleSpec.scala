@@ -51,6 +51,34 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got === expected.toSet)
   }
 
+  test("simhash pairing is copy-consistent on a replicated corpus") {
+    val copies = 3
+    val shift = 10000000L
+    val base = Tables.documents(spark, TestSpark.Sf0001)
+    val big = (0 until copies)
+      .map(i => base.withColumn("doc_id", col("doc_id") + lit(i * shift)))
+      .reduce(_ unionAll _)
+    val basePairs = DedupOps.simhashDup(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // identical copies pair at hamming 0 (only docs that HAVE a
+    // signature — empty-token docs are excluded upstream)
+    val sigIds = DedupOps.simhash(base).collect().map(_.getLong(0))
+    val expected = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    sigIds.foreach { id =>
+      for (i <- 0 until copies; j <- (i + 1) until copies)
+        expected += ((id + i * shift, id + j * shift, 0L))
+    }
+    basePairs.foreach { case (a, b, h) =>
+      for (i <- 0 until copies; j <- 0 until copies) {
+        val (x, y) = (a + i * shift, b + j * shift)
+        expected += (if (x < y) (x, y, h) else (y, x, h))
+      }
+    }
+    val got = DedupOps.simhashDup(big).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("pathological LSH bucket is capped without disturbing normal pairs") {
     val base = Tables.documents(spark, TestSpark.Sf0001)
     val basePairs = DedupOps.nearDupJaccard(base).collect()
