@@ -527,6 +527,23 @@ object Queries {
       (s, d) => EventsOps.approxDistinctUsers(Tables.events(s, d)),
       None),
 
+    // the deterministic sketch: KMV over md5 hashes — every bit
+    // reproducible, so unlike HLL this sketch is hash-gated
+    "events_kmv_sketch" -> QueryDef(
+      (s, d) => EventsOps.kmvDistinctEvents(Tables.events(s, d)),
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |    (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::UBIGINT)::DOUBLE AS h
+             |  FROM events),
+             |r AS (SELECT event_type, h,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+             |      FROM h),
+             |t AS (SELECT event_type, max(h) AS theta, count(*) AS m
+             |      FROM r WHERE rnk <= 64 GROUP BY event_type)
+             |SELECT event_type,
+             |  CAST(CASE WHEN m < 64 THEN m
+             |       ELSE round(63.0 / (theta / 1152921504606846976.0)) END AS BIGINT) AS est_events
+             |FROM t ORDER BY event_type""".stripMargin)),
+
     "events_topusers" -> QueryDef(
       (s, d) => EventsOps.topUsers(Tables.events(s, d)),
       Some("""SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_purchases

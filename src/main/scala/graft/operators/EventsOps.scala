@@ -128,6 +128,38 @@ object EventsOps {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .orderBy("event_type")
 
+  /** KMV (k-minimum-values) distinct-count sketch per event type —
+    * the DETERMINISTIC sketch: hash event ids with md5 (full 60-bit
+    * values, reproducible in any engine), keep the k smallest
+    * DISTINCT hashes per group (WindowGroupLimit bounds the shuffle
+    * to k rows per group regardless of cardinality), and estimate
+    * n ≈ (k-1) / θ where θ is the k-th smallest normalized hash.
+    * Groups with fewer than k distinct keys report exactly. Same
+    * estimator quality class as HLL at this k (rsd ≈ 1/√(k-2)), but
+    * every bit is reproducible, so this sketch IS oracle-checkable —
+    * the hash-gated companion to the rows-only HLL query. Keyed on
+    * event_id (thousands per type in the fixture) so the estimator
+    * branch, not the exact fallback, is what the gate exercises.
+    */
+  def kmvDistinctEvents(events: DataFrame, k: Int = 64): DataFrame = {
+    val maxHash = math.pow(2.0, 60).toDouble
+    val hashed = events.select(col("event_type"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+          .cast("double").as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    hashed
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .groupBy("event_type")
+      .agg(max(col("h")).as("theta"), count(lit(1)).as("m"))
+      .select(col("event_type"),
+        when(col("m") < k, col("m"))
+          .otherwise(round(lit((k - 1).toDouble) / (col("theta") / maxHash)))
+          .cast("long").as("est_events"))
+      .orderBy("event_type")
+  }
+
   /** Top-10 purchasing users by total purchase value. */
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events
