@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{ExpressionArgs, RollingFingerprintExpr, Tokenize, WordNgramsExpr}
+import graft.functions.expressions.{ExpressionArgs, RollingFingerprintExpr, SimHashSignature, Tokenize, WordNgramsExpr}
 
 /** Column API over the native text expressions
   * ([[graft.functions.expressions]]). Output-equivalent to
@@ -15,6 +15,7 @@ object NativeText {
   val TokenizeName    = "graft_tokenize"
   val NgramsName      = "graft_word_ngrams"
   val FingerprintName = "graft_rolling_fp"
+  val SimHashName     = "graft_simhash"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -26,6 +27,10 @@ object NativeText {
       "scala_udf")
     reg.createOrReplaceTempFunction(
       FingerprintName, es => RollingFingerprintExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      SimHashName,
+      es => SimHashSignature(es(0), ExpressionArgs.literalInt(es(1), SimHashName)),
+      "scala_udf")
   }
 
   /** Lower-cased whitespace tokens, empties dropped. */
@@ -41,4 +46,8 @@ object NativeText {
   /** Rolling polynomial fingerprint over the token array. */
   def rollingFingerprint(toks: Column): Column =
     call_function(FingerprintName, toks)
+
+  /** SimHash fingerprint (`bits` wide) over the token array. */
+  def simhashSig(toks: Column, bits: Int): Column =
+    call_function(SimHashName, toks, lit(bits))
 }

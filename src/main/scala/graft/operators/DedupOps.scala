@@ -169,21 +169,19 @@ object DedupOps {
     * of [[simhash]] (20-bit surface) and [[simhashDup]] (32-bit:
     * pairing needs the wider fingerprint for bucket selectivity; the
     * word hash has full 32-bit entropy so any prefix of bits is
-    * informative).
+    * informative). One pass through the native
+    * [[graft.functions.expressions.SimHashSignature]] expression —
+    * the HOF formulation re-walked the token array `bits` times
+    * interpreted (the dominant cost of the pairing query at 10×).
     */
   private def simhashSigs(docs: DataFrame, bits: Int): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     val ws = graft.functions.NativeText.tokens(col("text"))
-    val hs = transform(ws, w => wordHash(w))
-    val simhashCol = (0 until bits).map { j =>
-      val sumJ = aggregate(col("hs"), lit(0L),
-        (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * 2L - 1L))
-      when(sumJ > 0, lit(1L << j).cast("long")).otherwise(lit(0L))
-    }.reduce(_ + _)
     docs
-      .select(col("doc_id"), hs.as("hs"))
-      .where(size(col("hs")) > 0)
-      .select(col("doc_id"), simhashCol.as("simhash"))
+      .select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        graft.functions.NativeText.simhashSig(col("ws"), bits).as("simhash"))
   }
 
   /** SimHash near-dup PAIRING at scale: a 32-bit fingerprint splits

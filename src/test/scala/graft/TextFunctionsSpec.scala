@@ -51,6 +51,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native simhash signature equals the HOF reference formulation") {
+    import graft.functions.NativeText
+    NativeText.register(spark)
+    val fixture = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val df = (Seq("a b\tc", "one", "MiXeD Case words here") ++ fixture)
+      .toDF("text")
+    for (bits <- Seq(20, 32)) {
+      // HOF reference: per-bit aggregate of +/-1 over wordHash bits
+      val ws = tokens(col("text"))
+      val hs = transform(ws, w => wordHash(w))
+      val ref = (0 until bits).map { j =>
+        val sumJ = aggregate(hs, lit(0L),
+          (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * 2L - 1L))
+        when(sumJ > 0, lit(1L << j).cast("long")).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val cmp = df.where(size(tokens(col("text"))) > 0).select(
+        ref.as("ref_sig"),
+        NativeText.simhashSig(NativeText.tokens(col("text")), bits).as("nat_sig"))
+      cmp.collect().foreach { r =>
+        assert(r.getLong(0) === r.getLong(1), s"bits=$bits")
+      }
+    }
+  }
+
   test("rollingFingerprint is deterministic and order-sensitive") {
     def fp(s: String): Long =
       Seq(s).toDF("text").select(rollingFingerprint(tokens(col("text"))).as("h"))
