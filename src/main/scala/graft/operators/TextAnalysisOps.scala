@@ -127,9 +127,12 @@ object TextAnalysisOps {
   /** TF-IDF top-k terms per document: tf(doc, word) * ln(N / df(word)),
     * ranked per doc. Fully in-plan, single job: N is a 1-row aggregate
     * cross-joined in (Spark broadcasts the single row — no driver
-    * `count()` pre-scan), and the df join carries no broadcast hint —
-    * a web-corpus vocabulary is billions of tokens, so AQE must decide
-    * from runtime size, not a pinned hint.
+    * `count()` pre-scan), and df(word) is a count WINDOW over the tf
+    * table's word partition — the tf rows per word ARE the documents
+    * containing it, so the former separate df aggregate + self-join
+    * (which recomputed the whole tokenize+tf subtree a second time)
+    * collapses into one exchange on `word` over data tf already
+    * produced once.
     */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
@@ -138,8 +141,9 @@ object TextAnalysisOps {
       .select(col("doc_id"),
         explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "word").crossJoin(nDocs)
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .crossJoin(nDocs)
       .withColumn("score_raw", col("tf") * log(col("n_docs") / col("df")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(round(col("score_raw"), 6).desc, col("word").asc)
