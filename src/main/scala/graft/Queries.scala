@@ -105,6 +105,44 @@ object Queries {
               |  SELECT unnest($toksSql) AS word FROM documents
               |) GROUP BY word ORDER BY word""".stripMargin)),
 
+    // CSV ingestion: orders round-trip through headered CSV (only the
+    // queried columns are written, so serialization of untouched
+    // types never enters the picture) and aggregate per status
+    "orders_csv_scan" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+        val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_orderscsv_" + Integer.toHexString(d.hashCode)).getPath
+        val src = Tables.orders(s, d).select("o_orderstatus", "o_totalprice")
+        graft.sources.DelimitedSource.writeCsvFixture(src, fixture)
+        graft.sources.DelimitedSource.readCsv(s, fixture, src.schema)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // JSON-lines ingestion: documents metadata round-trips through
+    // JSONL and aggregates per language
+    "documents_jsonl_scan" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_docsjsonl_" + Integer.toHexString(d.hashCode)).getPath
+        val src = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        graft.sources.DelimitedSource.writeJsonlFixture(src, fixture)
+        graft.sources.DelimitedSource.readJsonl(s, fixture, src.schema)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     "distinct_words" -> QueryDef(
       (s, d) => WordCountOps.distinctWords(Tables.documents(s, d)),
       Some(s"""SELECT DISTINCT word FROM (
