@@ -7,7 +7,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.expressions.{MinHashSignature, RollingFingerprintExpr, Tokenize, WordNgramsExpr}
+import graft.functions.expressions.{MinHashSignature, RollingFingerprintExpr, SimHashSignature, Tokenize, WordNgramsExpr}
 
 /** Property-based checks of the native expressions via direct
   * Catalyst `eval` (no Spark jobs — thousands of cases per second).
@@ -78,5 +78,30 @@ object ExpressionProperties extends Properties("graft.expressions") {
   property("minhash signature is order- and duplicate-invariant") =
     forAll(wordList) { ws =>
       sig(ws) == sig(scala.util.Random.shuffle(ws ++ ws))
+    }
+
+  private def simsig(xs: Seq[String], bits: Int): Long =
+    SimHashSignature(strArrayLit(xs), bits).eval(null).asInstanceOf[Long]
+
+  property("simhash equals the md5 bit-count model") =
+    forAll(wordList, Gen.oneOf(20, 32)) { (ws, bits) =>
+      val counts = new Array[Int](bits)
+      ws.foreach { w =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+        val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16) % 4294967291L
+        (0 until bits).foreach { j =>
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        }
+      }
+      val model = (0 until bits).map(j => if (counts(j) > 0) 1L << j else 0L).sum
+      simsig(ws, bits) == model
+    }
+
+  property("simhash is order-invariant and scales with duplication") =
+    forAll(wordList) { ws =>
+      simsig(ws, 32) == simsig(scala.util.Random.shuffle(ws), 32) &&
+        simsig(ws ++ ws, 32) == simsig(ws, 32)
     }
 }
