@@ -174,7 +174,8 @@ object SimilarityOps {
     * cosine. Output (a_id, b_id, score).
     */
   def embeddingLshDup(emb: DataFrame, threshold: Double = 0.5,
-                      tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
+                      tables: Int = 8, bitsPerTable: Int = 8,
+                      maxBucket: Int = 1000): DataFrame = {
     def bucket(t: Int): Column =
       (0 until bitsPerTable).map { b =>
         when(element_at(col("embedding"), t * bitsPerTable + b + 1) > 0f,
@@ -184,7 +185,17 @@ object SimilarityOps {
       col("vec_id"),
       explode(array((0 until tables).map(t =>
         concat_ws(":", lit(t), bucket(t).cast("string"))): _*)).as("bkey"))
-    val cand = keys.as("a").join(keys.as("b"),
+    // same mega-bucket cap as the minhash/simhash candidates: a count
+    // window rides the self-join's own bkey shuffle; a degenerate
+    // bucket (embedding-space cluster collapsing a table's sign
+    // pattern) is dropped instead of going quadratic. Inert at
+    // fixture SFs, so the oracle equality holds.
+    val bounded = keys
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
+      .where(col("bn") <= maxBucket)
+      .select("vec_id", "bkey")
+    val cand = bounded.as("a").join(bounded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
