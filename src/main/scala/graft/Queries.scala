@@ -95,10 +95,10 @@ object Queries {
     // the line re-splitting, so the parquet wordcount oracle applies
     "wordcount_textscan" -> QueryDef(
       (s, d) => {
-        val fixture = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          "graft_textscan_" + Integer.toHexString(d.hashCode)).getPath
-        graft.sources.TextSource.writeTextFixture(Tables.documents(s, d), fixture)
+        val fixture = graft.sources.Fixtures.ensure("textscan", d,
+          Seq(s"$d/documents.parquet")) { p =>
+          graft.sources.TextSource.writeTextFixture(Tables.documents(s, d), p)
+        }
         WordCountOps.wordCount(graft.sources.TextSource.readAsDocuments(s, fixture))
       },
       Some(s"""SELECT word, count(*) AS cnt FROM (
@@ -111,10 +111,11 @@ object Queries {
     "orders_csv_scan" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.functions.{col, count, lit, round, sum}
-        val fixture = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_orderscsv_" + Integer.toHexString(d.hashCode)).getPath
         val src = Tables.orders(s, d).select("o_orderstatus", "o_totalprice")
-        graft.sources.DelimitedSource.writeCsvFixture(src, fixture)
+        val fixture = graft.sources.Fixtures.ensure("orderscsv", d,
+          Seq(s"$d/orders.parquet")) { p =>
+          graft.sources.DelimitedSource.writeCsvFixture(src, p)
+        }
         graft.sources.DelimitedSource.readCsv(s, fixture, src.schema)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_orders"),
@@ -130,10 +131,11 @@ object Queries {
     "documents_jsonl_scan" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.functions.{col, count, lit, sum}
-        val fixture = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_docsjsonl_" + Integer.toHexString(d.hashCode)).getPath
         val src = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-        graft.sources.DelimitedSource.writeJsonlFixture(src, fixture)
+        val fixture = graft.sources.Fixtures.ensure("docsjsonl", d,
+          Seq(s"$d/documents.parquet")) { p =>
+          graft.sources.DelimitedSource.writeJsonlFixture(src, p)
+        }
         graft.sources.DelimitedSource.readJsonl(s, fixture, src.schema)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))

@@ -33,16 +33,21 @@ case class SimHashSignature(child: Expression, bits: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     TextExprChecks.requireStringArray(child.dataType, prettyName)
 
-  @transient private lazy val md5: MessageDigest =
-    MessageDigest.getInstance("MD5")
+  // MessageDigest is stateful and NOT thread-safe; a plan fragment can
+  // be evaluated from several executor threads at once, so the digest
+  // is per-thread (the same pattern Spark's own stateful expressions
+  // use), never shared across threads
+  @transient private lazy val md5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    val digest = md5.get()
     val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
-      val d = md5.digest(arr.getUTF8String(i).getBytes)
+      val d = digest.digest(arr.getUTF8String(i).getBytes)
       // first 15 hex digits = 7 whole bytes + the high nibble of the 8th
       var v = 0L
       var k = 0

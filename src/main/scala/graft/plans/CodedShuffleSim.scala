@@ -35,8 +35,10 @@ import org.apache.spark.util.LongAccumulator
   *  - per-encoder-node pairing: `repartition` on the encoder node +
   *    `mapPartitions` — each task replays ONE node's combiner-cache
   *    scan over its local partials (the reference encoder is a
-  *    single-node cache scan by construction, `WordCount.java:142`),
-  *    bumping accumulators for the packet counters;
+  *    single-node cache scan by construction, `WordCount.java:142`);
+  *    the packet counters are then COUNTED from the materialized
+  *    packet rows rather than task-side accumulators, so task retry /
+  *    speculation / cache-eviction recompute cannot double-count;
   *  - decode: packets are "multicast" as rows keyed by target node and
   *    joined against the exploded local-knowledge table (node-set →
   *    replica nodes), so each target strips its half exactly where a
@@ -84,10 +86,6 @@ object CodedShuffleSim {
         when(pmod(hash(col("word")), lit(2)) === 0, col("p"))
           .otherwise(pmod(col("p") + 1, lit(Nodes))).cast("int"))
 
-    val naiveAcc = spark.sparkContext.longAccumulator("graft.codedshuffle.naive")
-    val sentAcc = spark.sparkContext.longAccumulator("graft.codedshuffle.sent")
-    val encodedAcc = spark.sparkContext.longAccumulator("graft.codedshuffle.encoded")
-
     // the packet stream, one task per encoder node: a coded multicast
     // emits one row PER TARGET carrying the XOR payload and the key of
     // the partial that target must strip; a unicast flush row carries
@@ -104,7 +102,6 @@ object CodedShuffleSim {
         it.toVector.groupBy(_._5).toSeq.sortBy(_._1).iterator.flatMap {
           case (_, group) =>
             val entries = group.sortBy(r => (r._2, r._1))
-            naiveAcc.add(entries.size)
             val cache = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Int, Int)]
             val out = Vector.newBuilder[(Int, Int, String, String, Long, Boolean)]
             entries.foreach { e =>
@@ -119,7 +116,6 @@ object CodedShuffleSim {
               }
               if (m >= 0) {
                 val other = cache.remove(m)
-                sentAcc.add(1); encodedAcc.add(1)
                 val payload = e._3 ^ other._3
                 out += ((e._4, other._1, other._2, e._2, payload, true))
                 out += ((other._4, e._1, e._2, other._2, payload, true))
@@ -128,7 +124,7 @@ object CodedShuffleSim {
               }
             }
             // cleanup flush: unicast leftovers (WordCount.java:211-223)
-            cache.foreach { c => sentAcc.add(1); out += ((c._4, c._1, c._2, c._2, c._3, false)) }
+            cache.foreach { c => out += ((c._4, c._1, c._2, c._2, c._3, false)) }
             out.result().iterator
         }
       }
@@ -144,10 +140,25 @@ object CodedShuffleSim {
       .select(col("k_node"), col("p").as("k_p"), col("word").as("k_word"),
         col("cnt").as("k_cnt"))
 
-    // persist the packet stream: the accumulator-filling pairing pass
-    // must run exactly once across the decode actions below
+    // persist the packet stream so the pairing pass runs once across
+    // the counting + decode actions below (a perf choice only: the
+    // counters are derived from packet ROWS, not task-side
+    // accumulators, so a retried/speculated/recomputed task can no
+    // longer double-count — each recompute yields the same rows)
     packets.persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // packet accounting from the materialized stream itself: a coded
+      // pair multicasts one packet carried as TWO target rows (one per
+      // stripped partial); a unicast flush row is one packet for one
+      // partial. Hence partials = all rows, coded packets = coded
+      // rows / 2, packets sent = coded/2 + unicast.
+      val rowsByCoded = packets.groupBy("coded").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val codedRows = rowsByCoded.getOrElse(true, 0L)
+      val unicastRows = rowsByCoded.getOrElse(false, 0L)
+      val naivePackets = codedRows + unicastRows
+      val encodedPackets = codedRows / 2
+      val packetsSent = encodedPackets + unicastRows
       val codedAtTarget = packets.where(col("coded")).join(knowledge,
         packets("tgt_node") === col("k_node") &&
           col("known_p") === col("k_p") && col("known_word") === col("k_word"),
@@ -171,9 +182,9 @@ object CodedShuffleSim {
           failedStrips == 0L && mismatches == 0L
         }
 
-      accPackets.foreach(_.add(sentAcc.value))
-      accEncoded.foreach(_.add(encodedAcc.value))
-      Result(naiveAcc.value, sentAcc.value, encodedAcc.value, decodedOk)
+      accPackets.foreach(_.add(packetsSent))
+      accEncoded.foreach(_.add(encodedPackets))
+      Result(naivePackets, packetsSent, encodedPackets, decodedOk)
     } finally {
       packets.unpersist()
     }

@@ -21,32 +21,48 @@ object Bucketing {
     * if the bucket files already exist on disk the table is
     * re-registered over them with bucketed DDL instead of rewritten
     * (a fresh session has an empty in-memory catalog but /tmp keeps
-    * the files).
+    * the files). The directory name encodes the dataset basename, the
+    * bucket count AND a metadata fingerprint of the source parquet
+    * ([[Fixtures.ensure]]), so regenerated source data or a different
+    * `buckets` can never silently reuse stale files; on top of that
+    * the bucket-id suffixes of the on-disk files are validated against
+    * `buckets` before the DDL is stamped, falling back to a rewrite on
+    * any mismatch.
     */
   def bucketedOrdersLineitem(spark: SparkSession, sfDir: String,
                              buckets: Int = 8): DataFrame = {
-    val baseDir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_bucketed_" + Integer.toHexString(sfDir.hashCode)).getPath
+    val bucketFileId = raw".*_(\d{5})(?:\.|_).*".r
 
-    def ensure(table: String, key: String, path: String,
+    def ensure(table: String, key: String, name: String,
                source: => org.apache.spark.sql.DataFrame): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      if (new java.io.File(path, "_SUCCESS").exists()) {
+      var wrote = false
+      val path = Fixtures.ensure(s"bucketed_$name", sfDir,
+        Seq(s"$sfDir/$name.parquet"), params = s"${buckets}b",
+        validate = { dir =>
+          // every data file must carry a bucket-id suffix < buckets
+          val ids = dir.listFiles().toSeq
+            .filter(f => f.getName.startsWith("part-"))
+            .map(_.getName)
+            .collect { case bucketFileId(id) => id.toInt }
+          ids.nonEmpty && ids.forall(_ < buckets)
+        }) { p =>
+        source.write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", p)
+          .saveAsTable(table)
+        wrote = true
+      }
+      if (!wrote)
         spark.sql(
           s"""CREATE TABLE $table (${source.schema.toDDL})
              |USING parquet
              |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
              |LOCATION '$path'""".stripMargin)
-      } else {
-        source.write.mode("overwrite")
-          .bucketBy(buckets, key).sortBy(key)
-          .option("path", path)
-          .saveAsTable(table)
-      }
     }
-    ensure("graft_orders_bucketed", "o_orderkey", s"$baseDir/orders",
+    ensure("graft_orders_bucketed", "o_orderkey", "orders",
       graft.Tables.orders(spark, sfDir))
-    ensure("graft_lineitem_bucketed", "l_orderkey", s"$baseDir/lineitem",
+    ensure("graft_lineitem_bucketed", "l_orderkey", "lineitem",
       graft.Tables.lineitem(spark, sfDir))
     // one SQL analysis pass: catalog relations get re-resolved with
     // fresh attribute ids when mixed across Dataset handles, which
