@@ -259,6 +259,25 @@ object Queries {
               |      FROM tf JOIN df USING (word) CROSS JOIN n)
               |SELECT doc_id, rnk, word, tf, score FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
+    // ----- corpus pipelines --------------------------------------------
+    // the composed cleaning run: quality gate + language consistency
+    // + exact dedup as ONE plan (filters fuse ahead of the only
+    // shuffle); the oracle recomputes every stage independently
+    "corpus_clean_pipeline" -> QueryDef(
+      (s, d) => PipelineOps.cleanCorpus(Tables.documents(s, d)),
+      Some(cleanPipelineOracle)),
+
+    // deterministic hash-split: stable train/val/test assignment
+    "dataset_split" -> QueryDef(
+      (s, d) => PipelineOps.datasetSplit(Tables.documents(s, d)),
+      Some("""WITH b AS (SELECT lang, n_chars,
+             |            ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 100 AS bucket
+             |          FROM documents)
+             |SELECT lang,
+             |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
     // ----- dedup -------------------------------------------------------
     "exact_dedup" -> QueryDef(
       (s, d) => DedupOps.exactDedup(Tables.documents(s, d)),
@@ -506,6 +525,36 @@ object Queries {
              |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // pushdown probe: all three predicates must reach the parquet scan
+    "q6_forecast" -> QueryDef(
+      (s, d) => RelationalOps.q6Forecast(Tables.lineitem(s, d)),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_lines
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    "orders_pivot" -> QueryDef(
+      (s, d) => RelationalOps.ordersPivot(Tables.orders(s, d)),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+             |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+             |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // the oracle is the INDEPENDENT unbinned theta-join formulation —
+    // a hash match proves the bin+refine decomposition loses no pairs
+    "range_join_binned" -> QueryDef(
+      (s, d) => RelationalOps.rangeJoinBinned(Tables.part(s, d), Tables.lineitem(s, d)),
+      Some("""WITH b AS (SELECT p_partkey, p_brand,
+             |            p_retailprice * 0.9 AS lo, p_retailprice * 1.1 AS hi
+             |          FROM part WHERE p_size = 1)
+             |SELECT p_partkey, p_brand, count(*) AS n_in_band,
+             |  round(avg(l_extendedprice), 4) AS avg_band_price
+             |FROM b JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice <= hi
+             |GROUP BY p_partkey, p_brand ORDER BY p_partkey""".stripMargin)),
+
     "orders_monthly" -> QueryDef(
       (s, d) => RelationalOps.ordersMonthly(Tables.orders(s, d)),
       Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
@@ -561,6 +610,15 @@ object Queries {
              |SELECT coalesce(event_type, 'ALL') AS event_type, coalesce(day, 'ALL') AS day,
              |  count(*) AS n, round(sum(value), 4) AS sum_value
              |FROM e GROUP BY CUBE(event_type, day) ORDER BY event_type, day""".stripMargin)),
+
+    // explicit grouping sets (the general form cube/rollup sugar over)
+    "events_grouping_sets" -> QueryDef(
+      (s, d) => EventsOps.groupingSetsDaily(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT event_type, strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day, value FROM events)
+             |SELECT coalesce(event_type, 'ALL') AS event_type, coalesce(day, 'ALL') AS day,
+             |  count(*) AS n, round(sum(value), 4) AS sum_value
+             |FROM e GROUP BY GROUPING SETS ((event_type), (day), ())
+             |ORDER BY event_type, day""".stripMargin)),
 
     // HLL++ sketch values are implementation-specific: rows-only check
     "events_approx_users" -> QueryDef(
@@ -645,6 +703,38 @@ object Queries {
              |  CAST((octet_length(CAST(text AS BLOB)) + 255) // 256 AS BIGINT) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
+
+  /** DuckDB recomputation of [[graft.operators.PipelineOps.cleanCorpus]]:
+    * token/punct quality gate, stopword-profile language agreement
+    * (same hit columns + argmax CASE chain as the lang_id oracle),
+    * then keep-min-doc_id exact dedup via arg_min.
+    */
+  private lazy val cleanPipelineOracle: String = {
+    val langs = graft.operators.TextAnalysisOps.StopwordsByLang.map(_._1)
+    val hitCols = graft.operators.TextAnalysisOps.StopwordsByLang.map { case (l, stops) =>
+      val in = stops.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ws, w -> w IN ($in))) AS hits_$l"
+    }.mkString(",\n  ")
+    val cases = langs.init.map { l =>
+      val conds = langs.filterNot(_ == l).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n  ")
+    s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS ws FROM documents),
+       |q AS (SELECT doc_id, lang, text, ws, len(ws)::BIGINT AS n_tokens
+       |      FROM t
+       |      WHERE len(ws) >= 5
+       |        AND len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\r\f]'))::DOUBLE / length(text) <= 0.20),
+       |h AS (SELECT doc_id, lang, text, n_tokens,
+       |  $hitCols
+       |FROM q),
+       |p AS (SELECT doc_id, lang, text, n_tokens,
+       |        CASE $cases ELSE '${langs.last}' END AS pred
+       |      FROM h),
+       |f AS (SELECT doc_id, lang, n_tokens, md5(lower(text)) AS fp FROM p WHERE pred = lang)
+       |SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+       |  arg_min(n_tokens, doc_id) AS n_tokens, count(*) AS n_copies
+       |FROM f GROUP BY fp ORDER BY doc_id""".stripMargin
+  }
 
   /** Exact word-5-gram Jaccard near-dup pairs (threshold 0.8) — the
     * oracle for both the inverted-index join and the MinHash+LSH

@@ -118,6 +118,25 @@ object EventsOps {
         col("n"), col("sum_value"))
       .orderBy("event_type", "day")
 
+  /** Explicit GROUPING SETS — the general form CUBE/ROLLUP are sugar
+    * for: per-type totals, per-day totals, and the grand total, but
+    * NOT the (type, day) cross — one Expand + one aggregate exchange,
+    * producing strictly fewer intermediate rows than a cube that
+    * computes the cross only to throw it away.
+    */
+  def groupingSetsDaily(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_format(date_trunc("day", timestamp_millis(tsMs)), "yyyy-MM-dd"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "day")
+
   /** Sketch aggregation: HyperLogLog++ approximate distinct users per
     * type. Implementation-specific values — no SQL oracle; the test
     * bounds the error against the exact count.

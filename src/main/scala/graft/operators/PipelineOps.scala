@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** End-to-end corpus-preparation pipelines: the composition layer a
+  * training-data run actually executes — quality gate, language
+  * consistency, dedup, split assignment — chained as ONE declarative
+  * plan so Catalyst sees the whole DAG (filters push into the scan,
+  * per-doc stages fuse into a single projection, and only the dedup
+  * aggregation shuffles).
+  */
+object PipelineOps {
+
+  /** Cleaning pipeline over the documents corpus:
+    *
+    *   1. tokenize (row-local);
+    *   2. quality gate: >= `minTokens` tokens and punctuation ratio
+    *      <= `maxPunct` (row-local — fuses with 1);
+    *   3. language consistency: the stopword-profile language guess
+    *      ([[TextAnalysisOps.langId]]'s argmax) must agree with the
+    *      labeled language (row-local);
+    *   4. exact dedup: keep the smallest doc_id per md5(lower(text))
+    *      group (the pipeline's ONLY shuffle, on the digest key).
+    *
+    * Emits the surviving documents. At 100 TB stages 1-3 are a single
+    * map over the scan discarding most of the corpus before the one
+    * exchange — filter-before-shuffle is the whole point of running
+    * the gate as one plan.
+    */
+  def cleanCorpus(docs: DataFrame, minTokens: Int = 5,
+                  maxPunct: Double = 0.20): DataFrame = {
+    val ws = tokens(col("text"))
+    val langs = TextAnalysisOps.StopwordsByLang.map(_._1)
+    val hitCols = TextAnalysisOps.StopwordsByLang.map { case (l, stops) =>
+      s"hits_$l" -> size(filter(col("ws"), w => w.isin(stops.map(x => x: Any): _*)))
+    }
+    // argmax with first-wins tie-break over sorted lang order (same
+    // chain as TextAnalysisOps.langId, over the shared hit columns)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val others = langs.filterNot(_ == l).map(o => col(s"hits_$l") >= col(s"hits_$o"))
+      when(others.reduce(_ && _), lit(l)).otherwise(rest)
+    }
+
+    val gated = docs
+      .withColumn("ws", ws)
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("punct_ratio",
+        size(regexp_extract_all(lower(col("text")),
+          lit("[^a-z0-9 \\t\\n\\r\\f]"), lit(0))).cast("double") / length(col("text")))
+      .where(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
+      .withColumns(hitCols.toMap)
+      .where(pred === col("lang"))
+
+    gated
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        md5(lower(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens")), col("doc_id")).as("keep"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
+        col("keep.n_tokens").as("n_tokens"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/validation/test split: bucket =
+    * md5(doc_id) mod 100, train < `trainPct`, val < `trainPct +
+    * valPct`, else test. Hash-based (not random) so the assignment is
+    * stable across runs, engines, and repartitioning — the property a
+    * reproducible training pipeline needs. Row-local + one aggregate
+    * exchange for the per-(lang, split) report.
+    */
+  def datasetSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100L))
+    docs
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang", "split")
+  }
+}

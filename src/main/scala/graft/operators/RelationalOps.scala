@@ -192,6 +192,71 @@ object RelationalOps {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q6-style forecasting-revenue filter-aggregate: a single
+    * scan whose three predicates (date range, discount band, quantity
+    * cap) all push into the parquet reader — `.explain` shows them
+    * under `PushedFilters` — and whose output is one partial-agg'd
+    * row. The canonical "is pushdown working" probe: at 100 TB this
+    * query's cost is the scan, nothing else.
+    */
+  def q6Forecast(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Pivot: order counts and revenue per order year, one column pair
+    * per order status. The status values are DECLARED (not discovered
+    * with an extra distinct pass) — at scale the two-pass pivot form
+    * is a full extra scan.
+    */
+  def ordersPivot(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      // a (year, status) combination absent from the data pivots to
+      // null; report 0 like the conditional-aggregation formulation
+      .select(col("yr"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("yr")
+
+  /** Range (band) join via bin bucketing: lineitems whose extended
+    * price falls within ±10% of a part's retail price. A naive
+    * theta-join is O(parts × lineitems); instead both sides are
+    * bucketed into fixed price bins — each part row explodes to the
+    * ~5 bins its band overlaps, each lineitem computes its single
+    * bin — and the join becomes an EQUI-join on bin_id plus an exact
+    * band filter. This is the standard scale shape for interval/range
+    * joins (bin, equi-join, refine): shuffle is bounded by bin
+    * cardinality, never by the cross product.
+    */
+  def rangeJoinBinned(part: DataFrame, lineitem: DataFrame,
+                      binWidth: Double = 50.0): DataFrame = {
+    val bands = part
+      .where(col("p_size") === 1)
+      .select(col("p_partkey"), col("p_brand"),
+        (col("p_retailprice") * 0.9).as("lo"),
+        (col("p_retailprice") * 1.1).as("hi"))
+      .withColumn("bin",
+        explode(sequence(floor(col("lo") / binWidth).cast("long"),
+          floor(col("hi") / binWidth).cast("long"))))
+    val priced = lineitem
+      .select(col("l_extendedprice"))
+      .withColumn("bin", floor(col("l_extendedprice") / binWidth).cast("long"))
+    bands.join(priced, Seq("bin"))
+      .where(col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
+      .groupBy("p_partkey", "p_brand")
+      .agg(count(lit(1)).as("n_in_band"),
+        round(avg(col("l_extendedprice")), 4).as("avg_band_price"))
+      .orderBy("p_partkey")
+  }
+
   /** Top-k parts by retail price with dense_rank over brand. */
   def partTopk(part: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))

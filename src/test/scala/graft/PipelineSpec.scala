@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventsOps, PipelineOps, RelationalOps}
+
+/** Invariants of the corpus-pipeline and new relational operators,
+  * each checked against an independently-computed naive formulation
+  * on the sf0.001 fixture.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("clean pipeline survivors are deduped and pass the gate") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val out = PipelineOps.cleanCorpus(docs).collect()
+    assert(out.nonEmpty && out.length < docs.count())
+    // dedup: surviving doc_ids unique; every survivor meets the gate
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    assert(out.forall(_.getLong(2) >= 5))          // n_tokens gate
+    assert(out.forall(_.getLong(3) >= 1))          // n_copies
+    // copies accounted: total gated rows == sum of group sizes
+    val survivorsPlusCopies = out.map(_.getLong(3)).sum
+    assert(survivorsPlusCopies >= out.length)
+  }
+
+  test("dataset split partitions the corpus deterministically") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val out = PipelineOps.datasetSplit(docs).collect()
+    assert(out.map(_.getLong(2)).sum === docs.count())
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic: a second run is identical
+    val again = PipelineOps.datasetSplit(docs).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("binned range join equals the naive theta join") {
+    val part = Tables.part(spark, TestSpark.Sf0001)
+    val lineitem = Tables.lineitem(spark, TestSpark.Sf0001)
+    val naive = part.where(col("p_size") === 1)
+      .select(col("p_partkey"), (col("p_retailprice") * 0.9).as("lo"),
+        (col("p_retailprice") * 1.1).as("hi"))
+      .crossJoin(lineitem.select(col("l_extendedprice")))
+      .where(col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val binnedByKey = RelationalOps.rangeJoinBinned(part, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(binnedByKey === naive)
+  }
+
+  test("q6 aggregate equals the filtered scan") {
+    val lineitem = Tables.lineitem(spark, TestSpark.Sf0001)
+    val row = RelationalOps.q6Forecast(lineitem).collect().head
+    val n = lineitem.where(
+      col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24).count()
+    assert(row.getLong(1) === n)
+  }
+
+  test("pivot rows sum to yearly order counts") {
+    val orders = Tables.orders(spark, TestSpark.Sf0001)
+    val out = RelationalOps.ordersPivot(orders).collect()
+    val perYear = orders.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) === perYear(r.getLong(0)))
+    }
+  }
+
+  test("grouping sets contain exactly the declared sets") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val out = EventsOps.groupingSetsDaily(ev).collect()
+    // every row has at least one ALL side (no (type, day) cross rows)
+    assert(out.forall(r => r.getString(0) == "ALL" || r.getString(1) == "ALL"))
+    // the grand total row equals the event count
+    val grand = out.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1 && grand.head.getLong(2) === ev.count())
+    // per-type rows roll up to the grand total
+    val perType = out.filter(r => r.getString(0) != "ALL").map(_.getLong(2)).sum
+    assert(perType === grand.head.getLong(2))
+  }
+}
