@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "dot product of two float vectors"),
       exprs => DotProductFloat(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_kmv_est"),
+      info("graft_kmv_est", "KMV distinct-count estimate aggregate"),
+      exprs => KmvDistinctEstimate(exprs(0),
+        ExpressionArgs.literalInt(exprs(1), "graft_kmv_est"))))
   }
 }

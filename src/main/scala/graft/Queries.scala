@@ -642,6 +642,24 @@ object Queries {
              |       ELSE round(63.0 / (theta / 1152921504606846976.0)) END AS BIGINT) AS est_events
              |FROM t ORDER BY event_type""".stripMargin)),
 
+    // the SAME sketch through the custom TypedImperativeAggregate
+    // (UDAF surface): one exchange instead of distinct + window; the
+    // result is bit-identical, so the same hash-gate applies
+    "events_kmv_udaf" -> QueryDef(
+      (s, d) => EventsOps.kmvDistinctEventsAgg(Tables.events(s, d)),
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |    (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::UBIGINT)::DOUBLE AS h
+             |  FROM events),
+             |r AS (SELECT event_type, h,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+             |      FROM h),
+             |t AS (SELECT event_type, max(h) AS theta, count(*) AS m
+             |      FROM r WHERE rnk <= 64 GROUP BY event_type)
+             |SELECT event_type,
+             |  CAST(CASE WHEN m < 64 THEN m
+             |       ELSE round(63.0 / (theta / 1152921504606846976.0)) END AS BIGINT) AS est_events
+             |FROM t ORDER BY event_type""".stripMargin)),
+
     "events_topusers" -> QueryDef(
       (s, d) => EventsOps.topUsers(Tables.events(s, d)),
       Some("""SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_purchases

@@ -179,6 +179,26 @@ object EventsOps {
       .orderBy("event_type")
   }
 
+  /** The same KMV estimate as [[kmvDistinctEvents]], computed by the
+    * custom [[graft.functions.expressions.KmvDistinctEstimate]]
+    * aggregate (the engine's UDAF surface): dedup folds into the
+    * k-bounded buffer, so the plan is ONE ObjectHashAggregate
+    * partial/final pair around a single exchange carrying at most k
+    * values per (group, map task) — vs the window formulation's
+    * distinct exchange + window exchange. Bit-identical result, same
+    * DuckDB oracle.
+    */
+  def kmvDistinctEventsAgg(events: DataFrame, k: Int = 64): DataFrame = {
+    graft.functions.SketchFunctions.register(events.sparkSession)
+    events
+      .select(col("event_type"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+          .cast("double").as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.SketchFunctions.kmvEst(col("h"), k).as("est_events"))
+      .orderBy("event_type")
+  }
+
   /** Top-10 purchasing users by total purchase value. */
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventsOps
+
+/** The custom KMV aggregate must be bit-identical to the window
+  * formulation (whose DuckDB oracle already gates it).
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kmv aggregate equals the window formulation on the fixture") {
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val win = EventsOps.kmvDistinctEvents(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val agg = EventsOps.kmvDistinctEventsAgg(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg === win)
+  }
+
+  test("kmv buffers merge across partitions and dedup exactly") {
+    graft.functions.SketchFunctions.register(spark)
+    // 500 distinct keys, every key duplicated 4x, spread over many
+    // partitions so partial buffers must merge (and serialize)
+    val df = spark.range(2000).select((col("id") % 500).cast("string").as("key"))
+      .repartition(13)
+      .select(conv(substring(md5(col("key")), 1, 15), 16, 10)
+        .cast("double").as("h"))
+    val est = df.agg(graft.functions.SketchFunctions.kmvEst(col("h"), 64)).head.getLong(0)
+    // k=64 over 500 distinct values: estimate within 3 rsd (rsd ~ 1/sqrt(62))
+    assert(math.abs(est - 500.0) / 500.0 < 0.4, s"estimate $est")
+    // below k the aggregate is exact
+    val small = spark.range(400).select((col("id") % 50).cast("string").as("key"))
+      .repartition(7)
+      .select(conv(substring(md5(col("key")), 1, 15), 16, 10)
+        .cast("double").as("h"))
+    assert(small.agg(graft.functions.SketchFunctions.kmvEst(col("h"), 64)).head.getLong(0) === 50L)
+  }
+}
