@@ -91,6 +91,49 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicates("event_id", "event_time")
 
+  /** Watermark-window dedup: unlike [[dedupEvents]] (exact match on
+    * (event_id, event_time)), `dropDuplicatesWithinWatermark` drops a
+    * replayed event_id even when the replica carries a slightly
+    * different timestamp — the practical at-least-once upstream case
+    * (e.g. a producer re-send stamped at re-send time). State per key
+    * is evicted once the watermark passes its first-seen time.
+    */
+  def dedupEventsWithinWatermark(events: DataFrame,
+                                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval self-join: each purchase joined to the
+    * same user's clicks within the preceding `intervalMinutes` — the
+    * watermarked join whose state store holds only rows inside the
+    * watermark horizon on both sides. The equi-key (user_id) routes
+    * both streams through one exchange pair; the time-range predicate
+    * bounds state retention (Spark derives the state cleanup
+    * threshold from watermark + interval).
+    */
+  def clickPurchaseIntervalJoin(events: DataFrame,
+                                intervalMinutes: Int = 30,
+                                watermark: String = "1 hour"): DataFrame = {
+    val base = events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+    val clicks = base.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", watermark)
+    val purchases = base.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_time") <= col("purchase_time") &&
+        col("click_time") >= col("purchase_time") - expr(s"INTERVAL $intervalMinutes MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_time"), col("click_id"), col("click_time"))
+  }
+
   // --- stateful sessionization -------------------------------------
 
   case class SessionInput(user_id: Long, ms: Long)

@@ -75,6 +75,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_stream").count() === originals)
   }
 
+  test("dropDuplicatesWithinWatermark drops replays with drifted timestamps") {
+    import org.apache.spark.sql.functions._
+    // replay the fixture with event times shifted +1s: exact-match
+    // dedup would keep both copies; within-watermark dedup must not
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-wm-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      dir.resolve("a.parquet"))
+    Tables.events(spark, TestSpark.Sf0001)
+      .withColumn("ts", col("ts") + expr("1000000000"))
+      .write.parquet(dir.resolve("b.parquet").toString)
+    val stream = EventStreams.readEventsStream(spark, dir.toString)
+    val q = EventStreams.dedupEventsWithinWatermark(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_stream")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val originals = Tables.events(spark, TestSpark.Sf0001).count()
+    assert(spark.table("dedup_wm_stream").count() === originals)
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEventsStream(spark, eventsDir)
+    val q = EventStreams.clickPurchaseIntervalJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_stream")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ssj_stream").count()
+    // batch equivalent over the same fixture
+    val base = Tables.events(spark, TestSpark.Sf0001)
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+    val clicks = base.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_time").as("click_time"))
+    val purchases = base.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_time").as("purchase_time"))
+    val batch = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_time") <= col("purchase_time") &&
+        col("click_time") >= col("purchase_time") - expr("INTERVAL 30 MINUTES")).count()
+    assert(streamed === batch && batch > 0)
+  }
+
   test("stateful sessionize emits closed sessions") {
     val stream = EventStreams.readEventsStream(spark, eventsDir)
     val q = EventStreams.sessionize(stream)
