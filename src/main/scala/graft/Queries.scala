@@ -145,6 +145,29 @@ object Queries {
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ORC ingestion: the second columnar format — lineitem measures
+    // round-trip through ORC (declared schema, pruned+pushed scan)
+    // and aggregate per return flag; oracle reads the parquet source
+    "lineitem_orc_scan" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+        val src = Tables.lineitem(s, d).select("l_returnflag", "l_quantity", "l_extendedprice")
+        val fixture = graft.sources.Fixtures.ensure("lineitemorc", d,
+          Seq(s"$d/lineitem.parquet")) { p =>
+          graft.sources.OrcSource.writeOrcFixture(src, p)
+        }
+        graft.sources.OrcSource.readOrc(s, fixture, src.schema)
+          .where(col("l_quantity") >= 10)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum("l_extendedprice"), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_lines,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem WHERE l_quantity >= 10
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "distinct_words" -> QueryDef(
       (s, d) => WordCountOps.distinctWords(Tables.documents(s, d)),
       Some(s"""SELECT DISTINCT word FROM (
@@ -433,6 +456,18 @@ object Queries {
              |FROM orders)
              |SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice, prev_price
              |FROM r WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    "orders_ntile" -> QueryDef(
+      (s, d) => RelationalOps.ordersNtile(Tables.orders(s, d)),
+      Some("""WITH t AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_totalprice,
+             |  CAST(ntile(4) OVER (PARTITION BY year(o_orderdate)
+             |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+             |FROM orders)
+             |SELECT yr, quartile, count(*) AS n_orders,
+             |  round(min(o_totalprice), 2) AS min_price,
+             |  round(max(o_totalprice), 2) AS max_price,
+             |  round(avg(o_totalprice), 4) AS avg_price
+             |FROM t GROUP BY yr, quartile ORDER BY yr, quartile""".stripMargin)),
 
     "lineitem_rollup" -> QueryDef(
       (s, d) => RelationalOps.lineitemRollup(Tables.lineitem(s, d)),

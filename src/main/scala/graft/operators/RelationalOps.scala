@@ -257,6 +257,25 @@ object RelationalOps {
       .orderBy("p_partkey")
   }
 
+  /** ntile quartiles: orders bucketed into price quartiles within
+    * their order year (deterministic: the window order carries the
+    * orderkey tiebreak), then per-(year, quartile) stats — the
+    * banding window function over an aggregate-reusable partitioning.
+    */
+  def ordersNtile(orders: DataFrame, buckets: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("yr"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    orders
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .withColumn("quartile", ntile(buckets).over(w).cast("long"))
+      .groupBy("yr", "quartile")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("yr", "quartile")
+  }
+
   /** Top-k parts by retail price with dense_rank over brand. */
   def partTopk(part: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))
