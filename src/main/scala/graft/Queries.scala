@@ -269,6 +269,24 @@ object Queries {
               |SELECT ngram, count(*) AS cnt FROM n
               |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 30""".stripMargin)),
 
+    // bigram LM: P(w2|w1) with the head total and the rank as windows
+    // over the one bigram aggregate (no self-join, no re-tokenize)
+    "bigram_lm" -> QueryDef(
+      (s, d) => TextAnalysisOps.bigramLm(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT $toksSql AS ws FROM documents),
+              |n AS (SELECT array_to_string(ws[i:i+1], ' ') AS bigram
+              |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+              |bg AS (SELECT bigram, count(*) AS cnt FROM n GROUP BY bigram),
+              |h AS (SELECT bigram, cnt, string_split(bigram, ' ')[1] AS w1 FROM bg),
+              |r AS (SELECT w1, bigram, cnt,
+              |        CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS head_total,
+              |        row_number() OVER (PARTITION BY w1 ORDER BY cnt DESC, bigram) AS rnk
+              |      FROM h)
+              |SELECT w1, CAST(rnk AS BIGINT) AS rnk, bigram, cnt,
+              |  round(cnt::DOUBLE / head_total, 4) AS p
+              |FROM r WHERE rnk <= 3 AND head_total >= 10
+              |ORDER BY w1, rnk""".stripMargin)),
+
     "tfidf_topk" -> QueryDef(
       (s, d) => TextAnalysisOps.tfidfTopK(Tables.documents(s, d)),
       Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
@@ -393,6 +411,17 @@ object Queries {
         SimilarityOps.docEmbeddingJoin(Tables.documents(s, d), Tables.embeddings(s, d)) },
       Some(s"""SELECT d.doc_id, d.lang, e.label, d.n_chars, round(${l2Sql("e.embedding")}, 4) AS emb_norm
               |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY d.doc_id""".stripMargin)),
+
+    // per-lang mean embedding: metadata join + dimension-wise avg
+    "lang_mean_embedding" -> QueryDef(
+      (s, d) => SimilarityOps.langMeanEmbedding(Tables.documents(s, d), Tables.embeddings(s, d)),
+      Some("""WITH j AS (SELECT d.lang, e.embedding
+             |          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+             |x AS (SELECT lang, unnest(generate_series(1, len(embedding))) AS pos, embedding
+             |      FROM j)
+             |SELECT lang, CAST(pos AS BIGINT) AS pos, count(*) AS n,
+             |  round(avg(embedding[pos]::DOUBLE), 4) AS mean_v
+             |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin)),
 
     "embedding_lsh_dup" -> QueryDef(
       (s, d) => { VectorFunctions.register(s); SimilarityOps.embeddingLshDup(Tables.embeddings(s, d)) },

@@ -168,6 +168,22 @@ object SimilarityOps {
         round(VectorFunctions.l2Norm(col("embedding")), 4).as("emb_norm"))
       .orderBy("doc_id")
 
+  /** Per-language mean embedding, dimension-wise — the generalized
+    * k-means E-step over a metadata join: attach lang via the equi
+    * join, posexplode to (lang, dim) rows, and average with map-side
+    * partials. At 100 TB the exchange carries |langs| x dim partial
+    * sums per task, never vectors.
+    */
+  def langMeanEmbedding(docs: DataFrame, emb: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("lang"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("lang"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v").cast("double")), 4).as("mean_v"))
+      .orderBy("lang", "pos")
+
   /** Near-duplicate vectors by cosine >= threshold via sign-LSH:
     * 8 tables x 8 axis-aligned hyperplanes (the sign bits of dims
     * t*8..t*8+7); bucket-colliding pairs are verified with the exact

@@ -155,6 +155,31 @@ object TextAnalysisOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Bigram conditional-probability model: P(w2 | w1) =
+    * count(w1 w2) / count(w1 ·), top-k continuations per head word.
+    * Both the head-word total and the rank are WINDOWS over the
+    * already-aggregated bigram table partitioned on the same key, so
+    * the plan is one bigram aggregate exchange + one w1 exchange — no
+    * derived-aggregate self-join recomputing the tokenize subtree.
+    */
+  def bigramLm(docs: DataFrame, k: Int = 3, minHead: Long = 10L): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val bg = docs
+      .select(explode(graft.functions.NativeText.wordNgrams(
+        graft.functions.NativeText.tokens(col("text")), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val byHead = Window.partitionBy(col("w1"))
+    val rankW = byHead.orderBy(col("cnt").desc, col("bigram").asc)
+    bg
+      .withColumn("head_total", sum(col("cnt")).over(byHead))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .where(col("rnk") <= k && col("head_total") >= minHead)
+      .select(col("w1"), col("rnk"), col("bigram"), col("cnt"),
+        round(col("cnt").cast("double") / col("head_total"), 4).as("p"))
+      .orderBy("w1", "rnk")
+  }
+
   /** Corpus-wide word-bigram frequencies, top-k. Native tokenize +
     * n-gram expressions feed the aggregate.
     */
