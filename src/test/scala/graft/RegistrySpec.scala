@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-registry regression net: every declared query must ANALYZE
+  * against the fixture (schema resolution catches renamed columns,
+  * bad casts, unresolved functions without running a job), each
+  * oracle key must reference a registered query, and a sampled
+  * execution set must return rows.
+  */
+class RegistrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("every registered query analyzes at sf0.001") {
+    Queries.registry.foreach { case (name, qd) =>
+      val schema = qd.run(spark, TestSpark.Sf0001).schema
+      assert(schema.nonEmpty, s"$name resolved to an empty schema")
+    }
+  }
+
+  test("oracle keys are exactly the SQL-expressible queries") {
+    val names = Queries.registry.map(_._1).toSet
+    assert(Queries.oracleSql.keySet.subsetOf(names))
+    val rowsOnly = names -- Queries.oracleSql.keySet
+    assert(rowsOnly === Set("coded_shuffle_sim", "events_approx_users"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
