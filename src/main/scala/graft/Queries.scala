@@ -512,6 +512,18 @@ object Queries {
              |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000
              |ORDER BY custkey""".stripMargin)),
 
+    // bag semantics: multiplicities survive INTERSECT/EXCEPT ALL
+    "set_ops_all" -> QueryDef(
+      (s, d) => RelationalOps.setOpsAll(Tables.orders(s, d)),
+      Some("""WITH b AS (
+             |  (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+             |   INTERSECT ALL
+             |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |  EXCEPT ALL
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+             |SELECT custkey, count(*) AS n FROM b
+             |GROUP BY custkey ORDER BY custkey""".stripMargin)),
+
     "join_semi" -> QueryDef(
       (s, d) => RelationalOps.joinSemi(Tables.customer(s, d), Tables.orders(s, d)),
       Some("""SELECT c_custkey, c_name FROM customer c

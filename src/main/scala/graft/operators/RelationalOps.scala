@@ -116,6 +116,24 @@ object RelationalOps {
     building.intersect(buyers).except(big).orderBy("custkey")
   }
 
+  /** Bag-semantics set operations: INTERSECT ALL keeps per-key
+    * multiplicity min(count_left, count_right) — a different physical
+    * shape from the distinct forms (Spark plans a count-balancing
+    * generate over a full-outer aggregate join, not a plain
+    * semi-join). Customers' open-order multiplicity intersected with
+    * their finished-order multiplicity, minus the 'P' bag, then
+    * collapsed per customer for a deterministic result.
+    */
+  def setOpsAll(orders: DataFrame): DataFrame = {
+    val open = orders.where(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    val done = orders.where(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val pend = orders.where(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+    open.intersectAll(done).exceptAll(pend)
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("custkey")
+  }
+
   /** Left-semi join: customers with at least one open ('O') order. */
   def joinSemi(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders.where(col("o_orderstatus") === "O"),

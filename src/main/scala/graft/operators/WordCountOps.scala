@@ -39,6 +39,24 @@ object WordCountOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
 
+  /** The wordcount with named plan metrics via `Dataset.observe` —
+    * the modern form of the reference's O14 counters
+    * (`WordCountDriver.java:17-20`): `tokens_seen` and `chars_seen`
+    * are collected by the plan itself during the one pass (no second
+    * job, no accumulator re-count on task retry — observed metrics
+    * are exactly-once per completed query). Returns the observed
+    * wordcount and the [[org.apache.spark.sql.Observation]] handle to
+    * read after an action.
+    */
+  def wordCountObserved(docs: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("graft_wordcount")
+    val words = docs
+      .select(explode(tokens(docs)).as("word"))
+      .observe(obs, count(lit(1)).as("tokens_seen"),
+        sum(length(col("word"))).as("chars_seen"))
+    (words.groupBy("word").agg(count(lit(1)).as("cnt")).orderBy("word"), obs)
+  }
+
   /** Counts grouped by provenance — the analog of the reference's
     * split-location tagging (O3, `WordCount.java:48-59`): the `source`
     * column plays the role of the input-split host list.

@@ -29,4 +29,13 @@ class RegistrySpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("observed wordcount reports plan metrics (O14 analog)") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val (wc, obs) = graft.operators.WordCountOps.wordCountObserved(docs)
+    val total = wc.collect().map(_.getLong(1)).sum
+    val row = obs.get
+    assert(row("tokens_seen").asInstanceOf[Long] === total)
+    assert(row("chars_seen").asInstanceOf[Long] > 0)
+  }
 }
