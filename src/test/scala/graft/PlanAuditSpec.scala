@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the shuffle-exchange counts of flagship plans — the scale
+  * story is mostly "no surprise exchanges", and a silent plan
+  * regression (a lost partial aggregate, a new derived-aggregate
+  * self-join, a hint gone wrong) shows up here before it shows up at
+  * 100 TB. Counts are on the pre-execution physical plan (AQE can
+  * only remove exchanges at runtime, never add them).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Number of shuffle exchanges (broadcast exchanges excluded). */
+  private def shuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+
+  private def q(name: String): DataFrame =
+    Queries.queries(name)(spark, TestSpark.Sf0001)
+
+  test("wordcount: one aggregate exchange + the result sort") {
+    assert(shuffles(q("wordcount")) === 2)
+  }
+
+  test("q6_forecast: single-partition final aggregate only") {
+    assert(shuffles(q("q6_forecast")) === 1)
+  }
+
+  test("corpus_clean_pipeline: dedup aggregate + result sort only") {
+    // the quality/langid gates must stay fused map-side — a third
+    // exchange means a stage leaked in front of the dedup
+    assert(shuffles(q("corpus_clean_pipeline")) === 2)
+  }
+
+  test("dataset_split: aggregate + result sort only") {
+    assert(shuffles(q("dataset_split")) === 2)
+  }
+
+  test("events_sessionize: one user_id shuffle reused by the aggregates") {
+    // window exchange on user_id + result sort; the two groupBys
+    // must reuse the window's partitioning
+    assert(shuffles(q("events_sessionize")) === 2)
+  }
+
+  test("events_kmv_udaf: one aggregate exchange + result sort") {
+    assert(shuffles(q("events_kmv_udaf")) === 2)
+  }
+
+  test("tfidf_topk: the five designed exchanges, no recompute join") {
+    // tf aggregate + word-partition df window + doc_id rank window +
+    // the 1-row N aggregate (SinglePartition) + result sort = 5; a
+    // 6th exchange means the old df-join recompute came back
+    assert(shuffles(q("tfidf_topk")) === 5)
+  }
+
+  test("bigram_lm: bigram aggregate + head window + result sort") {
+    assert(shuffles(q("bigram_lm")) === 3)
+  }
+}
