@@ -308,6 +308,30 @@ object Queries {
       (s, d) => PipelineOps.cleanCorpus(Tables.documents(s, d)),
       Some(cleanPipelineOracle)),
 
+    // benchmark decontamination: corpus docs sharing >= 3 distinct
+    // 8-gram shingles with any probe (benchmark) doc
+    "contamination_check" -> QueryDef(
+      (s, d) => PipelineOps.contaminationCheck(Tables.documents(s, d)),
+      Some(s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+              |t AS (SELECT doc_id, ${shinglesSql(8)} AS sh FROM w),
+              |inv AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE len(sh) > 0),
+              |j AS (SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id, count(*) AS overlap
+              |      FROM inv c JOIN inv p ON c.s = p.s
+              |      WHERE p.doc_id < 20 AND c.doc_id >= 20
+              |      GROUP BY 1, 2)
+              |SELECT corpus_id, probe_id, overlap FROM j
+              |WHERE overlap >= 3 ORDER BY corpus_id, probe_id""".stripMargin)),
+
+    // unigram-LM log-probability per document (perplexity proxy)
+    "unigram_logprob" -> QueryDef(
+      (s, d) => PipelineOps.unigramLogprob(Tables.documents(s, d)),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+              |wc AS (SELECT doc_id, word, count(*) OVER (PARTITION BY word) AS wc FROM toks),
+              |n AS (SELECT count(*)::DOUBLE AS total_tokens FROM toks)
+              |SELECT doc_id, count(*) AS n_tokens,
+              |  round(avg(ln(wc::DOUBLE / total_tokens)), 4) AS avg_logprob
+              |FROM wc CROSS JOIN n GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // deterministic hash-split: stable train/val/test assignment
     "dataset_split" -> QueryDef(
       (s, d) => PipelineOps.datasetSplit(Tables.documents(s, d)),

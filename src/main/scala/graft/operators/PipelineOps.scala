@@ -68,6 +68,61 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minOverlap` distinct word `n`-gram shingles with any probe
+    * (benchmark) document. The probe side is a FIXED benchmark set —
+    * genuinely bounded, so it broadcasts (the hint is size-safe in a
+    * way corpus-proportional hints are not) and the corpus is scanned
+    * once: shingle-explode, hash-join on the shingle, count shared
+    * shingles per (corpus, probe) pair. The standard pre-training
+    * train/test-overlap sweep at 100 TB.
+    */
+  def contaminationCheck(docs: DataFrame, probeMaxId: Long = 20,
+                         n: Int = 8, minOverlap: Long = 3): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    def shingled(df: DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(graft.functions.NativeText.wordNgrams(
+        graft.functions.NativeText.tokens(col("text")), n))).as("s"))
+    val probes = shingled(docs.where(col("doc_id") < probeMaxId))
+      .select(col("doc_id").as("probe_id"), col("s"))
+    val corpus = shingled(docs.where(col("doc_id") >= probeMaxId))
+      .select(col("doc_id").as("corpus_id"), col("s"))
+    corpus.join(broadcast(probes), Seq("s"))
+      .groupBy("corpus_id", "probe_id")
+      .agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+      .orderBy("corpus_id", "probe_id")
+  }
+
+  /** Unigram log-probability quality score — the cheap perplexity
+    * proxy: score(doc) = mean over tokens of ln(count(word) / total
+    * tokens), where the corpus unigram counts come from a count
+    * WINDOW over the exploded token table's word partition (the token
+    * rows per word ARE its corpus count — no vocabulary self-join, no
+    * second tokenize of the corpus) and the total is a one-row
+    * aggregate cross-joined in. Low scores flag gibberish /
+    * outlier-vocabulary documents.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
+    // total token count via the row-local size() — one extra pruned
+    // scan, cheaper than re-exploding
+    val total = docs
+      .agg(sum(size(graft.functions.NativeText.tokens(col("text"))).cast("long"))
+        .cast("double").as("total_tokens"))
+    toks
+      .withColumn("wc", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("word"))))
+      .crossJoin(total)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("wc").cast("double") / col("total_tokens"))), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/validation/test split: bucket =
     * md5(doc_id) mod 100, train < `trainPct`, val < `trainPct +
     * valPct`, else test. Hash-based (not random) so the assignment is
