@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokens
-
 /** End-to-end corpus-preparation pipelines: the composition layer a
   * training-data run actually executes — quality gate, language
   * consistency, dedup, split assignment — chained as ONE declarative
@@ -32,7 +30,11 @@ object PipelineOps {
     */
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5,
                   maxPunct: Double = 0.20): DataFrame = {
-    val ws = tokens(col("text"))
+    // native tokenizer on the gate's hot path (HOF tokenize is
+    // interpreted per element; the native expression is a byte loop —
+    // output-equivalence is asserted by TextFunctionsSpec)
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
     val langs = TextAnalysisOps.StopwordsByLang.map(_._1)
     // language argmax as UNCONDITIONAL array ops — first index of the
     // maximum over the lang-ordered hit array is exactly langId's
