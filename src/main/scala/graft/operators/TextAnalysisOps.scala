@@ -36,7 +36,8 @@ object TextAnalysisOps {
     * plan is a single projection over the scan, no exchange.
     */
   def tokenStats(docs: DataFrame): DataFrame = {
-    val ws = tokens(col("text"))
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
     val lens = transform(ws, w => length(w).cast("long"))
     val n = size(ws).cast("long")
     docs
@@ -66,7 +67,8 @@ object TextAnalysisOps {
     * Row-local, shuffle-free.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val ws = tokens(col("text"))
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
     val n = size(ws).cast("long")
     val stop = size(filter(ws, w => w.isin(EnStopwords.map(x => x: Any): _*)))
     val punct = size(regexp_extract_all(lower(col("text")),
@@ -90,7 +92,8 @@ object TextAnalysisOps {
     * and SQL-reproducible.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val ws = tokens(col("text"))
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
     val hits: Seq[(String, Column)] = StopwordsByLang.map { case (lang, stops) =>
       lang -> size(filter(ws, w => w.isin(stops.map(x => x: Any): _*)))
     }
