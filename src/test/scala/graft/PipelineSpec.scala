@@ -36,6 +36,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("clean pipeline is replication-consistent") {
+    // duplicate the corpus under shifted ids: every fingerprint group
+    // doubles its copy count, the surviving doc stays the original
+    // (smaller id), and the group count is unchanged — dedup behaves
+    // identically on a denser corpus
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val shifted = docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val base = PipelineOps.cleanCorpus(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val doubled = PipelineOps.cleanCorpus(docs.unionByName(shifted)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(doubled.keySet === base.keySet)
+    base.foreach { case (id, copies) => assert(doubled(id) === 2 * copies) }
+  }
+
+  test("contamination check doubles with a replicated corpus side") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val shifted = docs.where(col("doc_id") >= 20)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val base = PipelineOps.contaminationCheck(docs).count()
+    val doubled = PipelineOps.contaminationCheck(docs.unionByName(shifted)).count()
+    assert(doubled === 2 * base)
+  }
+
   test("binned range join equals the naive theta join") {
     val part = Tables.part(spark, TestSpark.Sf0001)
     val lineitem = Tables.lineitem(spark, TestSpark.Sf0001)
