@@ -384,7 +384,7 @@ object Queries {
               |r AS (SELECT probe_id, vec_id, score,
               |        row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
               |      FROM s)
-              |SELECT probe_id, rnk, vec_id, round(score, 4) AS score
+              |SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score
               |FROM r WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
 
     "ann_ivf" -> QueryDef(
@@ -400,7 +400,7 @@ object Queries {
               |r2 AS (SELECT probe_id, vec_id, score,
               |         row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
               |       FROM sc)
-              |SELECT probe_id, rnk, vec_id, round(score, 4) AS score
+              |SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score
               |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
 
     // one distributed Lloyd iteration in-plan; the oracle recomputes
@@ -427,7 +427,7 @@ object Queries {
               |r2 AS (SELECT probe_id, vec_id, score,
               |         row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
               |       FROM sc)
-              |SELECT probe_id, rnk, vec_id, round(score, 4) AS score
+              |SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score
               |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
 
     "doc_embedding_join" -> QueryDef(
@@ -436,7 +436,12 @@ object Queries {
       Some(s"""SELECT d.doc_id, d.lang, e.label, d.n_chars, round(${l2Sql("e.embedding")}, 4) AS emb_norm
               |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY d.doc_id""".stripMargin)),
 
-    // per-lang mean embedding: metadata join + dimension-wise avg
+    // per-lang mean embedding: metadata join + dimension-wise avg.
+    // `+ 0` normalizes IEEE -0.0: DuckDB's round() keeps the sign of a
+    // tiny negative mean (round(-3e-5, 4) = -0.0) while Spark's
+    // BigDecimal-based round always yields +0.0; the values are equal
+    // but hash differently. Same guard on the similarity `score`
+    // columns above, which also straddle zero.
     "lang_mean_embedding" -> QueryDef(
       (s, d) => SimilarityOps.langMeanEmbedding(Tables.documents(s, d), Tables.embeddings(s, d)),
       Some("""WITH j AS (SELECT d.lang, e.embedding
@@ -444,7 +449,7 @@ object Queries {
              |x AS (SELECT lang, unnest(generate_series(1, len(embedding))) AS pos, embedding
              |      FROM j)
              |SELECT lang, CAST(pos AS BIGINT) AS pos, count(*) AS n,
-             |  round(avg(embedding[pos]::DOUBLE), 4) AS mean_v
+             |  round(avg(embedding[pos]::DOUBLE), 4) + 0 AS mean_v
              |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin)),
 
     "embedding_lsh_dup" -> QueryDef(

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hash-gate stability audit: every query whose output carries
+  * rounded floating-point aggregates must produce BIT-identical
+  * results no matter how the input is split or how many reducers the
+  * shuffle uses — otherwise the driver's oracle hash-compare (and any
+  * 100 TB re-run) can flip on summation order. Each query runs under
+  * two adversarial physical configs — one giant scan partition with a
+  * single reducer vs many tiny scan splits with 64 reducers — and the
+  * results are compared on raw IEEE bit patterns, which catches
+  * -0.0 vs 0.0 (the actual round-4 `lang_mean_embedding` failure
+  * mode) that plain value equality hides.
+  */
+class RoundingStabilitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val hashGated = Seq(
+    "q1_pricing", "q3_shipping", "q5_region", "q6_forecast",
+    "orders_monthly", "events_hourly", "events_sessionize",
+    "quality_score", "token_stats", "unigram_logprob",
+    "lang_mean_embedding", "lineitem_quantiles", "events_topusers",
+    "similarity_topk", "tfidf_topk")
+
+  private def canon(r: Row): Seq[Any] = r.toSeq.map {
+    case d: Double => java.lang.Double.doubleToRawLongBits(d)
+    case f: Float  => java.lang.Float.floatToRawIntBits(f)
+    case x         => x
+  }
+
+  private def runWith(name: String, shufflePartitions: Int,
+                      maxPartitionBytes: String): Array[Seq[Any]] = {
+    val conf = spark.conf
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    val prevBytes = conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      conf.set("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      Queries.registry.toMap.apply(name).run(spark, TestSpark.Sf0001)
+        .collect().map(canon)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
+    }
+  }
+
+  hashGated.foreach { name =>
+    test(s"$name is bit-stable under repartitioning") {
+      val a = runWith(name, 1, "1g")
+      val b = runWith(name, 64, "16k")
+      assert(a.length === b.length, s"$name row count differs between physical plans")
+      a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+        assert(ra === rb, s"$name row $i differs between physical plans")
+      }
+    }
+  }
+}
