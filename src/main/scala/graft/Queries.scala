@@ -326,11 +326,12 @@ object Queries {
     "unigram_logprob" -> QueryDef(
       (s, d) => PipelineOps.unigramLogprob(Tables.documents(s, d)),
       Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
-              |wc AS (SELECT doc_id, word, count(*) OVER (PARTITION BY word) AS wc FROM toks),
+              |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |wcs AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY word) AS wc FROM tf),
               |n AS (SELECT count(*)::DOUBLE AS total_tokens FROM toks)
-              |SELECT doc_id, count(*) AS n_tokens,
-              |  round(avg(ln(wc::DOUBLE / total_tokens)), 4) AS avg_logprob
-              |FROM wc CROSS JOIN n GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+              |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+              |  round(sum(tf::DOUBLE * ln(wc::DOUBLE / total_tokens)) / sum(tf)::DOUBLE, 4) AS avg_logprob
+              |FROM wcs CROSS JOIN n GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // deterministic hash-split: stable train/val/test assignment
     "dataset_split" -> QueryDef(
@@ -526,6 +527,30 @@ object Queries {
              |  round(max(o_totalprice), 2) AS max_price,
              |  round(avg(o_totalprice), 4) AS avg_price
              |FROM t GROUP BY yr, quartile ORDER BY yr, quartile""".stripMargin)),
+
+    // scale-safe ntile companion: deterministic 5% hash-sample, exact
+    // quartile bounds on the sample, broadcast bounds, row-local
+    // banding — no per-year total sort (the exact-ntile 100 TB wall)
+    "orders_ntile_banded" -> QueryDef(
+      (s, d) => RelationalOps.ordersNtileBanded(Tables.orders(s, d)),
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice,
+             |          CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
+             |s AS (SELECT yr, o_totalprice FROM base
+             |      WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::UBIGINT % 100 < 5),
+             |b AS (SELECT yr, round(quantile_cont(o_totalprice, 0.25), 4) AS b1,
+             |             round(quantile_cont(o_totalprice, 0.50), 4) AS b2,
+             |             round(quantile_cont(o_totalprice, 0.75), 4) AS b3
+             |      FROM s GROUP BY yr),
+             |t AS (SELECT base.yr, o_totalprice,
+             |        CASE WHEN o_totalprice < b1 THEN 1
+             |             WHEN o_totalprice < b2 THEN 2
+             |             WHEN o_totalprice < b3 THEN 3 ELSE 4 END AS band
+             |      FROM base JOIN b ON base.yr = b.yr)
+             |SELECT yr, CAST(band AS BIGINT) AS band, count(*) AS n_orders,
+             |  round(min(o_totalprice), 2) AS min_price,
+             |  round(max(o_totalprice), 2) AS max_price,
+             |  round(avg(o_totalprice), 4) AS avg_price
+             |FROM t GROUP BY yr, band ORDER BY yr, band""".stripMargin)),
 
     "lineitem_rollup" -> QueryDef(
       (s, d) => RelationalOps.lineitemRollup(Tables.lineitem(s, d)),

@@ -98,12 +98,18 @@ object PipelineOps {
 
   /** Unigram log-probability quality score — the cheap perplexity
     * proxy: score(doc) = mean over tokens of ln(count(word) / total
-    * tokens), where the corpus unigram counts come from a count
-    * WINDOW over the exploded token table's word partition (the token
-    * rows per word ARE its corpus count — no vocabulary self-join, no
-    * second tokenize of the corpus) and the total is a one-row
-    * aggregate cross-joined in. Low scores flag gibberish /
-    * outlier-vocabulary documents.
+    * tokens). Skew-safe formulation: aggregate term frequencies
+    * tf(doc_id, word) FIRST (map-side partials collapse each task's
+    * token stream before anything shuffles), then take the corpus
+    * count as sum(tf) over the word partition of the tf table. Same
+    * answer as the naive token-row window, but the word exchange
+    * carries (doc, word) pairs instead of raw tokens, and the hottest
+    * Zipf-head word's window group shrinks from its token count to
+    * its document count — the difference between one reducer
+    * serializing "the" and a bounded group at 100 TB. The per-doc
+    * mean is the tf-weighted sum sum(tf·ln(wc/N))/sum(tf); the total
+    * is a one-row aggregate cross-joined in. Low scores flag
+    * gibberish / outlier-vocabulary documents.
     */
   def unigramLogprob(docs: DataFrame): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
@@ -114,13 +120,16 @@ object PipelineOps {
     val total = docs
       .agg(sum(size(graft.functions.NativeText.tokens(col("text"))).cast("long"))
         .cast("double").as("total_tokens"))
-    toks
-      .withColumn("wc", count(lit(1))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("wc", sum(col("tf"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("word"))))
       .crossJoin(total)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("wc").cast("double") / col("total_tokens"))), 4)
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf").cast("double") *
+            log(col("wc").cast("double") / col("total_tokens"))) /
+          sum(col("tf")).cast("double"), 4)
           .as("avg_logprob"))
       .orderBy("doc_id")
   }

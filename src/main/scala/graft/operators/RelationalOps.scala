@@ -294,6 +294,50 @@ object RelationalOps {
       .orderBy("yr", "quartile")
   }
 
+  /** Scale-safe companion to [[ordersNtile]]: quantile BANDING
+    * instead of exact ntile. Exact ntile needs a total order per
+    * window partition, and with single-digit partition cardinality
+    * (order year) each year's orders sort on ONE task — the 100 TB
+    * wall. This is the RangePartitioner shape instead: take a
+    * deterministic hash-sample (md5(orderkey) mod 100 < pct — stable
+    * across runs, engines, and repartitioning, unlike rand()),
+    * compute EXACT interpolated quartile bounds per year on the
+    * small sample (the per-year percentile buffer holds sample rows
+    * only), broadcast the |years|-row bounds table, and band the
+    * full table with a row-local comparison. One sample scan + one
+    * banding scan, no full sort anywhere; band counts converge to
+    * ntile's as the sample grows. Bounds are rounded to 4 decimals —
+    * quarter-cent grid points, exactly representable — so both
+    * engines band against bit-identical cutoffs.
+    */
+  def ordersNtileBanded(orders: DataFrame, samplePct: Int = 5): DataFrame = {
+    val base = orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    val hashBucket = pmod(
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(100L))
+    val bounds = base.where(hashBucket < samplePct)
+      .groupBy("yr")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("b1"),
+        round(expr("percentile(o_totalprice, 0.50)"), 4).as("b2"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("b3"))
+    base.join(broadcast(bounds), Seq("yr"))
+      .withColumn("band",
+        when(col("o_totalprice") < col("b1"), 1L)
+          .when(col("o_totalprice") < col("b2"), 2L)
+          .when(col("o_totalprice") < col("b3"), 3L)
+          .otherwise(4L))
+      .groupBy("yr", "band")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("yr", "band")
+  }
+
   /** Top-k parts by retail price with dense_rank over brand. */
   def partTopk(part: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))

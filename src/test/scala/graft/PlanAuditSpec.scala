@@ -62,4 +62,32 @@ class PlanAuditSpec extends AnyFunSuite {
   test("bigram_lm: bigram aggregate + head window + result sort") {
     assert(shuffles(q("bigram_lm")) === 3)
   }
+
+  test("orders_ntile_banded: sample bounds agg + final agg + sort, bounds broadcast") {
+    val df = q("orders_ntile_banded")
+    // sample percentile agg + (yr, band) agg + result sort = 3; a 4th
+    // exchange means the bounds join stopped broadcasting and the
+    // full table is shuffling against a |years|-row side
+    assert(shuffles(df) === 3)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "quartile bounds must broadcast, never shuffle the full table")
+  }
+
+  test("unigram_logprob: tf partial-agg collapses tokens before the word window") {
+    val df = q("unigram_logprob")
+    // tf aggregate + word window + 1-row total (SinglePartition) +
+    // doc aggregate + result sort = 5 designed exchanges
+    assert(shuffles(df) === 5)
+    // the exploded token stream must hit a partial HashAggregate
+    // BEFORE its first exchange — a Generate feeding an Exchange
+    // directly is the Zipf-head scale-killer coming back (one
+    // reducer receives every occurrence of "the")
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+    val gen = lines.indexWhere(_.contains("Generate"))
+    assert(gen >= 0, "expected a Generate (explode) in the plan")
+    val aggAbove = lines.lastIndexWhere(_.contains("HashAggregate"), gen)
+    val exAbove = lines.lastIndexWhere(_.contains("Exchange hashpartitioning"), gen)
+    assert(aggAbove > exAbove,
+      "token explode must feed a partial HashAggregate, not an Exchange")
+  }
 }
