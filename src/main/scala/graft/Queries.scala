@@ -46,6 +46,46 @@ object Queries {
   private def l2Sql(a: String): String =
     s"sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))"
 
+  /** DuckDB oracle for [[SimilarityOps.annIvfKmeans]] with `iters`
+    * Lloyd rounds: the per-round assign→refine CTE chain is unrolled
+    * from the SAME iteration count the Spark side runs (moveEps = 0
+    * disables the early stop), so the two sides cannot diverge on
+    * round count.
+    */
+  private def kmeansOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec " +
+      "FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),\n")
+    for (i <- 0 until iters) {
+      sb.append(s"s$i AS (SELECT e.vec_id, c.centroid_id, e.embedding, " +
+        s"${cosSql("e.embedding", "c.cvec")} AS cscore FROM embeddings e CROSS JOIN c$i c),\n")
+      sb.append(s"r$i AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        s"ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM s$i),\n")
+      sb.append(s"a$i AS (SELECT vec_id, centroid_id, embedding FROM r$i WHERE crank = 1),\n")
+      sb.append(s"e$i AS (SELECT centroid_id, embedding, " +
+        s"unnest(generate_series(1, len(embedding))) AS pos FROM a$i),\n")
+      sb.append(s"ref$i AS (SELECT centroid_id, pos, " +
+        s"round(avg(embedding[pos]::DOUBLE), 4) AS m FROM e$i GROUP BY centroid_id, pos),\n")
+      sb.append(s"c${i + 1} AS (SELECT centroid_id, list(m::FLOAT ORDER BY pos) AS cvec " +
+        s"FROM ref$i GROUP BY centroid_id),\n")
+    }
+    sb.append(s"sf AS (SELECT e.vec_id, c.centroid_id, e.embedding, " +
+      s"${cosSql("e.embedding", "c.cvec")} AS cscore FROM embeddings e CROSS JOIN c$iters c),\n")
+    sb.append("rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM sf),\n")
+    sb.append("assign AS (SELECT vec_id, centroid_id, embedding FROM rf WHERE crank = 1),\n")
+    sb.append("pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec " +
+      "FROM rf WHERE vec_id < 10 AND crank <= 3),\n")
+    sb.append(s"sc AS (SELECT pl.probe_id, a.vec_id, " +
+      s"${cosSql("pl.probe_vec", "a.embedding")} AS score FROM pl " +
+      "JOIN assign a ON pl.centroid_id = a.centroid_id WHERE a.vec_id <> pl.probe_id),\n")
+    sb.append("r2 AS (SELECT probe_id, vec_id, score, row_number() OVER " +
+      "(PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM sc)\n")
+    sb.append("SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score " +
+      "FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk")
+    sb.toString
+  }
+
   /** DuckDB CTE `sigs(doc_id, simhash)` mirroring
     * [[DedupOps.simhash]] (`bits` = fingerprint width).
     */
@@ -74,6 +114,15 @@ object Queries {
       Some(s"""SELECT source, word, count(*) AS cnt FROM (
               |  SELECT source, unnest($toksSql) AS word FROM documents
               |) GROUP BY source, word ORDER BY source, word""".stripMargin)),
+
+    // O14 exactly-once counters on the driver path: the observed
+    // metrics row is recomputed by the oracle as plain aggregates
+    // over the same tokenization
+    "wordcount_observed" -> QueryDef(
+      (s, d) => WordCountOps.wordCountObservedMetrics(Tables.documents(s, d)),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS tokens_seen,
+              |  CAST(sum(length(word)) AS BIGINT) AS chars_seen FROM (
+              |  SELECT unnest($toksSql) AS word FROM documents)""".stripMargin)),
 
     "wordcount_topk" -> QueryDef(
       (s, d) => WordCountOps.wordCountTopK(Tables.documents(s, d)),
@@ -410,26 +459,15 @@ object Queries {
     // grouping and the rebuild order, so the groups and values match.
     "ann_ivf_kmeans" -> QueryDef(
       (s, d) => { VectorFunctions.register(s); SimilarityOps.annIvfKmeans(Tables.embeddings(s, d)) },
-      Some(s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),
-              |s0 AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
-              |       FROM embeddings e CROSS JOIN c0 c),
-              |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM s0),
-              |a0 AS (SELECT vec_id, centroid_id, embedding FROM r0 WHERE crank = 1),
-              |e1 AS (SELECT centroid_id, embedding, unnest(generate_series(1, len(embedding))) AS pos FROM a0),
-              |ref0 AS (SELECT centroid_id, pos, round(avg(embedding[pos]::DOUBLE), 4) AS m FROM e1 GROUP BY centroid_id, pos),
-              |cr AS (SELECT centroid_id, list(m::FLOAT ORDER BY pos) AS cvec FROM ref0 GROUP BY centroid_id),
-              |s1 AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
-              |       FROM embeddings e CROSS JOIN cr c),
-              |r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM s1),
-              |assign AS (SELECT vec_id, centroid_id, embedding FROM r1 WHERE crank = 1),
-              |pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec FROM r1 WHERE vec_id < 10 AND crank <= 3),
-              |sc AS (SELECT pl.probe_id, a.vec_id, ${cosSql("pl.probe_vec", "a.embedding")} AS score
-              |       FROM pl JOIN assign a ON pl.centroid_id = a.centroid_id WHERE a.vec_id <> pl.probe_id),
-              |r2 AS (SELECT probe_id, vec_id, score,
-              |         row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
-              |       FROM sc)
-              |SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score
-              |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+      Some(kmeansOracleSql(1))),
+
+    // bounded multi-round Lloyd: the oracle unrolls the same fixed
+    // round count (moveEps = 0 → the early stop can't desync the two
+    // engines' round counts)
+    "ann_ivf_kmeans2" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfKmeans(Tables.embeddings(s, d), iterations = 2) },
+      Some(kmeansOracleSql(2))),
 
     "doc_embedding_join" -> QueryDef(
       (s, d) => { VectorFunctions.register(s)
@@ -533,10 +571,10 @@ object Queries {
     // banding — no per-year total sort (the exact-ntile 100 TB wall)
     "orders_ntile_banded" -> QueryDef(
       (s, d) => RelationalOps.ordersNtileBanded(Tables.orders(s, d)),
-      Some("""WITH base AS (SELECT o_orderkey, o_totalprice,
+      Some(s"""WITH base AS (SELECT o_orderkey, o_totalprice,
              |          CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
              |s AS (SELECT yr, o_totalprice FROM base
-             |      WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::UBIGINT % 100 < 5),
+             |      WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::UBIGINT % 100 < ${RelationalOps.NtileBandSamplePct}),
              |b AS (SELECT yr, round(quantile_cont(o_totalprice, 0.25), 4) AS b1,
              |             round(quantile_cont(o_totalprice, 0.50), 4) AS b2,
              |             round(quantile_cont(o_totalprice, 0.75), 4) AS b3
@@ -545,7 +583,7 @@ object Queries {
              |        CASE WHEN o_totalprice < b1 THEN 1
              |             WHEN o_totalprice < b2 THEN 2
              |             WHEN o_totalprice < b3 THEN 3 ELSE 4 END AS band
-             |      FROM base JOIN b ON base.yr = b.yr)
+             |      FROM base LEFT JOIN b ON base.yr = b.yr)
              |SELECT yr, CAST(band AS BIGINT) AS band, count(*) AS n_orders,
              |  round(min(o_totalprice), 2) AS min_price,
              |  round(max(o_totalprice), 2) AS max_price,

@@ -309,8 +309,19 @@ object RelationalOps {
     * ntile's as the sample grows. Bounds are rounded to 4 decimals —
     * quarter-cent grid points, exactly representable — so both
     * engines band against bit-identical cutoffs.
+    *
+    * The sample rate is the fixed [[NtileBandSamplePct]] — the
+    * DuckDB oracle is generated from the same constant, so the two
+    * sides cannot silently diverge. Bounds are LEFT-joined: a year
+    * with zero rows in the hash-sample gets NULL bounds and every
+    * comparison falls through to band 4 (identical NULL semantics in
+    * both engines), so sparse years stay in the output instead of
+    * being silently dropped.
     */
-  def ordersNtileBanded(orders: DataFrame, samplePct: Int = 5): DataFrame = {
+  val NtileBandSamplePct = 5
+
+  def ordersNtileBanded(orders: DataFrame): DataFrame = {
+    val samplePct = NtileBandSamplePct
     val base = orders
       .select(col("o_orderkey"), col("o_totalprice"),
         year(col("o_orderdate")).cast("long").as("yr"))
@@ -324,7 +335,7 @@ object RelationalOps {
         round(expr("percentile(o_totalprice, 0.25)"), 4).as("b1"),
         round(expr("percentile(o_totalprice, 0.50)"), 4).as("b2"),
         round(expr("percentile(o_totalprice, 0.75)"), 4).as("b3"))
-    base.join(broadcast(bounds), Seq("yr"))
+    base.join(broadcast(bounds), Seq("yr"), "left")
       .withColumn("band",
         when(col("o_totalprice") < col("b1"), 1L)
           .when(col("o_totalprice") < col("b2"), 2L)

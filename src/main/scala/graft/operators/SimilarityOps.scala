@@ -123,37 +123,79 @@ object SimilarityOps {
       nprobe, nProbes, k)
   }
 
-  /** IVF with one distributed Lloyd (k-means) refinement iteration,
-    * entirely in-plan: seed-assign the corpus, recompute each
-    * centroid as the per-dimension mean of its cluster (posexplode →
-    * (centroid, dim) avg → rebuild the vector ordered by dim), then
-    * re-assign and search against the refined centroids. Means are
-    * rounded to 4 decimals and cast back to float so the SQL oracle
-    * reproduces the exact IEEE values; every pass stays O(n · K) with
-    * partial aggregation ahead of each exchange. Each seed centroid
-    * is assigned to itself (self-cosine 1), so no cluster is empty
-    * and centroid ids are stable across the iteration.
+  /** One Lloyd refinement step: recompute each centroid as the
+    * per-dimension mean of its assigned cluster (posexplode →
+    * (centroid, dim) avg → rebuild the vector ordered by dim). Means
+    * are rounded to 4 decimals and cast back to float so the SQL
+    * oracle reproduces the exact IEEE values. A centroid that
+    * attracts zero vectors simply drops out of the GROUP BY on both
+    * engines (seed centroids are assigned to themselves on the first
+    * step, self-cosine 1, so the seed round never empties).
     */
-  def annIvfKmeans(emb: DataFrame, centroidMod: Int = 97,
-                   numCentroids: Int = 16, nprobe: Int = 3,
-                   nProbes: Int = 10, k: Int = 10): DataFrame = {
-    val c0 = seedCentroids(emb, centroidMod, numCentroids)
-    val a0 = assignToCentroids(emb, c0)
-    val refined = a0
+  private def refineCentroids(assignment: DataFrame): DataFrame =
+    assignment
       .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("centroid_id"), col("pos"))
       .agg(round(avg(col("v")), 4).as("m"))
       .groupBy(col("centroid_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m").cast("float")).as("cvec"))
-    // centroids are O(K) model state: materialize them once on the
-    // driver (bounded by numCentroids, same size class as any
-    // broadcast) — `refined` feeds TWO broadcasts below, and leaving
-    // it lazy would recompute the whole O(n·K) seed-assignment
-    // subtree for each
-    val refinedDf = emb.sparkSession.createDataFrame(
-      refined.collectAsList(), refined.schema)
-    ivfSearch(emb, refinedDf, assignToCentroids(emb, refinedDf),
+
+  /** Bounded Lloyd iteration driver: assign → refine, `iterations`
+    * times, stopping early when the max per-component centroid
+    * movement between successive rounds falls below `moveEps`.
+    * Each round's centroids are O(K) MODEL STATE, materialized on the
+    * driver (same size class as any broadcast) — leaving them lazy
+    * would recompute the whole O(n · K) assignment subtree for every
+    * downstream broadcast. The corpus itself is never collected; each
+    * round is one distributed assignment pass with map-side partial
+    * aggregation. Returns the final centroid table (as a K-row local
+    * DataFrame) and the number of rounds actually run.
+    */
+  private[graft] def lloydIterate(emb: DataFrame, iterations: Int,
+                                      moveEps: Double, centroidMod: Int,
+                                      numCentroids: Int): (DataFrame, Int) = {
+    val spark = emb.sparkSession
+    var centroids = seedCentroids(emb, centroidMod, numCentroids)
+    var prev = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    var ran = 0
+    var converged = false
+    while (ran < iterations && !converged) {
+      val refined = refineCentroids(assignToCentroids(emb, centroids))
+      val rows = refined.collect()
+      val cur = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      // max abs per-component delta; a cluster appearing/disappearing
+      // counts as unbounded movement
+      val movement =
+        if (cur.keySet != prev.keySet) Double.PositiveInfinity
+        else if (cur.isEmpty) 0.0
+        else cur.map { case (id, v) =>
+          v.zip(prev(id)).map(p => math.abs(p._1 - p._2).toDouble).max
+        }.max
+      centroids = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), refined.schema)
+      prev = cur
+      ran += 1
+      if (movement < moveEps) converged = true
+    }
+    (centroids, ran)
+  }
+
+  /** IVF with `iterations` distributed Lloyd (k-means) refinement
+    * rounds — every round stays O(n · K) with partial aggregation
+    * ahead of each exchange, and only the K-row centroid model ever
+    * reaches the driver. `moveEps` = 0 disables the early stop, so
+    * the round count is exactly `iterations` and the unrolled SQL
+    * oracle stays deterministic.
+    */
+  def annIvfKmeans(emb: DataFrame, centroidMod: Int = 97,
+                   numCentroids: Int = 16, nprobe: Int = 3,
+                   nProbes: Int = 10, k: Int = 10,
+                   iterations: Int = 1, moveEps: Double = 0.0): DataFrame = {
+    val (centroids, _) =
+      lloydIterate(emb, iterations, moveEps, centroidMod, numCentroids)
+    ivfSearch(emb, centroids, assignToCentroids(emb, centroids),
       nprobe, nProbes, k)
   }
 

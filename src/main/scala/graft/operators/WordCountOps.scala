@@ -57,6 +57,26 @@ object WordCountOps {
     (words.groupBy("word").agg(count(lit(1)).as("cnt")).orderBy("word"), obs)
   }
 
+  /** Driver-surface form of [[wordCountObserved]]: runs the observed
+    * wordcount to completion and returns the exactly-once plan
+    * metrics as a one-row DataFrame — oracle-checkable because both
+    * totals are plain aggregates over the same tokenization
+    * (`tokens_seen` = token count, `chars_seen` = total token
+    * length). The single action materializes the counts; the returned
+    * row is O(1) driver state, same size class as the coded-shuffle
+    * counter summary.
+    */
+  def wordCountObservedMetrics(docs: DataFrame): DataFrame = {
+    val (wc, obs) = wordCountObserved(docs)
+    wc.count() // one action: fires the plan, populates the observation
+    val row = obs.get
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((row("tokens_seen").asInstanceOf[Long],
+      row("chars_seen").asInstanceOf[Long]))
+      .toDF("tokens_seen", "chars_seen")
+  }
+
   /** Counts grouped by provenance — the analog of the reference's
     * split-location tagging (O3, `WordCount.java:48-59`): the `source`
     * column plays the role of the input-split host list.

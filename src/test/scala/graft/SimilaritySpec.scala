@@ -67,4 +67,32 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall > 0.2, s"kmeans IVF recall collapsed: $recall")
   }
+
+  test("multi-round Lloyd recall is at least the 1-round build's") {
+    VectorFunctions.register(spark)
+    val exact = SimilarityOps.similarityTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(iters: Int): Double = {
+      val approx = SimilarityOps.annIvfKmeans(emb, iterations = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r1 = recallOf(1)
+    val r2 = recallOf(2)
+    assert(r2 >= r1 - 1e-9,
+      s"2-round Lloyd regressed recall: $r2 < $r1")
+  }
+
+  test("Lloyd driver stops early once centroid movement is under eps") {
+    VectorFunctions.register(spark)
+    // eps larger than any possible component delta: stops after the
+    // first round's movement check
+    val (_, ranBig) = SimilarityOps.lloydIterate(
+      emb, iterations = 5, moveEps = 1e9, centroidMod = 97, numCentroids = 16)
+    assert(ranBig === 1, s"expected early stop after 1 round, ran $ranBig")
+    // eps = 0 disables the stop entirely (movement < 0 is impossible)
+    val (_, ranAll) = SimilarityOps.lloydIterate(
+      emb, iterations = 3, moveEps = 0.0, centroidMod = 97, numCentroids = 16)
+    assert(ranAll === 3, s"expected all 3 rounds, ran $ranAll")
+  }
 }
