@@ -119,6 +119,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch && batch > 0)
   }
 
+  test("interval join drops input older than the committed watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (user_id, event_id, event_type, ts-nanos)
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF()
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val q = EventStreams.clickPurchaseIntervalJoin(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_late")
+      .start()
+    def minNanos(m: Long) = m * 60L * 1000L * 1_000_000L
+    try {
+      // batch 1: user 1 click@600 + purchase@610 joins; the 20:00
+      // (=1200 min) click AND purchase push BOTH sides' watermarks to
+      // 19:00 once the batch commits (watermark = max event time - 1h,
+      // global = min across sides)
+      input.addData(
+        (1L, 1L, "click", minNanos(600)),
+        (1L, 2L, "purchase", minNanos(610)),
+        (98L, 3L, "click", minNanos(1200)),
+        (99L, 4L, "purchase", minNanos(1200)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("ssj_late").count()
+      assert(afterB1 === 1L, s"batch 1 should emit the on-time pair: $afterB1")
+      // batch 2: a late purchase at 10:15 — inside the join interval
+      // of user 1's 10:00 click, but BELOW the 19:00 watermark — must
+      // be dropped; the fresh user-2 pair proves the query still emits
+      input.addData(
+        (1L, 5L, "purchase", minNanos(615)),
+        (2L, 6L, "click", minNanos(1205)),
+        (2L, 7L, "purchase", minNanos(1210)))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_late").collect()
+      assert(rows.length === 2,
+        s"late purchase leaked past the watermark: ${rows.mkString(";")}")
+      assert(rows.map(_.getLong(1)).toSet === Set(1L, 2L))
+      assert(!rows.map(_.getLong(0)).contains(5L),
+        "the sub-watermark purchase must not appear in the join output")
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits closed sessions") {
     val stream = EventStreams.readEventsStream(spark, eventsDir)
     val q = EventStreams.sessionize(stream)
