@@ -310,6 +310,18 @@ object Queries {
               |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws, w -> CAST(7*length(w) + ascii(w) AS BIGINT))), (h, c) -> (31*h + c) % 1000000007) AS BIGINT) AS fp_roll
               |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Gopher/C4-style repetition rule: duplicate n-gram fraction,
+    // fully row-local
+    "repetition_score" -> QueryDef(
+      (s, d) => TextAnalysisOps.repetitionScore(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+              |g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+              |        i -> array_to_string(ws[i:i+2], ' ')) AS gs FROM t)
+              |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams,
+              |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+              |  round(1 - len(list_distinct(gs))::DOUBLE / len(gs), 4) AS dup_frac
+              |FROM g WHERE len(gs) > 0 ORDER BY doc_id""".stripMargin)),
+
     "ngram_freq" -> QueryDef(
       (s, d) => TextAnalysisOps.ngramFreq(Tables.documents(s, d)),
       Some(s"""WITH t AS (SELECT $toksSql AS ws FROM documents),
@@ -392,6 +404,19 @@ object Queries {
              |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
              |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
              |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // language-balancing sample: every lang hash-capped at the
+    // smallest lang's count; membership is row-local
+    "stratified_sample" -> QueryDef(
+      (s, d) => PipelineOps.stratifiedSample(Tables.documents(s, d)),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+             |tgt AS (SELECT min(n_lang) AS target FROM c),
+             |kept AS (SELECT d.lang, c.n_lang FROM documents d
+             |         JOIN c USING (lang) CROSS JOIN tgt
+             |         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::UBIGINT % 1000
+             |               < (target * 1000) // n_lang)
+             |SELECT lang, max(n_lang) AS n_total, count(*) AS n_sampled
+             |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ----- dedup -------------------------------------------------------
     "exact_dedup" -> QueryDef(
@@ -589,6 +614,24 @@ object Queries {
              |  round(max(o_totalprice), 2) AS max_price,
              |  round(avg(o_totalprice), 4) AS avg_price
              |FROM t GROUP BY yr, band ORDER BY yr, band""".stripMargin)),
+
+    // constant-width histogram: row-local bucketing, one bounded agg
+    "price_histogram" -> QueryDef(
+      (s, d) => RelationalOps.priceHistogram(Tables.orders(s, d)),
+      Some("""SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+             |  count(*) AS n_orders,
+             |  round(min(o_totalprice), 2) AS min_price,
+             |  round(max(o_totalprice), 2) AS max_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // one-pass co-moment aggregates (corr / covar / stddev) per flag
+    "lineitem_stats" -> QueryDef(
+      (s, d) => RelationalOps.lineitemStats(Tables.lineitem(s, d)),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+             |  round(stddev_samp(l_quantity), 4) AS stddev_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     "lineitem_rollup" -> QueryDef(
       (s, d) => RelationalOps.lineitemRollup(Tables.lineitem(s, d)),
@@ -827,6 +870,30 @@ object Queries {
              |  CAST(CASE WHEN m < 64 THEN m
              |       ELSE round(63.0 / (theta / 1152921504606846976.0)) END AS BIGINT) AS est_events
              |FROM t ORDER BY event_type""".stripMargin)),
+
+    // ordered conversion funnel: stage-k events must follow the
+    // user's first stage-(k-1) conversion
+    "event_funnel" -> QueryDef(
+      (s, d) => EventsOps.funnel(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+             |v AS (SELECT user_id, min(ms) AS v_ms FROM e WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(ms) AS c_ms FROM e JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND ms >= v_ms GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(ms) AS p_ms FROM e JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND ms >= c_ms GROUP BY e.user_id)
+             |SELECT (SELECT count(*) FROM v) AS n_view,
+             |       (SELECT count(*) FROM c) AS n_view_click,
+             |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin)),
+
+    // cohort = first active day; (user, day) deduped before any
+    // counting so no count-distinct runs downstream
+    "cohort_retention" -> QueryDef(
+      (s, d) => EventsOps.cohortRetention(Tables.events(s, d)),
+      Some("""WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+             |SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS offset_days, count(*) AS n_users
+             |FROM d JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     "events_topusers" -> QueryDef(
       (s, d) => EventsOps.topUsers(Tables.events(s, d)),

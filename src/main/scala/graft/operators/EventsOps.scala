@@ -199,6 +199,52 @@ object EventsOps {
       .orderBy("event_type")
   }
 
+  /** Ordered conversion funnel view -> click -> purchase: a user
+    * converts at stage k only with an event at stage k AFTER their
+    * first stage-(k-1) conversion time (strict event-order funnel,
+    * not mere set membership). Three per-user min-aggregates chained
+    * by equi-joins on user_id — every stage shuffles on the SAME key,
+    * so the exchanges line up and each stage's input shrinks
+    * monotonically; the final counts are three 1-row aggregates
+    * cross-joined (driver-size). No window, no total order anywhere.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), tsMs.as("ms"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ms").as("v_ms"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ms") >= col("v_ms"))
+      .groupBy("user_id").agg(min("ms").as("c_ms"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ms") >= col("c_ms"))
+      .groupBy("user_id").agg(min("ms").as("p_ms"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  /** Cohort retention: cohort = a user's first active day; report
+    * distinct active users per (cohort_day, day offset). The
+    * (user, day) pairs are deduplicated FIRST, so the later stages
+    * count rows instead of running count-distinct, and every exchange
+    * is on user_id until the final bounded (cohort, offset) aggregate
+    * — the classic shape that survives 100 TB because days-per-user,
+    * not events-per-user, is what flows past the first dedup.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"),
+        to_date(timestamp_millis(tsMs)).as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+      .groupBy("cohort_day", "offset_days")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   /** Top-10 purchasing users by total purchase value. */
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events

@@ -154,4 +154,32 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("lang", "split")
   }
+
+  /** Language-balancing stratified sample: cap every language at the
+    * SMALLEST language's document count by hash-thresholding —
+    * per-mille bucket = md5(doc_id) mod 1000, keep rows with bucket <
+    * target·1000 / n_lang (integer division, so both engines compute
+    * the identical threshold). Deterministic (no rand()), stable
+    * under repartitioning, and the membership decision is ROW-LOCAL:
+    * only the |langs|-row count table and the 1-row target are
+    * broadcast, so at 100 TB the sample is one map over the scan plus
+    * the final per-lang report aggregate. The hash threshold
+    * approximates the cap (±hash noise) rather than hitting it
+    * exactly — exact-k would need a per-lang total order, the same
+    * wall exact ntile hits.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(min("n_lang").as("target"))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(1000L))
+    docs
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(target))
+      .where(bucket < expr("(target * 1000) div n_lang"))
+      .groupBy("lang")
+      .agg(max("n_lang").as("n_total"), count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+  }
 }

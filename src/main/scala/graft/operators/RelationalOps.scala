@@ -349,6 +349,40 @@ object RelationalOps {
       .orderBy("yr", "band")
   }
 
+  /** Fixed-width price histogram: bucket = min(floor(price/width),
+    * maxBucket) — a row-local computation both engines evaluate with
+    * the identical IEEE divide/floor, then ONE bounded aggregate
+    * (≤ maxBucket+1 groups). The constant-width grid is the
+    * scale-safe histogram (no percentile pass, no sort); data-adaptive
+    * bins are `lineitem_quantiles`' job.
+    */
+  def priceHistogram(orders: DataFrame, width: Double = 50000.0,
+                     maxBucket: Int = 9): DataFrame =
+    orders
+      .select(least(floor(col("o_totalprice") / width), lit(maxBucket))
+        .cast("long").as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("bucket")
+
+  /** Grouped bivariate statistics over lineitem: Pearson correlation,
+    * sample covariance, and stddev of quantity vs extended price per
+    * return flag. All three are one-pass co-moment aggregates with
+    * map-side partials — a single exchange carrying |flags| x O(1)
+    * moment tuples. Rounded to 4 decimals on both engines
+    * (co-moment merge order is engine-specific below that).
+    */
+  def lineitemStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("stddev_qty"))
+      .orderBy("l_returnflag")
+
   /** Top-k parts by retail price with dense_rank over brand. */
   def partTopk(part: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))

@@ -186,6 +186,28 @@ object TextAnalysisOps {
   /** Corpus-wide word-bigram frequencies, top-k. Native tokenize +
     * n-gram expressions feed the aggregate.
     */
+  /** Repeated-n-gram repetition score (the Gopher/C4-family quality
+    * rule): `dup_frac` = 1 - distinct(n-grams)/total(n-grams) per
+    * document — near 0 for natural prose, approaching 1 for looping
+    * boilerplate. Entirely row-local (one native-tokenizer pass, the
+    * n-gram list built and deduplicated on the row), so the 100 TB
+    * form is pure map work with no exchange at all.
+    */
+  def repetitionScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val grams = graft.functions.NativeText.wordNgrams(
+      graft.functions.NativeText.tokens(col("text")), n)
+    docs
+      .select(col("doc_id"),
+        size(grams).cast("long").as("n_ngrams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .where(col("n_ngrams") > 0)
+      .withColumn("dup_frac",
+        round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   def ngramFreq(docs: DataFrame, n: Int = 2, k: Int = 30): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     docs

@@ -22,7 +22,9 @@ class RoundingStabilitySpec extends AnyFunSuite {
     "orders_monthly", "events_hourly", "events_sessionize",
     "quality_score", "token_stats", "unigram_logprob",
     "lang_mean_embedding", "lineitem_quantiles", "events_topusers",
-    "similarity_topk", "tfidf_topk")
+    "similarity_topk", "tfidf_topk",
+    // round-7 additions with FP aggregates or ratio columns
+    "lineitem_stats", "price_histogram", "repetition_score")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)
