@@ -202,25 +202,35 @@ object EventsOps {
   /** Ordered conversion funnel view -> click -> purchase: a user
     * converts at stage k only with an event at stage k AFTER their
     * first stage-(k-1) conversion time (strict event-order funnel,
-    * not mere set membership). Three per-user min-aggregates chained
-    * by equi-joins on user_id — every stage shuffles on the SAME key,
-    * so the exchanges line up and each stage's input shrinks
-    * monotonically; the final counts are three 1-row aggregates
-    * cross-joined (driver-size). No window, no total order anywhere.
+    * not mere set membership). All three stage times are chained
+    * unbounded-frame window minimums over the SAME user_id
+    * partitioning, so the whole funnel is ONE scan + ONE exchange (a
+    * join formulation re-scans the event table once per stage); the
+    * per-user groupBy after the windows rides the window's
+    * partitioning with no further shuffle, and only 1-row partials
+    * reach the final aggregate. Hot-user skew serializes that user's
+    * window group — the sessionize caveat, audited in SkewSpec.
     */
   def funnel(events: DataFrame): DataFrame = {
-    val e = events.select(col("user_id"), col("event_type"), tsMs.as("ms"))
-    val v = e.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ms").as("v_ms"))
-    val c = e.where(col("event_type") === "click")
-      .join(v, "user_id").where(col("ms") >= col("v_ms"))
-      .groupBy("user_id").agg(min("ms").as("c_ms"))
-    val p = e.where(col("event_type") === "purchase")
-      .join(c, "user_id").where(col("ms") >= col("c_ms"))
-      .groupBy("user_id").agg(min("ms").as("p_ms"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
-      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    val w = Window.partitionBy(col("user_id"))
+    val staged = events
+      .select(col("user_id"), col("event_type"), tsMs.as("ms"))
+      .withColumn("v_ms",
+        min(when(col("event_type") === "view", col("ms"))).over(w))
+      .withColumn("c_ms",
+        min(when(col("event_type") === "click" && col("ms") >= col("v_ms"),
+          col("ms"))).over(w))
+      .withColumn("p_ms",
+        min(when(col("event_type") === "purchase" && col("ms") >= col("c_ms"),
+          col("ms"))).over(w))
+    staged
+      .groupBy("user_id")
+      .agg(max("v_ms").as("v_ms"), max("c_ms").as("c_ms"),
+        max("p_ms").as("p_ms"))
+      .agg(
+        sum(when(col("v_ms").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("c_ms").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("p_ms").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
   }
 
   /** Cohort retention: cohort = a user's first active day; report

@@ -170,14 +170,19 @@ object PipelineOps {
     */
   def stratifiedSample(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    val target = counts.agg(min("n_lang").as("target"))
+    // |langs|-row model state: collect once so the broadcast AND the
+    // scalar target derive from the same pass (leaving both lazy
+    // would re-scan the corpus for each — the centroid precedent)
+    val countRows = counts.collect()
+    val target = countRows.map(_.getLong(1)).min
+    val countsDf = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(countRows: _*), counts.schema)
     val bucket = pmod(
       conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
       lit(1000L))
     docs
-      .join(broadcast(counts), "lang")
-      .crossJoin(broadcast(target))
-      .where(bucket < expr("(target * 1000) div n_lang"))
+      .join(broadcast(countsDf), "lang")
+      .where(bucket < expr(s"(${target}L * 1000) div n_lang"))
       .groupBy("lang")
       .agg(max("n_lang").as("n_total"), count(lit(1)).as("n_sampled"))
       .orderBy("lang")

@@ -90,4 +90,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(aggAbove > exAbove,
       "token explode must feed a partial HashAggregate, not an Exchange")
   }
+
+  test("event_funnel: one window exchange, groupBy rides it, 1-row final agg") {
+    val df = q("event_funnel")
+    // user_id window exchange + the SinglePartition final aggregate
+    // = 2; a 3rd means the per-user groupBy stopped reusing the
+    // window partitioning, or a join formulation (one event-table
+    // re-scan per stage) crept back
+    assert(shuffles(df) === 2)
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "funnel must be window-chained, not join-chained")
+  }
+
+  test("stratified_sample: membership is row-local, counts broadcast") {
+    val df = q("stratified_sample")
+    // lang-count agg feeds the collected model state; the main pass
+    // is scan -> broadcast join -> filter -> final agg + sort
+    assert(shuffles(df) === 2)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "the |langs|-row count table must broadcast")
+  }
+
+  test("price_histogram: row-local bucketing, one bounded aggregate") {
+    // bucket agg + result sort; anything more means the bucketing
+    // stopped being a pure projection
+    assert(shuffles(q("price_histogram")) === 2)
+  }
+
+  test("lineitem_stats: single co-moment aggregate exchange") {
+    assert(shuffles(q("lineitem_stats")) === 2)
+  }
+
+  test("repetition_score: no exchange before the result sort") {
+    // fully row-local: the only exchange is the output orderBy
+    assert(shuffles(q("repetition_score")) === 1)
+  }
 }
