@@ -871,6 +871,29 @@ object Queries {
              |       ELSE round(63.0 / (theta / 1152921504606846976.0)) END AS BIGINT) AS est_events
              |FROM t ORDER BY event_type""".stripMargin)),
 
+    // z-score outliers: |event types|-row moment table broadcast,
+    // scoring row-local, filter on the ROUNDED z both sides
+    "events_zscore" -> QueryDef(
+      (s, d) => EventsOps.zscoreOutliers(Tables.events(s, d)),
+      Some("""WITH s AS (SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS sd_v
+             |          FROM events GROUP BY event_type),
+             |z AS (SELECT event_id, e.event_type, value,
+             |        round((value - mean_v) / sd_v, 4) AS z
+             |      FROM events e JOIN s USING (event_type))
+             |SELECT event_id, event_type, round(value, 4) AS value, z
+             |FROM z WHERE abs(z) > 3 ORDER BY event_id""".stripMargin)),
+
+    // first-order Markov transitions per user sequence: one user_id
+    // window exchange + a |types|^2-bounded aggregate
+    "user_transitions" -> QueryDef(
+      (s, d) => EventsOps.userTransitions(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+             |t AS (SELECT event_type AS from_type,
+             |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
+             |      FROM e)
+             |SELECT from_type, to_type, count(*) AS n FROM t WHERE to_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ordered conversion funnel: stage-k events must follow the
     // user's first stage-(k-1) conversion
     "event_funnel" -> QueryDef(

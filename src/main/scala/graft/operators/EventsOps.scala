@@ -255,6 +255,44 @@ object EventsOps {
       .orderBy("cohort_day", "offset_days")
   }
 
+  /** Z-score outlier detection: flag events whose value sits more
+    * than `threshold` sample standard deviations from their event
+    * type's mean. The per-type moment table is |event types| rows —
+    * broadcast — so scoring is row-local against it and the corpus
+    * never shuffles. The filter compares the ROUNDED z on both
+    * engines, keeping the row set as order-insensitive as the values.
+    */
+  def zscoreOutliers(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val stats = events.groupBy("event_type")
+      .agg(avg("value").as("mean_v"), stddev_samp("value").as("sd_v"))
+    events
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mean_v")) / col("sd_v"), 4))
+      .where(abs(col("z")) > threshold)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"), col("z"))
+      .orderBy("event_id")
+  }
+
+  /** First-order Markov transition counts over each user's event
+    * sequence: (event_type -> next event_type) pairs via a lead
+    * window ordered by (ms, event_id) — the same deterministic
+    * per-user ordering sessionize uses — then one bounded aggregate
+    * (|types|² groups). One user_id exchange total; the sequence
+    * never leaves its partition.
+    */
+  def userTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), tsMs.as("ms"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Top-10 purchasing users by total purchase value. */
   def topUsers(events: DataFrame, k: Int = 10): DataFrame =
     events

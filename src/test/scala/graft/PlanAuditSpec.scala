@@ -121,6 +121,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(q("lineitem_stats")) === 2)
   }
 
+  test("events_zscore: moment table broadcast, corpus never shuffles") {
+    val df = q("events_zscore")
+    // moment aggregate + result sort; scoring must stay row-local
+    // against the broadcast stats
+    assert(shuffles(df) === 2)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "the per-type moment table must broadcast")
+  }
+
+  test("user_transitions: one sequence exchange + bounded agg + sort") {
+    // user_id window exchange + |types|^2 aggregate + result sort
+    assert(shuffles(q("user_transitions")) === 3)
+  }
+
   test("repetition_score: no exchange before the result sort") {
     // fully row-local: the only exchange is the output orderBy
     assert(shuffles(q("repetition_score")) === 1)

@@ -24,7 +24,8 @@ class RoundingStabilitySpec extends AnyFunSuite {
     "lang_mean_embedding", "lineitem_quantiles", "events_topusers",
     "similarity_topk", "tfidf_topk",
     // round-7 additions with FP aggregates or ratio columns
-    "lineitem_stats", "price_histogram", "repetition_score")
+    "lineitem_stats", "price_histogram", "repetition_score",
+    "events_zscore")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)
