@@ -315,8 +315,8 @@ object Queries {
     "repetition_score" -> QueryDef(
       (s, d) => TextAnalysisOps.repetitionScore(Tables.documents(s, d)),
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
-              |g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
-              |        i -> array_to_string(ws[i:i+2], ' ')) AS gs FROM t)
+              |g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - ${TextAnalysisOps.RepetitionNgramN - 1}),
+              |        i -> array_to_string(ws[i:i+${TextAnalysisOps.RepetitionNgramN - 1}], ' ')) AS gs FROM t)
               |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams,
               |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
               |  round(1 - len(list_distinct(gs))::DOUBLE / len(gs), 4) AS dup_frac
@@ -618,7 +618,7 @@ object Queries {
     // constant-width histogram: row-local bucketing, one bounded agg
     "price_histogram" -> QueryDef(
       (s, d) => RelationalOps.priceHistogram(Tables.orders(s, d)),
-      Some("""SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+      Some(s"""SELECT CAST(least(floor(o_totalprice / ${RelationalOps.HistogramWidth}), ${RelationalOps.HistogramMaxBucket}) AS BIGINT) AS bucket,
              |  count(*) AS n_orders,
              |  round(min(o_totalprice), 2) AS min_price,
              |  round(max(o_totalprice), 2) AS max_price
@@ -875,13 +875,13 @@ object Queries {
     // scoring row-local, filter on the ROUNDED z both sides
     "events_zscore" -> QueryDef(
       (s, d) => EventsOps.zscoreOutliers(Tables.events(s, d)),
-      Some("""WITH s AS (SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS sd_v
+      Some(s"""WITH s AS (SELECT event_type, avg(value) AS mean_v, stddev_samp(value) AS sd_v
              |          FROM events GROUP BY event_type),
              |z AS (SELECT event_id, e.event_type, value,
              |        round((value - mean_v) / sd_v, 4) AS z
              |      FROM events e JOIN s USING (event_type))
              |SELECT event_id, event_type, round(value, 4) AS value, z
-             |FROM z WHERE abs(z) > 3 ORDER BY event_id""".stripMargin)),
+             |FROM z WHERE abs(z) > ${EventsOps.ZscoreThreshold} ORDER BY event_id""".stripMargin)),
 
     // first-order Markov transitions per user sequence: one user_id
     // window exchange + a |types|^2-bounded aggregate

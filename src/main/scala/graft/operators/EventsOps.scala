@@ -262,7 +262,13 @@ object EventsOps {
     * never shuffles. The filter compares the ROUNDED z on both
     * engines, keeping the row set as order-insensitive as the values.
     */
-  def zscoreOutliers(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+  /** Outlier threshold for [[zscoreOutliers]]; the DuckDB oracle is
+    * generated from the same constant.
+    */
+  val ZscoreThreshold = 3
+
+  def zscoreOutliers(events: DataFrame,
+                     threshold: Double = ZscoreThreshold.toDouble): DataFrame = {
     val stats = events.groupBy("event_type")
       .agg(avg("value").as("mean_v"), stddev_samp("value").as("sd_v"))
     events

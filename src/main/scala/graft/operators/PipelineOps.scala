@@ -166,7 +166,10 @@ object PipelineOps {
     * the final per-lang report aggregate. The hash threshold
     * approximates the cap (±hash noise) rather than hitting it
     * exactly — exact-k would need a per-lang total order, the same
-    * wall exact ntile hits.
+    * wall exact ntile hits. Granularity: thresholds floor to per-mille
+    * buckets, so a language over 1000× the target count samples zero
+    * rows — widen the bucket modulus before using this on corpora
+    * with a >1000:1 language imbalance.
     */
   def stratifiedSample(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))

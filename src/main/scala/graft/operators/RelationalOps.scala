@@ -356,8 +356,14 @@ object RelationalOps {
     * scale-safe histogram (no percentile pass, no sort); data-adaptive
     * bins are `lineitem_quantiles`' job.
     */
-  def priceHistogram(orders: DataFrame, width: Double = 50000.0,
-                     maxBucket: Int = 9): DataFrame =
+  /** Bucket width / cap for [[priceHistogram]]; the DuckDB oracle is
+    * generated from the same constants.
+    */
+  val HistogramWidth = 50000
+  val HistogramMaxBucket = 9
+
+  def priceHistogram(orders: DataFrame, width: Double = HistogramWidth.toDouble,
+                     maxBucket: Int = HistogramMaxBucket): DataFrame =
     orders
       .select(least(floor(col("o_totalprice") / width), lit(maxBucket))
         .cast("long").as("bucket"), col("o_totalprice"))

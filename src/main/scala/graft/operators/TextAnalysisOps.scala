@@ -193,7 +193,12 @@ object TextAnalysisOps {
     * n-gram list built and deduplicated on the row), so the 100 TB
     * form is pure map work with no exchange at all.
     */
-  def repetitionScore(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** N-gram width for [[repetitionScore]]; the DuckDB oracle is
+    * generated from the same constant.
+    */
+  val RepetitionNgramN = 3
+
+  def repetitionScore(docs: DataFrame, n: Int = RepetitionNgramN): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     val grams = graft.functions.NativeText.wordNgrams(
       graft.functions.NativeText.tokens(col("text")), n)
