@@ -115,6 +115,21 @@ object Queries {
               |  SELECT source, unnest($toksSql) AS word FROM documents
               |) GROUP BY source, word ORDER BY source, word""".stripMargin)),
 
+    // gzip-compressed raw-text ingestion: same token totals as the
+    // parquet corpus (line re-splits are count-invariant); gz is the
+    // non-splittable compatibility path — see TextSource scaladoc
+    "wordcount_textscan_gz" -> QueryDef(
+      (s, d) => {
+        val fixture = graft.sources.Fixtures.ensure("textscan_gz", d,
+          Seq(s"$d/documents.parquet")) { p =>
+          graft.sources.TextSource.writeTextFixtureGzip(Tables.documents(s, d), p)
+        }
+        WordCountOps.wordCount(graft.sources.TextSource.readAsDocuments(s, fixture))
+      },
+      Some(s"""SELECT word, count(*) AS cnt FROM (
+              |  SELECT unnest($toksSql) AS word FROM documents
+              |) GROUP BY word ORDER BY word""".stripMargin)),
+
     // O14 exactly-once counters on the driver path: the observed
     // metrics row is recomputed by the oracle as plain aggregates
     // over the same tokenization
@@ -771,6 +786,21 @@ object Queries {
       Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
              |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue, round(avg(o_totalprice), 4) AS avg_price
              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // YoY growth: lag window over the |years|x12-row aggregate, never
+    // the fact table; growth on the rounded revenues both sides
+    "orders_yoy" -> QueryDef(
+      (s, d) => RelationalOps.ordersYoy(Tables.orders(s, d)),
+      Some("""WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |            CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |            round(sum(o_totalprice), 2) AS revenue
+             |          FROM orders GROUP BY 1, 2),
+             |l AS (SELECT yr, mo, revenue,
+             |        lag(revenue) OVER (PARTITION BY mo ORDER BY yr) AS prev_revenue
+             |      FROM m)
+             |SELECT yr, mo, revenue, prev_revenue,
+             |  round(revenue / prev_revenue - 1.0, 4) AS yoy
+             |FROM l WHERE prev_revenue IS NOT NULL ORDER BY yr, mo""".stripMargin)),
 
     // ----- events ------------------------------------------------------
     "events_hourly" -> QueryDef(

@@ -197,6 +197,29 @@ object RelationalOps {
         round(avg("o_totalprice"), 4).as("avg_price"))
       .orderBy("yr", "mo")
 
+  /** Year-over-year monthly revenue growth: the lag window runs over
+    * the ALREADY-AGGREGATED (yr, mo) table — |years|×12 rows — so the
+    * window exchange is driver-sized no matter the fact-table scale;
+    * only the one revenue aggregate touches the orders table. Growth
+    * is computed on the 2-decimal-rounded revenues (bit-identical
+    * inputs on both engines), rounded to 4.
+    */
+  def ordersYoy(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.partitionBy(col("mo")).orderBy(col("yr").asc)
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .where(col("prev_revenue").isNotNull)
+      .withColumn("yoy",
+        round(col("revenue") / col("prev_revenue") - 1.0, 4))
+      .select("yr", "mo", "revenue", "prev_revenue", "yoy")
+      .orderBy("yr", "mo")
+  }
+
   /** Exact percentiles (interpolated) of line quantity per return
     * flag — the continuous-quantile aggregate surface.
     */

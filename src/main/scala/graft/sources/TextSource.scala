@@ -32,4 +32,16 @@ object TextSource {
     */
   def writeTextFixture(docs: DataFrame, path: String): Unit =
     docs.select(col("text")).write.mode("overwrite").text(path)
+
+  /** Gzip-compressed variant: `spark.read.text` decompresses by file
+    * extension, so the read side is [[readAsDocuments]] unchanged.
+    * Scale note: gzip streams are NOT splittable — one file = one
+    * read task regardless of size — so this is the ingestion-
+    * compatibility path for externally-supplied .gz corpora; a
+    * 100 TB corpus you control should land in a splittable container
+    * (parquet/ORC) instead.
+    */
+  def writeTextFixtureGzip(docs: DataFrame, path: String): Unit =
+    docs.select(col("text")).write.mode("overwrite")
+      .option("compression", "gzip").text(path)
 }

@@ -135,6 +135,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(q("user_transitions")) === 3)
   }
 
+  test("orders_yoy: lag window rides the aggregate, never the fact table") {
+    val df = q("orders_yoy")
+    // revenue aggregate + month window + result sort; the window's
+    // input is the |years|x12-row aggregate
+    assert(shuffles(df) === 3)
+  }
+
   test("repetition_score: no exchange before the result sort") {
     // fully row-local: the only exchange is the output orderBy
     assert(shuffles(q("repetition_score")) === 1)
