@@ -648,6 +648,44 @@ object Queries {
              |  round(stddev_samp(l_quantity), 4) AS stddev_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // histogram-sketch quantiles: constant-size mergeable buffer; the
+    // oracle reproduces the identical bin + interpolation arithmetic
+    // from the shared grid constants
+    "lineitem_hist_quantiles" -> QueryDef(
+      (s, d) => RelationalOps.lineitemHistQuantiles(Tables.lineitem(s, d)),
+      Some {
+        val lo = RelationalOps.HistQLo
+        val hi = RelationalOps.HistQHi
+        val bins = RelationalOps.HistQBins
+        val w = (hi - lo) / bins
+        s"""WITH b AS (SELECT l_returnflag,
+           |    CASE WHEN l_extendedprice < $lo THEN 0
+           |         WHEN l_extendedprice >= $hi THEN ${bins + 1}
+           |         ELSE 1 + CAST(floor((l_extendedprice - $lo) / $w) AS INT) END AS bin,
+           |    count(*) AS cnt
+           |  FROM lineitem GROUP BY 1, 2),
+           |c AS (SELECT l_returnflag, bin, cnt,
+           |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+           |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+           |  FROM b),
+           |pp AS (SELECT l_returnflag, unnest([0.5, 0.9, 0.99]) AS p
+           |       FROM (SELECT DISTINCT l_returnflag FROM b)),
+           |hit AS (SELECT pp.l_returnflag, pp.p, min(c.bin) AS bin
+           |        FROM pp JOIN c ON pp.l_returnflag = c.l_returnflag AND c.cum >= pp.p * c.n
+           |        GROUP BY 1, 2),
+           |est AS (SELECT h.l_returnflag, h.p,
+           |    CASE WHEN h.bin = 0 THEN $lo
+           |         WHEN h.bin = ${bins + 1} THEN $hi
+           |         ELSE $lo + CAST(h.bin - 1 AS DOUBLE) * $w
+           |              + $w * ((h.p * c.n - (c.cum - c.cnt)) / c.cnt) END AS v
+           |  FROM hit h JOIN c ON h.l_returnflag = c.l_returnflag AND h.bin = c.bin)
+           |SELECT l_returnflag,
+           |  round(max(CASE WHEN p = 0.5 THEN v END), 4) AS p50,
+           |  round(max(CASE WHEN p = 0.9 THEN v END), 4) AS p90,
+           |  round(max(CASE WHEN p = 0.99 THEN v END), 4) AS p99
+           |FROM est GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      }),
+
     "lineitem_rollup" -> QueryDef(
       (s, d) => RelationalOps.lineitemRollup(Tables.lineitem(s, d)),
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,

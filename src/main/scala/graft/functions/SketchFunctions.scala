@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{ExpressionArgs, KmvDistinctEstimate}
+import graft.functions.expressions.{ExpressionArgs, HistQuantile, KmvDistinctEstimate}
 
 /** Column API over the sketch aggregate(s). `register` is idempotent;
   * operators call it before building plans (the analyzer wraps the
@@ -12,6 +12,7 @@ import graft.functions.expressions.{ExpressionArgs, KmvDistinctEstimate}
 object SketchFunctions {
 
   val KmvName = "graft_kmv_est"
+  val HistQuantileName = "graft_hist_quantile"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -19,9 +20,24 @@ object SketchFunctions {
       KmvName,
       es => KmvDistinctEstimate(es(0), ExpressionArgs.literalInt(es(1), KmvName)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      HistQuantileName,
+      es => HistQuantile(es(0),
+        ExpressionArgs.literalDouble(es(1), HistQuantileName),
+        ExpressionArgs.literalDouble(es(2), HistQuantileName),
+        ExpressionArgs.literalInt(es(3), HistQuantileName),
+        ExpressionArgs.literalDouble(es(4), HistQuantileName)),
+      "scala_udf")
   }
 
   /** KMV distinct-count estimate over a 60-bit hash column (double). */
   def kmvEst(hash: Column, k: Int): Column =
     call_function(KmvName, hash, lit(k))
+
+  /** Fixed-grid histogram quantile estimate (constant-size mergeable
+    * buffer; see [[graft.functions.expressions.HistQuantile]]).
+    */
+  def histQuantile(value: Column, lo: Double, hi: Double,
+                   bins: Int, p: Double): Column =
+    call_function(HistQuantileName, value, lit(lo), lit(hi), lit(bins), lit(p))
 }

@@ -143,6 +143,20 @@ object ExpressionArgs {
       case other => throw new IllegalArgumentException(
         s"$fn: the n argument must be an integer literal, got $other")
     }
+
+  def literalDouble(e: Expression, fn: String): Double =
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: the argument must be a constant, got a non-literal expression")
+    else e.eval() match {
+      case d: java.lang.Double  => d.doubleValue
+      case f: java.lang.Float   => f.doubleValue
+      case i: java.lang.Integer => i.doubleValue
+      case l: java.lang.Long    => l.doubleValue
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: the argument must be a numeric literal, got $other")
+    }
 }
 
 /** Shared analysis-time type checks for the SQL-exposed expressions. */

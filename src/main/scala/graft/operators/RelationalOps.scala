@@ -197,6 +197,34 @@ object RelationalOps {
         round(avg("o_totalprice"), 4).as("avg_price"))
       .orderBy("yr", "mo")
 
+  /** Grid for [[lineitemHistQuantiles]] — covers the extended-price
+    * domain with an exactly-representable bin width (1000.0), so both
+    * engines bin and interpolate on identical IEEE values. The DuckDB
+    * oracle is generated from these constants.
+    */
+  val HistQLo = 0.0
+  val HistQHi = 110000.0
+  val HistQBins = 110
+
+  /** Histogram-sketch quantiles of extended price per return flag —
+    * the constant-memory companion to the exact [[lineitemQuantiles]]:
+    * exact `percentile` buffers every group value (a hot group's
+    * buffer IS the group), while [[graft.functions.expressions.HistQuantile]]
+    * carries `bins + 2` counters per (group, task) through ONE
+    * exchange, merged by addition — the mergeable-sketch shape, and
+    * order-insensitive so the estimate is hash-gateable.
+    */
+  def lineitemHistQuantiles(lineitem: DataFrame): DataFrame = {
+    graft.functions.SketchFunctions.register(lineitem.sparkSession)
+    import graft.functions.SketchFunctions.histQuantile
+    def q(p: Double) =
+      round(histQuantile(col("l_extendedprice"), HistQLo, HistQHi, HistQBins, p), 4)
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
   /** Year-over-year monthly revenue growth: the lag window runs over
     * the ALREADY-AGGREGATED (yr, mo) table — |years|×12 rows — so the
     * window exchange is driver-sized no matter the fact-table scale;

@@ -21,6 +21,34 @@ class SketchSpec extends AnyFunSuite {
     assert(agg === win)
   }
 
+  test("hist quantile lands within one bin width of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, TestSpark.Sf0001)
+    val sketch = graft.operators.RelationalOps.lineitemHistQuantiles(li)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val w = (graft.operators.RelationalOps.HistQHi -
+      graft.operators.RelationalOps.HistQLo) / graft.operators.RelationalOps.HistQBins
+    sketch.foreach { case (flag, (s50, s99)) =>
+      val (e50, e99) = exact(flag)
+      assert(math.abs(s50 - e50) <= w, s"$flag p50: sketch $s50 vs exact $e50")
+      assert(math.abs(s99 - e99) <= w, s"$flag p99: sketch $s99 vs exact $e99")
+    }
+  }
+
+  test("hist quantile plans as one ObjectHashAggregate exchange") {
+    val df = graft.operators.RelationalOps.lineitemHistQuantiles(
+      Tables.lineitem(spark, TestSpark.Sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate should plan through ObjectHashAggregate")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected the single aggregate exchange, got $exchanges")
+  }
+
   test("kmv buffers merge across partitions and dedup exactly") {
     graft.functions.SketchFunctions.register(spark)
     // 500 distinct keys, every key duplicated 4x, spread over many
