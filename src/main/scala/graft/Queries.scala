@@ -585,6 +585,19 @@ object Queries {
              |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, filter
+    // pushed to the lineitem scan, nation broadcast, top-20 heap
+    "q10_returns" -> QueryDef(
+      (s, d) => RelationalOps.q10Returns(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d)),
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     "orders_window" -> QueryDef(
       (s, d) => RelationalOps.ordersWindow(Tables.orders(s, d)),
       Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -197,6 +197,26 @@ object RelationalOps {
         round(avg("o_totalprice"), 4).as("avg_price"))
       .orderBy("yr", "mo")
 
+  /** TPC-H Q10 shape — returned-item revenue per customer: the
+    * returnflag filter pushes into the lineitem scan before the
+    * fact-fact join (orders ⋈ lineitem shuffle on the order key), the
+    * customer join rides the o_custkey exchange, and the |nations|-row
+    * dimension broadcasts. Top-20 by revenue plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def q10Returns(customer: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame, nation: DataFrame,
+                 k: Int = 20): DataFrame =
+    lineitem.where(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(k)
+
   /** Grid for [[lineitemHistQuantiles]] — covers the extended-price
     * domain with an exactly-representable bin width (1000.0), so both
     * engines bin and interpolate on identical IEEE values. The DuckDB

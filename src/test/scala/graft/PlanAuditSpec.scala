@@ -135,6 +135,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(q("user_transitions")) === 3)
   }
 
+  test("q10_returns: returnflag pushed to scan, nation broadcast, top-k heap") {
+    val df = q("q10_returns")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must plan as a per-partition heap, not a global sort")
+    assert(plan.contains("BroadcastExchange"), "nation must broadcast")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)")
+      || plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must reach the parquet scan:\n$plan")
+  }
+
   test("orders_yoy: lag window rides the aggregate, never the fact table") {
     val df = q("orders_yoy")
     // revenue aggregate + month window + result sort; the window's

@@ -25,7 +25,8 @@ class RoundingStabilitySpec extends AnyFunSuite {
     "similarity_topk", "tfidf_topk",
     // round-7 additions with FP aggregates or ratio columns
     "lineitem_stats", "price_histogram", "repetition_score",
-    "events_zscore", "orders_yoy", "lineitem_hist_quantiles")
+    "events_zscore", "orders_yoy", "lineitem_hist_quantiles",
+    "q10_returns")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)

@@ -32,6 +32,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getInt(2) === 3)
   }
 
+  test("custom aggregates are callable from SQL") {
+    Catalog.registerViews(spark, TestSpark.Sf0001)
+    graft.functions.SketchFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_hist_quantile(l_extendedprice, 0.0, 110000.0, 110, 0.5) AS p50,
+        |       graft_kmv_est(CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS DOUBLE), 64) AS est
+        |FROM lineitem""".stripMargin).head
+    assert(r.getDouble(0) > 0.0 && r.getDouble(0) < 110000.0)
+    assert(r.getLong(1) > 0L)
+  }
+
   test("raw text files run the reference pipeline end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-text")
     java.nio.file.Files.writeString(dir.resolve("a.txt"), "the cat\tsat on the mat\nthe cat")
