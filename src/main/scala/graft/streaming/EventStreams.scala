@@ -65,6 +65,25 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming distinct-user estimate per event type with the custom
+    * KMV sketch aggregate: the mergeable k-bounded buffer is exactly
+    * what incremental state wants — each micro-batch's partial sketch
+    * merges into the state-store buffer, state per (type) is ≤ k
+    * doubles forever, and the final estimate is bit-identical to the
+    * batch [[graft.operators.EventsOps.kmvDistinctEventsAgg]] (the
+    * merge is order-insensitive). Complete output mode: the estimate
+    * is re-emitted per trigger, like the streaming wordcount.
+    */
+  def streamingKmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
+    graft.functions.SketchFunctions.register(events.sparkSession)
+    events
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("double").as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.SketchFunctions.kmvEst(col("h"), k).as("est_users"))
+  }
+
   /** Sliding/tumbling windowed counts per event type with a watermark:
     * the incremental form of `EventsOps.hourly`. Late data beyond the
     * watermark is dropped; state is bounded by (watermark / window).

@@ -162,6 +162,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch equals the batch sketch bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEventsStream(spark, eventsDir)
+    val q = EventStreams.streamingKmvDistinct(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("kmv_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.functions.SketchFunctions.register(spark)
+    val batch = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("double").as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.SketchFunctions.kmvEst(col("h"), 64).as("est_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      "incremental state-store merges must give the batch answer")
+    assert(batch.values.forall(_ > 0))
+  }
+
   test("stateful sessionize emits closed sessions") {
     val stream = EventStreams.readEventsStream(spark, eventsDir)
     val q = EventStreams.sessionize(stream)
