@@ -565,7 +565,7 @@ object Queries {
 
     "q3_shipping" -> QueryDef(
       (s, d) => RelationalOps.q3Shipping(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d)),
-      Some("""SELECT o_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      Some(s"""SELECT o_orderkey, o_orderdate, ${RelationalOps.RevenueExactSql} AS revenue
              |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE c_mktsegment = 'BUILDING'
              |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
@@ -575,7 +575,7 @@ object Queries {
     "q5_region" -> QueryDef(
       (s, d) => RelationalOps.q5Region(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d)),
-      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lineitems
+      Some(s"""SELECT n_name, ${RelationalOps.RevenueExactSql} AS revenue, count(*) AS n_lineitems
              |FROM region JOIN nation ON n_regionkey = r_regionkey
              |  JOIN customer ON c_nationkey = n_nationkey
              |  JOIN orders ON o_custkey = c_custkey
@@ -590,8 +590,8 @@ object Queries {
     "q10_returns" -> QueryDef(
       (s, d) => RelationalOps.q10Returns(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), Tables.nation(s, d)),
-      Some("""SELECT c_custkey, c_name, n_name,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      Some(s"""SELECT c_custkey, c_name, n_name,
+             |  ${RelationalOps.RevenueExactSql} AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |  JOIN customer ON o_custkey = c_custkey
              |  JOIN nation ON c_nationkey = n_nationkey
@@ -860,19 +860,28 @@ object Queries {
              |  count(*) AS n, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // oracle works at the distinct-(user, ms) grain: a session
+    // boundary can only fall BETWEEN distinct timestamps (equal-ms
+    // rows always share a session), and deduping first makes every
+    // window total-ordered — order-insensitive even if the fixture
+    // carries fully duplicated rows, where a per-row two-pass window
+    // could order a tie group differently in each pass and split it
+    // across sessions (the engine's single-sort window plan cannot)
     "events_sessionize" -> QueryDef(
       (s, d) => EventsOps.sessionize(Tables.events(s, d)),
-      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
-             |f AS (SELECT user_id, event_id, ms,
-             |  CASE WHEN lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
-             |         OR ms - lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+             |d AS (SELECT user_id, ms, count(*) AS n FROM e GROUP BY 1, 2),
+             |f AS (SELECT user_id, ms, n,
+             |  CASE WHEN lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+             |         OR ms - lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
              |       THEN 1 ELSE 0 END AS new_session
-             |FROM e),
-             |g AS (SELECT user_id, ms,
-             |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             |FROM d),
+             |g AS (SELECT user_id, ms, n,
+             |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ms
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
              |FROM f),
-             |s AS (SELECT user_id, session_id, count(*) AS n_events, max(ms) - min(ms) AS span_ms
+             |s AS (SELECT user_id, session_id, CAST(sum(n) AS BIGINT) AS n_events,
+             |        max(ms) - min(ms) AS span_ms
              |      FROM g GROUP BY user_id, session_id)
              |SELECT user_id, count(*) AS n_sessions,
              |  round(avg(n_events), 4) AS avg_events_per_session,

@@ -41,6 +41,26 @@ object RelationalOps {
     * market segment. customer is broadcast; orders⋈lineitem shuffles
     * on the order key.
     */
+  /** Order-insensitive revenue aggregate for the Q3/Q5/Q10 family:
+    * the stored doubles are the nearest doubles to cent-valued
+    * numbers, so casting to decimal(15,2) recovers the exact values
+    * on both engines; the decimal multiply and sum are then
+    * integer-exact and ORDER-INDEPENDENT, so every partition layout —
+    * and every engine — rounds the same total. The plain double sum
+    * flipped a cent on q10 at the 10× audit (summation-order
+    * sensitivity the hash gate is exposed to at any larger SF); the
+    * result is cast back to double to keep the declared schema.
+    */
+  private def revenueExact =
+    round(sum(col("l_extendedprice").cast("decimal(15,2)") *
+      (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))), 2)
+      .cast("double")
+
+  /** The DuckDB mirror of [[revenueExact]]. */
+  val RevenueExactSql: String =
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(15,2)))), 2) AS DOUBLE)"
+
   def q3Shipping(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val cutoff = lit("1997-06-01").cast("timestamp")
     customer.where(col("c_mktsegment") === "BUILDING")
@@ -49,7 +69,7 @@ object RelationalOps {
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .where(col("l_shipdate") > cutoff)
       .groupBy("o_orderkey", "o_orderdate")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(revenueExact.as("revenue"))
       .orderBy(desc("revenue"), asc("o_orderkey"))
       .limit(10)
       .select("o_orderkey", "o_orderdate", "revenue")
@@ -74,7 +94,7 @@ object RelationalOps {
       .join(dims, col("o_custkey") === col("c_custkey"))
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(revenueExact.as("revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("n_name")
   }
@@ -212,8 +232,7 @@ object RelationalOps {
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(revenueExact.as("revenue"))
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(k)
 
