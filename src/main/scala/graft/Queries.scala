@@ -100,6 +100,34 @@ object Queries {
        |         FROM t WHERE len(hs) > 0)""".stripMargin
   }
 
+  /** DuckDB mirror of [[DedupOps.simhashDup]] — chunk-bucket candidate
+    * join with the mega-bucket cap, generated from the SAME
+    * `DedupOps.Simhash*` constants so engine and oracle cannot
+    * silently diverge (chunk layout, hamming radius, cap).
+    */
+  private def simhashDupOracleSql: String = {
+    val widths = DedupOps.SimhashChunkBits
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkTerms = widths.zipWithIndex.map { case (w, c) =>
+      s"'$c:' || (((simhash >> ${offsets(c)}) & ${(1L << w) - 1})::VARCHAR)"
+    }.mkString(",\n    ")
+    s"""${simhashSqlCte(32)},
+       |chunks AS (
+       |  SELECT doc_id, simhash, unnest([
+       |    $chunkTerms]) AS ck
+       |  FROM sigs),
+       |bounded AS (
+       |  SELECT doc_id, simhash, ck FROM (
+       |    SELECT doc_id, simhash, ck,
+       |           count(*) OVER (PARTITION BY ck) AS bn FROM chunks)
+       |  WHERE bn <= ${DedupOps.SimhashMaxBucket})
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM bounded a JOIN bounded b ON a.ck = b.ck AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${DedupOps.SimhashMaxHamming}
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val registry: Seq[(String, QueryDef)] = Seq(
 
     // ----- reference parity: the wordcount family ---------------------
@@ -454,16 +482,15 @@ object Queries {
       Some(s"""${simhashSqlCte(20)}
               |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin)),
 
-    // oracle is the INDEPENDENT all-pairs formulation — a hash match
-    // proves the chunk-bucket candidate generation has recall 1
+    // the oracle mirrors the engine's chunk-bucket candidate
+    // generation INCLUDING the mega-bucket cap, generated from the
+    // same DedupOps constants (the NtileBandSamplePct pattern) so the
+    // hash gate holds at any SF. Below the cap the bucket filter is
+    // inert and the formulation degenerates to all-pairs, so at gate
+    // SFs a hash match still proves chunk-candidate recall is 1.
     "simhash_dup" -> QueryDef(
       (s, d) => DedupOps.simhashDup(Tables.documents(s, d)),
-      Some(s"""${simhashSqlCte(32)}
-              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-              |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-              |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-              |ORDER BY a_id, b_id""".stripMargin)),
+      Some(simhashDupOracleSql)),
 
     // ----- similarity search / embeddings ------------------------------
     "similarity_topk" -> QueryDef(

@@ -43,6 +43,13 @@ object DedupOps {
   val RowsPerBand = 2
   val P = 1000000007L
 
+  // simhashDup shares these with its generated DuckDB oracle (the
+  // NtileBandSamplePct pattern): chunk layout, hamming radius, and the
+  // mega-bucket cap all live here so the two sides cannot diverge.
+  val SimhashChunkBits: Seq[Int] = Seq(11, 11, 10) // covers all 32 fingerprint bits
+  val SimhashMaxHamming = 2
+  val SimhashMaxBucket = 1000
+
   /** Exact dedup: group by content digest, keep the smallest doc_id. */
   def exactDedup(docs: DataFrame): DataFrame =
     docs
@@ -201,10 +208,15 @@ object DedupOps {
     * candidate pairs at sf0.1 where 32-bit (10/11-bit chunks) stays
     * in the hundreds of thousands. At web scale keep widening
     * (64-bit simhash, 16-bit chunks), same plan shape.
+    *
+    * The oracle mirrors the [[SimhashMaxBucket]] cap (same shared
+    * constant, chunk-count CTE filter), so the hash gate holds at any
+    * SF; below the cap the capped oracle degenerates to all-pairs, so
+    * the recall-1 proof at gate SFs is unchanged.
     */
-  def simhashDup(docs: DataFrame, maxHamming: Int = 2,
-                 maxBucket: Int = 1000): DataFrame = {
-    val chunkBitWidths = Seq(11, 11, 10) // covers all 32 fingerprint bits
+  def simhashDup(docs: DataFrame, maxHamming: Int = SimhashMaxHamming,
+                 maxBucket: Int = SimhashMaxBucket): DataFrame = {
+    val chunkBitWidths = SimhashChunkBits
     val offsets = chunkBitWidths.scanLeft(0)(_ + _)
     require(maxHamming < chunkBitWidths.size,
       "pigeonhole recall needs maxHamming < number of chunks")
@@ -219,8 +231,9 @@ object DedupOps {
     // chunk) are the quadratic risk at corpus scale — same answer as
     // nearDupMinhash: a count window riding the join's own chunk-key
     // shuffle drops buckets over maxBucket (dense identical clusters
-    // are exactDedup's job). Inert at fixture SFs (max bucket < 1000),
-    // so the all-pairs oracle equality holds.
+    // are exactDedup's job). The oracle applies the same cap from the
+    // same constant; at fixture SFs every bucket is under it, so the
+    // capped oracle equals all-pairs and the recall-1 proof stands.
     val bounded = keyed
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))))
