@@ -915,6 +915,29 @@ object Queries {
              |  CAST(max(span_ms) AS BIGINT) AS max_span_ms
              |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // session-grain records (user-grain sessionize one level up);
+    // same tie-safe distinct-(user, ms) oracle grain as above —
+    // boundaries fall only between distinct timestamps, so start/
+    // count/span per session are order-insensitive
+    "session_records" -> QueryDef(
+      (s, d) => EventsOps.sessionRecords(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+             |d AS (SELECT user_id, ms, count(*) AS n FROM e GROUP BY 1, 2),
+             |f AS (SELECT user_id, ms, n,
+             |  CASE WHEN lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+             |         OR ms - lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+             |       THEN 1 ELSE 0 END AS new_session
+             |FROM d),
+             |g AS (SELECT user_id, ms, n,
+             |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ms
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |FROM f)
+             |SELECT user_id, min(ms) AS session_start_ms,
+             |  CAST(sum(n) AS BIGINT) AS n_events,
+             |  max(ms) - min(ms) AS span_ms
+             |FROM g GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start_ms""".stripMargin)),
+
     "events_json" -> QueryDef(
       (s, d) => EventsOps.jsonProps(Tables.events(s, d)),
       Some("""SELECT event_type, count(*) AS n,

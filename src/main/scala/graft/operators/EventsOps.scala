@@ -53,6 +53,35 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** Per-session records at session grain: (user, session start,
+    * event count, span). The same lag + cumulative-sum segmentation
+    * as [[sessionize]] (whose output is this aggregated one level
+    * further, to user grain); kept separate because the session-grain
+    * rows are what the STREAMING [[graft.streaming.EventStreams
+    * .sessionize]] emits — the equality of the two (stream's closed
+    * sessions = these rows minus each user's open tail) is the
+    * replay-equivalence proof in StreamingSpec. Same two user_id
+    * exchanges, second reuses the first's partitioning.
+    */
+  def sessionRecords(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60L * 1000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms").asc, col("event_id").asc)
+    events
+      .withColumn("ms", tsMs)
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(col("ms")).as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        (max(col("ms")) - min(col("ms"))).as("span_ms"))
+      .select("user_id", "session_start_ms", "n_events", "span_ms")
+      .orderBy("user_id", "session_start_ms")
+  }
+
   /** JSON property extraction + aggregation: average of `props.$.k`
     * per event type. The engine path uses `get_json_object`.
     */

@@ -185,6 +185,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.forall(_ > 0))
   }
 
+  test("streaming sessionize closed sessions equal the batch session records") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEventsStream(spark, eventsDir)
+    val q = EventStreams.sessionize(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_eq_stream")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sess_eq_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the stream emits a session only once its user goes quiet past the
+    // gap, so at end-of-replay each user's LAST session is still open in
+    // the state store: closed set = batch session records minus each
+    // user's tail session
+    val batch = EventsOps.sessionRecords(Tables.events(spark, TestSpark.Sf0001))
+    val tails = batch.groupBy("user_id")
+      .agg(max("session_start_ms").as("session_start_ms"))
+    val closed = batch.join(tails, Seq("user_id", "session_start_ms"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(closed.nonEmpty)
+    assert(streamed === closed,
+      "replayed stream's closed-session set must equal the batch segmentation")
+  }
+
   test("stateful sessionize emits closed sessions") {
     val stream = EventStreams.readEventsStream(spark, eventsDir)
     val q = EventStreams.sessionize(stream)
