@@ -11,6 +11,7 @@ object Catalog {
   def registerViews(spark: SparkSession, sfDir: String): Unit = {
     graft.functions.NativeText.register(spark)
     graft.functions.VectorFunctions.register(spark)
+    graft.functions.SketchFunctions.register(spark)
     // events needs the nanos-as-long read conf BEFORE its footer is
     // read — go through Tables.events, never the generic loader
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
