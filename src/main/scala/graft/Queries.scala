@@ -100,6 +100,23 @@ object Queries {
        |         FROM t WHERE len(hs) > 0)""".stripMargin
   }
 
+  /** DuckDB CTE chain `f(doc_id, fp)` mirroring
+    * [[TextAnalysisOps.winnowFingerprint]], generated from the shared
+    * WinnowK/WinnowW constants.
+    */
+  private def winnowFpCte: String = {
+    val k = TextAnalysisOps.WinnowK
+    val w = TextAnalysisOps.WinnowW
+    s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |g AS (SELECT doc_id, list_transform(generate_series(1, len(ws) - ${k - 1}),
+       |        i -> array_to_string(ws[i:i+${k - 1}], ' ')) AS gs FROM t),
+       |h AS (SELECT doc_id, list_transform(gs, g2 ->
+       |        CAST(('0x' || substr(md5(g2), 1, 15))::UBIGINT AS BIGINT)) AS hs FROM g),
+       |wn AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - ${w - 1}),
+       |        i -> list_min(hs[i:i+${w - 1}]))) AS fps FROM h WHERE len(hs) >= $w),
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM wn)""".stripMargin
+  }
+
   /** DuckDB mirror of [[DedupOps.simhashDup]] — chunk-bucket candidate
     * join with the mega-bucket cap, generated from the SAME
     * `DedupOps.Simhash*` constants so engine and oracle cannot
@@ -364,6 +381,27 @@ object Queries {
               |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
               |  round(1 - len(list_distinct(gs))::DOUBLE / len(gs), 4) AS dup_frac
               |FROM g WHERE len(gs) > 0 ORDER BY doc_id""".stripMargin)),
+
+    // winnowing (MOSS): per-window minima over k-gram hashes; the
+    // oracle reproduces the identical hash + window arithmetic from
+    // the shared TextAnalysisOps.Winnow* constants
+    "winnow_fingerprint" -> QueryDef(
+      (s, d) => TextAnalysisOps.winnowFingerprint(Tables.documents(s, d)),
+      Some(s"""$winnowFpCte
+              |SELECT doc_id, fp FROM f ORDER BY doc_id, fp""".stripMargin)),
+
+    // localized-overlap pairing on shared winnow fingerprints, with
+    // the boilerplate cap mirrored from the same constant
+    "winnow_overlap" -> QueryDef(
+      (s, d) => TextAnalysisOps.winnowOverlap(Tables.documents(s, d)),
+      Some(s"""$winnowFpCte,
+              |bounded AS (SELECT doc_id, fp FROM (
+              |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS nd FROM f)
+              |  WHERE nd <= ${TextAnalysisOps.WinnowMaxDocFreq})
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+              |FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= ${TextAnalysisOps.WinnowMinShared}
+              |ORDER BY a_id, b_id""".stripMargin)),
 
     "ngram_freq" -> QueryDef(
       (s, d) => TextAnalysisOps.ngramFreq(Tables.documents(s, d)),
@@ -846,6 +884,56 @@ object Queries {
              |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
              |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // distribution-rank windows, filtered on the ROUNDED cume_dist so
+    // a boundary order cannot flip between engines
+    "orders_pricerank" -> QueryDef(
+      (s, d) => RelationalOps.ordersPriceRank(Tables.orders(s, d)),
+      Some("""WITH r AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |    o_orderkey, o_totalprice,
+             |    round(percent_rank() OVER (PARTITION BY year(o_orderdate) ORDER BY o_totalprice), 6) AS pr,
+             |    round(cume_dist() OVER (PARTITION BY year(o_orderdate) ORDER BY o_totalprice), 6) AS cd
+             |  FROM orders)
+             |SELECT yr, o_orderkey, o_totalprice, pr, cd
+             |FROM r WHERE cd >= 0.99 ORDER BY yr, o_orderkey""".stripMargin)),
+
+    // RFM segmentation: decimal monetary sum so the fixed band edges
+    // are summation-order-independent at any SF
+    "customer_rfm" -> QueryDef(
+      (s, d) => RelationalOps.customerRfm(Tables.orders(s, d)),
+      Some("""WITH per AS (SELECT o_custkey,
+             |    strftime(max(o_orderdate), '%Y-%m-%d') AS last_order,
+             |    count(*) AS frequency,
+             |    sum(CAST(o_totalprice AS DECIMAL(15,2))) AS monetary
+             |  FROM orders GROUP BY o_custkey),
+             |b AS (SELECT
+             |    CASE WHEN frequency >= 20 THEN 'F3'
+             |         WHEN frequency >= 10 THEN 'F2' ELSE 'F1' END AS f_band,
+             |    CASE WHEN monetary >= 2000000 THEN 'M3'
+             |         WHEN monetary >= 500000 THEN 'M2' ELSE 'M1' END AS m_band,
+             |    last_order FROM per)
+             |SELECT f_band, m_band, count(*) AS n_customers,
+             |  max(last_order) AS latest_order
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // correlated EXISTS / NOT EXISTS through the SQL layer (plans as
+    // a left-semi + left-anti join pair)
+    "sql_exists_anti" -> QueryDef(
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.sql("""SELECT c_custkey, c_name FROM customer
+                |WHERE EXISTS (SELECT 1 FROM orders
+                |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+                |  AND NOT EXISTS (SELECT 1 FROM orders
+                |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
 
     // the oracle is the INDEPENDENT unbinned theta-join formulation —
     // a hash match proves the bin+refine decomposition loses no pairs

@@ -489,4 +489,50 @@ object RelationalOps {
       .select("p_brand", "brand_rank", "p_partkey", "p_retailprice")
       .orderBy("p_brand", "brand_rank")
   }
+
+  /** Distribution-rank windows: the top percentile of orders per year
+    * by cume_dist, with percent_rank alongside. Both are exact-ratio
+    * window functions — (rank-1)/(n-1) and rows_le/n — the same two
+    * IEEE divisions in any engine, rounded to 6 and FILTERED ON THE
+    * ROUNDED value so a boundary order can't flip between engines.
+    * One year-partition window exchange; the filter keeps ~1% of
+    * rows, so the result sort is small.
+    */
+  def ordersPriceRank(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("yr")).orderBy(col("o_totalprice").asc)
+    orders
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .where(col("cd") >= 0.99)
+      .orderBy("yr", "o_orderkey")
+  }
+
+  /** RFM-style customer segmentation: per-customer frequency /
+    * monetary aggregates banded by fixed thresholds, reported as
+    * segment counts with the segment's latest order date. Fixed-band
+    * thresholds (not ntile) keep it row-local after the one custkey
+    * aggregate — the scale-safe shape — and the 2-decimal-rounded
+    * monetary total makes the band edges bit-identical across
+    * engines. Two exchanges, both with map-side partials.
+    */
+  def customerRfm(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_custkey")
+      .agg(date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_order"),
+        count(lit(1)).as("frequency"),
+        // decimal sum: order-independent, so the band thresholds below
+        // cannot flip on summation order at any SF (the q10 lesson)
+        sum(col("o_totalprice").cast("decimal(15,2)")).as("monetary"))
+      .select(
+        when(col("frequency") >= 20, "F3")
+          .when(col("frequency") >= 10, "F2").otherwise("F1").as("f_band"),
+        when(col("monetary") >= 2000000, "M3")
+          .when(col("monetary") >= 500000, "M2").otherwise("M1").as("m_band"),
+        col("last_order"))
+      .groupBy("f_band", "m_band")
+      .agg(count(lit(1)).as("n_customers"),
+        max("last_order").as("latest_order"))
+      .orderBy("f_band", "m_band")
 }

@@ -223,4 +223,74 @@ object TextAnalysisOps {
       .orderBy(desc("cnt"), asc("ngram"))
       .limit(k)
   }
+
+  // ----- winnowing fingerprints (MOSS-style localized matching) -----
+
+  /** Winnowing constants, shared with the generated DuckDB oracle
+    * (the NtileBandSamplePct pattern): k-gram width, winnowing window
+    * (guarantee: any shared run of WinnowK + WinnowW - 1 words yields
+    * a shared fingerprint), pairing thresholds.
+    */
+  val WinnowK = 4
+  val WinnowW = 5
+  val WinnowMinShared = 5
+  val WinnowMaxDocFreq = 100
+
+  /** (doc_id, hs) where hs = cross-engine-stable hashes of the word
+    * k-grams — md5-prefix hashes, the same construction the oracle
+    * family already mirrors bit-for-bit in DuckDB.
+    */
+  private def kgramHashes(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val grams = graft.functions.NativeText.wordNgrams(
+      graft.functions.NativeText.tokens(col("text")), WinnowK)
+    docs.select(col("doc_id"),
+      transform(grams, g =>
+        conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("hs"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    * the distinct set of per-window minima over the k-gram hash
+    * stream — any match of at least WinnowK + WinnowW - 1 consecutive
+    * words between two documents is GUARANTEED to share a
+    * fingerprint, unlike MinHash (whole-document similarity) or the
+    * rolling fingerprint (whole-document identity). Fully row-local:
+    * the windows are an array transform over the per-doc hash array,
+    * zero exchanges before the result sort.
+    */
+  def winnowFingerprint(docs: DataFrame): DataFrame =
+    kgramHashes(docs)
+      .where(size(col("hs")) >= WinnowW)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - lit(WinnowW - 1)),
+          i => array_min(slice(col("hs"), i, lit(WinnowW)))))).as("fp"))
+      .orderBy("doc_id", "fp")
+
+  /** Localized-overlap pairing on shared winnowing fingerprints: an
+    * inverted-index equi-join on fp, counting shared fingerprints per
+    * pair. Fingerprints appearing in more than [[WinnowMaxDocFreq]]
+    * documents (boilerplate phrases — the quadratic risk) are dropped
+    * by a count window riding the join's own fp shuffle, the same cap
+    * mechanism as the minhash/simhash candidate joins; the oracle
+    * applies the identical cap from the shared constant.
+    */
+  def winnowOverlap(docs: DataFrame,
+                    minShared: Int = WinnowMinShared,
+                    maxDocFreq: Int = WinnowMaxDocFreq): DataFrame = {
+    val fps = kgramHashes(docs)
+      .where(size(col("hs")) >= WinnowW)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - lit(WinnowW - 1)),
+          i => array_min(slice(col("hs"), i, lit(WinnowW)))))).as("fp"))
+    val bounded = fps
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("nd") <= maxDocFreq)
+      .select("doc_id", "fp")
+    bounded.as("a").join(bounded.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("a_id", "b_id")
+  }
 }

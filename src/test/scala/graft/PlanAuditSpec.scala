@@ -157,4 +157,24 @@ class PlanAuditSpec extends AnyFunSuite {
     // fully row-local: the only exchange is the output orderBy
     assert(shuffles(q("repetition_score")) === 1)
   }
+
+  test("winnow_fingerprint: row-local windows, result sort is the only exchange") {
+    assert(shuffles(q("winnow_fingerprint")) === 1)
+  }
+
+  test("winnow_overlap: two fp windows + pair aggregate + result sort") {
+    // the self-join's two sides each compute the cap window (Catalyst
+    // never reuses subtrees) = 2 fp exchanges the join then rides;
+    // a 5th exchange means the join stopped reusing the window's
+    // partitioning
+    assert(shuffles(q("winnow_overlap")) === 4)
+  }
+
+  test("orders_pricerank: year window + result sort") {
+    assert(shuffles(q("orders_pricerank")) === 2)
+  }
+
+  test("customer_rfm: custkey agg + band agg + result sort") {
+    assert(shuffles(q("customer_rfm")) === 3)
+  }
 }

@@ -26,7 +26,9 @@ class RoundingStabilitySpec extends AnyFunSuite {
     // round-7 additions with FP aggregates or ratio columns
     "lineitem_stats", "price_histogram", "repetition_score",
     "events_zscore", "orders_yoy", "lineitem_hist_quantiles",
-    "q10_returns")
+    "q10_returns",
+    // round-8: distribution-rank windows filter on a rounded ratio
+    "orders_pricerank")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)
