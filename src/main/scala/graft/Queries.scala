@@ -835,6 +835,22 @@ object Queries {
              |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // date-partitioned layout + partition-pruned read: the day range
+    // resolves against directory names at plan time (7 of 30
+    // partitions opened — pinned by PlanAuditSpec); the oracle runs
+    // the same range over the flat parquet, proving the partitioned
+    // copy loses nothing
+    "events_partition_pruned" -> QueryDef(
+      (s, d) => graft.sources.Partitioning.eventsPartitionPruned(s, d),
+      Some(s"""WITH e AS (SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |    event_type, value FROM events)
+             |SELECT day, event_type, count(*) AS n,
+             |  round(sum(value), 4) AS sum_value
+             |FROM e
+             |WHERE day >= '${graft.sources.Partitioning.PruneDayFrom}'
+             |  AND day <= '${graft.sources.Partitioning.PruneDayTo}'
+             |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin)),
+
     "part_topk" -> QueryDef(
       (s, d) => RelationalOps.partTopk(Tables.part(s, d)),
       Some("""WITH r AS (SELECT p_brand, p_partkey, p_retailprice,
@@ -896,6 +912,28 @@ object Queries {
              |  FROM orders)
              |SELECT yr, o_orderkey, o_totalprice, pr, cd
              |FROM r WHERE cd >= 0.99 ORDER BY yr, o_orderkey""".stripMargin)),
+
+    // scale-safe pricerank companion: deterministic 5% hash-sample,
+    // exact per-year P99 on the sample, broadcast threshold,
+    // row-local top-band filter — no per-year total sort (the exact
+    // percent_rank/cume_dist 100 TB wall)
+    "orders_pricerank_banded" -> QueryDef(
+      (s, d) => RelationalOps.ordersPriceRankBanded(Tables.orders(s, d)),
+      Some(s"""WITH base AS (SELECT o_orderkey, o_totalprice,
+             |          CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
+             |samp AS (SELECT yr, o_totalprice FROM base
+             |      WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::UBIGINT % 100 < ${RelationalOps.NtileBandSamplePct}),
+             |b AS (SELECT yr, round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+             |      FROM samp GROUP BY yr),
+             |t AS (SELECT base.yr, o_totalprice, p99
+             |      FROM base LEFT JOIN b ON base.yr = b.yr
+             |      WHERE p99 IS NULL OR o_totalprice >= p99)
+             |SELECT yr, round(max(p99), 4) AS p99_threshold,
+             |  count(*) AS n_top,
+             |  round(min(o_totalprice), 2) AS min_price,
+             |  round(max(o_totalprice), 2) AS max_price,
+             |  round(avg(o_totalprice), 4) AS avg_price
+             |FROM t GROUP BY yr ORDER BY yr""".stripMargin)),
 
     // RFM segmentation: decimal monetary sum so the fixed band edges
     // are summation-order-independent at any SF
@@ -1060,9 +1098,25 @@ object Queries {
              |ORDER BY event_type, day""".stripMargin)),
 
     // HLL++ sketch values are implementation-specific: rows-only check
+    // approximate distinct users, re-expressed over the DETERMINISTIC
+    // KMV sketch (was HLL / rows-only): same estimator class, but
+    // reproducible bit-for-bit, so it is hash-gated like every other
+    // row. The HLL form stays as EventsOps.approxDistinctUsers,
+    // error-bounded against the exact count in EventsSpec.
     "events_approx_users" -> QueryDef(
-      (s, d) => EventsOps.approxDistinctUsers(Tables.events(s, d)),
-      None),
+      (s, d) => EventsOps.kmvDistinctUsers(Tables.events(s, d)),
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |    (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::DOUBLE AS h
+             |  FROM events),
+             |r AS (SELECT event_type, h,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+             |      FROM h),
+             |t AS (SELECT event_type, max(h) AS theta, count(*) AS m
+             |      FROM r WHERE rnk <= 64 GROUP BY event_type)
+             |SELECT event_type,
+             |  CAST(CASE WHEN m < 64 THEN m
+             |       ELSE round(63.0 / (theta / 1152921504606846976.0)) END AS BIGINT) AS approx_users
+             |FROM t ORDER BY event_type""".stripMargin)),
 
     // the deterministic sketch: KMV over md5 hashes — every bit
     // reproducible, so unlike HLL this sketch is hash-gated

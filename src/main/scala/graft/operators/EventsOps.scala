@@ -176,6 +176,27 @@ object EventsOps {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .orderBy("event_type")
 
+  /** Approximate distinct USERS per event type via the deterministic
+    * KMV sketch (the [[kmvDistinctEventsAgg]] shape keyed on user_id
+    * instead of event_id): md5-hash the user ids, fold into the
+    * k-bounded [[graft.functions.expressions.KmvDistinctEstimate]]
+    * buffer — ONE exchange carrying at most k values per (group, map
+    * task). Same estimator quality class as the HLL form
+    * ([[approxDistinctUsers]], rsd ≈ 1/√(k-2) at this k) but every
+    * bit reproducible in any engine, so this sketch is hash-gated by
+    * the DuckDB oracle rather than rows-only.
+    */
+  def kmvDistinctUsers(events: DataFrame, k: Int = 64): DataFrame = {
+    graft.functions.SketchFunctions.register(events.sparkSession)
+    events
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("double").as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.SketchFunctions.kmvEst(col("h"), k).as("approx_users"))
+      .orderBy("event_type")
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per event type —
     * the DETERMINISTIC sketch: hash event ids with md5 (full 60-bit
     * values, reproducible in any engine), keep the k smallest

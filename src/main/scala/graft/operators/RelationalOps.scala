@@ -509,6 +509,47 @@ object RelationalOps {
       .orderBy("yr", "o_orderkey")
   }
 
+  /** Scale-safe companion to [[ordersPriceRank]] (the
+    * [[ordersNtileBanded]] pattern, applied to the top tail): exact
+    * percent_rank/cume_dist need a total order per year partition —
+    * at 100× each year sorts on ONE task. Instead, take the same
+    * deterministic [[NtileBandSamplePct]]% md5 hash-sample, compute
+    * an EXACT interpolated per-year P99 threshold on the small
+    * sample, broadcast the |years|-row threshold table, and keep the
+    * top band with a row-local comparison — one sample scan + one
+    * filtering scan, no sort anywhere, and the surviving ~1% of rows
+    * feed a bounded per-year aggregate. The threshold rounds to 4
+    * decimals (quarter-cent grid, exactly representable) so both
+    * engines cut at bit-identical values; the oracle is generated
+    * from the same constants. Thresholds are LEFT-joined and a year
+    * missing from the hash-sample falls through to "everything is
+    * top band" (NULL threshold → keep), mirroring ntile-banded's
+    * band-4 fallthrough: sparse years stay in the output with their
+    * full row count instead of silently vanishing.
+    */
+  def ordersPriceRankBanded(orders: DataFrame): DataFrame = {
+    val samplePct = NtileBandSamplePct
+    val base = orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    val hashBucket = pmod(
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(100L))
+    val thresholds = base.where(hashBucket < samplePct)
+      .groupBy("yr")
+      .agg(round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+    base.join(broadcast(thresholds), Seq("yr"), "left")
+      .where(col("p99").isNull || col("o_totalprice") >= col("p99"))
+      .groupBy("yr")
+      .agg(round(max(col("p99")), 4).as("p99_threshold"),
+        count(lit(1)).as("n_top"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("yr")
+  }
+
   /** RFM-style customer segmentation: per-customer frequency /
     * monetary aggregates banded by fixed thresholds, reported as
     * segment counts with the segment's latest order date. Fixed-band

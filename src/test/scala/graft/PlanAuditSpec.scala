@@ -177,4 +177,27 @@ class PlanAuditSpec extends AnyFunSuite {
   test("customer_rfm: custkey agg + band agg + result sort") {
     assert(shuffles(q("customer_rfm")) === 3)
   }
+
+  test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
+    // the 100 TB read-path claim: a partition-column predicate must
+    // resolve against directory names at plan time, not filter rows
+    // after a full scan. The fixture has 30 day= directories; the
+    // PruneDayFrom..PruneDayTo week must select exactly 7.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = q("events_partition_pruned")
+    // collect on the pre-adaptive plan: AdaptiveSparkPlanExec hides
+    // its input plan from executedPlan.collect until execution
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size === 1, "expected exactly one file scan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the day predicate must plan as a partition filter, not a data filter")
+    val selected = scan.selectedPartitions.partitionCount
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(total === 30, s"fixture must have 30 day partitions, saw $total")
+    assert(selected === 7,
+      s"the one-week range must prune to 7 partitions, saw $selected")
+  }
 }

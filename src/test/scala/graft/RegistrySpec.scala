@@ -22,7 +22,7 @@ class RegistrySpec extends AnyFunSuite {
     val names = Queries.registry.map(_._1).toSet
     assert(Queries.oracleSql.keySet.subsetOf(names))
     val rowsOnly = names -- Queries.oracleSql.keySet
-    assert(rowsOnly === Set("coded_shuffle_sim", "events_approx_users"),
+    assert(rowsOnly === Set("coded_shuffle_sim"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

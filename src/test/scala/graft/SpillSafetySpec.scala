@@ -77,6 +77,25 @@ class SpillSafetySpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_overlap is spill-safe (fp doc-freq cap window)") {
+    // fixture fp buckets hold 1-2 docs; the bucket that matters at
+    // scale is a boilerplate fingerprint shared by MANY docs. 60
+    // copies of one real document put each of its fingerprints in 61
+    // docs — under the WinnowMaxDocFreq=100 cap (so the rows survive
+    // to be buffered) but far past the forced 16-row threshold, so
+    // the cap's count window must spill the fp group and still emit
+    // the identical 61-choose-2 pair set
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, TestSpark.Sf0001).select("doc_id", "text")
+    val one = base.where(length(col("text")) > 200).orderBy("doc_id")
+      .limit(1).select(col("text"))
+    val copies = spark.range(1000000L, 1000060L).crossJoin(one)
+      .select(col("id").as("doc_id"), col("text"))
+    assertSpillSafe("winnow_overlap") {
+      graft.operators.TextAnalysisOps.winnowOverlap(base.union(copies))
+    }
+  }
+
   test("near_dedup_minhash is spill-safe (band-bucket count window)") {
     // fixture band buckets hold 1-2 docs — too small to ever buffer;
     // the bucket that matters at scale is a DENSE one, so append 60
