@@ -557,6 +557,14 @@ object RelationalOps {
     * aggregate — the scale-safe shape — and the 2-decimal-rounded
     * monetary total makes the band edges bit-identical across
     * engines. Two exchanges, both with map-side partials.
+    *
+    * The band thresholds (frequency 10/20, monetary 500k/2M) are
+    * calibrated to the fixture's order-per-customer density, not
+    * scale-free: at a very different SF most customers land in one
+    * band. Correctness is unaffected (the oracle shares the
+    * constants); re-tune the cutoffs — or derive them with the
+    * [[ordersNtileBanded]] sampled-bounds pattern — before reading
+    * the segmentation at another scale.
     */
   def customerRfm(orders: DataFrame): DataFrame =
     orders

@@ -196,6 +196,86 @@ class SqlParitySpec extends AnyFunSuite {
         |ORDER BY custkey""".stripMargin)
   }
 
+  test("session_records via SQL (session-grain records)") {
+    assertParity("session_records",
+      """WITH base AS (SELECT user_id, event_id, ts div 1000000 AS ms FROM events),
+        |f AS (SELECT user_id, event_id, ms,
+        |    CASE WHEN lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) IS NULL
+        |           OR ms - lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) > 1800000
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+        |  FROM base),
+        |g AS (SELECT user_id, ms,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, min(ms) AS session_start_ms, count(*) AS n_events,
+        |  max(ms) - min(ms) AS span_ms
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_ms""".stripMargin)
+  }
+
+  test("winnow_fingerprint via SQL (graft_word_ngrams in SQL)") {
+    import graft.operators.TextAnalysisOps.{WinnowK, WinnowW}
+    assertParity("winnow_fingerprint",
+      s"""WITH h AS (SELECT doc_id,
+         |    transform(graft_word_ngrams(graft_tokenize(text), $WinnowK),
+         |      g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)) AS hs
+         |  FROM documents)
+         |SELECT doc_id, fp FROM (
+         |  SELECT doc_id, explode(array_distinct(
+         |      transform(sequence(1, size(hs) - ${WinnowW - 1}),
+         |        i -> array_min(slice(hs, i, $WinnowW))))) AS fp
+         |  FROM h WHERE size(hs) >= $WinnowW)
+         |ORDER BY doc_id, fp""".stripMargin)
+  }
+
+  test("customer_rfm via SQL (decimal-banded segmentation)") {
+    assertParity("customer_rfm",
+      """WITH per AS (SELECT o_custkey,
+        |    date_format(max(o_orderdate), 'yyyy-MM-dd') AS last_order,
+        |    count(*) AS frequency,
+        |    sum(CAST(o_totalprice AS DECIMAL(15,2))) AS monetary
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT f_band, m_band, count(*) AS n_customers,
+        |  max(last_order) AS latest_order
+        |FROM (SELECT
+        |    CASE WHEN frequency >= 20 THEN 'F3'
+        |         WHEN frequency >= 10 THEN 'F2' ELSE 'F1' END AS f_band,
+        |    CASE WHEN monetary >= 2000000 THEN 'M3'
+        |         WHEN monetary >= 500000 THEN 'M2' ELSE 'M1' END AS m_band,
+        |    last_order FROM per)
+        |GROUP BY f_band, m_band ORDER BY f_band, m_band""".stripMargin)
+  }
+
+  test("orders_pricerank via SQL (distribution-rank windows)") {
+    assertParity("orders_pricerank",
+      """WITH r AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    o_orderkey, o_totalprice,
+        |    round(percent_rank() OVER (PARTITION BY year(o_orderdate) ORDER BY o_totalprice ASC), 6) AS pr,
+        |    round(cume_dist() OVER (PARTITION BY year(o_orderdate) ORDER BY o_totalprice ASC), 6) AS cd
+        |  FROM orders)
+        |SELECT yr, o_orderkey, o_totalprice, pr, cd
+        |FROM r WHERE cd >= 0.99 ORDER BY yr, o_orderkey""".stripMargin)
+  }
+
+  test("orders_pricerank_banded via SQL (sampled P99 top band)") {
+    assertParity("orders_pricerank_banded",
+      s"""WITH base AS (SELECT o_orderkey, o_totalprice,
+         |          CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
+         |samp AS (SELECT yr, o_totalprice FROM base
+         |      WHERE pmod(CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT), 100L) < ${RelationalOps.NtileBandSamplePct}),
+         |b AS (SELECT yr, round(percentile(o_totalprice, 0.99), 4) AS p99
+         |      FROM samp GROUP BY yr)
+         |SELECT base.yr AS yr, round(max(p99), 4) AS p99_threshold,
+         |  count(*) AS n_top,
+         |  round(min(o_totalprice), 2) AS min_price,
+         |  round(max(o_totalprice), 2) AS max_price,
+         |  round(avg(o_totalprice), 4) AS avg_price
+         |FROM base LEFT JOIN b ON base.yr = b.yr
+         |WHERE p99 IS NULL OR o_totalprice >= p99
+         |GROUP BY base.yr ORDER BY yr""".stripMargin)
+  }
+
   test("near_dedup_minhash via SQL (graft_minhash_sig through the extension point)") {
     // graft_minhash_sig is injected by GraftExtensions / the operator's
     // temp registration — prove the banded-LSH signature itself is
