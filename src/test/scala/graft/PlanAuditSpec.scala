@@ -178,6 +178,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(q("customer_rfm")) === 3)
   }
 
+  test("orders_pricerank_banded: sampled threshold broadcast, no sort or window on the fact table") {
+    val df = q("orders_pricerank_banded")
+    val plan = df.queryExecution.executedPlan.toString
+    // sample percentile agg + final per-year agg + result sort
+    assert(shuffles(df) === 3)
+    assert(plan.contains("BroadcastExchange"),
+      "the |years|-row threshold table must broadcast")
+    assert(!plan.contains("Window"),
+      "the banded form must not fall back to a rank window")
+    // the only Sort is the bounded post-aggregate result sort (range
+    // exchange); a Sort feeding anything else means a total order
+    // sneaked back in front of the fact scan
+    val sortLines = plan.linesIterator.count(_.trim.startsWith("+- Sort"))
+    assert(sortLines <= 1, s"unexpected extra Sort:\n$plan")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows
