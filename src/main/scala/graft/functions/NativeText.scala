@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{ExpressionArgs, RollingFingerprintExpr, SimHashSignature, Tokenize, WordNgramsExpr}
+import graft.functions.expressions.{ExpressionArgs, RollingFingerprintExpr, SimHashSignature, Tokenize, WinnowFingerprintsExpr, WordNgramsExpr}
 
 /** Column API over the native text expressions
   * ([[graft.functions.expressions]]). Output-equivalent to
@@ -16,6 +16,7 @@ object NativeText {
   val NgramsName      = "graft_word_ngrams"
   val FingerprintName = "graft_rolling_fp"
   val SimHashName     = "graft_simhash"
+  val WinnowFpName    = "graft_winnow_fp"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -30,6 +31,10 @@ object NativeText {
     reg.createOrReplaceTempFunction(
       SimHashName,
       es => SimHashSignature(es(0), ExpressionArgs.literalInt(es(1), SimHashName)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      WinnowFpName,
+      es => WinnowFingerprintsExpr(es(0), ExpressionArgs.literalInt(es(1), WinnowFpName)),
       "scala_udf")
   }
 
@@ -50,4 +55,10 @@ object NativeText {
   /** SimHash fingerprint (`bits` wide) over the token array. */
   def simhashSig(toks: Column, bits: Int): Column =
     call_function(SimHashName, toks, lit(bits))
+
+  /** Distinct winnowing fingerprints (window `w` minima of md5-prefix
+    * hashes) over a k-gram array; empty below `w` grams.
+    */
+  def winnowFp(grams: Column, w: Int): Column =
+    call_function(WinnowFpName, grams, lit(w))
 }

@@ -236,17 +236,22 @@ object TextAnalysisOps {
   val WinnowMinShared = 5
   val WinnowMaxDocFreq = 100
 
-  /** (doc_id, hs) where hs = cross-engine-stable hashes of the word
-    * k-grams — md5-prefix hashes, the same construction the oracle
-    * family already mirrors bit-for-bit in DuckDB.
+  /** (doc_id, fp) winnowing fingerprints — the native one-pass
+    * [[graft.functions.expressions.WinnowFingerprintsExpr]] (md5
+    * prefix read off the digest bytes + monotonic-deque window
+    * minima), bit-identical to the composed
+    * `array_distinct(transform(sequence, i -> array_min(slice)))`
+    * over `conv(substring(md5(g),1,15),16,10)` hashes that the DuckDB
+    * oracle and the SQL parity test still compute independently.
+    * Documents with fewer than [[WinnowW]] grams produce an empty
+    * array, which the explode drops.
     */
-  private def kgramHashes(docs: DataFrame): DataFrame = {
+  private def docFingerprints(docs: DataFrame): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     val grams = graft.functions.NativeText.wordNgrams(
       graft.functions.NativeText.tokens(col("text")), WinnowK)
     docs.select(col("doc_id"),
-      transform(grams, g =>
-        conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("hs"))
+      explode(graft.functions.NativeText.winnowFp(grams, WinnowW)).as("fp"))
   }
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
@@ -259,11 +264,7 @@ object TextAnalysisOps {
     * zero exchanges before the result sort.
     */
   def winnowFingerprint(docs: DataFrame): DataFrame =
-    kgramHashes(docs)
-      .where(size(col("hs")) >= WinnowW)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("hs")) - lit(WinnowW - 1)),
-          i => array_min(slice(col("hs"), i, lit(WinnowW)))))).as("fp"))
+    docFingerprints(docs)
       .orderBy("doc_id", "fp")
 
   /** Localized-overlap pairing on shared winnowing fingerprints: an
@@ -277,11 +278,7 @@ object TextAnalysisOps {
   def winnowOverlap(docs: DataFrame,
                     minShared: Int = WinnowMinShared,
                     maxDocFreq: Int = WinnowMaxDocFreq): DataFrame = {
-    val fps = kgramHashes(docs)
-      .where(size(col("hs")) >= WinnowW)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("hs")) - lit(WinnowW - 1)),
-          i => array_min(slice(col("hs"), i, lit(WinnowW)))))).as("fp"))
+    val fps = docFingerprints(docs)
     val bounded = fps
       .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .where(col("nd") <= maxDocFreq)

@@ -51,6 +51,31 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native winnow fingerprints equal the composed HOF formulation") {
+    import graft.functions.NativeText
+    import graft.operators.TextAnalysisOps.{WinnowK, WinnowW}
+    NativeText.register(spark)
+    // edge docs: below W grams (empty), exactly W, duplicate-heavy
+    // (dedup order), plus the full fixture corpus
+    val edge = Seq("one two three", "a b c d e f g h",
+      "x x x x x x x x x x", "tie tie tie tie a tie tie tie tie")
+    val fixture = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val grams = NativeText.wordNgrams(NativeText.tokens(col("text")), WinnowK)
+    val composedHs = transform(grams, g =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val cmp = (edge ++ fixture).toDF("text").select(
+      NativeText.winnowFp(grams, WinnowW).as("nat"),
+      when(size(composedHs) >= WinnowW, array_distinct(
+        transform(sequence(lit(1), size(composedHs) - lit(WinnowW - 1)),
+          i => array_min(slice(composedHs, i, lit(WinnowW))))))
+        .otherwise(array().cast("array<long>")).as("ref"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+        "native winnow must match the composed formulation bit-for-bit, in order")
+    }
+  }
+
   test("native simhash signature equals the HOF reference formulation") {
     import graft.functions.NativeText
     NativeText.register(spark)
