@@ -851,6 +851,20 @@ object Queries {
              |  AND day <= '${graft.sources.Partitioning.PruneDayTo}'
              |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin)),
 
+    // dynamic partition pruning: the day set comes from a runtime
+    // dim aggregate (days with a high-value purchase), so the fact
+    // scan prunes via a dynamicpruning subquery instead of a literal
+    // range (mechanism pinned in RuntimeFilterSpec)
+    "events_dpp_join" -> QueryDef(
+      (s, d) => graft.sources.Partitioning.eventsDppJoin(s, d),
+      Some(s"""WITH e AS (SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |    event_type, value FROM events),
+             |hot AS (SELECT DISTINCT day FROM e
+             |        WHERE event_type = 'purchase' AND value > ${graft.sources.Partitioning.DppHotValue})
+             |SELECT day, count(*) AS n, round(sum(value), 4) AS sum_value
+             |FROM e JOIN hot USING (day)
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
     "part_topk" -> QueryDef(
       (s, d) => RelationalOps.partTopk(Tables.part(s, d)),
       Some("""WITH r AS (SELECT p_brand, p_partkey, p_retailprice,

@@ -63,4 +63,33 @@ object Partitioning {
       .groupBy("day", "event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("day", "event_type")
+
+  /** Dim-side value threshold for [[eventsDppJoin]]'s hot-day set;
+    * the DuckDB oracle is generated from the same constant.
+    */
+  val DppHotValue = 0.9
+
+  /** Dynamic-partition-pruning shape over the partitioned layout:
+    * per-day event stats restricted to the days that saw a
+    * high-value purchase — a dimension only known at RUNTIME, so
+    * unlike [[eventsPartitionPruned]]'s literal range the pruning
+    * filter is a `dynamicpruning` subquery: Catalyst runs the tiny
+    * dim aggregate first and prunes the fact directories with its
+    * result (RuntimeFilterSpec pins the mechanism; at 100 TB this is
+    * "scan 4 hot days, not the month" without any literal in the
+    * query). The dim side derives from the FLAT table, stays
+    * |days|-row, and broadcasts.
+    */
+  def eventsDppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val hotDays = graft.Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase" && col("value") > DppHotValue)
+      .select(date_format(date_trunc("day",
+        timestamp_millis(expr("ts div 1000000"))), "yyyy-MM-dd").as("day"))
+      .distinct()
+    partitionedEvents(spark, sfDir)
+      .join(broadcast(hotDays), Seq("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("day")
+  }
 }
