@@ -7,7 +7,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.expressions.{MinHashSignature, RollingFingerprintExpr, SimHashSignature, Tokenize, WordNgramsExpr}
+import graft.functions.expressions.{MinHashSignature, RollingFingerprintExpr, SimHashSignature, Tokenize, WinnowFingerprintsExpr, WordNgramsExpr}
 
 /** Property-based checks of the native expressions via direct
   * Catalyst `eval` (no Spark jobs — thousands of cases per second).
@@ -103,5 +103,38 @@ object ExpressionProperties extends Properties("graft.expressions") {
     forAll(wordList) { ws =>
       simsig(ws, 32) == simsig(scala.util.Random.shuffle(ws), 32) &&
         simsig(ws ++ ws, 32) == simsig(ws, 32)
+    }
+
+  private def winnow(xs: Seq[String], w: Int): Seq[Long] =
+    WinnowFingerprintsExpr(strArrayLit(xs), w)
+      .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+
+  /** The naive model: md5-prefix-60-bit hash per gram, min of every
+    * length-`w` window, distinct in first-occurrence order.
+    */
+  private def winnowModel(xs: Seq[String], w: Int): Seq[Long] = {
+    if (xs.length < w) return Seq.empty
+    val hs = xs.map { g =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    hs.sliding(w).map(_.min).toSeq.distinct
+  }
+
+  property("winnow fingerprints equal the sliding-min model") =
+    forAll(wordList, Gen.choose(1, 6)) { (ws, w) =>
+      winnow(ws, w) == winnowModel(ws, w)
+    }
+
+  property("winnowing guarantee: a shared w-gram run shares a fingerprint") =
+    forAll(wordList, wordList, wordList,
+      Gen.listOfN(6, Gen.alphaLowerChar.map(_.toString))) { (a, b, c, run) =>
+      // any two documents containing the same w consecutive grams
+      // must share at least one fingerprint (w = 5 < run length 6)
+      val d1 = winnow(a ++ run ++ b, 5).toSet
+      val d2 = winnow(c ++ run, 5).toSet
+      d1.intersect(d2).nonEmpty
     }
 }
