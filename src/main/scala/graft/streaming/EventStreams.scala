@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming variants of the events analytics: the same
@@ -213,4 +213,29 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
   }
+
+  /** Continuous ingestion into the date-partitioned layout: append
+    * each micro-batch under `day=YYYY-MM-DD/` directories — the
+    * EXACT layout [[graft.sources.Partitioning]]'s batch readers
+    * prune ([[graft.sources.Partitioning.eventsPartitionPruned]]
+    * statically, [[graft.sources.Partitioning.eventsDppJoin]] via
+    * DPP). The day derives from the nanos `ts` with the same integer
+    * ms math as the batch writer, so a pipeline can tail a live
+    * event log into the lake and the day's directory closes itself:
+    * at 100 TB the streaming sink IS the partitioned table's writer,
+    * and exactly-once comes from the checkpoint + the parquet sink's
+    * transactional file manifest (_spark_metadata).
+    */
+  def writeEventsPartitionedByDay(events: DataFrame, outDir: String,
+                                  checkpointDir: String): StreamingQuery =
+    events
+      .withColumn("day", date_format(date_trunc("day",
+        timestamp_millis(expr("ts div 1000000"))), "yyyy-MM-dd"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("day")
+      .outputMode("append")
+      .start()
 }

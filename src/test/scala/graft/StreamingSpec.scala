@@ -56,6 +56,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming partitioned sink writes the layout the batch engine prunes") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-events-bydate-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-events-bydate-ckpt")
+    val q = EventStreams.writeEventsPartitionedByDay(
+      EventStreams.readEventsStream(spark, eventsDir),
+      outDir.toString, ckpt.toString)
+    try { q.processAllAvailable() } finally { q.stop() }
+    // the sink must emit day= directories, not flat files
+    val dayDirs = new java.io.File(outDir.toString).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("day="))
+    assert(dayDirs.nonEmpty, "expected day= partition directories")
+    // read back through the batch partitioned-read path (explicit
+    // schema, day as string) and compare per-day counts to batch
+    val schema = Tables.events(spark, TestSpark.Sf0001).schema
+      .add("day", org.apache.spark.sql.types.StringType)
+    val streamed = spark.read.schema(schema).parquet(outDir.toString)
+    val perDay = streamed.groupBy("day").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.timestamp_millis(
+            org.apache.spark.sql.functions.expr("ts div 1000000"))),
+        "yyyy-MM-dd").as("day")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDay === batch)
+    // and a day-range filter on the STREAMED layout prunes the scan
+    import org.apache.spark.sql.functions.col
+    val pruned = streamed.where(col("day") === dayDirs.head.stripPrefix("day="))
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.head.partitionFilters.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 1,
+      "the single-day filter must prune the streamed layout to one directory")
+  }
+
   test("streaming dedup drops replayed duplicates") {
     // stage the same fixture TWICE: an at-least-once replay
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
