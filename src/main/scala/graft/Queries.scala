@@ -505,6 +505,20 @@ object Queries {
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(lower(text)) AS fp
              |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin)),
 
+    // incremental dedup: dedup the incoming (odd-id) batch against
+    // the already-ingested (even-id) corpus — batch collapses to one
+    // row per digest before the left-anti join on fp
+    "incremental_dedup" -> QueryDef(
+      (s, d) => DedupOps.incrementalDedup(Tables.documents(s, d)),
+      Some("""WITH b AS (SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id,
+             |         count(*) AS n_copies
+             |       FROM documents WHERE doc_id % 2 = 1 GROUP BY fp)
+             |SELECT keep_id, n_copies, fp FROM b
+             |WHERE NOT EXISTS (SELECT 1 FROM documents c
+             |                  WHERE c.doc_id % 2 = 0
+             |                    AND md5(lower(c.text)) = b.fp)
+             |ORDER BY keep_id""".stripMargin)),
+
     "near_dedup_jaccard" -> QueryDef(
       (s, d) => DedupOps.nearDupJaccard(Tables.documents(s, d)),
       Some(jaccardOracle)),

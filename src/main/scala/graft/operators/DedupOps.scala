@@ -59,6 +59,32 @@ object DedupOps {
       .select("keep_id", "n_copies", "fp")
       .orderBy("keep_id")
 
+  /** Incremental exact dedup: dedup an INCOMING batch against an
+    * already-ingested corpus — the shape a continuously-fed training
+    * pipeline actually runs (the full-corpus [[exactDedup]] re-scan
+    * is the bootstrap, not the steady state). The corpus side
+    * contributes only its digest column (at scale: the stored
+    * fingerprint index, not the documents); the batch is collapsed
+    * to one row per digest FIRST (partial-agg before any join), then
+    * a left-anti join on the digest drops everything the corpus has
+    * seen. Both sides exchange on fp once and AQE picks the join
+    * strategy from the (index, batch) runtime sizes — at 100 TB the
+    * corpus index is the big side, the day's batch the small one.
+    * Demonstrated on the fixture by parity-splitting `documents`:
+    * even doc_ids = corpus, odd = incoming.
+    */
+  def incrementalDedup(docs: DataFrame): DataFrame = {
+    val corpusFps = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(md5(lower(col("text"))).as("fp"))
+    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(md5(lower(col("text"))).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select("keep_id", "n_copies", "fp")
+      .orderBy("keep_id")
+  }
+
   /** (doc_id, shingles array) — the shared dedup input. Native
     * tokenize + n-gram expressions (hot path at scale).
     */

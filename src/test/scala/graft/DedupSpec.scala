@@ -21,6 +21,22 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.map(_.getLong(1)).sum === total)
   }
 
+  test("incremental dedup: batch survivors are unseen by the corpus and collapsed") {
+    import org.apache.spark.sql.functions._
+    val survivors = DedupOps.incrementalDedup(docs).collect()
+    assert(survivors.nonEmpty)
+    val corpusFps = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(md5(lower(col("text")))).collect().map(_.getString(0)).toSet
+    val batchIds = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // no survivor digest exists in the corpus; every keeper is a
+    // batch doc; survivor digests are unique (within-batch collapse)
+    val fps = survivors.map(_.getString(2))
+    assert(fps.forall(fp => !corpusFps.contains(fp)))
+    assert(survivors.map(_.getLong(0)).forall(batchIds.contains))
+    assert(fps.distinct.length === fps.length)
+  }
+
   test("simhash is stable and near-dup pairs agree on most bits") {
     val sh = DedupOps.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
