@@ -45,5 +45,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_kmv_est", "KMV distinct-count estimate aggregate"),
       exprs => KmvDistinctEstimate(exprs(0),
         ExpressionArgs.literalInt(exprs(1), "graft_kmv_est"))))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "simhash fingerprint of a token array"),
+      exprs => SimHashSignature(exprs(0),
+        ExpressionArgs.literalInt(exprs(1), "graft_simhash"))))
+    e.injectFunction((FunctionIdentifier("graft_winnow_fp"),
+      info("graft_winnow_fp", "distinct winnowing fingerprints of a k-gram array"),
+      exprs => WinnowFingerprintsExpr(exprs(0),
+        ExpressionArgs.literalInt(exprs(1), "graft_winnow_fp"))))
+    e.injectFunction((FunctionIdentifier("graft_hist_quantile"),
+      info("graft_hist_quantile", "fixed-grid histogram quantile aggregate"),
+      exprs => HistQuantile(exprs(0),
+        ExpressionArgs.literalDouble(exprs(1), "graft_hist_quantile"),
+        ExpressionArgs.literalDouble(exprs(2), "graft_hist_quantile"),
+        ExpressionArgs.literalInt(exprs(3), "graft_hist_quantile"),
+        ExpressionArgs.literalDouble(exprs(4), "graft_hist_quantile"))))
   }
 }
