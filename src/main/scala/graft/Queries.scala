@@ -1126,6 +1126,19 @@ object Queries {
              |ORDER BY event_type, day""".stripMargin)),
 
     // HLL++ sketch values are implementation-specific: rows-only check
+    // 7-day moving average over the daily rollup — the window rides
+    // the |types|x|days| aggregate, never the event stream
+    "events_moving_avg" -> QueryDef(
+      (s, d) => EventsOps.movingAvgDaily(Tables.events(s, d)),
+      Some("""WITH daily AS (SELECT event_type,
+             |    strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |    count(*) AS n, round(sum(value), 4) AS sum_value
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, n, sum_value,
+             |  round(avg(sum_value) OVER (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+             |FROM daily ORDER BY event_type, day""".stripMargin)),
+
     // approximate distinct users, re-expressed over the DETERMINISTIC
     // KMV sketch (was HLL / rows-only): same estimator class, but
     // reproducible bit-for-bit, so it is hash-gated like every other

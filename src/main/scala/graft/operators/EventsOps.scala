@@ -82,6 +82,27 @@ object EventsOps {
       .orderBy("user_id", "session_start_ms")
   }
 
+  /** 7-day moving average of daily value totals per event type — the
+    * time-series smoothing shape. The lag window rides the
+    * |types|×|days| DAILY AGGREGATE (the [[graft.operators
+    * .RelationalOps.ordersYoy]] pattern), never the event stream:
+    * one fact exchange for the daily rollup, then a bounded window
+    * whose partitions are |days| rows each. The window input
+    * `sum_value` is pre-rounded to 4 decimals so both engines
+    * average identical operands over the identical ROWS frame.
+    */
+  def movingAvgDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .withColumn("day", date_format(date_trunc("day", timestamp_millis(tsMs)), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("ma7", round(avg(col("sum_value")).over(w), 4))
+      .orderBy("event_type", "day")
+  }
+
   /** JSON property extraction + aggregation: average of `props.$.k`
     * per event type. The engine path uses `get_json_object`.
     */

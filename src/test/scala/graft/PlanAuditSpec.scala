@@ -194,6 +194,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sortLines <= 1, s"unexpected extra Sort:\n$plan")
   }
 
+  test("incremental_dedup: batch digest agg + anti join + result sort") {
+    // batch collapses to one row per digest BEFORE the anti join (a
+    // lost partial agg would shuffle raw batch rows = 3rd exchange);
+    // at fixture scale the corpus digest column broadcasts into the
+    // anti join (AQE flips it to a shuffled join when the index
+    // outgrows the threshold — the AqeJoinStrategySpec axis), so the
+    // plan is the batch agg exchange + the result sort only
+    assert(shuffles(q("incremental_dedup")) === 2)
+  }
+
+  test("events_moving_avg: window rides the daily aggregate, never the stream") {
+    // daily rollup exchange + the window's (re-)partition + result
+    // sort; the window input is the |types|x|days| aggregate
+    assert(shuffles(q("events_moving_avg")) === 3)
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows
