@@ -1092,6 +1092,29 @@ object Queries {
              |FROM g GROUP BY user_id, session_id
              |ORDER BY user_id, session_start_ms""".stripMargin)),
 
+    // the same session records through Spark's BUILT-IN session_window
+    // merging aggregate (one user_id exchange) — pairs with the
+    // lag+cumsum form the way the KMV window/UDAF pair does, sharing
+    // one oracle
+    "session_window_records" -> QueryDef(
+      (s, d) => EventsOps.sessionRecordsViaSessionWindow(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+             |d AS (SELECT user_id, ms, count(*) AS n FROM e GROUP BY 1, 2),
+             |f AS (SELECT user_id, ms, n,
+             |  CASE WHEN lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+             |         OR ms - lag(ms, 1) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+             |       THEN 1 ELSE 0 END AS new_session
+             |FROM d),
+             |g AS (SELECT user_id, ms, n,
+             |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ms
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |FROM f)
+             |SELECT user_id, min(ms) AS session_start_ms,
+             |  CAST(sum(n) AS BIGINT) AS n_events,
+             |  max(ms) - min(ms) AS span_ms
+             |FROM g GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start_ms""".stripMargin)),
+
     "events_json" -> QueryDef(
       (s, d) => EventsOps.jsonProps(Tables.events(s, d)),
       Some("""SELECT event_type, count(*) AS n,

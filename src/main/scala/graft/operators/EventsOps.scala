@@ -82,6 +82,32 @@ object EventsOps {
       .orderBy("user_id", "session_start_ms")
   }
 
+  /** The SAME session-grain records as [[sessionRecords]], computed
+    * by Spark's built-in `session_window` aggregate instead of the
+    * lag + cumulative-sum window pair — the engine's native
+    * session-merge operator (one merging aggregate exchange on
+    * user_id; the formulations pair the way the KMV window/UDAF
+    * queries do, and share one DuckDB oracle). Timestamps pass
+    * through `timestamp_millis` of the integer ms, so the session
+    * cuts land on the identical millisecond grid. Boundary semantics
+    * MATCH the lag form's strict cut (diff > gapMs): session windows
+    * merge when the next event's start touches the previous window's
+    * end (start <= end), so an event at exactly prev+gap stays in
+    * the session — EventsSpec pins this on a synthetic exact-gap
+    * fixture.
+    */
+  def sessionRecordsViaSessionWindow(events: DataFrame,
+                                     gapMinutes: Int = 30): DataFrame =
+    events
+      .withColumn("ms", tsMs)
+      .groupBy(col("user_id"),
+        session_window(timestamp_millis(col("ms")), s"$gapMinutes minutes"))
+      .agg(min(col("ms")).as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        (max(col("ms")) - min(col("ms"))).as("span_ms"))
+      .select("user_id", "session_start_ms", "n_events", "span_ms")
+      .orderBy("user_id", "session_start_ms")
+
   /** 7-day moving average of daily value totals per event type — the
     * time-series smoothing shape. The lag window rides the
     * |types|×|days| DAILY AGGREGATE (the [[graft.operators

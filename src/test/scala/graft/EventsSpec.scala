@@ -48,6 +48,28 @@ class EventsSpec extends AnyFunSuite {
     assert(rows === Map(2L -> 5 * m, 4L -> 0L, 5L -> -1L))
   }
 
+  test("session_window records equal the lag+cumsum records, including the exact-gap boundary") {
+    import spark.implicits._
+    val m = 60L * 1000L
+    // fixture corpus equality
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val a = EventsOps.sessionRecords(ev).collect().map(_.toString).toSeq
+    val b = EventsOps.sessionRecordsViaSessionWindow(ev).collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a === b)
+    // boundary: an event at EXACTLY the 30-minute gap stays in the
+    // session under the strict `diff > gap` cut; one ms past it cuts
+    val edge = Seq(
+      (1L, 0L, 1L), (2L, 30 * m, 1L),          // diff == gap: same session
+      (3L, 0L, 2L), (4L, 30 * m + 1, 2L))      // diff == gap+1: cut
+      .toDF("event_id", "ms", "user_id")
+      .selectExpr("event_id", "ms * 1000000 AS ts", "user_id",
+        "'view' AS event_type", "1.0 AS value", "'{}' AS props")
+    val lagForm = EventsOps.sessionRecords(edge).collect().map(_.toString).toSeq
+    val winForm = EventsOps.sessionRecordsViaSessionWindow(edge).collect().map(_.toString).toSeq
+    assert(lagForm === winForm)
+    assert(lagForm.length === 3, s"user 1: one merged session; user 2: two:\n$lagForm")
+  }
+
   test("approx distinct users within rsd of exact") {
     val ev = Tables.events(spark, TestSpark.Sf0001)
     val approx = EventsOps.approxDistinctUsers(ev).collect()
