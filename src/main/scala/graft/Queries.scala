@@ -982,6 +982,34 @@ object Queries {
              |  max(last_order) AS latest_order
              |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // scale-adaptive RFM companion: tercile cutoffs derived from a
+    // deterministic hash-sample of the per-customer aggregate,
+    // broadcast as a 1-row bound table — bands stay meaningful at
+    // any SF (the fixed-threshold form is fixture-calibrated)
+    "customer_rfm_banded" -> QueryDef(
+      (s, d) => RelationalOps.customerRfmBanded(Tables.orders(s, d)),
+      Some(s"""WITH per AS (SELECT o_custkey,
+             |    strftime(max(o_orderdate), '%Y-%m-%d') AS last_order,
+             |    count(*) AS frequency,
+             |    sum(CAST(o_totalprice AS DECIMAL(15,2))) AS monetary
+             |  FROM orders GROUP BY o_custkey),
+             |s AS (SELECT * FROM per
+             |  WHERE ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::UBIGINT % 100 < ${RelationalOps.NtileBandSamplePct}),
+             |b AS (SELECT round(quantile_cont(frequency, 0.33), 4) AS f1,
+             |             round(quantile_cont(frequency, 0.67), 4) AS f2,
+             |             round(quantile_cont(CAST(monetary AS DOUBLE), 0.33), 4) AS m1,
+             |             round(quantile_cont(CAST(monetary AS DOUBLE), 0.67), 4) AS m2
+             |      FROM s)
+             |SELECT f_band, m_band, count(*) AS n_customers,
+             |  max(last_order) AS latest_order
+             |FROM (SELECT
+             |    CASE WHEN f2 IS NULL OR frequency >= f2 THEN 'F3'
+             |         WHEN frequency >= f1 THEN 'F2' ELSE 'F1' END AS f_band,
+             |    CASE WHEN m2 IS NULL OR monetary >= m2 THEN 'M3'
+             |         WHEN monetary >= m1 THEN 'M2' ELSE 'M1' END AS m_band,
+             |    last_order FROM per LEFT JOIN b ON TRUE)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // correlated EXISTS / NOT EXISTS through the SQL layer (plans as
     // a left-semi + left-anti join pair)
     "sql_exists_anti" -> QueryDef(

@@ -566,6 +566,48 @@ object RelationalOps {
     * [[ordersNtileBanded]] sampled-bounds pattern — before reading
     * the segmentation at another scale.
     */
+  /** Scale-adaptive companion to [[customerRfm]]: tercile band edges
+    * DERIVED from a deterministic hash-sample of the per-customer
+    * aggregates instead of fixture-calibrated constants — the
+    * [[ordersNtileBanded]] pattern applied to segmentation, so the
+    * bands stay meaningful at any SF. The per-customer aggregate is
+    * computed once; a [[NtileBandSamplePct]]% md5 hash-sample of it
+    * yields exact interpolated P33/P67 cutoffs for frequency and
+    * monetary (4-decimal-rounded — frequency is integral and
+    * monetary cent-valued, so the grid points are exact), the 2-row
+    * bound table broadcasts, and banding is row-local. LEFT-joined
+    * bounds: if the sample were ever empty both cutoffs are NULL and
+    * every customer lands in the top band on both engines.
+    */
+  def customerRfmBanded(orders: DataFrame): DataFrame = {
+    val per = orders
+      .groupBy("o_custkey")
+      .agg(date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(15,2)")).as("monetary"))
+    val hashBucket = pmod(
+      conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(100L))
+    val bounds = per.where(hashBucket < NtileBandSamplePct)
+      .agg(
+        round(expr("percentile(frequency, 0.33)"), 4).as("f1"),
+        round(expr("percentile(frequency, 0.67)"), 4).as("f2"),
+        round(expr("percentile(CAST(monetary AS DOUBLE), 0.33)"), 4).as("m1"),
+        round(expr("percentile(CAST(monetary AS DOUBLE), 0.67)"), 4).as("m2"))
+    per.join(broadcast(bounds), lit(true), "left")
+      .select(
+        when(col("f2").isNull || col("frequency") >= col("f2"), "F3")
+          .when(col("frequency") >= col("f1"), "F2").otherwise("F1").as("f_band"),
+        when(col("m2").isNull || col("monetary") >= col("m2"), "M3")
+          .when(col("monetary") >= col("m1"), "M2").otherwise("M1").as("m_band"),
+        col("last_order"))
+      .groupBy("f_band", "m_band")
+      .agg(count(lit(1)).as("n_customers"),
+        max("last_order").as("latest_order"))
+      .orderBy("f_band", "m_band")
+  }
+
   def customerRfm(orders: DataFrame): DataFrame =
     orders
       .groupBy("o_custkey")

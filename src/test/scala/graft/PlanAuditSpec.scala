@@ -210,6 +210,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(q("events_moving_avg")) === 3)
   }
 
+  test("customer_rfm_banded: two custkey aggs + 1-row bounds + band agg + sort, bounds broadcast") {
+    // Catalyst never reuses the per-customer aggregate subtree, so
+    // the hash-sample bounds path re-aggregates it (2nd custkey
+    // exchange) — both are the same one-shuffle class; the bounds
+    // collapse to ONE row (SinglePartition) and broadcast
+    val df = q("customer_rfm_banded")
+    assert(shuffles(df) === 5)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows
