@@ -53,6 +53,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_winnow_fp", "distinct winnowing fingerprints of a k-gram array"),
       exprs => WinnowFingerprintsExpr(exprs(0),
         ExpressionArgs.literalInt(exprs(1), "graft_winnow_fp"))))
+    e.injectFunction((FunctionIdentifier("graft_cms"),
+      info("graft_cms", "count-min sketch grid aggregate"),
+      exprs => CountMinAgg(exprs(0),
+        ExpressionArgs.literalInt(exprs(1), "graft_cms"),
+        ExpressionArgs.literalInt(exprs(2), "graft_cms"))))
+    e.injectFunction((FunctionIdentifier("graft_cms_probe"),
+      info("graft_cms_probe", "count-min sketch point estimate"),
+      exprs => CmsProbe(exprs(0), exprs(1),
+        ExpressionArgs.literalInt(exprs(2), "graft_cms_probe"),
+        ExpressionArgs.literalInt(exprs(3), "graft_cms_probe"))))
     e.injectFunction((FunctionIdentifier("graft_hist_quantile"),
       info("graft_hist_quantile", "fixed-grid histogram quantile aggregate"),
       exprs => HistQuantile(exprs(0),

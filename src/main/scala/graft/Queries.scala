@@ -519,6 +519,24 @@ object Queries {
              |                    AND md5(lower(c.text)) = b.fp)
              |ORDER BY keep_id""".stripMargin)),
 
+    // count-min heavy hitters: one pass builds the constant 4x256
+    // grid, the exact top-20 words probe it row-locally; the oracle
+    // rebuilds every bucket counter from the same affine hash family
+    "cms_heavy_hitters" -> QueryDef(
+      (s, d) => TextAnalysisOps.cmsHeavyHitters(Tables.documents(s, d)),
+      Some(s"""WITH tok AS (SELECT unnest($toksSql) AS word FROM documents),
+             |cnt AS (SELECT word, count(*) AS cnt,
+             |        CAST(('0x' || substr(md5(word), 1, 15))::UBIGINT % ${graft.functions.expressions.CmsHash.P} AS BIGINT) AS xm
+             |      FROM tok GROUP BY word),
+             |hb AS (SELECT word, cnt, j,
+             |        ((2*j + 1) * xm + j*j + 7) % ${graft.functions.expressions.CmsHash.P} % ${TextAnalysisOps.CmsW} AS b
+             |      FROM cnt CROSS JOIN range(${TextAnalysisOps.CmsD}) t(j)),
+             |bucket AS (SELECT j, b, sum(cnt) AS s FROM hb GROUP BY j, b),
+             |est AS (SELECT word, min(s) AS e FROM hb JOIN bucket USING (j, b) GROUP BY word),
+             |topk AS (SELECT word, cnt FROM cnt ORDER BY cnt DESC, word LIMIT ${TextAnalysisOps.CmsTopK})
+             |SELECT t.word, t.cnt, CAST(e.e AS BIGINT) AS est_cnt
+             |FROM topk t JOIN est e USING (word) ORDER BY word""".stripMargin)),
+
     "near_dedup_jaccard" -> QueryDef(
       (s, d) => DedupOps.nearDupJaccard(Tables.documents(s, d)),
       Some(jaccardOracle)),

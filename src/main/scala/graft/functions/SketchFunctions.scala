@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{ExpressionArgs, HistQuantile, KmvDistinctEstimate}
+import graft.functions.expressions.{CmsProbe, CountMinAgg, ExpressionArgs, HistQuantile, KmvDistinctEstimate}
 
 /** Column API over the sketch aggregate(s). `register` is idempotent;
   * operators call it before building plans (the analyzer wraps the
@@ -13,6 +13,8 @@ object SketchFunctions {
 
   val KmvName = "graft_kmv_est"
   val HistQuantileName = "graft_hist_quantile"
+  val CmsName = "graft_cms"
+  val CmsProbeName = "graft_cms_probe"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -28,6 +30,18 @@ object SketchFunctions {
         ExpressionArgs.literalInt(es(3), HistQuantileName),
         ExpressionArgs.literalDouble(es(4), HistQuantileName)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      CmsName,
+      es => CountMinAgg(es(0),
+        ExpressionArgs.literalInt(es(1), CmsName),
+        ExpressionArgs.literalInt(es(2), CmsName)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      CmsProbeName,
+      es => CmsProbe(es(0), es(1),
+        ExpressionArgs.literalInt(es(2), CmsProbeName),
+        ExpressionArgs.literalInt(es(3), CmsProbeName)),
+      "scala_udf")
   }
 
   /** KMV distinct-count estimate over a 60-bit hash column (double). */
@@ -40,4 +54,14 @@ object SketchFunctions {
   def histQuantile(value: Column, lo: Double, hi: Double,
                    bins: Int, p: Double): Column =
     call_function(HistQuantileName, value, lit(lo), lit(hi), lit(bins), lit(p))
+
+  /** Count-min sketch grid (d×w flattened) over a 60-bit hash column
+    * (long); see [[graft.functions.expressions.CountMinAgg]].
+    */
+  def cms(hash: Column, d: Int, w: Int): Column =
+    call_function(CmsName, hash, lit(d), lit(w))
+
+  /** Point estimate (min over rows) of a key's count in a CMS grid. */
+  def cmsProbe(sketch: Column, hash: Column, d: Int, w: Int): Column =
+    call_function(CmsProbeName, sketch, hash, lit(d), lit(w))
 }

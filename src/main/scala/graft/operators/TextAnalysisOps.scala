@@ -224,6 +224,50 @@ object TextAnalysisOps {
       .limit(k)
   }
 
+  // ----- count-min heavy hitters -----
+
+  /** CMS grid shape + probe count, shared with the generated DuckDB
+    * oracle (the NtileBandSamplePct pattern): depth 4 × width 256 =
+    * an 8 KB grid; top-20 words probed.
+    */
+  val CmsD = 4
+  val CmsW = 256
+  val CmsTopK = 20
+
+  /** Heavy-hitter estimation with the count-min sketch: ONE corpus
+    * pass folds every token's 60-bit md5 hash into the constant
+    * [[graft.functions.expressions.CountMinAgg]] grid (map-side
+    * partial grids merge elementwise on the single exchange), the
+    * 8 KB grid broadcasts, and the exact top-k words (from the
+    * wordcount aggregate the engine already pays for) are probed
+    * row-locally — est ≥ exact always, equality unless the word
+    * collides in all d rows. At 100 TB the sketch answers any
+    * frequency question WITHOUT a second corpus scan; the exact
+    * top-k join here is the gate's ground truth, not a sketch
+    * dependency. Deterministic hash family ⇒ every counter and probe
+    * is oracle-reproducible.
+    */
+  def cmsHeavyHitters(docs: DataFrame, d: Int = CmsD, w: Int = CmsW,
+                      k: Int = CmsTopK): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    val hashed = docs
+      .select(explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
+      .select(col("word"),
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long").as("x"))
+    val sketch = hashed.agg(
+      graft.functions.SketchFunctions.cms(col("x"), d, w).as("sk"))
+    val topk = hashed
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"), max(col("x")).as("x"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(k)
+    topk.crossJoin(broadcast(sketch))
+      .select(col("word"), col("cnt"),
+        graft.functions.SketchFunctions.cmsProbe(col("sk"), col("x"), d, w).as("est_cnt"))
+      .orderBy("word")
+  }
+
   // ----- winnowing fingerprints (MOSS-style localized matching) -----
 
   /** Winnowing constants, shared with the generated DuckDB oracle

@@ -25,7 +25,8 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
         |  graft_simhash(array('a','b'), 20) AS sh""".stripMargin.replace("\n", " ")
     val aggProbe =
       """SELECT graft_kmv_est(CAST(h AS DOUBLE), 64) AS kmv,
-        |  round(graft_hist_quantile(CAST(v AS DOUBLE), 0.0, 10.0, 10, 0.5), 4) AS hq
+        |  round(graft_hist_quantile(CAST(v AS DOUBLE), 0.0, 10.0, 10, 0.5), 4) AS hq,
+        |  graft_cms_probe(graft_cms(CAST(h AS BIGINT), 2, 8), 1L, 2, 8) AS cms
         |FROM (VALUES (1.0, 1.0), (2.0, 2.0)) AS t(h, v)""".stripMargin.replace("\n", " ")
 
     val out = new StringBuilder
@@ -49,7 +50,8 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
     // previously registered function" when a function already exists
     // — i.e. the warning is direct evidence the EXTENSION injected it
     // at session build. Check it for the newest injections.
-    Seq("graft_winnow_fp", "graft_simhash", "graft_hist_quantile").foreach { fn =>
+    Seq("graft_winnow_fp", "graft_simhash", "graft_hist_quantile",
+        "graft_cms", "graft_cms_probe").foreach { fn =>
       assert(text.contains(s"The function $fn replaced a previously registered function"),
         s"$fn was not injected by GraftExtensions at session build:\n$text")
     }

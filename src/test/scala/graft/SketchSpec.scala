@@ -49,6 +49,44 @@ class SketchSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected the single aggregate exchange, got $exchanges")
   }
 
+  test("cms estimates dominate exact counts and sum-preserve per row") {
+    import graft.operators.TextAnalysisOps
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val rows = TextAnalysisOps.cmsHeavyHitters(docs).collect()
+    assert(rows.length === TextAnalysisOps.CmsTopK)
+    // CMS never undercounts; and for heavy hitters the overcount is
+    // bounded by the non-heavy mass / width (loose 2x sanity bound)
+    rows.foreach { r =>
+      val (cnt, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= cnt, s"${r.getString(0)}: CMS undercounted $est < $cnt")
+      assert(est <= cnt * 2 + 1000, s"${r.getString(0)}: implausible overcount $est vs $cnt")
+    }
+  }
+
+  test("cms grids merge across partitions and every row sums to N") {
+    graft.functions.SketchFunctions.register(spark)
+    val (d, w) = (4, 64)
+    val n = 3000L
+    val df = spark.range(n).select((col("id") % 700).cast("string").as("key"))
+      .repartition(11)
+      .select(conv(substring(md5(col("key")), 1, 15), 16, 10)
+        .cast("long").as("x"))
+    val grid = df.agg(graft.functions.SketchFunctions.cms(col("x"), d, w))
+      .head.getSeq[Long](0)
+    assert(grid.length === d * w)
+    // each of the d rows partitions the full stream: row sums == N
+    (0 until d).foreach { j =>
+      assert(grid.slice(j * w, (j + 1) * w).sum === n, s"row $j lost counts")
+    }
+    // probing a present key via SQL returns at least its true count
+    graft.Catalog.registerViews(spark, TestSpark.Sf0001)
+    val est = spark.sql(
+      s"""SELECT graft_cms_probe(sk, CAST(conv(substring(md5('42'), 1, 15), 16, 10) AS BIGINT), $d, $w) AS e
+         |FROM (SELECT graft_cms(CAST(conv(substring(md5(CAST(id % 700 AS STRING)), 1, 15), 16, 10) AS BIGINT), $d, $w) AS sk
+         |      FROM range(3000))""".stripMargin).head.getLong(0)
+    assert(est >= 3000 / 700, s"probe undercounted: $est")
+  }
+
   test("kmv buffers merge across partitions and dedup exactly") {
     graft.functions.SketchFunctions.register(spark)
     // 500 distinct keys, every key duplicated 4x, spread over many
