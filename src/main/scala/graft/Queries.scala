@@ -475,6 +475,23 @@ object Queries {
               |  round(sum(tf::DOUBLE * ln(wc::DOUBLE / total_tokens)) / sum(tf)::DOUBLE, 4) AS avg_logprob
               |FROM wcs CROSS JOIN n GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // bigram-LM quality score: frequency-weighted mean ln P(w2|w1),
+    // both corpus stats as count windows over the per-doc bigram
+    // aggregate (the unigram shape, one partition-key hop deeper)
+    "bigram_logprob" -> QueryDef(
+      (s, d) => PipelineOps.bigramLogprob(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+             |n AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+             |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+             |bf AS (SELECT doc_id, bg, count(*) AS bf FROM n GROUP BY 1, 2),
+             |w AS (SELECT doc_id, bf,
+             |        sum(bf) OVER (PARTITION BY bg) AS cbg,
+             |        sum(bf) OVER (PARTITION BY string_split(bg, ' ')[1]) AS ch
+             |      FROM bf)
+             |SELECT doc_id, sum(bf)::BIGINT AS n_bigrams,
+             |  round(sum(bf::DOUBLE * ln(cbg::DOUBLE / ch::DOUBLE)) / sum(bf)::DOUBLE, 4) AS avg_logprob
+             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // deterministic hash-split: stable train/val/test assignment
     "dataset_split" -> QueryDef(
       (s, d) => PipelineOps.datasetSplit(Tables.documents(s, d)),

@@ -134,6 +134,39 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality score — the conditional companion to
+    * [[unigramLogprob]]: per document, the frequency-weighted mean of
+    * `ln P(w2|w1)` with `P(w2|w1) = c(w1 w2) / c(w1 ·)` estimated
+    * from the corpus itself. Both corpus statistics are count windows
+    * over the per-doc bigram-frequency aggregate — the bigram count
+    * partitions by the bigram, the head total by its first word — so
+    * nothing re-tokenizes and no vocabulary table is joined or
+    * broadcast (the unigram query's shape, one partition-key hop
+    * deeper). Documents under 2 tokens have no bigrams and drop out
+    * identically in both engines.
+    */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val bf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.NativeText.wordNgrams(
+          graft.functions.NativeText.tokens(col("text")), 2)).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("bf"))
+    val w = org.apache.spark.sql.expressions.Window
+    bf
+      .withColumn("cbg", sum(col("bf")).over(w.partitionBy(col("bg"))))
+      .withColumn("ch", sum(col("bf"))
+        .over(w.partitionBy(substring_index(col("bg"), " ", 1))))
+      .groupBy("doc_id")
+      .agg(sum(col("bf")).as("n_bigrams"),
+        round(sum(col("bf").cast("double") *
+            log(col("cbg").cast("double") / col("ch").cast("double"))) /
+          sum(col("bf")).cast("double"), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/validation/test split: bucket =
     * md5(doc_id) mod 100, train < `trainPct`, val < `trainPct +
     * valPct`, else test. Hash-based (not random) so the assignment is
