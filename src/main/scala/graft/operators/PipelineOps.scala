@@ -137,13 +137,20 @@ object PipelineOps {
   /** Bigram-LM quality score — the conditional companion to
     * [[unigramLogprob]]: per document, the frequency-weighted mean of
     * `ln P(w2|w1)` with `P(w2|w1) = c(w1 w2) / c(w1 ·)` estimated
-    * from the corpus itself. Both corpus statistics are count windows
-    * over the per-doc bigram-frequency aggregate — the bigram count
-    * partitions by the bigram, the head total by its first word — so
-    * nothing re-tokenizes and no vocabulary table is joined or
-    * broadcast (the unigram query's shape, one partition-key hop
-    * deeper). Documents under 2 tokens have no bigrams and drop out
-    * identically in both engines.
+    * from the corpus itself. The corpus model lives at BIGRAM grain:
+    * one aggregate builds `c(w1 w2)`, and the head totals `c(w1 ·)`
+    * are a count window over that bigram-grain table — its partition
+    * groups are a head word's DISTINCT continuations
+    * (vocabulary-bounded), never its per-document rows. Windowing
+    * the head total over the per-doc rows instead would buffer every
+    * (doc, "the …") row in one window group — corpus-proportional
+    * for stop-words, the exact hot-group shape the 100× rule
+    * forbids. The per-doc frequencies then equi-join the model on
+    * the bigram key (both sides hash-partitioned on `bg`; the model
+    * side reuses its aggregate's exchange) — a corpus-sized but
+    * uniformly-keyed join, not a broadcast of an unbounded
+    * vocabulary. Documents under 2 tokens have no bigrams and drop
+    * out identically in both engines.
     */
   def bigramLogprob(docs: DataFrame): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
@@ -154,10 +161,12 @@ object PipelineOps {
       .groupBy("doc_id", "bg")
       .agg(count(lit(1)).as("bf"))
     val w = org.apache.spark.sql.expressions.Window
-    bf
-      .withColumn("cbg", sum(col("bf")).over(w.partitionBy(col("bg"))))
-      .withColumn("ch", sum(col("bf"))
+    val model = bf
+      .groupBy("bg")
+      .agg(sum(col("bf")).as("cbg"))
+      .withColumn("ch", sum(col("cbg"))
         .over(w.partitionBy(substring_index(col("bg"), " ", 1))))
+    bf.join(model, "bg")
       .groupBy("doc_id")
       .agg(sum(col("bf")).as("n_bigrams"),
         round(sum(col("bf").cast("double") *

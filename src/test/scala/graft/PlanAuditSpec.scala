@@ -220,6 +220,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
   }
 
+  test("bigram_logprob: head-total window runs at bigram grain, never per-doc rows") {
+    val df = q("bigram_logprob")
+    // Catalyst computes the (doc, bg) aggregate twice (no subtree
+    // reuse — the rfm_banded/lesson-18 pattern): once as the join's
+    // probe side, once under the model path (bg agg + head window).
+    // 6 = 2x(doc,bg) agg + bg agg + head window + doc agg + sort;
+    // the one Window must partition the MODEL (bigram grain) — a
+    // per-doc-row head window is the stop-word hot group
+    assert(shuffles(df) === 6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.trim.startsWith("Window")) <= 1)
+  }
+
+  test("cms_heavy_hitters: one grid aggregate, sketch broadcast, row-local probe") {
+    val df = q("cms_heavy_hitters")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "the CMS grid must plan through ObjectHashAggregate")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the 1-row sketch must broadcast to the probe side")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows
