@@ -276,6 +276,59 @@ class SqlParitySpec extends AnyFunSuite {
          |GROUP BY base.yr ORDER BY yr""".stripMargin)
   }
 
+  test("incremental_dedup via SQL (anti join as NOT EXISTS)") {
+    assertParity("incremental_dedup",
+      """WITH b AS (SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id,
+        |         count(*) AS n_copies
+        |       FROM documents WHERE doc_id % 2 = 1 GROUP BY fp)
+        |SELECT keep_id, n_copies, fp FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 2 = 0
+        |                    AND md5(lower(c.text)) = b.fp)
+        |ORDER BY keep_id""".stripMargin)
+  }
+
+  test("events_moving_avg via SQL (frame window over the daily rollup)") {
+    assertParity("events_moving_avg",
+      """WITH daily AS (SELECT event_type,
+        |    date_format(date_trunc('day', timestamp_millis(ts div 1000000)), 'yyyy-MM-dd') AS day,
+        |    count(*) AS n, round(sum(value), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n, sum_value,
+        |  round(avg(sum_value) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM daily ORDER BY event_type, day""".stripMargin)
+  }
+
+  test("cms_heavy_hitters via SQL (graft_cms + graft_cms_probe)") {
+    import graft.operators.TextAnalysisOps.{CmsD, CmsTopK, CmsW}
+    graft.functions.SketchFunctions.register(spark)
+    assertParity("cms_heavy_hitters",
+      s"""WITH hashed AS (SELECT word,
+         |    CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT) AS x
+         |  FROM (SELECT explode(graft_tokenize(text)) AS word FROM documents)),
+         |sk AS (SELECT graft_cms(x, $CmsD, $CmsW) AS sk FROM hashed),
+         |topk AS (SELECT word, count(*) AS cnt, max(x) AS x FROM hashed
+         |         GROUP BY word ORDER BY cnt DESC, word LIMIT $CmsTopK)
+         |SELECT word, cnt, graft_cms_probe(sk, x, $CmsD, $CmsW) AS est_cnt
+         |FROM topk CROSS JOIN sk ORDER BY word""".stripMargin)
+  }
+
+  test("bigram_logprob via SQL (bigram-grain model + head window)") {
+    assertParity("bigram_logprob",
+      """WITH bf AS (SELECT doc_id, bg, count(*) AS bf FROM (
+        |    SELECT doc_id, explode(graft_word_ngrams(graft_tokenize(text), 2)) AS bg
+        |    FROM documents) GROUP BY doc_id, bg),
+        |model AS (SELECT bg, cbg,
+        |    sum(cbg) OVER (PARTITION BY substring_index(bg, ' ', 1)) AS ch
+        |  FROM (SELECT bg, sum(bf) AS cbg FROM bf GROUP BY bg))
+        |SELECT doc_id, sum(bf) AS n_bigrams,
+        |  round(sum(CAST(bf AS DOUBLE) * ln(CAST(cbg AS DOUBLE) / CAST(ch AS DOUBLE))) /
+        |    CAST(sum(bf) AS DOUBLE), 4) AS avg_logprob
+        |FROM bf JOIN model USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   test("near_dedup_minhash via SQL (graft_minhash_sig through the extension point)") {
     // graft_minhash_sig is injected by GraftExtensions / the operator's
     // temp registration — prove the banded-LSH signature itself is
