@@ -84,6 +84,24 @@ object EventStreams {
       .agg(graft.functions.SketchFunctions.kmvEst(col("h"), k).as("est_users"))
   }
 
+  /** The count-min grid as INCREMENTAL streaming state: each
+    * micro-batch's partial grid merges elementwise into the state
+    * store (complete-mode agg), so the frequency sketch of the whole
+    * stream is live at any point — and because the merge is the same
+    * elementwise add the batch plan uses, the streamed grid is
+    * bit-identical to the batch grid over the same events
+    * (StreamingSpec). Constant d×w state per group.
+    */
+  def streamingCmsGrid(events: DataFrame, d: Int = 4, w: Int = 256): DataFrame = {
+    graft.functions.SketchFunctions.register(events.sparkSession)
+    events
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("x"))
+      .groupBy("event_type")
+      .agg(graft.functions.SketchFunctions.cms(col("x"), d, w).as("grid"))
+  }
+
   /** Sliding/tumbling windowed counts per event type with a watermark:
     * the incremental form of `EventsOps.hourly`. Late data beyond the
     * watermark is dropped; state is bounded by (watermark / window).

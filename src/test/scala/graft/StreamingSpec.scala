@@ -199,6 +199,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS grid equals the batch grid bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEventsStream(spark, eventsDir)
+    val q = EventStreams.streamingCmsGrid(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    graft.functions.SketchFunctions.register(spark)
+    val batch = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("x"))
+      .groupBy("event_type")
+      .agg(graft.functions.SketchFunctions.cms(col("x"), 4, 256).as("grid"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (t, grid) =>
+      assert(grid === batch(t), s"$t: state-store grid diverged from batch")
+      assert(grid.sum > 0)
+    }
+  }
+
   test("streaming KMV sketch equals the batch sketch bit-for-bit") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.readEventsStream(spark, eventsDir)
