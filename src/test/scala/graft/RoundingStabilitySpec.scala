@@ -28,7 +28,12 @@ class RoundingStabilitySpec extends AnyFunSuite {
     "events_zscore", "orders_yoy", "lineitem_hist_quantiles",
     "q10_returns",
     // round-8: distribution-rank windows filter on a rounded ratio
-    "orders_pricerank")
+    "orders_pricerank",
+    // round-9: sampled percentile bounds, frame-window average,
+    // conditional-LM log mean, partitioned-read value sums
+    "orders_pricerank_banded", "customer_rfm_banded",
+    "events_moving_avg", "bigram_logprob",
+    "events_partition_pruned", "events_dpp_join")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)
