@@ -76,6 +76,28 @@ class AqeJoinStrategySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental_dedup's corpus anti join broadcasts small and flips at size") {
+    // the PlanAuditSpec pin counts 2 exchanges because the corpus
+    // digest column broadcasts at fixture scale; this closes the
+    // other half of that claim — when the index reads as
+    // over-threshold the SAME unhinted plan takes the shuffled anti
+    // join (the 100 TB shape, where the corpus index dwarfs a batch)
+    val small = Queries.queries("incremental_dedup")(spark, TestSpark.Sf0001)
+    val ls = executedJoinLines(small, "LeftAnti")
+    assert(ls.nonEmpty, "expected a left-anti join in the executed plan")
+    assert(ls.forall(_.contains("BroadcastHashJoin")),
+      s"fixture-scale corpus digests should broadcast, got:\n${ls.mkString("\n")}")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val big = Queries.queries("incremental_dedup")(spark, TestSpark.Sf0001)
+      val lb = executedJoinLines(big, "LeftAnti")
+      assert(lb.nonEmpty)
+      assert(lb.forall(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+        s"over-threshold corpus index must flip to a shuffled anti join, got:\n${lb.mkString("\n")}")
+    }
+  }
+
   test("10x fixture: broadcast survives under default thresholds — pruning keeps the build side small") {
     assume(new java.io.File("/tmp/sf1/customer.parquet").exists(),
       "10x fixture not present on this host")
