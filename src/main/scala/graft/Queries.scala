@@ -564,6 +564,22 @@ object Queries {
       (s, d) => DedupOps.nearDupMinhash(Tables.documents(s, d)),
       Some(jaccardOracle)),
 
+    // transitive duplicate clusters: the engine's distributed
+    // min-label propagation vs DuckDB's recursive-CTE fixpoint over
+    // the SAME pair graph (jaccardPairsBody is shared text)
+    "dup_components" -> QueryDef(
+      (s, d) => DedupOps.dupComponents(Tables.documents(s, d)),
+      Some(s"""$componentsOracleBody
+              |SELECT node AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin)),
+
+    // the deduplicated corpus itself: cluster minima + untouched docs
+    "dedup_survivors" -> QueryDef(
+      (s, d) => DedupOps.dedupSurvivors(Tables.documents(s, d)),
+      Some(s"""$componentsOracleBody
+              |SELECT d.doc_id, d.lang, d.source FROM documents d
+              |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE component < node)
+              |ORDER BY d.doc_id""".stripMargin)),
+
     "simhash_fingerprint" -> QueryDef(
       (s, d) => DedupOps.simhash(Tables.documents(s, d)),
       Some(s"""${simhashSqlCte(20)}
@@ -1425,19 +1441,49 @@ object Queries {
     * oracle for both the inverted-index join and the MinHash+LSH
     * variant (whose exact verification makes them set-equal).
     */
-  private lazy val jaccardOracle: String =
-    s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+  /** Shared CTE body producing the J >= 0.8 pair set as `pairs` —
+    * the single source for the near-dup pair oracle AND the
+    * components/survivors oracles built on top of it (the shared-
+    * constant rule applied to a whole subquery: the graph the
+    * recursive CTE walks is definitionally the graph the pair query
+    * returns).
+    */
+  private lazy val jaccardPairsBody: String =
+    s"""w AS (SELECT doc_id, $toksSql AS ws FROM documents),
        |t AS (SELECT doc_id, ${shinglesSql(DedupOps.ShingleN)} AS sh FROM w),
        |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
        |inv AS (SELECT doc_id, unnest(sh) AS s FROM t2),
        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
        |         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
        |         GROUP BY a.doc_id, b.doc_id),
-       |cnt AS (SELECT doc_id, len(sh)::BIGINT AS n FROM t2)
-       |SELECT a_id, b_id, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jac
-       |FROM cand JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
-       |WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.8
-       |ORDER BY a_id, b_id""".stripMargin
+       |cnt AS (SELECT doc_id, len(sh)::BIGINT AS n FROM t2),
+       |pairs AS (SELECT a_id, b_id, round(inter::DOUBLE / (ca.n + cb.n - inter), 4) AS jac
+       |          FROM cand JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+       |          WHERE round(inter::DOUBLE / (ca.n + cb.n - inter), 4) >= 0.8)""".stripMargin
+
+  private lazy val jaccardOracle: String =
+    s"""WITH $jaccardPairsBody
+       |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin
+
+  /** Min-label fixpoint of the pair graph as a recursive CTE: `walk`
+    * accumulates every (node, smaller-id label) pair reachable by
+    * paths that only ever forward labels below the receiving node's
+    * id — the component minimum m satisfies m < x for every other
+    * member x, so m survives the pruning along every path and
+    * min(label) per node is exactly the component id the engine's
+    * propagation loop converges to. The WHERE prune keeps the walk
+    * relation near pair-count-sized instead of full reachability.
+    */
+  private lazy val componentsOracleBody: String =
+    s"""WITH RECURSIVE $jaccardPairsBody,
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT DISTINCT u, u FROM sym
+       |  UNION
+       |  SELECT s.u, k.label FROM walk k JOIN sym s ON s.v = k.node
+       |  WHERE k.label < s.u),
+       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)""".stripMargin
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (k, v) => k -> v.run }.toMap

@@ -277,4 +277,112 @@ object DedupOps {
       .distinct()
       .orderBy("a_id", "b_id")
   }
+
+  // dupComponents shares this with ComponentsSpec: the convergence
+  // bound is the propagation diameter, and the spec's worst-case
+  // chain fixture is sized against it.
+  val ComponentsMaxIters = 25
+
+  /** Connected components over an undirected (a_id, b_id) edge set by
+    * iterative min-label propagation — the clustering step a dedup
+    * pipeline runs AFTER pair generation: near-dup pairs only relate
+    * documents two at a time; keeping one document per *transitive*
+    * duplicate cluster needs the components of the pair graph.
+    *
+    * Each iteration is one distributed join (edges x labels) plus one
+    * min-aggregate — both hash-partitioned on the node id, no
+    * driver-side graph state ever (unlike [[SimilarityOps]]'s Lloyd
+    * loop the per-node state is corpus-sized, so it stays distributed
+    * instead of collected). Every round ends in an eager
+    * `localCheckpoint()`: the label table feeds the next round TWICE
+    * (join probe + union arm), so without lineage truncation the plan
+    * tree doubles per round — 2^rounds nodes — and long-diameter
+    * graphs OOM the *driver* on plan bookkeeping alone. Checkpointing
+    * makes each round's plan read the previous round's materialized
+    * result; superseded round caches are unreferenced and the
+    * ContextCleaner reclaims them. (On a multi-executor cluster,
+    * prefer reliable `checkpoint()` with a checkpoint dir — local
+    * checkpoints die with a lost executor.) Convergence is detected
+    * from the label-sum fixpoint: labels only ever decrease under min
+    * propagation, so an unchanged `sum(label)` proves an unchanged
+    * label table without a second join (decimal(38,0) sum — exact,
+    * order-insensitive, overflow-free at any corpus size).
+    *
+    * Rounds needed = the component diameter, which for duplicate
+    * clusters (near-cliques by construction: J >= 0.8 is close to
+    * transitive) is 1-2; `maxIters` is a safety bound, not a budget.
+    * A graph with genuinely long chains at 100 TB would want the
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) which converges
+    * in O(log^2 n) rounds; plain propagation is the right trade here
+    * because dedup graphs are diameter-bounded.
+    *
+    * Determinism: the fixpoint (every node labelled with its
+    * component's minimum id) is unique regardless of iteration
+    * order/count, so the result is oracle-able — the DuckDB side
+    * computes the same fixpoint with a recursive CTE.
+    */
+  def connectedComponents(edges: DataFrame,
+                          maxIters: Int = ComponentsMaxIters): DataFrame = {
+    val e = edges.select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      df.agg(sum(col("label")).cast("decimal(38,0)")).head()
+        .getAs[java.math.BigDecimal](0) match { case null => None; case s => Some(s) }
+    var prev = labelSum(labels)
+    var it = 0
+    var converged = prev.isEmpty // empty edge set: nothing to propagate
+    while (!converged && it < maxIters) {
+      val l = labels
+      val prop = sym.join(l, sym("v") === l("id"))
+        .select(sym("u").as("id"), l("label"))
+      // eager checkpoint: materializes the round AND truncates lineage
+      val next = l.select("id", "label").union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val cur = labelSum(next)
+      labels = next
+      converged = cur == prev
+      prev = cur
+      it += 1
+      log.info(s"connectedComponents: round $it labelSum=$cur converged=$converged")
+    }
+    sym.unpersist()
+    // the returned plan reads the final round's checkpoint, so no
+    // downstream action ever re-runs the loop; the checkpoint cache
+    // is 2 columns x node count — small relative to any corpus that
+    // produced it — and is reclaimed when the result goes out of scope
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate clusters of the near-dup pair graph: each document
+    * that has at least one J >= 0.8 partner, labelled with its
+    * cluster's minimum doc_id. Edge generation is [[nearDupJaccard]]
+    * (the oracle of record — at 100 TB you feed [[nearDupMinhash]]'s
+    * identical-schema output instead, same contract).
+    */
+  def dupComponents(docs: DataFrame): DataFrame =
+    connectedComponents(nearDupJaccard(docs))
+
+  /** The deduplicated corpus: one canonical document (the minimum
+    * doc_id) per duplicate cluster, plus every document with no
+    * near-dup partner at all. This is the pipeline's actual output —
+    * components are the means, the surviving corpus is the end. The
+    * non-canonical set is tiny relative to the corpus (it is bounded
+    * by the pair-graph node count), so the anti join broadcasts at
+    * any realistic dup rate; AQE decides from runtime sizes.
+    */
+  def dedupSurvivors(docs: DataFrame): DataFrame = {
+    val nonCanonical = dupComponents(docs)
+      .where(col("component") < col("doc_id"))
+      .select("doc_id")
+    docs.join(nonCanonical, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
 }
