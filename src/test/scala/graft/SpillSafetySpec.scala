@@ -31,10 +31,16 @@ class SpillSafetySpec extends AnyFunSuite {
     }
   }
 
-  /** Rows of `df` collected with window buffers forced to spill
+  /** The window-buffer forcing pair — the default spill trigger. */
+  private val windowSpillConfs = Seq(
+    "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
+    "spark.sql.windowExec.buffer.spill.threshold" -> "16")
+
+  /** Rows of `df` collected with the given buffers forced to spill
     * almost immediately, plus the bytes the run spilled to disk.
     */
-  private def collectSpilled(df: => DataFrame): (Seq[String], Long) = {
+  private def collectSpilled(df: => DataFrame,
+                             confs: Seq[(String, String)] = windowSpillConfs): (Seq[String], Long) = {
     val spilled = new AtomicLong(0L)
     val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
@@ -42,9 +48,7 @@ class SpillSafetySpec extends AnyFunSuite {
           spilled.addAndGet(e.taskMetrics.diskBytesSpilled + e.taskMetrics.memoryBytesSpilled)
     }
     spark.sparkContext.addSparkListener(listener)
-    try withConf(
-      "spark.sql.windowExec.buffer.in.memory.threshold" -> "16",
-      "spark.sql.windowExec.buffer.spill.threshold" -> "16") {
+    try withConf(confs: _*) {
       val rows = df.collect().map(_.toString).toSeq.sorted
       // task-end events arrive async; poll until the counter shows the
       // spill (or give up and let the assertion report the zero)
@@ -111,5 +115,34 @@ class SpillSafetySpec extends AnyFunSuite {
     assertSpillSafe("near_dedup_minhash") {
       graft.operators.DedupOps.nearDupMinhash(base.union(copies))
     }
+  }
+
+  test("dup_components hot-hub memory bound: buffered join side is key-unique") {
+    // the components loop has no window: its per-round sort-merge
+    // join buffers one join-key group at a time, and the buffered
+    // side is the LABEL table — key-unique by construction (one row
+    // per node), so no degree of hub skew can ever put more than one
+    // row in an SMJ buffer. The memory bound is structural, not
+    // empirical: with broadcast disabled (the 100 TB distributed-join
+    // path) and the SMJ buffer forced down to 16 rows, a 200-spoke
+    // hub — whose streamed-side group is 12x that threshold — must
+    // converge bit-identically WITHOUT tripping a spill, because the
+    // monster group never sits in a buffer at all
+    import org.apache.spark.sql.functions._
+    val hub = spark.range(1, 201).select(lit(0L).as("a_id"), col("id").as("b_id"))
+    val chain = spark.range(1000, 1010)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val edges = hub.union(chain)
+    val df = () => graft.operators.DedupOps.connectedComponents(edges)
+    val baseline = df().collect().map(_.toString).toSeq.sorted
+    val (forced, _) = collectSpilled(df(), confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "16",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "16"))
+    assert(baseline.count(_.contains(",0]")) === 201,
+      "hub component should label all 201 members with 0")
+    assert(forced === baseline,
+      "dup_components: results must not change on the forced-SMJ path")
   }
 }
