@@ -342,6 +342,24 @@ object Queries {
            |FROM t WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin
       }),
 
+    // PII injected deterministically from doc_id on both sides (the
+    // fixture corpus has no digits, so scrubbing raw text would be
+    // vacuous); the hash gate proves redaction of every injected span
+    // AND byte-identity of the untouched 90%
+    "pii_scrub" -> QueryDef(
+      (s, d) => TextAnalysisOps.piiScrub(Tables.documents(s, d)),
+      Some(s"""WITH raw AS (SELECT doc_id,
+              |  CASE WHEN doc_id % 10 = 0
+              |       THEN text || ' contact user' || doc_id::VARCHAR || '@example.com' ||
+              |            ' or call 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              |       ELSE text END AS raw FROM documents)
+              |SELECT doc_id,
+              |  regexp_replace(regexp_replace(raw, '${TextAnalysisOps.PiiEmailRe}', '<EMAIL>', 'g'),
+              |                 '${TextAnalysisOps.PiiPhoneRe}', '<PHONE>', 'g') AS scrubbed,
+              |  len(regexp_extract_all(raw, '${TextAnalysisOps.PiiEmailRe}'))::BIGINT AS n_email,
+              |  len(regexp_extract_all(raw, '${TextAnalysisOps.PiiPhoneRe}'))::BIGINT AS n_phone
+              |FROM raw ORDER BY doc_id""".stripMargin)),
+
     "lang_id" -> QueryDef(
       (s, d) => TextAnalysisOps.langId(Tables.documents(s, d)),
       Some {

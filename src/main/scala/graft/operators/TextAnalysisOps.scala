@@ -334,4 +334,44 @@ object TextAnalysisOps {
       .where(col("n_shared") >= minShared)
       .orderBy("a_id", "b_id")
   }
+
+  // piiScrub shares these with its DuckDB oracle (shared-constant
+  // rule): the patterns are plain RE2-compatible regexes — character
+  // classes, bounded repetition, no backrefs/lookaround — so the Java
+  // and DuckDB engines match the same spans.
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing — redact emails and phone numbers with typed
+    * placeholder tokens, plus per-document redaction counts. Fully
+    * row-local (two codegen'd regexp_replace + two regexp_extract_all
+    * over the scan, zero exchanges beyond the result sort): at 100 TB
+    * this is pure map work and the scan's column pruning reads only
+    * (doc_id, text).
+    *
+    * The synthetic fixture corpus contains no digits at all, so a
+    * scrub over raw fixture text would be vacuously green. The query
+    * therefore *injects* deterministic PII derived from doc_id into
+    * every 10th document before scrubbing — both engines reproduce
+    * the injection from the same expression, so the hash gate proves
+    * the scrubber (a) redacts every injected span and (b) leaves the
+    * other 90% of documents byte-identical (no over-redaction).
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val raw = when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" or call 555-123-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    docs.select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("raw"), lit(PiiEmailRe), lit("<EMAIL>")),
+          lit(PiiPhoneRe), lit("<PHONE>")).as("scrubbed"),
+        size(regexp_extract_all(col("raw"), lit(PiiEmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("raw"), lit(PiiPhoneRe), lit(0))).cast("long").as("n_phone"))
+      .orderBy("doc_id")
+  }
 }

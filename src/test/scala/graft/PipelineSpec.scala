@@ -108,4 +108,24 @@ class PipelineSpec extends AnyFunSuite {
     val perType = out.filter(r => r.getString(0) != "ALL").map(_.getLong(2)).sum
     assert(perType === grand.head.getLong(2))
   }
+
+  test("pii scrub redacts every injected span and nothing else") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val byId = graft.operators.TextAnalysisOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size === original.size)
+    byId.foreach { case (id, r) =>
+      val (scrubbed, nEmail, nPhone) = (r.getString(1), r.getLong(2), r.getLong(3))
+      if (id % 10 == 0) {
+        assert(nEmail === 1L && nPhone === 1L, s"doc $id")
+        assert(scrubbed.endsWith(" contact <EMAIL> or call <PHONE>"), s"doc $id: $scrubbed")
+        assert(!scrubbed.contains("@") && !scrubbed.exists(_.isDigit), s"doc $id")
+        assert(scrubbed.startsWith(original(id)), s"doc $id: prefix must be untouched")
+      } else {
+        assert(nEmail === 0L && nPhone === 0L, s"doc $id")
+        assert(scrubbed === original(id), s"doc $id: clean text must pass byte-identical")
+      }
+    }
+  }
 }

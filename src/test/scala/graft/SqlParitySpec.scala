@@ -344,4 +344,24 @@ class SqlParitySpec extends AnyFunSuite {
     assert(viaSql.nonEmpty)
     assert(viaSql.values.forall(_.length === DedupOps.NumHashes))
   }
+
+  test("pii_scrub via SQL (regex redaction family)") {
+    // Spark SQL single-quoted literals process backslash escapes
+    // (unlike DuckDB's), so the pattern's \. must be doubled or the
+    // regex silently degrades to any-char and eats a following word
+    val PiiEmailRe = graft.operators.TextAnalysisOps.PiiEmailRe.replace("\\", "\\\\")
+    val PiiPhoneRe = graft.operators.TextAnalysisOps.PiiPhoneRe
+    assertParity("pii_scrub",
+      s"""WITH raw AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 0
+         |       THEN concat(text, ' contact user', cast(doc_id AS string), '@example.com',
+         |                   ' or call 555-123-', lpad(cast(doc_id % 10000 AS string), 4, '0'))
+         |       ELSE text END AS raw FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(raw, '$PiiEmailRe', '<EMAIL>'),
+         |                 '$PiiPhoneRe', '<PHONE>') AS scrubbed,
+         |  cast(size(regexp_extract_all(raw, '$PiiEmailRe', 0)) AS bigint) AS n_email,
+         |  cast(size(regexp_extract_all(raw, '$PiiPhoneRe', 0)) AS bigint) AS n_phone
+         |FROM raw ORDER BY doc_id""".stripMargin)
+  }
 }
