@@ -102,6 +102,32 @@ object EventStreams {
       .agg(graft.functions.SketchFunctions.cms(col("x"), d, w).as("grid"))
   }
 
+  /** Stream-static dimension enrich — the one join shape the family
+    * was missing: the event stream joined to BATCH dimension tables
+    * (customer → nation), then aggregated. A stream-static join keeps
+    * NO streaming state and needs no watermark — the static side is
+    * simply re-planned into every micro-batch, here as the same
+    * broadcast hash join the batch q5 chain uses (dims are
+    * dimension-sized by definition; at 100 TB the fact side is the
+    * stream and the broadcast is per-executor once per batch).
+    * Purchase spend is summed as decimal(18,6): exact and
+    * order-insensitive, so the incremental micro-batch fold is
+    * bit-identical to the one-shot batch aggregate no matter how the
+    * trigger slices the input. Works identically on a batch `events`
+    * frame (the spec runs both sides through this same plan).
+    */
+  def enrichedSpendByNation(events: DataFrame, customers: DataFrame,
+                            nations: DataFrame): DataFrame =
+    events
+      .where(col("event_type") === "purchase")
+      .join(broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .join(broadcast(nations.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,6)")).as("spend"))
+
   /** Sliding/tumbling windowed counts per event type with a watermark:
     * the incremental form of `EventsOps.hourly`. Late data beyond the
     * watermark is dropped; state is bounded by (watermark / window).

@@ -56,6 +56,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-static dimension join equals the batch enrich (stateless, no watermark)") {
+    val stream = EventStreams.readEventsStream(spark, eventsDir)
+    val cust = Tables.customer(spark, TestSpark.Sf0001)
+    val nat = Tables.nation(spark, TestSpark.Sf0001)
+    val q = EventStreams.enrichedSpendByNation(stream, cust, nat)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_stream")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("enrich_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    // identical plan over the batch table: the decimal spend must be
+    // bit-identical, not merely close — the fold is order-insensitive
+    val batch = EventStreams.enrichedSpendByNation(
+        Tables.events(spark, TestSpark.Sf0001), cust, nat)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(batch.nonEmpty, "fixture should produce enriched purchase rows")
+    assert(streamed === batch)
+  }
+
   test("streaming partitioned sink writes the layout the batch engine prunes") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-events-bydate-stream")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-events-bydate-ckpt")
