@@ -162,6 +162,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(q("winnow_fingerprint")) === 1)
   }
 
+  test("pii_scrub: pure map work, result sort is the only exchange") {
+    assert(shuffles(q("pii_scrub")) === 1)
+  }
+
   test("winnow_overlap: two fp windows + pair aggregate + result sort") {
     // the self-join's two sides each compute the cap window (Catalyst
     // never reuses subtrees) = 2 fp exchanges the join then rides;
