@@ -534,6 +534,42 @@ object Queries {
              |SELECT lang, max(n_lang) AS n_total, count(*) AS n_sampled
              |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // context-window chunking: ChunkSize-token windows every
+    // ChunkStride tokens (overlap = size - stride), fully row-local
+    "doc_chunks" -> QueryDef(
+      (s, d) => PipelineOps.docChunks(Tables.documents(s, d)),
+      Some(s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+              |t AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+              |s AS (SELECT doc_id, ws,
+              |        unnest(generate_series(1, len(ws), ${PipelineOps.ChunkStride})) AS start
+              |      FROM t)
+              |SELECT doc_id,
+              |  ((start - 1) // ${PipelineOps.ChunkStride})::BIGINT AS chunk_id,
+              |  len(ws[start:start + ${PipelineOps.ChunkSize - 1}])::BIGINT AS n_tokens,
+              |  array_to_string(ws[start:start + ${PipelineOps.ChunkSize - 1}], ' ') AS chunk_text
+              |FROM s ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // shelf packing of chunks into PackCapacity-token bins via a
+    // per-language prefix sum over the deterministic chunk order
+    "chunk_packing" -> QueryDef(
+      (s, d) => PipelineOps.chunkPacking(Tables.documents(s, d)),
+      Some(s"""WITH w AS (SELECT doc_id, lang, $toksSql AS ws FROM documents),
+              |t AS (SELECT doc_id, lang, ws FROM w WHERE len(ws) > 0),
+              |s AS (SELECT doc_id, lang, ws,
+              |        unnest(generate_series(1, len(ws), ${PipelineOps.ChunkStride})) AS start
+              |      FROM t),
+              |c AS (SELECT doc_id, lang,
+              |        ((start - 1) // ${PipelineOps.ChunkStride})::BIGINT AS chunk_id,
+              |        len(ws[start:start + ${PipelineOps.ChunkSize - 1}])::BIGINT AS n_tokens
+              |      FROM s),
+              |r AS (SELECT lang, n_tokens,
+              |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id
+              |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |      FROM c)
+              |SELECT lang, ((cum - n_tokens) // ${PipelineOps.PackCapacity})::BIGINT AS bin_id,
+              |  count(*) AS n_chunks, sum(n_tokens)::BIGINT AS bin_tokens
+              |FROM r GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin)),
+
     // ----- dedup -------------------------------------------------------
     "exact_dedup" -> QueryDef(
       (s, d) => DedupOps.exactDedup(Tables.documents(s, d)),

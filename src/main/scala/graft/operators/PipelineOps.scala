@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus-preparation pipelines: the composition layer a
@@ -231,5 +232,71 @@ object PipelineOps {
       .groupBy("lang")
       .agg(max("n_lang").as("n_total"), count(lit(1)).as("n_sampled"))
       .orderBy("lang")
+  }
+
+  // docChunks / chunkPacking share these with their oracles and with
+  // PipelineSpec's coverage/packing invariants.
+  val ChunkSize = 64
+  val ChunkStride = 48
+  val PackCapacity = 256
+
+  /** Context-window chunking — split every document into
+    * [[ChunkSize]]-token windows advancing by [[ChunkStride]] tokens
+    * (so consecutive chunks overlap by ChunkSize − ChunkStride: the
+    * standard guard against splitting a passage across two training
+    * examples with no shared context). Entirely row-local — one
+    * native tokenize, a `sequence` of window starts, a posexplode,
+    * and an array slice per chunk; at 100 TB this is map work and the
+    * only exchange is the result sort. Every token is covered (stride
+    * < size), every chunk is non-empty (starts stop at the token
+    * count), and the final chunk is simply shorter instead of padded.
+    */
+  def docChunks(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
+    docs.select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(1), size(col("ws")), lit(ChunkStride))).as(Seq("pos", "start")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        size(slice(col("ws"), col("start"), lit(ChunkSize))).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("ws"), col("start"), lit(ChunkSize))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Sequence packing — assign chunks to fixed [[PackCapacity]]-token
+    * training bins by shelf packing: a running token total per
+    * language (window prefix sum over the unique, deterministic
+    * (doc_id, chunk_id) order) places each chunk in bin
+    * `tokens_before div capacity`. One window exchange on `lang` and
+    * one aggregate per (lang, bin) — the prefix sum parallelizes per
+    * language; at 100 TB you would sub-shard the partition key
+    * ((lang, shard) with shard = a hash of doc_id) because a single
+    * language's global order is otherwise one task's sort, the same
+    * scale-shape as exact ntile (documented weak-form pattern:
+    * the banded companions). Bins fill past capacity only by the
+    * tail of the chunk that crosses the boundary's start — shelf
+    * semantics, matching how packed pretraining batches actually cut.
+    */
+  def chunkPacking(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
+    val chunks = docs.select(col("doc_id"), col("lang"), ws.as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), col("lang"), col("ws"),
+        posexplode(sequence(lit(1), size(col("ws")), lit(ChunkStride))).as(Seq("pos", "start")))
+      .select(col("doc_id"), col("lang"), col("pos").cast("long").as("chunk_id"),
+        size(slice(col("ws"), col("start"), lit(ChunkSize))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id", expr(s"(cum - n_tokens) div $PackCapacity"))
+      .groupBy("lang", "bin_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("bin_tokens"))
+      .orderBy("lang", "bin_id")
   }
 }

@@ -109,6 +109,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(perType === grand.head.getLong(2))
   }
 
+  test("doc chunks cover every token with the declared size/stride/overlap") {
+    import graft.operators.PipelineOps.{ChunkSize, ChunkStride}
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val nTokens = graft.operators.TextAnalysisOps.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = graft.operators.PipelineOps.docChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = nTokens(id)
+      val sorted = cs.sortBy(_._2)
+      // chunk i holds exactly the tokens [i*stride, i*stride + size)
+      sorted.foreach { case (_, cid, len, text) =>
+        assert(len === math.min(ChunkSize.toLong, n - cid * ChunkStride), s"doc $id chunk $cid")
+        assert(text.split(" ").length.toLong === len, s"doc $id chunk $cid")
+      }
+      // ids are dense from 0 and the last window reaches the last token
+      assert(sorted.map(_._2) === (0L until sorted.length).toSeq)
+      assert((sorted.length - 1) * ChunkStride < n && n <= (sorted.length - 1) * ChunkStride + math.max(ChunkSize, ChunkStride))
+    }
+  }
+
+  test("chunk packing reproduces the sequential shelf-packing model") {
+    import graft.operators.PipelineOps.PackCapacity
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    // sequential model: walk chunks per lang in (doc_id, chunk_id)
+    // order, assign bin = tokens_before / capacity
+    val chunks = graft.operators.PipelineOps.docChunks(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(c => (c._1, c._2))
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val model = chunks.groupBy(c => langOf(c._1)).toSeq.flatMap { case (lang, cs) =>
+      var cum = 0L
+      cs.sortBy(c => (c._1, c._2)).toSeq.map { case (_, _, n) =>
+        val bin = cum / PackCapacity; cum += n; (lang, bin) -> n
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    val got = graft.operators.PipelineOps.chunkPacking(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === model)
+    // shelf bounds: a non-last bin spans one full capacity stripe,
+    // shifted by at most the previous bin's boundary-crossing chunk
+    // overhang (< ChunkSize), so its token count sits within
+    // capacity ± (ChunkSize − 1)
+    import graft.operators.PipelineOps.ChunkSize
+    val lastBin = got.keys.groupBy(_._1).map { case (l, ks) => l -> ks.map(_._2).max }
+    got.foreach { case ((lang, bin), (_, toks)) =>
+      if (bin != lastBin(lang)) {
+        assert(toks >= PackCapacity - (ChunkSize - 1), s"$lang bin $bin underfilled")
+        assert(toks <= PackCapacity + (ChunkSize - 1), s"$lang bin $bin overfilled")
+      }
+    }
+  }
+
   test("pii scrub redacts every injected span and nothing else") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val byId = graft.operators.TextAnalysisOps.piiScrub(docs).collect()

@@ -166,6 +166,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(q("pii_scrub")) === 1)
   }
 
+  test("doc_chunks: row-local explode+slice, result sort is the only exchange") {
+    assert(shuffles(q("doc_chunks")) === 1)
+  }
+
+  test("chunk_packing: the (lang, bin) aggregate rides the lang window exchange") {
+    // window hashpartitioning(lang) already clusters every (lang,
+    // bin) group, so Catalyst must NOT add a third exchange for the
+    // aggregate — only the window partition + the result sort remain
+    assert(shuffles(q("chunk_packing")) === 2)
+  }
+
   test("winnow_overlap: two fp windows + pair aggregate + result sort") {
     // the self-join's two sides each compute the cap window (Catalyst
     // never reuses subtrees) = 2 fp exchanges the join then rides;
