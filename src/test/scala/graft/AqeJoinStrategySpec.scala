@@ -34,7 +34,13 @@ class AqeJoinStrategySpec extends AnyFunSuite {
     */
   private def executedJoinLines(df: DataFrame, key: String): Seq[String] = {
     df.collect()
+    // an executed AdaptiveSparkPlan prints BOTH its final and initial
+    // plans; only the final section shows the strategy AQE actually
+    // ran (the initial section matters when the build side has no
+    // stats — e.g. a checkpoint scan — and the static planner guesses
+    // big: the survivors pin exists precisely because AQE corrects it)
     df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
       .linesIterator
       .filter(l => l.contains("Join") && l.contains(key))
       .toSeq
@@ -95,6 +101,28 @@ class AqeJoinStrategySpec extends AnyFunSuite {
       assert(lb.nonEmpty)
       assert(lb.forall(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
         s"over-threshold corpus index must flip to a shuffled anti join, got:\n${lb.mkString("\n")}")
+    }
+  }
+
+  test("dedup_survivors' non-canonical anti join broadcasts small and flips at size") {
+    // the non-canonical set is bounded by the pair-graph node count —
+    // dimension-sized next to the corpus, so it broadcasts unhinted;
+    // the threshold-forced run pins that the SAME plan degrades to a
+    // shuffled anti join rather than breaking when a pathological
+    // corpus makes the drop set big
+    val small = Queries.queries("dedup_survivors")(spark, TestSpark.Sf0001)
+    val ls = executedJoinLines(small, "LeftAnti")
+    assert(ls.nonEmpty, "expected a left-anti join in the executed plan")
+    assert(ls.forall(_.contains("BroadcastHashJoin")),
+      s"fixture-scale drop set should broadcast, got:\n${ls.mkString("\n")}")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val big = Queries.queries("dedup_survivors")(spark, TestSpark.Sf0001)
+      val lb = executedJoinLines(big, "LeftAnti")
+      assert(lb.nonEmpty)
+      assert(lb.forall(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+        s"over-threshold drop set must flip to a shuffled anti join, got:\n${lb.mkString("\n")}")
     }
   }
 

@@ -345,6 +345,19 @@ class SqlParitySpec extends AnyFunSuite {
     assert(viaSql.values.forall(_.length === DedupOps.NumHashes))
   }
 
+  test("doc_chunks via SQL (lateral posexplode + slice over graft_tokenize)") {
+    import graft.operators.PipelineOps.{ChunkSize, ChunkStride}
+    assertParity("doc_chunks",
+      s"""WITH t AS (SELECT doc_id, graft_tokenize(text) AS ws FROM documents)
+         |SELECT doc_id, cast(pos AS bigint) AS chunk_id,
+         |  cast(size(slice(ws, start, $ChunkSize)) AS bigint) AS n_tokens,
+         |  concat_ws(' ', slice(ws, start, $ChunkSize)) AS chunk_text
+         |FROM t
+         |LATERAL VIEW posexplode(sequence(1, size(ws), $ChunkStride)) x AS pos, start
+         |WHERE size(ws) > 0
+         |ORDER BY doc_id, chunk_id""".stripMargin)
+  }
+
   test("pii_scrub via SQL (regex redaction family)") {
     // Spark SQL single-quoted literals process backslash escapes
     // (unlike DuckDB's), so the pattern's \. must be doubled or the
