@@ -1115,6 +1115,35 @@ object Queries {
              |    last_order FROM per LEFT JOIN b ON TRUE)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // customer order-count distribution (TPC-H Q13 shape): outer
+    // join keeps zero-order customers; second agg keys on the tiny
+    // order-count domain
+    "q13_custdist" -> QueryDef(
+      (s, d) => RelationalOps.q13Custdist(Tables.customer(s, d), Tables.orders(s, d)),
+      Some("""WITH per AS (SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |SELECT c_count, count(*) AS custdist
+             |FROM per GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // large-volume orders (TPC-H Q18 shape): decimal-exact HAVING
+    // tail broadcast into the orders/customer join under AQE
+    "q18_large_orders" -> QueryDef(
+      (s, d) => RelationalOps.q18LargeOrders(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""WITH big AS (SELECT l_orderkey,
+             |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+             |  FROM lineitem GROUP BY l_orderkey
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 210)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             |  o_totalprice, total_qty
+             |FROM orders JOIN big ON o_orderkey = l_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     // correlated EXISTS / NOT EXISTS through the SQL layer (plans as
     // a left-semi + left-anti join pair)
     "sql_exists_anti" -> QueryDef(

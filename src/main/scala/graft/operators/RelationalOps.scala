@@ -626,4 +626,53 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_customers"),
         max("last_order").as("latest_order"))
       .orderBy("f_band", "m_band")
+
+  /** Customer order-count distribution (the TPC-H Q13 shape): LEFT
+    * OUTER join customers to their non-urgent orders, count orders
+    * per customer (zero-order customers kept via the outer join),
+    * then the distribution — how many customers placed exactly k
+    * orders. Two aggregates: the first shuffles on custkey with
+    * map-side partials, the second on the tiny order-count domain
+    * (at most ~max-orders-per-customer distinct values, scale-free).
+    * The o_orderpriority filter lands in the orders scan as a pushed
+    * predicate BEFORE the join — at 100 TB the join probe side only
+    * carries surviving orders.
+    */
+  def q13Custdist(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = customer
+      .join(orders.where(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Large-volume orders (the TPC-H Q18 shape): orders whose TOTAL
+    * lineitem quantity exceeds `minQty`, reported with the customer
+    * and the order's quantity sum. The HAVING pre-aggregate keys on
+    * l_orderkey — the same key the orders join needs, so under AQE
+    * the surviving-orderkey set (tiny: the quantity tail) broadcasts
+    * into the orders/customer join and the big lineitem table is
+    * touched exactly once. Quantity sums as decimal(12,2): exact,
+    * order-insensitive, so the `> minQty` cut cannot flip on
+    * aggregation order at any SF.
+    */
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, minQty: Int = 210): DataFrame = {
+    val bigOrders = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    orders
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
 }

@@ -377,4 +377,41 @@ class SqlParitySpec extends AnyFunSuite {
          |  cast(size(regexp_extract_all(raw, '$PiiPhoneRe', 0)) AS bigint) AS n_phone
          |FROM raw ORDER BY doc_id""".stripMargin)
   }
+
+  test("q13_custdist via SQL (outer-join distribution family)") {
+    assertParity("q13_custdist",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  test("q18_large_orders via SQL (HAVING-subquery join family)") {
+    assertParity("q18_large_orders",
+      """WITH big AS (SELECT l_orderkey,
+        |    sum(cast(l_quantity AS decimal(12,2))) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(cast(l_quantity AS decimal(12,2))) > 210)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+  }
+
+  test("q13_custdist keeps zero-order customers (the outer-join point)") {
+    import spark.implicits._
+    val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("c_custkey", "c_name")
+    val orders = Seq((10L, 1L, "1-URGENT"), (11L, 1L, "3-MEDIUM"), (12L, 2L, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val res = RelationalOps.q13Custdist(customer, orders).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cust 1: one non-urgent order; cust 2: one; cust 3: zero — and
+    // cust 1's urgent order must not count
+    assert(res === Map(1L -> 2L, 0L -> 1L))
+  }
 }
