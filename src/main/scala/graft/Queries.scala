@@ -468,6 +468,13 @@ object Queries {
       (s, d) => PipelineOps.cleanCorpus(Tables.documents(s, d)),
       Some(cleanPipelineOracle)),
 
+    // filter-cascade observability: per-rule first-failure drop
+    // counts, one projection + one 6-counter aggregate; oracle
+    // generated from the same PipelineOps.Funnel* constants
+    "filter_funnel" -> QueryDef(
+      (s, d) => PipelineOps.filterFunnel(Tables.documents(s, d)),
+      Some(filterFunnelOracle)),
+
     // benchmark decontamination: corpus docs sharing >= 3 distinct
     // 8-gram shingles with any probe (benchmark) doc
     "contamination_check" -> QueryDef(
@@ -1518,6 +1525,53 @@ object Queries {
        |SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
        |  arg_min(n_tokens, doc_id) AS n_tokens, count(*) AS n_copies
        |FROM f GROUP BY fp ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB funnel oracle: the same five sequential gates with
+    * first-failing-rule attribution, thresholds generated from
+    * [[graft.operators.PipelineOps]]'s Funnel* constants. Gates
+    * coalesce to FALSE (matching the Spark side) so no row ever
+    * vanishes from the funnel bookkeeping.
+    */
+  private lazy val filterFunnelOracle: String = {
+    import graft.operators.{PipelineOps => P, TextAnalysisOps => T}
+    val langs = T.StopwordsByLang.map(_._1)
+    val hitCols = T.StopwordsByLang.map { case (l, stops) =>
+      val in = stops.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ws, w -> w IN ($in))) AS hits_$l"
+    }.mkString(",\n  ")
+    val cases = langs.init.map { l =>
+      val conds = langs.filterNot(_ == l).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n  ")
+    val n = T.RepetitionNgramN
+    val gramsSql =
+      s"list_transform(generate_series(1, len(ws) - ${n - 1}), i -> array_to_string(ws[i:i+${n - 1}], ' '))"
+    s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS ws FROM documents),
+       |h AS (SELECT *, $hitCols FROM t),
+       |g AS (SELECT
+       |  coalesce(len(ws) >= ${P.FunnelMinTokens}, false) AS g1,
+       |  coalesce(len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\r\f]'))::DOUBLE
+       |           / NULLIF(length(text), 0) <= ${P.FunnelMaxPunct}, false) AS g2,
+       |  coalesce(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / NULLIF(len(ws), 0)
+       |           BETWEEN ${P.FunnelMinAvgWordLen} AND ${P.FunnelMaxAvgWordLen}, false) AS g3,
+       |  coalesce((CASE $cases ELSE '${langs.last}' END) = lang, false) AS g4,
+       |  coalesce(1.0 - len(list_distinct($gramsSql))::DOUBLE
+       |           / NULLIF(len($gramsSql), 0) <= ${P.FunnelMaxDupFrac}, false) AS g5
+       |FROM h),
+       |agg AS (SELECT count(*)::BIGINT AS total,
+       |  sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+       |  sum(CASE WHEN g1 AND NOT g2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+       |  sum(CASE WHEN g1 AND g2 AND NOT g3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+       |  sum(CASE WHEN g1 AND g2 AND g3 AND NOT g4 THEN 1 ELSE 0 END)::BIGINT AS d4,
+       |  sum(CASE WHEN g1 AND g2 AND g3 AND g4 AND NOT g5 THEN 1 ELSE 0 END)::BIGINT AS d5
+       |FROM g)
+       |SELECT 1::BIGINT AS stage, 'min_tokens' AS rule, total AS docs_in, d1 AS docs_dropped, total - d1 AS docs_out FROM agg
+       |UNION ALL SELECT 2, 'max_punct', total - d1, d2, total - d1 - d2 FROM agg
+       |UNION ALL SELECT 3, 'word_len', total - d1 - d2, d3, total - d1 - d2 - d3 FROM agg
+       |UNION ALL SELECT 4, 'lang_agreement', total - d1 - d2 - d3, d4, total - d1 - d2 - d3 - d4 FROM agg
+       |UNION ALL SELECT 5, 'repetition', total - d1 - d2 - d3 - d4, d5, total - d1 - d2 - d3 - d4 - d5 FROM agg
+       |ORDER BY stage""".stripMargin
   }
 
   /** Exact word-5-gram Jaccard near-dup pairs (threshold 0.8) — the

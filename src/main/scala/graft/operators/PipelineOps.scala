@@ -299,4 +299,93 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("bin_tokens"))
       .orderBy("lang", "bin_id")
   }
+
+  /** Gate constants for [[filterFunnel]] — the DuckDB oracle is
+    * generated from these same values (the NtileBandSamplePct rule),
+    * so engine and oracle cannot diverge on a threshold.
+    */
+  val FunnelMinTokens = 5
+  val FunnelMaxPunct = 0.20
+  val FunnelMinAvgWordLen = 2.0
+  val FunnelMaxAvgWordLen = 12.0
+  val FunnelMaxDupFrac = 0.25
+
+  /** Filter-cascade funnel report — the observability companion to
+    * [[cleanCorpus]]: apply the C4/Gopher-style quality gates IN
+    * SEQUENCE and report, per rule, how many documents entered, were
+    * dropped by that rule (first-failing-rule attribution), and
+    * survived into the next stage. A training-data run reads this
+    * before committing a filter config: a rule that drops 40% of the
+    * corpus is a bug or a decision, never a silent side effect.
+    *
+    * Stages: (1) `min_tokens` >= [[FunnelMinTokens]]; (2) punctuation
+    * ratio <= [[FunnelMaxPunct]]; (3) mean word length in
+    * [[[FunnelMinAvgWordLen]], [[FunnelMaxAvgWordLen]]] (gibberish /
+    * char-soup screen); (4) stopword-profile language guess agrees
+    * with the label ([[cleanCorpus]]'s argmax, same unconditional
+    * array form); (5) word-trigram duplicate fraction <=
+    * [[FunnelMaxDupFrac]] ([[TextAnalysisOps.repetitionScore]]'s
+    * statistic as a gate).
+    *
+    * Scale shape: every gate is row-local, so the whole cascade is
+    * ONE projection over the scan followed by ONE all-to-one
+    * aggregate of six counters — partial aggregation collapses each
+    * task to a single row, the exchange moves #tasks rows, and the
+    * 5-row report is built from the one-row aggregate with `stack`.
+    * No shuffle of documents, ever, at any corpus size. Gates are
+    * coalesced to false on both engines so a pathological row (empty
+    * text) attributes at stage 1 instead of vanishing from the
+    * bookkeeping.
+    */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val langs = TextAnalysisOps.StopwordsByLang.map(_._1)
+
+    val flagged = docs
+      .withColumn("ws", graft.functions.NativeText.tokens(col("text")))
+      .withColumn("n", size(col("ws")).cast("long"))
+    val hitsArr = array(TextAnalysisOps.StopwordsByLang.map { case (_, stops) =>
+      size(filter(col("ws"), w => w.isin(stops.map(x => x: Any): _*)))
+    }: _*)
+    val pred = element_at(
+      array(langs.map(lit): _*),
+      array_position(hitsArr, array_max(hitsArr)).cast("int"))
+    val punctRatio = size(regexp_extract_all(lower(col("text")),
+      lit("[^a-z0-9 \\t\\n\\r\\f]"), lit(0))).cast("double") /
+      nullif(length(col("text")).cast("double"), lit(0.0))
+    val avgLen = aggregate(transform(col("ws"), w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x).cast("double") /
+      nullif(col("n").cast("double"), lit(0.0))
+    val grams = graft.functions.NativeText.wordNgrams(
+      col("ws"), TextAnalysisOps.RepetitionNgramN)
+    val dupFrac = lit(1.0) -
+      size(array_distinct(grams)).cast("double") /
+        nullif(size(grams).cast("double"), lit(0.0))
+
+    val gated = flagged.select(
+      coalesce(col("n") >= FunnelMinTokens, lit(false)).as("g1"),
+      coalesce(punctRatio <= FunnelMaxPunct, lit(false)).as("g2"),
+      coalesce(avgLen >= FunnelMinAvgWordLen &&
+        avgLen <= FunnelMaxAvgWordLen, lit(false)).as("g3"),
+      coalesce(pred === col("lang"), lit(false)).as("g4"),
+      coalesce(dupFrac <= FunnelMaxDupFrac, lit(false)).as("g5"))
+
+    def drops(conds: Column): Column = sum(when(conds, 1L).otherwise(0L))
+    gated
+      .agg(count(lit(1)).as("total"),
+        drops(!col("g1")).as("d1"),
+        drops(col("g1") && !col("g2")).as("d2"),
+        drops(col("g1") && col("g2") && !col("g3")).as("d3"),
+        drops(col("g1") && col("g2") && col("g3") && !col("g4")).as("d4"),
+        drops(col("g1") && col("g2") && col("g3") && col("g4") && !col("g5")).as("d5"))
+      .selectExpr(
+        """stack(5,
+          |  bigint(1), 'min_tokens',     total,                     d1, total - d1,
+          |  bigint(2), 'max_punct',      total - d1,                d2, total - d1 - d2,
+          |  bigint(3), 'word_len',       total - d1 - d2,           d3, total - d1 - d2 - d3,
+          |  bigint(4), 'lang_agreement', total - d1 - d2 - d3,      d4, total - d1 - d2 - d3 - d4,
+          |  bigint(5), 'repetition',     total - d1 - d2 - d3 - d4, d5, total - d1 - d2 - d3 - d4 - d5
+          |) AS (stage, rule, docs_in, docs_dropped, docs_out)""".stripMargin)
+      .orderBy("stage")
+  }
 }

@@ -182,4 +182,34 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("filter funnel conserves documents stage to stage") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val out = PipelineOps.filterFunnel(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // stage 1 enters with the whole corpus; every stage conserves
+    // docs_in = docs_dropped + docs_out; each stage's out feeds the next
+    assert(out.head._3 === docs.count())
+    out.foreach { case (st, rule, in, dropped, outN) =>
+      assert(in === dropped + outN, s"stage $st ($rule) leaks documents")
+      assert(dropped >= 0 && outN >= 0)
+    }
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 === b._3, s"stage ${b._1} docs_in != stage ${a._1} docs_out")
+    }
+  }
+
+  test("filter funnel attributes a pathological row at stage 1") {
+    import spark.implicits._
+    // empty text: zero tokens -> fails min_tokens; the null-prone
+    // downstream gates (ratios with zero denominators) must coalesce
+    // to false so the row neither double-counts nor vanishes
+    val docs = Seq((1L, "en", ""), (2L, "en", "the of and to a in is it you that was for on are"))
+      .toDF("doc_id", "lang", "text")
+    val out = PipelineOps.filterFunnel(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) === ((1L, 2L, 1L, 1L)))  // empty doc dropped at min_tokens
+    assert(out(4)._4 === 1L)               // the clean doc survives every gate
+  }
 }
