@@ -739,6 +739,40 @@ object Queries {
            |SELECT a_id, b_id, score FROM sc WHERE score >= 0.5 ORDER BY a_id, b_id""".stripMargin
       }),
 
+    // int8 scalar-quantized ANN + exact rerank: the 4x-footprint scan
+    // pass; oracle reproduces the quantize/dequantize double math and
+    // the rerank pool from SimilarityOps.Sq8RerankM
+    "ann_sq8" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.annSq8(Tables.embeddings(s, d)) },
+      Some(s"""WITH dx AS (SELECT vec_id, embedding,
+             |    unnest(generate_series(1, len(embedding))) AS pos FROM embeddings),
+             |b AS (SELECT pos, min(embedding[pos]::DOUBLE) AS lo,
+             |             max(embedding[pos]::DOUBLE) AS hi FROM dx GROUP BY pos),
+             |qx AS (SELECT vec_id, pos,
+             |    coalesce(round((embedding[pos]::DOUBLE - lo) * 254.0 / NULLIF(hi - lo, 0.0), 0) - 127.0,
+             |             0.0) AS code, lo, hi
+             |  FROM dx JOIN b USING (pos)),
+             |q AS (SELECT vec_id,
+             |    list((lo + (code + 127.0) * (hi - lo) / 254.0)::FLOAT ORDER BY pos) AS dq
+             |  FROM qx GROUP BY vec_id),
+             |p AS (SELECT vec_id AS probe_id, dq AS pdq FROM q WHERE vec_id < 10),
+             |s AS (SELECT probe_id, q.vec_id, ${cosSql("pdq", "dq")} AS score_q
+             |      FROM q CROSS JOIN p WHERE q.vec_id <> probe_id),
+             |r AS (SELECT probe_id, vec_id, score_q,
+             |        row_number() OVER (PARTITION BY probe_id
+             |          ORDER BY round(score_q, 6) DESC, vec_id) AS rnk_q FROM s),
+             |cand AS (SELECT probe_id, vec_id, score_q FROM r WHERE rnk_q <= ${SimilarityOps.Sq8RerankM}),
+             |x AS (SELECT probe_id, cand.vec_id, score_q,
+             |        ${cosSql("pe.embedding", "e.embedding")} AS score
+             |      FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+             |        JOIN embeddings pe ON pe.vec_id = probe_id),
+             |r2 AS (SELECT probe_id, vec_id, score, score_q,
+             |         row_number() OVER (PARTITION BY probe_id
+             |           ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM x)
+             |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+             |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
+             |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+
     // ----- relational (the surface the reference lacks, SURVEY §2.2) ---
     "q1_pricing" -> QueryDef(
       (s, d) => RelationalOps.q1Pricing(Tables.lineitem(s, d)),

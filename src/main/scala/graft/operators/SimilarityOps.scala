@@ -268,4 +268,86 @@ object SimilarityOps {
       .where(col("score") >= threshold)
       .orderBy("a_id", "b_id")
   }
+
+  /** Candidate-pool size for [[annSq8]]'s exact rerank; the DuckDB
+    * oracle is generated from the same constant.
+    */
+  val Sq8RerankM = 30
+
+  /** Scalar-quantized (int8) ANN with exact rerank — the memory/IO
+    * lever for brute-force search at 100 TB: per-dimension global
+    * [lo, hi] bounds map each float32 to a code in [-127, 127], so
+    * the scanned corpus representation shrinks 4x (64 codes = 64
+    * bytes vs 256) and the quantized scan pass is correspondingly
+    * cheaper before a small exact pass fixes the ranking.
+    *
+    * Three passes, all scale-shaped:
+    *  1. bounds: posexplode -> per-dimension min/max. The exchange
+    *     carries dim-count rows per task (map-side partials); the
+    *     result is ONE row of two dim-length arrays, broadcast.
+    *  2. quantized scan: codes and their dequantized float vectors
+    *     are row-local `transform`s; probes (vec_id < nProbes)
+    *     broadcast; approximate cosine + top-`rerankM` per probe via
+    *     WindowGroupLimit heaps. The corpus never shuffles.
+    *  3. exact rerank: the candidate pool (nProbes x rerankM rows,
+    *     broadcast) semi-joins the original vectors for exact cosine
+    *     top-k — at 100 TB this touches the full-precision data for
+    *     only the candidate row groups.
+    *
+    * Determinism: quantization math is the same double-precision op
+    * sequence on both engines ((x-lo)*254/(hi-lo), round-half-up —
+    * arguments are always >= 0, where Spark and DuckDB rounding
+    * agree); a constant dimension (hi == lo) quantizes to code 0 and
+    * dequantizes to lo exactly on both sides. Ranking ties break on
+    * (rounded score, vec_id) as in [[similarityTopK]].
+    */
+  def annSq8(emb: DataFrame, nProbes: Int = 10, k: Int = 10,
+             rerankM: Int = Sq8RerankM): DataFrame = {
+    val bounds = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+          s => s.getField("lo")).as("lo_arr"),
+        transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+          s => s.getField("hi")).as("hi_arr"))
+    def loAt(i: Column) = element_at(col("lo_arr"), i + 1)
+    def hiAt(i: Column) = element_at(col("hi_arr"), i + 1)
+    val codes = transform(col("embedding"), (x, i) =>
+      coalesce(
+        round((x.cast("double") - loAt(i)) * 254.0 /
+          nullif(hiAt(i) - loAt(i), lit(0.0)), 0) - 127.0,
+        lit(0.0)).cast("tinyint"))
+    val dq = transform(col("codes"), (c, i) =>
+      (loAt(i) + (c.cast("double") + 127.0) * (hiAt(i) - loAt(i)) / 254.0)
+        .cast("float"))
+    val qemb = emb.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), codes.as("codes"), col("lo_arr"), col("hi_arr"))
+      .select(col("vec_id"), dq.as("dq"))
+    val probes = qemb.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("dq").as("pdq"))
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score_q"), 6).desc, col("vec_id").asc)
+    val cand = qemb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorFunctions.cosine(col("pdq"), col("dq")).as("score_q"))
+      .withColumn("rnk_q", row_number().over(wq))
+      .where(col("rnk_q") <= rerankM)
+      .select(col("probe_id"), col("vec_id"), col("score_q"))
+    val probeVecs = emb.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score"), 6).desc, col("vec_id").asc)
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("score_q"),
+        VectorFunctions.cosine(col("probe_vec"), col("embedding")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"),
+        round(col("score"), 4).as("score"), round(col("score_q"), 4).as("score_q"))
+      .orderBy("probe_id", "rnk")
+  }
 }

@@ -83,6 +83,28 @@ class SimilaritySpec extends AnyFunSuite {
       s"2-round Lloyd regressed recall: $r2 < $r1")
   }
 
+  test("sq8 rerank recall@10 beats the unreranked quantized path's floor") {
+    VectorFunctions.register(spark)
+    val exact = SimilarityOps.similarityTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq8 = SimilarityOps.annSq8(emb).collect()
+    val approx = sq8.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // int8 quantization over a 30-candidate pool loses little on a
+    // 64-dim fixture; well above IVF's partition-miss floor
+    assert(recall > 0.8, s"sq8 recall collapsed: $recall")
+    // the exact rerank must order each probe's pool by the exact
+    // score, and the quantized score must track it closely
+    sq8.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+    sq8.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 0.1,
+        s"quantized score drifted: ${r.getDouble(3)} vs ${r.getDouble(4)}")
+    }
+  }
+
   test("Lloyd driver stops early once centroid movement is under eps") {
     VectorFunctions.register(spark)
     // eps larger than any possible component delta: stops after the
