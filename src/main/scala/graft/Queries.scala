@@ -773,6 +773,26 @@ object Queries {
              |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
              |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
 
+    // SemDeDup: within-cluster cosine pairs (the O(n²/K) candidate
+    // generation; threshold + cluster cap from SimilarityOps
+    // constants, cap inert at tested SFs)
+    "semantic_pairs" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.semanticPairs(Tables.embeddings(s, d)) },
+      Some(s"""$semanticOracleBody
+             |SELECT a_id, b_id, score FROM pairs ORDER BY a_id, b_id""".stripMargin)),
+
+    // the semantic-dedup labeling: transitive closure of the pair
+    // graph (recursive-CTE oracle, the dup_components pattern) +
+    // survivor flag; downstream filter is WHERE is_survivor = 1
+    "semantic_dedup" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.semanticDedup(Tables.embeddings(s, d)) },
+      Some(s"""$semanticOracleBody
+             |SELECT a.vec_id, a.centroid_id,
+             |  coalesce(cm.component, a.vec_id) AS component,
+             |  CAST(coalesce(cm.component, a.vec_id) = a.vec_id AS BIGINT) AS is_survivor
+             |FROM assign a LEFT JOIN comp cm ON cm.node = a.vec_id
+             |ORDER BY a.vec_id""".stripMargin)),
+
     // ----- relational (the surface the reference lacks, SURVEY §2.2) ---
     "q1_pricing" -> QueryDef(
       (s, d) => RelationalOps.q1Pricing(Tables.lineitem(s, d)),
@@ -1645,6 +1665,41 @@ object Queries {
     * propagation loop converges to. The WHERE prune keeps the walk
     * relation near pair-count-sized instead of full reachability.
     */
+  /** Shared CTE body for the SemDeDup oracles: the nearest-centroid
+    * assignment (identical to the ann_ivf oracle's `assign`), the
+    * capped within-cluster pair graph, and its min-label components
+    * via the same recursive walk as [[componentsOracleBody]]. All
+    * thresholds generated from [[graft.operators.SimilarityOps]]
+    * constants.
+    */
+  private lazy val semanticOracleBody: String = {
+    import graft.operators.{SimilarityOps => S}
+    s"""WITH RECURSIVE
+       |c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+       |      WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),
+       |ps AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
+       |       FROM embeddings e CROSS JOIN c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM ps),
+       |assign AS (SELECT vec_id, centroid_id, embedding FROM r WHERE crank = 1),
+       |cap AS (SELECT * FROM assign
+       |        QUALIFY count(*) OVER (PARTITION BY centroid_id) <= ${S.SemMaxCluster}),
+       |pairs AS (SELECT * FROM (
+       |            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |              round(${cosSql("a.embedding", "b.embedding")}, 4) + 0 AS score
+       |            FROM cap a JOIN cap b
+       |              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+       |          WHERE score >= ${S.SemThreshold}),
+       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT DISTINCT u, u FROM sym
+       |  UNION
+       |  SELECT s.u, k.label FROM walk k JOIN sym s ON s.v = k.node
+       |  WHERE k.label < s.u),
+       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)""".stripMargin
+  }
+
   private lazy val componentsOracleBody: String =
     s"""WITH RECURSIVE $jaccardPairsBody,
        |sym AS (SELECT a_id AS u, b_id AS v FROM pairs

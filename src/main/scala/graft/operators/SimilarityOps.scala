@@ -274,6 +274,76 @@ object SimilarityOps {
     */
   val Sq8RerankM = 30
 
+  /** [[semanticDedup]] constants, shared with the generated oracle:
+    * the within-cluster cosine threshold (on the 4-decimal-rounded
+    * score, so a boundary pair cannot flip between engines) and the
+    * mega-cluster cap (inert at tested SFs — fixture clusters are
+    * ~n/K vectors — but bounding the self-join's worst case the same
+    * way the minhash/simhash/LSH bucket caps do).
+    */
+  val SemThreshold = 0.4
+  val SemMaxCluster = 10000
+
+  /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): assign every vector to its nearest seed
+    * centroid (the [[annIvf]] assignment — K-row broadcast, one
+    * corpus pass, no shuffle of vectors), then score pairs ONLY
+    * within a cluster. The pairwise work drops from O(n²) to
+    * O(sum cluster²) ≈ O(n²/K) — at 100 TB you raise K with corpus
+    * size (K ~ sqrt n keeps per-cluster work flat) and the self-join
+    * shuffles on centroid_id, each cluster a hash partition. The
+    * [[SemMaxCluster]] cap rides that same shuffle's count window, so
+    * a degenerate embedding collapse (everything in one cluster)
+    * bounds instead of going quadratic.
+    */
+  def semanticPairs(emb: DataFrame, centroidMod: Int = 97, numCentroids: Int = 16,
+                    threshold: Double = SemThreshold,
+                    maxCluster: Int = SemMaxCluster): DataFrame = {
+    val centroids = seedCentroids(emb, centroidMod, numCentroids)
+    val assign = assignToCentroids(emb, centroids)
+    val capped = assign
+      .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("centroid_id"))))
+      .where(col("cn") <= maxCluster)
+    val a = capped.select(col("centroid_id"), col("vec_id").as("a_id"),
+      col("embedding").as("va"))
+    val b = capped.select(col("centroid_id"), col("vec_id").as("b_id"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 4).as("score"))
+      .where(col("score") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The semantic-dedup labeling: connected components over the
+    * [[semanticPairs]] graph (transitive closure — a chain of
+    * above-threshold neighbors is ONE semantic group, the same
+    * clustering step [[DedupOps.dupComponents]] runs over the lexical
+    * pair graph), then every vector labeled with its group minimum
+    * and a survivor flag (group minimum = the kept representative;
+    * singletons survive trivially). Output is the full corpus
+    * labeling — the downstream training-data filter is
+    * `WHERE is_survivor = 1`.
+    */
+  def semanticDedup(emb: DataFrame, centroidMod: Int = 97, numCentroids: Int = 16,
+                    threshold: Double = SemThreshold,
+                    maxCluster: Int = SemMaxCluster): DataFrame = {
+    val centroids = seedCentroids(emb, centroidMod, numCentroids)
+    val assign = assignToCentroids(emb, centroids)
+    val pairs = semanticPairs(emb, centroidMod, numCentroids, threshold, maxCluster)
+    val comp = DedupOps.connectedComponents(pairs.select(col("a_id"), col("b_id")))
+      .select(col("doc_id").as("vec_id"), col("component"))
+    assign.select("vec_id", "centroid_id")
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("is_survivor",
+        (col("component") === col("vec_id")).cast("long"))
+      .orderBy("vec_id")
+  }
+
   /** Scalar-quantized (int8) ANN with exact rerank — the memory/IO
     * lever for brute-force search at 100 TB: per-dimension global
     * [lo, hi] bounds map each float32 to a code in [-127, 127], so

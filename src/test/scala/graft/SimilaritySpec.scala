@@ -105,6 +105,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup labels one survivor per group and pairs stay co-clustered") {
+    VectorFunctions.register(spark)
+    val labeled = SimilarityOps.semanticDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(labeled.length === emb.count())
+    // exactly one survivor per component, and it is the group minimum
+    labeled.groupBy(_._3).foreach { case (component, group) =>
+      val survivors = group.filter(_._4 === 1L)
+      assert(survivors.length === 1, s"component $component has ${survivors.length} survivors")
+      assert(survivors.head._1 === component)
+      assert(group.map(_._1).min === component)
+    }
+    // every pair is within one cluster and above threshold; members of
+    // a pair share a component label
+    val byId = labeled.map(l => l._1 -> l).toMap
+    val pairs = SimilarityOps.semanticPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty, "fixture must exercise the pair path")
+    pairs.foreach { case (a, b, score) =>
+      assert(score >= SimilarityOps.SemThreshold)
+      assert(byId(a)._2 === byId(b)._2, s"pair ($a,$b) spans clusters")
+      assert(byId(a)._3 === byId(b)._3, s"pair ($a,$b) split across components")
+    }
+  }
+
   test("Lloyd driver stops early once centroid movement is under eps") {
     VectorFunctions.register(spark)
     // eps larger than any possible component delta: stops after the
