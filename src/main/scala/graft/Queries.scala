@@ -1205,6 +1205,71 @@ object Queries {
              |  JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // conditional-aggregation join (TPC-H Q12 shape): one pass, one
+    // shuffle, the priority split as in-aggregate CASE sums
+    "q12_priority_mix" -> QueryDef(
+      (s, d) => RelationalOps.q12PriorityMix(Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // promo revenue share (TPC-H Q14 shape): conditional numerator +
+    // unconditional denominator in ONE aggregate over the part join
+    "q14_promo_share" -> QueryDef(
+      (s, d) => RelationalOps.q14PromoShare(Tables.part(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT round(100.0 *
+             |  CAST(sum(CASE WHEN p_type = 'PROMO'
+             |    THEN CAST(l_extendedprice AS DECIMAL(15,2)) *
+             |         (1 - CAST(l_discount AS DECIMAL(15,2)))
+             |    ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE) /
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+             |         (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE), 4)
+             |  AS promo_revenue_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+             |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
+
+    // correlated scalar subquery, decorrelated (TPC-H Q17 shape):
+    // per-part avg joined back on the same key it aggregates on
+    "q17_small_qty" -> QueryDef(
+      (s, d) => RelationalOps.q17SmallQty(Tables.part(s, d), Tables.lineitem(s, d)),
+      Some("""WITH branded AS (
+             |  SELECT l_partkey, l_quantity, l_extendedprice
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand = 'Brand#3'),
+             |a AS (SELECT l_partkey AS a_partkey,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+             |      AS avg_qty
+             |  FROM branded GROUP BY l_partkey)
+             |SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))), 2)
+             |  AS DOUBLE) AS small_qty_revenue
+             |FROM branded JOIN a ON l_partkey = a_partkey
+             |WHERE l_quantity < 0.5 * avg_qty""".stripMargin)),
+
+    // global scalar threshold + date-scoped anti join (TPC-H Q22
+    // shape, churn variant: lapsed since 1998)
+    "q22_untapped" -> QueryDef(
+      (s, d) => RelationalOps.q22Untapped(Tables.customer(s, d), Tables.orders(s, d)),
+      Some("""WITH t AS (SELECT
+             |    CAST(sum(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) / count(*)
+             |      AS avg_bal
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT c_mktsegment, count(*) AS numcust,
+             |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(15,2))), 2) AS DOUBLE)
+             |    AS totacctbal
+             |FROM customer, t
+             |WHERE c_acctbal > avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // correlated EXISTS / NOT EXISTS through the SQL layer (plans as
     // a left-semi + left-anti join pair)
     "sql_exists_anti" -> QueryDef(

@@ -675,4 +675,109 @@ object RelationalOps {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
+
+  /** Priority mix per line status (the TPC-H Q12 shape, adapted to
+    * this schema's columns): join lineitem to orders on the order
+    * key and split each group's count into high-priority
+    * (1-URGENT/2-HIGH) vs everything else with conditional sums —
+    * ONE pass, one shuffle on the join key, no per-priority re-scan.
+    * The shipdate window is a pushed lineitem scan predicate. Output
+    * is |linestatus| rows — scale-free.
+    */
+  def q12PriorityMix(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Promo revenue share (the TPC-H Q14 shape): the fraction of one
+    * month's discounted revenue coming from PROMO-type parts.
+    * Conditional numerator and unconditional denominator fold into
+    * ONE aggregate over the part join; part carries no hint (it
+    * scales with SF) — AQE broadcasts it while it fits and flips to
+    * shuffle when it doesn't. Decimal revenue keeps the ratio exact
+    * and order-insensitive, then one final division on a 1-row
+    * aggregate. Output: one row.
+    */
+  def q14PromoShare(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val disc = col("l_extendedprice").cast("decimal(15,2)") *
+      (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))
+    lineitem
+      .where(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(15,2)"))).as("promo"),
+        sum(disc).as("total"))
+      .select(round(lit(100.0) * col("promo").cast("double") / col("total").cast("double"), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  /** Small-quantity outlier revenue (the TPC-H Q17 shape): lineitem
+    * rows whose quantity is under 50% of their part's average
+    * quantity, summed for one brand. The correlated scalar subquery
+    * decorrelates into a per-partkey average aggregate joined back to
+    * the fact — the aggregate keys on the SAME partkey as the join,
+    * so the two exchanges collapse into one key's worth of shuffles,
+    * and the brand filter prunes part BEFORE either (pushed scan
+    * predicate, then the semi-ish inner join keeps only that brand's
+    * lineitems). avg is double but feeds only a threshold COMPARE
+    * (not the hash-gated output), and the gated sum is decimal-exact.
+    */
+  def q17SmallQty(part: DataFrame, lineitem: DataFrame,
+                  brand: String = "Brand#3"): DataFrame = {
+    val brandParts = part.where(col("p_brand") === brand).select("p_partkey")
+    val branded = lineitem.join(brandParts, col("l_partkey") === col("p_partkey"))
+    // Manual exact-sum / count average: decimal sum is order-exact,
+    // the cast-to-double + IEEE divide is bit-deterministic, so the
+    // 50% threshold compare cannot flip between engines or layouts
+    // (Spark's avg(decimal) and DuckDB's avg disagree on result type).
+    val avgQty = branded
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(12,2)")).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    branded
+      .join(avgQty, col("l_partkey") === col("a_partkey"))
+      .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(15,2)")), 2)
+        .cast("double").as("small_qty_revenue"))
+  }
+
+  /** Lapsed high-balance customers (the TPC-H Q22 shape): per market
+    * segment, customers with above-global-average positive balance
+    * and NO orders since `cutoff` (every fixture customer has SOME
+    * order, so the date-scoped anti set keeps the query non-vacuous —
+    * same plan shape as Q22's no-orders cut). The global threshold is
+    * a 1-row aggregate (broadcast as a scalar), the lapsed cut a
+    * left-anti join on custkey whose build side is just the
+    * date-filtered order custkeys (filter pushed to the orders scan,
+    * projection before the exchange), then a |segments|-row rollup.
+    * Decimal-cast balances make the threshold and the gated sum exact
+    * at every partition layout.
+    */
+  def q22Untapped(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val bal = col("c_acctbal").cast("decimal(15,2)")
+    // Same manual-average pattern as [[q17SmallQty]]: exact decimal
+    // sum, deterministic double divide — both engines see the same
+    // threshold bits.
+    val threshold = customer.where(col("c_acctbal") > 0)
+      .agg((sum(bal).cast("double") / count(lit(1))).as("avg_bal"))
+    customer
+      .join(broadcast(threshold))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(orders.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(bal), 2).cast("double").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
 }
