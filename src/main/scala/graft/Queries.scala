@@ -541,6 +541,24 @@ object Queries {
              |SELECT lang, max(n_lang) AS n_total, count(*) AS n_sampled
              |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // temperature-weighted (α=1/2) language balancing: per-lang
+    // sqrt(n_min/n_l) keep rate, deterministic hash-bucket membership
+    "temperature_sample" -> QueryDef(
+      (s, d) => PipelineOps.temperatureSample(Tables.documents(s, d)),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+             |m AS (SELECT lang, n_lang, min(n_lang) OVER () AS n_min FROM c),
+             |t AS (SELECT lang, n_lang,
+             |        CAST(floor(1000000 * sqrt(CAST(n_min AS DOUBLE) /
+             |          CAST(n_lang AS DOUBLE))) AS BIGINT) AS threshold
+             |      FROM m),
+             |kept AS (SELECT d.lang, t.n_lang, t.threshold FROM documents d
+             |         JOIN t USING (lang)
+             |         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::UBIGINT
+             |               % 1000000 < t.threshold)
+             |SELECT lang, max(n_lang) AS n_total, count(*) AS n_kept,
+             |  max(threshold) AS keep_per_million
+             |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // context-window chunking: ChunkSize-token windows every
     // ChunkStride tokens (overlap = size - stride), fully row-local
     "doc_chunks" -> QueryDef(

@@ -234,6 +234,41 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Temperature-weighted language sampling (the multilingual-corpus
+    * balancing step: sample languages ∝ p^α instead of p, so
+    * high-resource languages are downsampled and low-resource ones
+    * kept — mC4/XLM-R style). With α = 0.5 the keep rate for lang l
+    * is (n_min/n_l)^(1-α) = sqrt(n_min/n_l), normalized so the
+    * smallest language keeps everything. Deterministic: membership is
+    * a doc_id hash bucket under a per-language threshold, so the
+    * sample is stable across runs, engines, and partitioning.
+    * Threshold arithmetic is cross-engine exact: n_min/n_l is one
+    * IEEE double divide of exact counts, sqrt is correctly rounded by
+    * spec, floor(1e6·x) then matches bit-for-bit (pow with a general
+    * α would NOT be — libm pow is not correctly rounded, which is why
+    * α is fixed at 1/2 rather than a parameter). Same scale shape as
+    * [[stratifiedSample]]: |langs|-row broadcast model, row-local
+    * membership, one report exchange.
+    */
+  def temperatureSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val model = counts.withColumn("n_min", min("n_lang").over(w))
+      .withColumn("threshold",
+        floor(lit(1000000L) *
+          sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    docs
+      .join(broadcast(model), "lang")
+      .where(bucket < col("threshold"))
+      .groupBy("lang")
+      .agg(max("n_lang").as("n_total"), count(lit(1)).as("n_kept"),
+        max("threshold").as("keep_per_million"))
+      .orderBy("lang")
+  }
+
   // docChunks / chunkPacking share these with their oracles and with
   // PipelineSpec's coverage/packing invariants.
   val ChunkSize = 64

@@ -212,4 +212,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0) === ((1L, 2L, 1L, 1L)))  // empty doc dropped at min_tokens
     assert(out(4)._4 === 1L)               // the clean doc survives every gate
   }
+
+  test("temperature sample keeps the smallest language whole and flattens the rest") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val out = PipelineOps.temperatureSample(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_._1).toSet === counts.keySet)
+    val nMin = counts.values.min
+    out.foreach { case (lang, nTotal, nKept, thr) =>
+      assert(nTotal === counts(lang))
+      assert(nKept <= nTotal)
+      // threshold is exactly floor(1e6 * sqrt(n_min/n_l)); the
+      // smallest language's is the full million (keeps everything)
+      assert(thr === math.floor(1e6 * math.sqrt(nMin.toDouble / nTotal.toDouble)).toLong)
+      if (nTotal == nMin) assert(nKept === nTotal)
+    }
+    // α = 1/2 flattening: post-sample EXPECTED shares are sqrt-compressed,
+    // so the realized max/min imbalance must shrink vs the raw corpus
+    val rawImb = counts.values.max.toDouble / nMin
+    val kept = out.map(_._3)
+    assert(kept.max.toDouble / kept.min < rawImb)
+  }
 }
