@@ -791,6 +791,52 @@ object Queries {
              |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
              |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
 
+    // product quantization with asymmetric scoring: codes = per-
+    // subspace argmin centroid, reconstruction scored then exact
+    // rerank; every constant from SimilarityOps.Pq*
+    "ann_pq" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.annPq(Tables.embeddings(s, d)) },
+      Some({
+        val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
+        val kk = SimilarityOps.PqK; val rr = SimilarityOps.PqRerankM
+        s"""WITH cb AS (SELECT vec_id AS j, embedding AS c
+           |  FROM embeddings WHERE vec_id < $kk),
+           |mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+           |enc AS (SELECT e.vec_id, mm.m, cb.j,
+           |    list_sum(list_transform(generate_series(1, $sub), i ->
+           |      cb.c[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE))
+           |  - 2 * list_sum(list_transform(generate_series(1, $sub), i ->
+           |      e.embedding[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE)) AS d
+           |  FROM embeddings e CROSS JOIN mm CROSS JOIN cb),
+           |best AS (SELECT vec_id, m, j FROM (
+           |    SELECT vec_id, m, j, row_number() OVER (
+           |      PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM enc)
+           |  WHERE rn = 1),
+           |rx AS (SELECT b.vec_id, b.m, ii.i, cb.c[b.m*$sub+ii.i]::FLOAT AS x
+           |  FROM best b JOIN cb USING (j)
+           |  CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) ii),
+           |recon AS (SELECT vec_id, list(x ORDER BY m, i) AS rc
+           |  FROM rx GROUP BY vec_id),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pv
+           |  FROM embeddings WHERE vec_id < 10),
+           |sq AS (SELECT probe_id, r.vec_id, ${cosSql("pv", "rc")} AS score_q
+           |  FROM recon r CROSS JOIN p WHERE r.vec_id <> probe_id),
+           |rq AS (SELECT probe_id, vec_id, score_q, row_number() OVER (
+           |    PARTITION BY probe_id
+           |    ORDER BY round(score_q, 6) DESC, vec_id) AS rnk_q FROM sq),
+           |cand AS (SELECT probe_id, vec_id, score_q FROM rq WHERE rnk_q <= $rr),
+           |x AS (SELECT probe_id, cand.vec_id, score_q,
+           |    ${cosSql("pe.embedding", "e.embedding")} AS score
+           |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+           |    JOIN embeddings pe ON pe.vec_id = probe_id),
+           |r2 AS (SELECT probe_id, vec_id, score, score_q, row_number() OVER (
+           |    PARTITION BY probe_id
+           |    ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM x)
+           |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+           |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
+           |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+      })),
+
     // SemDeDup: within-cluster cosine pairs (the O(n²/K) candidate
     // generation; threshold + cluster cap from SimilarityOps
     // constants, cap inert at tested SFs)

@@ -420,4 +420,88 @@ object SimilarityOps {
         round(col("score"), 4).as("score"), round(col("score_q"), 4).as("score_q"))
       .orderBy("probe_id", "rnk")
   }
+
+  // Product-quantization geometry, shared with the generated oracle:
+  // PqM subspaces of PqSub dims each (PqM·PqSub must equal the
+  // embedding dim), PqK centroids per subspace codebook.
+  val PqM = 4
+  val PqSub = 16
+  val PqK = 32
+  val PqRerankM = 50
+
+  /** ANN via product quantization with asymmetric scoring (the
+    * billion-vector index family: IVF-PQ is IVF routing + THIS code
+    * path inside each list). Each vector is encoded as [[PqM]]
+    * 4-bit-ish codes — per subspace, the index of the nearest
+    * codebook centroid by L2 — collapsing a 64-float payload to
+    * PqM 5-bit codes (64× compression; at 100 TB the codes ride in
+    * memory next to doc keys while the float payload stays in cold
+    * storage until rerank). Codebooks are slices of the [[PqK]]
+    * smallest-vec_id vectors (deterministic sample init, zero
+    * training rounds — the Lloyd machinery is proven separately in
+    * [[annIvfKmeans]]; composing them is mechanical). Scoring is
+    * asymmetric: exact probe vs the concatenated-centroid
+    * reconstruction — dot/cosine decompose across concatenated
+    * subspaces, so scoring the reconstruction IS the classic
+    * ADC-table sum without materializing per-probe lookup tables.
+    * Candidates per probe are the top [[PqRerankM]] by quantized
+    * score, then exact-cosine reranked to top k — same
+    * bounded-rerank discipline as [[annSq8]].
+    *
+    * Cross-engine exactness: encode distances fold per-element
+    * products in array order (native dot ↔ DuckDB list_sum — the
+    * proven cosine pattern), argmin ties break on the smaller
+    * centroid index via struct array_min, and both rank windows
+    * order on 6-decimal-rounded scores before the id tiebreak.
+    */
+  def annPq(emb: DataFrame, nProbes: Int = 10, k: Int = 10,
+            rerankM: Int = PqRerankM): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    // one-row codebook: cb[j] = j-th seed embedding (j = vec_id < PqK)
+    val codebook = emb.where(col("vec_id") < PqK)
+      .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        s => s.getField("embedding")).as("cb"))
+    def subspace(a: Column, m: Column): Column =
+      slice(a, m * PqSub + 1, lit(PqSub))
+    // per subspace m: argmin_j ( |c|^2 - 2 x·c )  — the |x|^2 term is
+    // constant across j and dropped; struct min ties to the lowest j
+    val codes = transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val scored = transform(sequence(lit(0), lit(PqK - 1)), j => {
+        val c = subspace(element_at(col("cb"), j + 1), m)
+        struct(
+          (VectorFunctions.dot(c, c) -
+            lit(2.0) * VectorFunctions.dot(subspace(col("embedding"), m), c)).as("d"),
+          j.as("j"))
+      })
+      array_min(scored).getField("j")
+    })
+    val recon = flatten(transform(sequence(lit(0), lit(PqM - 1)), m =>
+      subspace(element_at(col("cb"), element_at(col("codes"), m + 1) + 1), m)))
+    val encoded = emb.crossJoin(broadcast(codebook))
+      .withColumn("codes", codes)
+      .withColumn("recon", recon)
+      .select(col("vec_id"), col("recon"))
+    val probes = emb.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score_q"), 6).desc, col("vec_id").asc)
+    val cand = encoded.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorFunctions.cosine(col("probe_vec"), col("recon")).as("score_q"))
+      .withColumn("rnk_q", row_number().over(wq))
+      .where(col("rnk_q") <= rerankM)
+      .select(col("probe_id"), col("vec_id"), col("score_q"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score"), 6).desc, col("vec_id").asc)
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("score_q"),
+        VectorFunctions.cosine(col("probe_vec"), col("embedding")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"),
+        round(col("score"), 4).as("score"), round(col("score_q"), 4).as("score_q"))
+      .orderBy("probe_id", "rnk")
+  }
 }

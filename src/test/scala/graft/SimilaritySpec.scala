@@ -105,6 +105,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pq rerank recall@10 holds and reranked scores are exactly ordered") {
+    VectorFunctions.register(spark)
+    val exact = SimilarityOps.similarityTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = SimilarityOps.annPq(emb).collect()
+    assert(pq.length === 100)  // 10 probes × k=10
+    val approx = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 4×16-dim codebooks from 16 seeds is a coarse quantizer; the
+    // 30-candidate exact rerank is what recovers the top-10 — the
+    // floor is lower than sq8's (254-level/dim) by construction
+    assert(recall > 0.5, s"pq recall collapsed: $recall")
+    pq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+    // reconstruction scores are real cosines, not garbage
+    pq.foreach(r => assert(r.getDouble(4) >= -1.0001 && r.getDouble(4) <= 1.0001))
+  }
+
   test("semantic dedup labels one survivor per group and pairs stay co-clustered") {
     VectorFunctions.register(spark)
     val labeled = SimilarityOps.semanticDedup(emb).collect()
