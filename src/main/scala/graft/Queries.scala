@@ -325,6 +325,21 @@ object Queries {
               |  CAST(list_max(list_transform(ws, w -> length(w))) AS BIGINT) AS max_token_len
               |FROM t WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin)),
 
+    // unigram Shannon entropy, folded over SORTED distinct words so
+    // both engines sum in the same order; +0 normalizes IEEE -0.0
+    "token_entropy" -> QueryDef(
+      (s, d) => TextAnalysisOps.tokenEntropy(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+              |t2 AS (SELECT doc_id, ws, list_sort(list_distinct(ws)) AS dw
+              |       FROM t WHERE len(ws) > 0)
+              |SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+              |  len(dw)::BIGINT AS n_distinct,
+              |  round(-list_sum(list_transform(dw, w ->
+              |    (len(list_filter(ws, x -> x = w))::DOUBLE / len(ws)) *
+              |    ln(len(list_filter(ws, x -> x = w))::DOUBLE / len(ws)))), 4) + 0
+              |    AS entropy
+              |FROM t2 ORDER BY doc_id""".stripMargin)),
+
     "token_count_bpe" -> QueryDef(
       (s, d) => TextAnalysisOps.tokenCountBpe(Tables.documents(s, d)),
       Some("""SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]'))::BIGINT AS n_bpe_tokens

@@ -213,6 +213,37 @@ object TextAnalysisOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document unigram Shannon entropy (nats) — the information-
+    * density quality signal: near-zero for degenerate repeated-token
+    * docs, ln(n_tokens) for all-distinct text; filtering low-entropy
+    * docs removes keyword-stuffing and template boilerplate that
+    * count/ratio gates miss. Entirely row-local (zero exchanges):
+    * per-word counts fold over the SORTED distinct-word array, so the
+    * fp summation order is canonical on both engines. `+ 0.0`
+    * normalizes the IEEE −0.0 a zero-entropy (single-word) document
+    * produces. At 100 TB this rides the same map-only scan as every
+    * other quality score — candidates for one fused pass.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        array_sort(array_distinct(col("ws"))).as("dw"),
+        col("ws"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("dw")).cast("long").as("n_distinct"),
+        (round(-aggregate(col("dw"), lit(0.0), (acc, w) => {
+          val p = size(filter(col("ws"), x => x === w)).cast("double") /
+            size(col("ws")).cast("double")
+          acc + p * log(p)
+        }), 4) + lit(0.0)).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   def ngramFreq(docs: DataFrame, n: Int = 2, k: Int = 30): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     docs

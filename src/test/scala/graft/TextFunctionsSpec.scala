@@ -109,4 +109,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fp("a b c") !== fp("c b a"))
     assert(fp("") === 0L)
   }
+
+  test("token entropy hits the closed-form poles") {
+    val df = Seq(
+      (1L, "same same same same"),          // degenerate: H = 0
+      (2L, "a b c d"),                      // uniform: H = ln 4
+      (3L, "a a b b")                       // uniform over 2: H = ln 2
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysisOps.tokenEntropy(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out(0) === ((1L, 4L, 1L, 0.0)))
+    // 0.0 must be POSITIVE zero (the -0.0 a negated zero-sum produces
+    // would hash-mismatch the oracle)
+    assert(java.lang.Double.doubleToRawLongBits(out(0)._4) === 0L)
+    assert(math.abs(out(1)._4 - math.log(4)) < 5e-5)
+    assert(math.abs(out(2)._4 - math.log(2)) < 5e-5)
+  }
 }
