@@ -21,21 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
-  /** TPC-H Q1-style pricing summary over lineitem. */
-  def q1Pricing(lineitem: DataFrame): DataFrame =
+  /** TPC-H Q1-style pricing summary over lineitem. Every money/qty
+    * aggregate sums in DECIMAL — the stored doubles are exact
+    * cent/percent values, so the decimal sums are integer-exact and
+    * ORDER-INDEPENDENT (the plain double sum_charge flipped a cent at
+    * the 111-query 10× audit — the same summation-order exposure the
+    * q10 revenue fix closed); averages divide the exact sum by the
+    * count in one deterministic IEEE divide. Results cast back to
+    * double to keep the declared schema.
+    */
+  def q1Pricing(lineitem: DataFrame): DataFrame = {
+    val qty = col("l_quantity").cast("decimal(12,2)")
+    val price = col("l_extendedprice").cast("decimal(15,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val tax = col("l_tax").cast("decimal(4,2)")
+    val one = lit(1).cast("decimal(3,2)")
+    val n = count(lit(1))
     lineitem
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        round(sum(qty), 2).cast("double").as("sum_qty"),
+        round(sum(price), 2).cast("double").as("sum_base_price"),
+        round(sum(price * (one - disc)), 2).cast("double").as("sum_disc_price"),
+        round(sum(price * (one - disc) * (one + tax)), 2).cast("double").as("sum_charge"),
+        round(sum(qty).cast("double") / n, 4).as("avg_qty"),
+        round(sum(price).cast("double") / n, 4).as("avg_price"),
+        round(sum(disc).cast("double") / n, 4).as("avg_disc"),
+        n.as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** TPC-H Q3-style: top-10 undelivered orders by revenue for one
     * market segment. customer is broadcast; orders⋈lineitem shuffles

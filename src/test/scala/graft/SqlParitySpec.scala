@@ -34,16 +34,19 @@ class SqlParitySpec extends AnyFunSuite {
         |GROUP BY word ORDER BY word""".stripMargin)
   }
 
-  test("q1_pricing via SQL (aggregation family)") {
+  test("q1_pricing via SQL (aggregation family, decimal-exact sums)") {
     assertParity("q1_pricing",
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  cast(round(sum(cast(l_quantity AS decimal(12,2))), 2) AS double) AS sum_qty,
+        |  cast(round(sum(cast(l_extendedprice AS decimal(15,2))), 2) AS double) AS sum_base_price,
+        |  cast(round(sum(cast(l_extendedprice AS decimal(15,2)) *
+        |    (cast(1 AS decimal(3,2)) - cast(l_discount AS decimal(4,2)))), 2) AS double) AS sum_disc_price,
+        |  cast(round(sum(cast(l_extendedprice AS decimal(15,2)) *
+        |    (cast(1 AS decimal(3,2)) - cast(l_discount AS decimal(4,2))) *
+        |    (cast(1 AS decimal(3,2)) + cast(l_tax AS decimal(4,2)))), 2) AS double) AS sum_charge,
+        |  round(cast(sum(cast(l_quantity AS decimal(12,2))) AS double) / count(*), 4) AS avg_qty,
+        |  round(cast(sum(cast(l_extendedprice AS decimal(15,2))) AS double) / count(*), 4) AS avg_price,
+        |  round(cast(sum(cast(l_discount AS decimal(4,2))) AS double) / count(*), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= timestamp'1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
