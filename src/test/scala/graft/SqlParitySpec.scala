@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{DedupOps, RelationalOps}
@@ -403,6 +404,103 @@ class SqlParitySpec extends AnyFunSuite {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+  }
+
+  test("q12_priority_mix via SQL (conditional-aggregation join family)") {
+    assertParity("q12_priority_mix",
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= timestamp'1996-01-01'
+        |  AND l_shipdate < timestamp'1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+  }
+
+  test("q14_promo_share via SQL (conditional-ratio aggregate)") {
+    assertParity("q14_promo_share",
+      """SELECT round(100.0 *
+        |  cast(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN cast(l_extendedprice AS decimal(15,2)) *
+        |         (1 - cast(l_discount AS decimal(15,2)))
+        |    ELSE cast(0 AS decimal(15,2)) END) AS double) /
+        |  cast(sum(cast(l_extendedprice AS decimal(15,2)) *
+        |         (1 - cast(l_discount AS decimal(15,2)))) AS double), 4)
+        |  AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= timestamp'1997-03-01'
+        |  AND l_shipdate < timestamp'1997-04-01'""".stripMargin)
+  }
+
+  test("q17_small_qty via SQL (CORRELATED scalar subquery, decorrelated by Catalyst)") {
+    assertParity("q17_small_qty",
+      """SELECT cast(round(sum(cast(l_extendedprice AS decimal(15,2))), 2)
+        |  AS double) AS small_qty_revenue
+        |FROM lineitem l JOIN part ON l.l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l.l_quantity < 0.5 * (
+        |    SELECT cast(sum(cast(l2.l_quantity AS decimal(12,2))) AS double)
+        |      / count(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  test("q22_untapped semantics: threshold, lapsed cut, and grouping (inline data)") {
+    // sf0.001 has no lapsed customers, so fixture parity would prove
+    // nothing — drive the operator on a corpus where every branch of
+    // the predicate matters instead
+    import spark.implicits._
+    val customer = Seq(
+      (1L, "SEG_A", 100.0),   // above avg, lapsed     -> kept
+      (2L, "SEG_A", 100.0),   // above avg, recent     -> cut by anti join
+      (3L, "SEG_B", 10.0),    // below avg, lapsed     -> cut by threshold
+      (4L, "SEG_B", 90.0),    // above avg, no orders  -> kept
+      (5L, "SEG_B", -50.0))   // negative: excluded from avg, below it anyway
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val orders = Seq(
+      (10L, 1L, "1997-05-01"), // old order: cust 1 still lapsed
+      (11L, 2L, "1998-03-01"), // recent: cust 2 not lapsed
+      (12L, 3L, "1997-01-01"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    // avg positive balance = (100+100+10+90)/4 = 75
+    val res = RelationalOps.q22Untapped(customer, orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(res.toSeq === Seq(("SEG_A", 1L, 100.0), ("SEG_B", 1L, 90.0)))
+  }
+
+  test("temperature_sample via SQL (window-min model + hash membership)") {
+    assertParity("temperature_sample",
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |m AS (SELECT lang, n_lang, min(n_lang) OVER () AS n_min FROM c),
+        |t AS (SELECT lang, n_lang,
+        |        floor(1000000 * sqrt(cast(n_min AS double) /
+        |          cast(n_lang AS double))) AS threshold
+        |      FROM m),
+        |kept AS (SELECT d.lang, t.n_lang, t.threshold FROM documents d
+        |         JOIN t ON d.lang = t.lang
+        |         WHERE pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 15),
+        |                         16, 10) AS bigint), 1000000) < t.threshold)
+        |SELECT lang, max(n_lang) AS n_total, count(*) AS n_kept,
+        |  max(threshold) AS keep_per_million
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  test("token_entropy via SQL (graft_tokenize + lambda fold)") {
+    assertParity("token_entropy",
+      """WITH t AS (SELECT doc_id, graft_tokenize(text) AS ws FROM documents),
+        |t2 AS (SELECT doc_id, ws, array_sort(array_distinct(ws)) AS dw
+        |       FROM t WHERE size(ws) > 0)
+        |SELECT doc_id, cast(size(ws) AS bigint) AS n_tokens,
+        |  cast(size(dw) AS bigint) AS n_distinct,
+        |  round(-aggregate(dw, cast(0.0 AS double), (acc, w) ->
+        |    acc + (cast(size(filter(ws, x -> x = w)) AS double) /
+        |           cast(size(ws) AS double)) *
+        |          ln(cast(size(filter(ws, x -> x = w)) AS double) /
+        |             cast(size(ws) AS double))), 4) + cast(0.0 AS double)
+        |    AS entropy
+        |FROM t2 ORDER BY doc_id""".stripMargin)
   }
 
   test("q13_custdist keeps zero-order customers (the outer-join point)") {
