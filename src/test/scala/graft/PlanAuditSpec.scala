@@ -257,6 +257,56 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 1-row sketch must broadcast to the probe side")
   }
 
+  test("q12_priority_mix: the priority split is in-aggregate, one pass over the join") {
+    // join rides broadcast at fixture scale; linestatus agg + result
+    // sort = 2. A 3rd exchange means the CASE sums degenerated into
+    // per-priority re-aggregation
+    assert(shuffles(q("q12_priority_mix")) === 2)
+  }
+
+  test("q14_promo_share: numerator and denominator share ONE aggregate") {
+    // single 1-row final aggregate; a 2nd exchange means the ratio
+    // split into two scans of the join
+    assert(shuffles(q("q14_promo_share")) === 1)
+  }
+
+  test("q17_small_qty: the decorrelated avg rides the join's partkey exchange") {
+    // partkey avg agg + the fact side's partkey exchange (reused by
+    // the same-key join; AQE flips the tiny agg side to broadcast at
+    // runtime) + 1-row final agg = 3
+    assert(shuffles(q("q17_small_qty")) === 3)
+  }
+
+  test("q22_untapped: scalar threshold broadcasts, anti join adds no fact exchange") {
+    // 1-row threshold agg + segment agg + result sort = 3; the
+    // threshold and anti-join sides reach the fact via broadcast
+    assert(shuffles(q("q22_untapped")) === 3)
+    val plan = q("q22_untapped").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "the 1-row threshold must broadcast, never shuffle the corpus")
+  }
+
+  test("temperature_sample: |langs|-row model, membership row-local") {
+    // lang counts agg + the window's SinglePartition pass over the
+    // |langs|-row model + report agg + result sort = 4; the corpus
+    // itself joins the model via broadcast only
+    assert(shuffles(q("temperature_sample")) === 4)
+  }
+
+  test("token_entropy: row-local fold, result sort is the only exchange") {
+    assert(shuffles(q("token_entropy")) === 1)
+  }
+
+  test("ann_pq: codebook broadcasts; exchanges are the 2 rank windows + model agg + sort") {
+    // 1-row codebook agg (SinglePartition) + quantized-rank window +
+    // exact-rerank window + result sort = 4; encode itself must stay
+    // map-side (a 5th exchange means encoding shuffled the corpus)
+    assert(shuffles(q("ann_pq")) === 4)
+    val plan = q("ann_pq").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "codebook and probes must reach the corpus via broadcast")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows
