@@ -197,6 +197,39 @@ object EventStreams {
         col("purchase_time"), col("click_id"), col("click_time"))
   }
 
+  /** LEFT OUTER stream-stream interval join: EVERY purchase emits —
+    * attributed to a preceding click within the interval when one
+    * exists, null-padded otherwise. The null-padded rows exercise the
+    * state-EVICTION semantics the inner join never does: an unmatched
+    * purchase can only be declared unmatched (and emitted) once the
+    * click-side watermark has passed the end of its match window, so
+    * emission timing is governed by watermark progress, not data
+    * arrival. State stays bounded exactly as in the inner join — both
+    * sides watermarked, the time-range condition bounds click
+    * retention to `intervalMinutes` past the watermark.
+    */
+  def clickPurchaseLeftOuterJoin(events: DataFrame,
+                                 intervalMinutes: Int = 30,
+                                 watermark: String = "1 hour"): DataFrame = {
+    val base = events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+    val clicks = base.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", watermark)
+    val purchases = base.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_time") <= col("purchase_time") &&
+        col("click_time") >= col("purchase_time") - expr(s"INTERVAL $intervalMinutes MINUTES"),
+      "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_time"), col("click_id"), col("click_time"))
+  }
+
   // --- stateful sessionization -------------------------------------
 
   case class SessionInput(user_id: Long, ms: Long)

@@ -219,6 +219,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join null-pads unmatched purchases only after watermark eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF()
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val q = EventStreams.clickPurchaseLeftOuterJoin(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer")
+      .start()
+    def minNanos(m: Long) = m * 60L * 1000L * 1_000_000L
+    try {
+      // batch 1: user 1 has a matching click; user 2's purchase has
+      // none — it must NOT null-pad yet (a matching click could still
+      // arrive up to the watermark)
+      input.addData(
+        (1L, 1L, "click", minNanos(600)),
+        (1L, 2L, "purchase", minNanos(610)),
+        (2L, 3L, "purchase", minNanos(612)))
+      q.processAllAvailable()
+      val b1 = spark.table("ssj_outer").collect()
+      assert(b1.map(_.getLong(0)).toSet === Set(2L),
+        s"only the matched purchase may emit before eviction: ${b1.mkString(";")}")
+      // batch 2: both sides jump to 20:00, pushing the global
+      // watermark to 19:00 — past user 2's whole match window
+      input.addData(
+        (98L, 4L, "click", minNanos(1200)),
+        (99L, 5L, "purchase", minNanos(1200)))
+      q.processAllAvailable()
+      // batch 3: one more batch lets the eviction emit
+      input.addData((98L, 6L, "click", minNanos(1201)))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer").collect()
+      val byPurchase = rows.map(r => r.getLong(0) -> r).toMap
+      assert(byPurchase.contains(3L),
+        s"evicted unmatched purchase must null-pad: ${rows.mkString(";")}")
+      assert(byPurchase(3L).isNullAt(3) && byPurchase(3L).isNullAt(4),
+        "unmatched purchase must carry null click columns")
+      assert(!byPurchase(3L).isNullAt(2), "purchase columns stay populated")
+      assert(byPurchase(2L).getLong(3) === 1L,
+        "the matched purchase keeps its click attribution")
+    } finally q.stop()
+  }
+
   test("streaming CMS grid equals the batch grid bit-for-bit") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.readEventsStream(spark, eventsDir)
