@@ -357,6 +357,53 @@ object Queries {
            |FROM t WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin
       }),
 
+    // per-source (per-domain) quality cap: top-N docs per source by
+    // stopword ratio — rank<=N rewrites to WindowGroupLimit so each
+    // map task pre-prunes before the source shuffle (plan-pinned)
+    "source_cap" -> QueryDef(
+      (s, d) => PipelineOps.sourceCap(Tables.documents(s, d)),
+      Some {
+        val stops = TextAnalysisOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, source, $toksSql AS ws FROM documents),
+           |sc AS (SELECT doc_id, source,
+           |    round(len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws), 4)
+           |      AS quality
+           |  FROM t WHERE len(ws) > 0),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY source
+           |        ORDER BY quality DESC, doc_id) AS rnk FROM sc)
+           |SELECT doc_id, source, quality, CAST(rnk AS BIGINT) AS rnk
+           |FROM r WHERE rnk <= ${PipelineOps.SourceCapN}
+           |ORDER BY source, rnk""".stripMargin
+      }),
+
+    // fixed-weight logistic quality classifier: features rounded to
+    // 4 decimals BEFORE the dot product so both engines dot the same
+    // bits; output is the linear logit (libm-free), not the sigmoid
+    "quality_logreg" -> QueryDef(
+      (s, d) => PipelineOps.qualityLogreg(Tables.documents(s, d)),
+      Some {
+        val stops = TextAnalysisOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+        import PipelineOps._
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS ws FROM documents),
+           |f AS (SELECT doc_id,
+           |    round(ln(1 + len(ws))::DOUBLE, 4) AS flog,
+           |    round(len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws), 4)
+           |      AS fstop,
+           |    round(len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\r\f]'))::DOUBLE
+           |      / length(text), 4) AS fpunct,
+           |    round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4)
+           |      AS flen
+           |  FROM t WHERE len(ws) > 0),
+           |z AS (SELECT doc_id,
+           |    round(($LogregBias) + ($LogregWLogTokens) * flog +
+           |          ($LogregWStopword) * fstop + ($LogregWPunct) * fpunct +
+           |          ($LogregWAvgLen) * flen, 4) AS quality_logit
+           |  FROM f)
+           |SELECT doc_id, quality_logit,
+           |  CAST(quality_logit > 0.0 AS BIGINT) AS keep
+           |FROM z ORDER BY doc_id""".stripMargin
+      }),
+
     // PII injected deterministically from doc_id on both sides (the
     // fixture corpus has no digits, so scrubbing raw text would be
     // vacuous); the hash gate proves redaction of every injected span
@@ -1351,6 +1398,120 @@ object Queries {
              |                  WHERE o_custkey = c_custkey
              |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // correlated EXISTS with a non-equi lateness predicate (TPC-H Q4
+    // shape): left-semi on the order key, no DISTINCT, no explosion
+    "q4_late_orders" -> QueryDef(
+      (s, d) => RelationalOps.q4LateOrders(Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 180 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // bidirectional nation-pair volume (TPC-H Q7 shape): bounded dims
+    // broadcast, one big-big shuffle, 4-row output
+    "q7_volume" -> QueryDef(
+      (s, d) => RelationalOps.q7Volume(Tables.nation(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(round(sum(vol), 2) AS DOUBLE) AS revenue
+             |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |        CAST(l_extendedprice AS DECIMAL(15,2)) *
+             |          (1 - CAST(l_discount AS DECIMAL(15,2))) AS vol
+             |      FROM lineitem
+             |        JOIN supplier ON l_suppkey = s_suppkey
+             |        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |        JOIN orders ON l_orderkey = o_orderkey
+             |        JOIN customer ON o_custkey = c_custkey
+             |        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |        AND l_shipdate < TIMESTAMP '1998-01-01'
+             |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+             |             (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // national market share in one region (TPC-H Q8 shape):
+    // conditional numerator + denominator in ONE aggregate over the
+    // 6-table join
+    "q8_market_share" -> QueryDef(
+      (s, d) => RelationalOps.q8MarketShare(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.part(s, d)),
+      Some("""SELECT o_year,
+             |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+             |                 ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE) /
+             |        CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+             |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |        n1.n_name AS supp_nation,
+             |        CAST(l_extendedprice AS DECIMAL(15,2)) *
+             |          (1 - CAST(l_discount AS DECIMAL(15,2))) AS vol
+             |      FROM lineitem
+             |        JOIN part ON l_partkey = p_partkey
+             |        JOIN supplier ON l_suppkey = s_suppkey
+             |        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |        JOIN orders ON l_orderkey = o_orderkey
+             |        JOIN customer ON o_custkey = c_custkey
+             |        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |        JOIN region ON n2.n_regionkey = r_regionkey
+             |      WHERE p_type = 'ECONOMY' AND r_name = 'ASIA') t
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // top revenue supplier (TPC-H Q15 shape): per-supplier quarter
+    // rollup, 1-row max, scalar-like join back — no window, no
+    // second lineitem pass
+    "q15_top_supplier" -> QueryDef(
+      (s, d) => RelationalOps.q15TopSupplier(Tables.supplier(s, d), Tables.lineitem(s, d)),
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(15,2)))) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+             |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // disjunctive brand/size/quantity bands (TPC-H Q19 shape): CNF
+    // pushdown puts the lineitem-only OR into the scan (plan-pinned)
+    "q19_disjunctive" -> QueryDef(
+      (s, d) => RelationalOps.q19Disjunctive(Tables.part(s, d), Tables.lineitem(s, d)),
+      Some(s"""SELECT ${RelationalOps.RevenueExactSql} AS revenue, count(*) AS n_lines
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+              |       AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+              |       AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // sole-late-supplier count (TPC-H Q21 shape): semi + anti
+    // self-joins on the order key, all riding one partitioning
+    "q21_waiting" -> QueryDef(
+      (s, d) => RelationalOps.q21Waiting(Tables.nation(s, d), Tables.supplier(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM lineitem l1
+             |  JOIN supplier ON l1.l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN orders ON l1.l_orderkey = o_orderkey
+             |WHERE n_name = 'NATION_5' AND o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
 
     // correlated EXISTS / NOT EXISTS through the SQL layer (plans as
     // a left-semi + left-anti join pair)

@@ -423,4 +423,86 @@ object PipelineOps {
           |) AS (stage, rule, docs_in, docs_dropped, docs_out)""".stripMargin)
       .orderBy("stage")
   }
+
+  /** Per-source document cap: keep the top [[SourceCapN]] docs per
+    * source. Shared by the Spark side and the generated oracle.
+    */
+  val SourceCapN = 5
+
+  /** Per-source (per-domain) quality cap — the web-pipeline rule
+    * "no single domain may contribute more than N documents, keep
+    * its best". Quality key: stopword ratio (natural-prose signal)
+    * desc, doc_id asc for a total per-source order. One shuffle on
+    * `source`; the rank<=N filter rewrites to WindowGroupLimit
+    * (pinned in PlanAuditSpec), so each map task pre-prunes to its
+    * local top-N BEFORE the exchange — the shuffle carries
+    * O(sources×N) rows per task, not the corpus, which is what makes
+    * the cap safe against a 100M-doc megadomain.
+    */
+  def sourceCap(docs: DataFrame, n: Int = SourceCapN): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
+    val nTok = size(ws).cast("long")
+    val stop = size(filter(ws, w =>
+      w.isin(TextAnalysisOps.EnStopwords.map(x => x: Any): _*)))
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        round(stop.cast("double") / nTok, 4).as("quality"))
+      .where(nTok > 0)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= n)
+      .orderBy("source", "rnk")
+  }
+
+  /** Fixed weights for the logistic quality classifier — a
+    * distilled stand-in for a fastText-style quality model: bias,
+    * then log1p(n_tokens), stopword_ratio, punct_ratio,
+    * avg_word_len. Shared Spark/oracle so the dot product is the
+    * same double sequence on both engines.
+    */
+  val LogregBias = -2.0
+  val LogregWLogTokens = 0.6
+  val LogregWStopword = 5.0
+  val LogregWPunct = -8.0
+  val LogregWAvgLen = 0.05
+
+  /** Logistic-regression quality classifier, fixed weights: the
+    * shape of every learned quality filter (fastText / logreg over
+    * cheap features) with the model baked in as constants. Features
+    * are the [[TextAnalysisOps.qualityScore]] signals, each rounded
+    * to 4 decimals FIRST so both engines dot identical bits; the
+    * gated output is the linear logit (rounded) and the keep
+    * decision — deliberately NOT the sigmoid, whose libm exp()
+    * differs across engines at the ULP level and would make the
+    * exact-float hash gate flaky. Row-local, shuffle-free: at 100 TB
+    * this is a pure map over the scan, and the keep flag composes
+    * with the funnel/cap stages without an exchange.
+    */
+  def qualityLogreg(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
+    val n = size(ws).cast("long")
+    val stop = size(filter(ws, w =>
+      w.isin(TextAnalysisOps.EnStopwords.map(x => x: Any): _*)))
+    val punct = size(regexp_extract_all(lower(col("text")),
+      lit("[^a-z0-9 \\t\\n\\r\\f]"), lit(0)))
+    val sumLen = aggregate(transform(ws, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val fLog = round(log1p(n.cast("double")), 4)
+    val fStop = round(stop.cast("double") / n, 4)
+    val fPunct = round(punct.cast("double") / length(col("text")), 4)
+    val fLen = round(sumLen.cast("double") / n, 4)
+    // Fixed left-to-right sum: bias + w1*f1 + w2*f2 + w3*f3 + w4*f4.
+    val logit = lit(LogregBias) +
+      lit(LogregWLogTokens) * fLog + lit(LogregWStopword) * fStop +
+      lit(LogregWPunct) * fPunct + lit(LogregWAvgLen) * fLen
+    docs
+      .select(col("doc_id"), round(logit, 4).as("quality_logit"))
+      .where(n > 0)
+      .withColumn("keep", (col("quality_logit") > 0.0).cast("long"))
+      .orderBy("doc_id")
+  }
 }

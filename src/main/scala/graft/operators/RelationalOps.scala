@@ -795,4 +795,189 @@ object RelationalOps {
         round(sum(bal), 2).cast("double").as("totacctbal"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** Late-shipping order counts per priority (the TPC-H Q4 shape,
+    * adapted: this schema has no commitdate/receiptdate, so "late"
+    * is a line shipped more than 180 days after the order date).
+    * The EXISTS decorrelated as a LEFT SEMI join on the order key
+    * with the non-equi lateness predicate as the join's extra
+    * condition — lineitem is touched once, the semi join emits each
+    * qualifying order at most once (no DISTINCT needed, no row
+    * explosion on multi-late orders), then a |priorities|-row rollup.
+    * The quarter window is a pushed orders scan predicate, so at
+    * 100 TB the semi join's probe side is one quarter, not the
+    * table.
+    */
+  def q4LateOrders(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Bidirectional nation-pair trade volume (the TPC-H Q7 shape):
+    * revenue between two nations, in both directions, per shipment
+    * year. The nation dimension is genuinely bounded (25 rows) so
+    * both nation hops broadcast; supplier and customer carry no hint
+    * (they scale with SF — AQE decides). The pair filter lands AFTER
+    * both nation joins as a row-local predicate on two tiny string
+    * columns; lineitem→orders is the only big-big join and it
+    * shuffles once on the order key. Output: 2 nations × 2 years —
+    * scale-free.
+    */
+  def q7Volume(nation: DataFrame, customer: DataFrame, supplier: DataFrame,
+               orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val suppNation = supplier.join(broadcast(nation),
+      col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = customer.join(broadcast(nation),
+      col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(revenueExact.as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** National market share inside one region (the TPC-H Q8 shape):
+    * of the ECONOMY-part revenue sold to ASIA customers per order
+    * year, the fraction supplied by NATION_3. Conditional numerator
+    * and unconditional denominator fold into ONE aggregate (the Q14
+    * trick) so the 6-table join tree is walked exactly once.
+    * region⋈nation broadcasts (bounded); part's type filter is a
+    * pushed scan predicate that prunes the probe side BEFORE the
+    * fact join. Decimal volume keeps the share exact; the division
+    * happens on |years| rows.
+    */
+  def q8MarketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                    part: DataFrame): DataFrame = {
+    val volume = col("l_extendedprice").cast("decimal(15,2)") *
+      (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))
+    val asiaCust = customer
+      .join(broadcast(nation.join(region.where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = supplier.join(broadcast(nation),
+      col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(part.where(col("p_type") === "ECONOMY").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", volume)
+          .otherwise(lit(0).cast("decimal(15,2)"))).as("nat"),
+        sum(volume).as("all"))
+      .select(col("o_year"),
+        round(col("nat").cast("double") / col("all").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Top revenue supplier (the TPC-H Q15 shape): one quarter's
+    * discounted revenue per supplier, then the supplier(s) hitting
+    * the global maximum. The max is a 1-row aggregate over the
+    * already-tiny per-supplier rollup (|suppliers| rows) that
+    * broadcasts back as a scalar-like join — no second pass over
+    * lineitem, no window over a global sort. Revenue is decimal-
+    * exact so the max compare cannot flip on summation order; ties
+    * all surface (deterministic ORDER BY suppkey).
+    */
+  def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val revenue = lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(15,2)") *
+        (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)")))
+        .as("total_rev"))
+    val top = revenue.agg(max(col("total_rev")).as("max_rev"))
+    revenue
+      .join(broadcast(top), col("total_rev") === col("max_rev"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Disjunctive-predicate revenue (the TPC-H Q19 shape): three
+    * brand/size/quantity bands OR'd together across the part join.
+    * The point is the optimizer work: Catalyst's CNF conversion
+    * pushes the lineitem-only disjunction
+    * (qty∈[1,11] ∨ qty∈[10,20] ∨ qty∈[20,30]) through the join into
+    * the lineitem scan and the part-only disjunction into the part
+    * scan — both sides prune BEFORE the join instead of filtering
+    * after (pinned in PlanAuditSpec). Join stays a plain equi hash
+    * join on partkey with the residual OR as its condition.
+    */
+  def q19Disjunctive(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val band = (brand: String, maxSize: Int, qlo: Int, qhi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, maxSize) &&
+        col("l_quantity").between(qlo, qhi)
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey") &&
+        (band("Brand#1", 10, 1, 11) || band("Brand#2", 20, 10, 20) ||
+          band("Brand#3", 30, 20, 30)))
+      .agg(revenueExact.as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** Suppliers who alone shipped late (the TPC-H Q21 shape, adapted
+    * lateness: l_shipdate > o_orderdate + 365 days): for finished
+    * orders, count per supplier the orders where THIS supplier
+    * shipped late, at least one OTHER supplier also participated
+    * (EXISTS → left-semi on the order key, suppkey inequality as the
+    * join condition), and NO other supplier shipped late (NOT EXISTS
+    * → left-anti, same shape plus the lateness predicate). All three
+    * lineitem touches key on l_orderkey, so the semi and anti ride
+    * the SAME shuffle partitioning as the base join under AQE; the
+    * supplier-nation filter prunes the base side first. Output is
+    * |suppliers of one nation| rows, top-100 by count.
+    */
+  def q21Waiting(nation: DataFrame, supplier: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS")
+    val l1 = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    val base = l1
+      .join(supplier.join(broadcast(nation.where(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders.where(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(late)
+    val l2 = l1.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val l3 = l1.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"), col("l_shipdate").as("l3_shipdate"))
+    base
+      .join(l2, col("o_orderkey") === col("l2_orderkey") &&
+        col("l2_suppkey") =!= col("s_suppkey"), "left_semi")
+      .join(l3, col("o_orderkey") === col("l3_orderkey") &&
+        col("l3_suppkey") =!= col("s_suppkey") &&
+          col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
 }
