@@ -894,12 +894,16 @@ object RelationalOps {
 
   /** Top revenue supplier (the TPC-H Q15 shape): one quarter's
     * discounted revenue per supplier, then the supplier(s) hitting
-    * the global maximum. The max is a 1-row aggregate over the
-    * already-tiny per-supplier rollup (|suppliers| rows) that
-    * broadcasts back as a scalar-like join — no second pass over
-    * lineitem, no window over a global sort. Revenue is decimal-
-    * exact so the max compare cannot flip on summation order; ties
-    * all surface (deterministic ORDER BY suppkey).
+    * the global maximum. The max is `rank() = 1` over the
+    * per-supplier rollup: a separate max-aggregate-and-join-back
+    * would re-scan lineitem (Catalyst does not unify the two agg
+    * subtrees — measured, not assumed), while the rank form touches
+    * lineitem ONCE and the global window runs over |suppliers| rows
+    * — and even that is pre-pruned, because rank<=1 rewrites to
+    * WindowGroupLimit (plan-pinned): each partition forwards only
+    * its local top ties to the SinglePartition pass. Revenue is
+    * decimal-exact so the max compare cannot flip on summation
+    * order; ties all surface (deterministic ORDER BY suppkey).
     */
   def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
     val revenue = lineitem
@@ -909,9 +913,9 @@ object RelationalOps {
       .agg(sum(col("l_extendedprice").cast("decimal(15,2)") *
         (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)")))
         .as("total_rev"))
-    val top = revenue.agg(max(col("total_rev")).as("max_rev"))
     revenue
-      .join(broadcast(top), col("total_rev") === col("max_rev"))
+      .withColumn("rk", rank().over(Window.orderBy(col("total_rev").desc)))
+      .where(col("rk") === 1)
       .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast("double").as("total_rev"))

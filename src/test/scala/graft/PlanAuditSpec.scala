@@ -307,6 +307,81 @@ class PlanAuditSpec extends AnyFunSuite {
       "codebook and probes must reach the corpus via broadcast")
   }
 
+  test("q4_late_orders: semi join emits each order once, no distinct exchange") {
+    // priority agg + result sort = 2; a 3rd exchange means the EXISTS
+    // degenerated into an inner join + DISTINCT re-aggregation
+    assert(shuffles(q("q4_late_orders")) === 2)
+    val plan = q("q4_late_orders").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "the lateness EXISTS must plan as a left-semi join")
+  }
+
+  test("q7_volume: bounded nation dims broadcast, one agg + result sort") {
+    // (nation-pair, year) agg + result sort = 2; every dimension hop
+    // reaches the fact side via broadcast at fixture scale
+    assert(shuffles(q("q7_volume")) === 2)
+  }
+
+  test("q8_market_share: numerator and denominator share ONE aggregate") {
+    // customer hop plans as SMJ at static time (2 exchanges, AQE
+    // re-plans from runtime sizes) + year agg + result sort = 4; a
+    // 5th exchange means the share split into two join-tree walks
+    assert(shuffles(q("q8_market_share")) === 4)
+  }
+
+  test("q15_top_supplier: one lineitem pass, rank pre-pruned by WindowGroupLimit") {
+    // supplier rollup agg + the rank window's SinglePartition pass
+    // over the rollup = 2; a 3rd exchange means the max became a
+    // second aggregate subtree re-scanning lineitem (the measured
+    // no-exchange-reuse trap this rank form exists to avoid)
+    assert(shuffles(q("q15_top_supplier")) === 2)
+    val plan = q("q15_top_supplier").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=1 must pre-prune per partition before the global window")
+  }
+
+  test("q19_disjunctive: CNF pushes each side's OR into its scan") {
+    // single 1-row aggregate; both scans carry the disjunction as a
+    // pushed filter so the join probes pre-pruned inputs
+    assert(shuffles(q("q19_disjunctive")) === 1)
+    val scans = q("q19_disjunctive").queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val pushed = scans.map(_.metadata("PushedFilters"))
+    assert(pushed.exists(f => f.contains("l_quantity") && f.contains("Or(")),
+      s"lineitem scan must carry the quantity disjunction, saw $pushed")
+    assert(pushed.exists(f => f.contains("p_brand") && f.contains("Or(")),
+      s"part scan must carry the brand/size disjunction, saw $pushed")
+  }
+
+  test("q21_waiting: semi + anti plan as joins, top-k is a heap") {
+    // only the s_name count agg shuffles at fixture scale (dims and
+    // the order-key probes broadcast; AQE re-plans at size); the
+    // LIMIT rides TakeOrderedAndProject, never a global sort
+    assert(shuffles(q("q21_waiting")) === 1)
+    val plan = q("q21_waiting").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      "EXISTS/NOT EXISTS must plan as semi/anti joins")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 must be a per-partition heap, not a global sort")
+  }
+
+  test("source_cap: rank<=N pre-prunes per map task before the source shuffle") {
+    // source window exchange + result sort = 2; the partial
+    // WindowGroupLimit below the exchange is the megadomain guard
+    assert(shuffles(q("source_cap")) === 2)
+    val plan = q("source_cap").queryExecution.executedPlan.toString
+    val idxLimit = plan.indexOf("WindowGroupLimit")
+    val idxEx = plan.indexOf("Exchange hashpartitioning")
+    assert(idxLimit >= 0 && plan.indexOf("WindowGroupLimit", idxLimit + 1) > 0,
+      "expected partial + final WindowGroupLimit pair")
+    assert(idxEx >= 0, "expected the source window exchange")
+  }
+
+  test("quality_logreg: row-local scoring, result sort is the only exchange") {
+    assert(shuffles(q("quality_logreg")) === 1)
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows

@@ -503,6 +503,73 @@ class SqlParitySpec extends AnyFunSuite {
         |FROM t2 ORDER BY doc_id""".stripMargin)
   }
 
+  test("q19_disjunctive via SQL (OR-of-ANDs CNF pushdown family)") {
+    assertParity("q19_disjunctive",
+      s"""SELECT ${RelationalOps.RevenueExactSql} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+  }
+
+  test("q15_top_supplier via SQL (global-max rank family)") {
+    assertParity("q15_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey, sum(cast(l_extendedprice AS decimal(15,2)) *
+        |    (cast(1 AS decimal(15,2)) - cast(l_discount AS decimal(15,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= timestamp'1996-01-01'
+        |    AND l_shipdate < timestamp'1996-04-01'
+        |  GROUP BY l_suppkey),
+        |r AS (SELECT *, rank() OVER (ORDER BY total_rev DESC) AS rk FROM revenue)
+        |SELECT s_suppkey, s_name, cast(total_rev AS double) AS total_rev
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rk = 1 ORDER BY s_suppkey""".stripMargin)
+  }
+
+  test("source_cap via SQL (per-domain window cap, graft_tokenize)") {
+    import graft.operators.{PipelineOps, TextAnalysisOps}
+    val stops = TextAnalysisOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+    assertParity("source_cap",
+      s"""WITH t AS (SELECT doc_id, source, graft_tokenize(text) AS ws FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |    round(cast(size(filter(ws, w -> w IN ($stops))) AS double) /
+         |          cast(size(ws) AS bigint), 4) AS quality
+         |  FROM t WHERE size(ws) > 0),
+         |r AS (SELECT *, cast(row_number() OVER (PARTITION BY source
+         |        ORDER BY quality DESC, doc_id) AS bigint) AS rnk FROM sc)
+         |SELECT doc_id, source, quality, rnk FROM r
+         |WHERE rnk <= ${PipelineOps.SourceCapN} ORDER BY source, rnk""".stripMargin)
+  }
+
+  test("quality_logreg via SQL (fixed-weight classifier arithmetic)") {
+    import graft.operators.{PipelineOps, TextAnalysisOps}
+    import PipelineOps._
+    val stops = TextAnalysisOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+    assertParity("quality_logreg",
+      s"""WITH t AS (SELECT doc_id, text, graft_tokenize(text) AS ws FROM documents),
+         |f AS (SELECT doc_id,
+         |    round(log1p(cast(size(ws) AS double)), 4) AS flog,
+         |    round(cast(size(filter(ws, w -> w IN ($stops))) AS double) /
+         |          cast(size(ws) AS bigint), 4) AS fstop,
+         |    round(cast(size(regexp_extract_all(lower(text),
+         |          '[^a-z0-9 \\\\t\\\\n\\\\r\\\\f]', 0)) AS double) / length(text), 4)
+         |      AS fpunct,
+         |    round(cast(aggregate(ws, 0L, (a, w) -> a + length(w)) AS double) /
+         |          cast(size(ws) AS bigint), 4) AS flen
+         |  FROM t WHERE size(ws) > 0),
+         |z AS (SELECT doc_id,
+         |    round($LogregBias + $LogregWLogTokens * flog + $LogregWStopword * fstop +
+         |          ($LogregWPunct) * fpunct + $LogregWAvgLen * flen, 4) AS quality_logit
+         |  FROM f)
+         |SELECT doc_id, quality_logit, cast(quality_logit > 0.0 AS long) AS keep
+         |FROM z ORDER BY doc_id""".stripMargin)
+  }
+
   test("q13_custdist keeps zero-order customers (the outer-join point)") {
     import spark.implicits._
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))
