@@ -70,5 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ExpressionArgs.literalDouble(exprs(2), "graft_hist_quantile"),
         ExpressionArgs.literalInt(exprs(3), "graft_hist_quantile"),
         ExpressionArgs.literalDouble(exprs(4), "graft_hist_quantile"))))
+    e.injectFunction((FunctionIdentifier("graft_bloom"),
+      info("graft_bloom", "bloom filter bitmap aggregate"),
+      exprs => BloomAgg(exprs(0),
+        ExpressionArgs.literalInt(exprs(1), "graft_bloom"),
+        ExpressionArgs.literalInt(exprs(2), "graft_bloom"))))
+    e.injectFunction((FunctionIdentifier("graft_bloom_probe"),
+      info("graft_bloom_probe", "bloom filter membership probe"),
+      exprs => BloomProbe(exprs(0), exprs(1),
+        ExpressionArgs.literalInt(exprs(2), "graft_bloom_probe"),
+        ExpressionArgs.literalInt(exprs(3), "graft_bloom_probe"))))
   }
 }

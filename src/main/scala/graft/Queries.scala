@@ -340,6 +340,51 @@ object Queries {
               |    AS entropy
               |FROM t2 ORDER BY doc_id""".stripMargin)),
 
+    // bloom-gated incremental dedup: the broadcast-sketch fast path;
+    // bit positions from the shared CmsHash family, so every probe —
+    // including any false positive — is oracle-reproduced exactly
+    "bloom_dedup" -> QueryDef(
+      (s, d) => DedupOps.bloomDedup(Tables.documents(s, d)),
+      Some {
+        val p = graft.functions.expressions.CmsHash.P
+        val k = DedupOps.BloomK
+        val m = DedupOps.BloomMBits
+        val bucket = (h: String) =>
+          s"(((2 * j + 1) * ($h % $p) + j * j + 7) % $p) % $m"
+        s"""WITH h AS (SELECT doc_id,
+           |    CAST(('0x' || substr(md5(lower(text)), 1, 15))::UBIGINT AS BIGINT) AS h
+           |  FROM documents),
+           |corpus AS (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0),
+           |bits AS (SELECT DISTINCT ${bucket("h")} AS b
+           |  FROM corpus, LATERAL unnest(generate_series(0, ${k - 1})) t(j)),
+           |batch AS (SELECT doc_id, h FROM h WHERE doc_id % 2 = 1),
+           |probes AS (SELECT doc_id, h, ${bucket("h")} AS b
+           |  FROM batch, LATERAL unnest(generate_series(0, ${k - 1})) t(j)),
+           |flags AS (SELECT p.doc_id,
+           |    CAST(min(CASE WHEN bits.b IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS maybe_dup
+           |  FROM probes p LEFT JOIN bits ON p.b = bits.b GROUP BY p.doc_id)
+           |SELECT f.doc_id, f.maybe_dup,
+           |  CAST(CASE WHEN c.h IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+           |FROM flags f JOIN batch b ON f.doc_id = b.doc_id
+           |  LEFT JOIN corpus c ON b.h = c.h
+           |ORDER BY f.doc_id""".stripMargin
+      }),
+
+    // one BPE training round: adjacent char-pair frequencies off the
+    // word-frequency table (vocabulary-sized explode, never corpus-
+    // sized), total-ordered top-K
+    "bpe_merge_pairs" -> QueryDef(
+      (s, d) => TextAnalysisOps.bpeMergePairs(Tables.documents(s, d)),
+      Some(s"""WITH wf AS (SELECT word, count(*) AS wf
+              |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+              |  GROUP BY word HAVING length(word) >= 2),
+              |pairs AS (SELECT substr(word, i, 2) AS pair, wf
+              |  FROM wf, LATERAL unnest(generate_series(1, length(word) - 1)) t(i))
+              |SELECT pair, sum(wf)::BIGINT AS cnt FROM pairs
+              |GROUP BY pair ORDER BY cnt DESC, pair
+              |LIMIT ${TextAnalysisOps.BpeMergeTopK}""".stripMargin)),
+
     "token_count_bpe" -> QueryDef(
       (s, d) => TextAnalysisOps.tokenCountBpe(Tables.documents(s, d)),
       Some("""SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]'))::BIGINT AS n_bpe_tokens
@@ -1491,6 +1536,28 @@ object Queries {
               |       AND l_quantity BETWEEN 10 AND 20)
               |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
               |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // product-type profit per nation and year (TPC-H Q9 shape,
+    // synthetic 60%-of-retail supply cost; decimal-exact amounts)
+    "q9_profit" -> QueryDef(
+      (s, d) => RelationalOps.q9Profit(Tables.nation(s, d), Tables.supplier(s, d),
+        Tables.part(s, d), Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT nation, o_year,
+             |  CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+             |FROM (SELECT n_name AS nation,
+             |        CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |        CAST(l_extendedprice AS DECIMAL(15,2)) *
+             |          (1 - CAST(l_discount AS DECIMAL(15,2))) -
+             |        CAST(p_retailprice AS DECIMAL(15,2)) * CAST(0.60 AS DECIMAL(3,2)) *
+             |          CAST(l_quantity AS DECIMAL(12,2)) AS amount
+             |      FROM lineitem
+             |        JOIN part ON l_partkey = p_partkey
+             |        JOIN supplier ON l_suppkey = s_suppkey
+             |        JOIN nation ON s_nationkey = n_nationkey
+             |        JOIN orders ON l_orderkey = o_orderkey
+             |      WHERE p_type = 'STANDARD') t
+             |GROUP BY nation, o_year
+             |ORDER BY nation, o_year DESC""".stripMargin)),
 
     // sole-late-supplier count (TPC-H Q21 shape): semi + anti
     // self-joins on the order key, all riding one partitioning

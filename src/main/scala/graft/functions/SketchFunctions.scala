@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{CmsProbe, CountMinAgg, ExpressionArgs, HistQuantile, KmvDistinctEstimate}
+import graft.functions.expressions.{BloomAgg, BloomProbe, CmsProbe, CountMinAgg, ExpressionArgs, HistQuantile, KmvDistinctEstimate}
 
 /** Column API over the sketch aggregate(s). `register` is idempotent;
   * operators call it before building plans (the analyzer wraps the
@@ -15,6 +15,8 @@ object SketchFunctions {
   val HistQuantileName = "graft_hist_quantile"
   val CmsName = "graft_cms"
   val CmsProbeName = "graft_cms_probe"
+  val BloomName = "graft_bloom"
+  val BloomProbeName = "graft_bloom_probe"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -42,6 +44,18 @@ object SketchFunctions {
         ExpressionArgs.literalInt(es(2), CmsProbeName),
         ExpressionArgs.literalInt(es(3), CmsProbeName)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      BloomName,
+      es => BloomAgg(es(0),
+        ExpressionArgs.literalInt(es(1), BloomName),
+        ExpressionArgs.literalInt(es(2), BloomName)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      BloomProbeName,
+      es => BloomProbe(es(0), es(1),
+        ExpressionArgs.literalInt(es(2), BloomProbeName),
+        ExpressionArgs.literalInt(es(3), BloomProbeName)),
+      "scala_udf")
   }
 
   /** KMV distinct-count estimate over a 60-bit hash column (double). */
@@ -64,4 +78,14 @@ object SketchFunctions {
   /** Point estimate (min over rows) of a key's count in a CMS grid. */
   def cmsProbe(sketch: Column, hash: Column, d: Int, w: Int): Column =
     call_function(CmsProbeName, sketch, hash, lit(d), lit(w))
+
+  /** Bloom bitmap (mBits/64 longs) over a 60-bit hash column (long);
+    * see [[graft.functions.expressions.BloomAgg]].
+    */
+  def bloom(hash: Column, k: Int, mBits: Int): Column =
+    call_function(BloomName, hash, lit(k), lit(mBits))
+
+  /** Membership probe (boolean) of a key hash in a bloom bitmap. */
+  def bloomProbe(sketch: Column, hash: Column, k: Int, mBits: Int): Column =
+    call_function(BloomProbeName, sketch, hash, lit(k), lit(mBits))
 }

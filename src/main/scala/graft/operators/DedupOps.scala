@@ -85,6 +85,47 @@ object DedupOps {
       .orderBy("keep_id")
   }
 
+  // bloomDedup shares these with its generated oracle: hash count,
+  // bitmap width. Sized so the 10x corpus (~50k digests) stays far
+  // under m (n/m ≈ 0.05 → FP ~1e-4); at real scale m grows with the
+  // index, or the sketch shards by digest prefix.
+  val BloomK = 6
+  val BloomMBits = 1 << 20
+
+  /** Bloom-gated incremental dedup — the approximate fast path of
+    * [[incrementalDedup]] for when the ingested-corpus digest index
+    * is too big to anti-join per batch: ONE pass over the corpus
+    * digests builds a fixed-size (128 KB here) mergeable bitmap
+    * that BROADCASTS, and the incoming batch probes it row-locally.
+    * `maybe_dup` is the bloom verdict (false negatives impossible;
+    * false positives bounded and — because the bit positions come
+    * from the deterministic [[CmsHash]] family — exactly reproduced
+    * by the oracle), `is_dup` the exact verdict for comparison.
+    * Same parity split as incrementalDedup: even doc_ids = corpus,
+    * odd = incoming batch.
+    */
+  def bloomDedup(docs: DataFrame): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    val keyHash = conv(substring(md5(lower(col("text"))), 1, 15), 16, 10)
+      .cast("long")
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(keyHash.as("h")).distinct()
+    val sketch = corpus
+      .agg(graft.functions.SketchFunctions.bloom(col("h"), BloomK, BloomMBits)
+        .as("bf"))
+    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), keyHash.as("bh"))
+      .join(broadcast(sketch))
+      .select(col("doc_id"), col("bh"),
+        graft.functions.SketchFunctions
+          .bloomProbe(col("bf"), col("bh"), BloomK, BloomMBits)
+          .cast("long").as("maybe_dup"))
+      .join(corpus.withColumn("hit", lit(1L)), col("bh") === col("h"), "left")
+      .select(col("doc_id"), col("maybe_dup"),
+        coalesce(col("hit"), lit(0L)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, shingles array) — the shared dedup input. Native
     * tokenize + n-gram expressions (hot path at scale).
     */

@@ -943,6 +943,36 @@ object RelationalOps {
       .agg(revenueExact.as("revenue"), count(lit(1)).as("n_lines"))
   }
 
+  /** Product-type profit per supplier nation and year (the TPC-H Q9
+    * shape, adapted: this schema has no partsupp, so supply cost is
+    * the deterministic 60% of p_retailprice). Profit per line =
+    * discounted revenue − cost×quantity, all in decimal, summed per
+    * (nation, order year). The part-type filter prunes the part side
+    * BEFORE the fact join (pushed scan predicate); nation broadcasts
+    * (bounded); the lineitem→orders hop is the only big-big shuffle.
+    * Output |nations|×|years| rows — scale-free.
+    */
+  def q9Profit(nation: DataFrame, supplier: DataFrame, part: DataFrame,
+               orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val amount = col("l_extendedprice").cast("decimal(15,2)") *
+      (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)")) -
+      col("p_retailprice").cast("decimal(15,2)") * lit(0.60).cast("decimal(3,2)") *
+        col("l_quantity").cast("decimal(12,2)")
+    lineitem
+      .join(part.where(col("p_type") === "STANDARD")
+        .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.join(broadcast(nation),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   /** Suppliers who alone shipped late (the TPC-H Q21 shape, adapted
     * lateness: l_shipdate > o_orderdate + 365 days): for finished
     * orders, count per supplier the orders where THIS supplier

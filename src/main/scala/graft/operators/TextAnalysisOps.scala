@@ -51,6 +51,37 @@ object TextAnalysisOps {
       .orderBy("doc_id")
   }
 
+  /** Top-K pairs reported by [[bpeMergePairs]] — shared with the
+    * generated oracle.
+    */
+  val BpeMergeTopK = 30
+
+  /** One BPE training round: the adjacent character-pair frequencies
+    * a byte-pair-encoding tokenizer would merge next. The corpus
+    * collapses to its word-frequency table FIRST (one aggregate over
+    * exploded tokens — vocabulary-sized, not corpus-sized), then each
+    * DISTINCT word explodes into its adjacent char pairs weighted by
+    * the word's corpus frequency. At 100 TB the pair explode runs
+    * over the vocabulary (millions of rows), not the corpus
+    * (trillions) — doing pair extraction before the word rollup
+    * would be the scale bug. Top-K by (count desc, pair asc): a
+    * total order, so the cut is deterministic at every SF.
+    */
+  def bpeMergePairs(docs: DataFrame, k: Int = BpeMergeTopK): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val wordFreq = docs
+      .select(explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+      .where(length(col("word")) >= 2)
+    wordFreq
+      .select(col("wf"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** BPE-ish subword token count: runs of letters, runs of digits, and
     * single non-alphanumeric marks (the classic pre-tokenizer regex).
     */

@@ -168,6 +168,30 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus ingest with dedup — the continuous form of
+    * [[graft.operators.DedupOps.incrementalDedup]]: an arriving
+    * document stream is (1) collapsed to one row per content digest
+    * within the stream via `dropDuplicates` keyed state, and (2)
+    * anti-joined against the STATIC already-ingested corpus index (a
+    * stream-static join is stateless: each micro-batch probes the
+    * index, nothing buffers). Emits the genuinely-new documents —
+    * the pipeline's steady-state ingest front door. At scale the
+    * static side is the stored fingerprint index; state for (1) is
+    * digest-keyed and unbounded by design here (exact once-ever
+    * semantics, the batch job's contract — bound it with
+    * dropDuplicatesWithinWatermark when the upstream is
+    * at-least-once within a horizon instead).
+    */
+  def ingestDedupStream(docsStream: DataFrame, corpusIndex: DataFrame): DataFrame = {
+    val fp = md5(lower(col("text")))
+    docsStream
+      .select(col("doc_id"), col("text"), fp.as("fp"))
+      .dropDuplicates("fp")
+      .join(corpusIndex.select(md5(lower(col("text"))).as("fp")),
+        Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+  }
+
   /** Stream-stream interval self-join: each purchase joined to the
     * same user's clicks within the preceding `intervalMinutes` — the
     * watermarked join whose state store holds only rows inside the

@@ -382,6 +382,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(q("quality_logreg")) === 1)
   }
 
+  test("q9_profit: bounded nation broadcasts, one agg + result sort") {
+    // (nation, year) agg + result sort = 2; part/supplier/orders
+    // reach the fact via broadcast at fixture scale (AQE re-plans)
+    assert(shuffles(q("q9_profit")) === 2)
+  }
+
+  test("bpe_merge_pairs: pair explode runs over the vocabulary, not the corpus") {
+    // word-freq agg + pair agg = 2; top-K is a TakeOrderedAndProject
+    // heap. A 3rd exchange means pair extraction moved corpus-side
+    assert(shuffles(q("bpe_merge_pairs")) === 2)
+    val plan = q("bpe_merge_pairs").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-K must be a per-partition heap, not a global sort")
+  }
+
+  test("bloom_dedup: sketch broadcasts, probe is row-local") {
+    // corpus digest distinct + 1-row sketch agg + is_dup compare join
+    // + result sort = 4; the batch side must reach the bitmap via
+    // broadcast only (a 5th exchange means the probe shuffled the
+    // batch against the sketch)
+    assert(shuffles(q("bloom_dedup")) === 4)
+    val plan = q("bloom_dedup").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "the bloom bitmap must broadcast to the batch side")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows

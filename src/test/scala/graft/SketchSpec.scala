@@ -105,4 +105,42 @@ class SketchSpec extends AnyFunSuite {
         .cast("double").as("h"))
     assert(small.agg(graft.functions.SketchFunctions.kmvEst(col("h"), 64)).head.getLong(0) === 50L)
   }
+
+  test("bloom has no false negatives and merges across partitions") {
+    graft.functions.SketchFunctions.register(spark)
+    val (k, m) = (6, 1 << 14)
+    def hash(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // 2000 inserted keys spread over 17 partitions: partial bitmaps
+    // must OR-merge (and serialize) before the probe pass
+    val inserted = spark.range(2000).select(hash(col("id").cast("string")).as("h"))
+      .repartition(17)
+    val sketch = inserted
+      .agg(graft.functions.SketchFunctions.bloom(col("h"), k, m).as("bf"))
+    assert(sketch.head.getSeq[Long](0).length === m / 64)
+    // every inserted key must probe true (bloom guarantee)
+    val misses = spark.range(2000)
+      .select(hash(col("id").cast("string")).as("h"))
+      .join(org.apache.spark.sql.functions.broadcast(sketch))
+      .where(!graft.functions.SketchFunctions.bloomProbe(col("bf"), col("h"), k, m))
+      .count()
+    assert(misses === 0L, s"bloom false negatives: $misses")
+    // disjoint keys mostly probe false (n/m ~ 0.12 -> FP well under 50%)
+    val fps = spark.range(2000, 4000)
+      .select(hash(col("id").cast("string")).as("h"))
+      .join(org.apache.spark.sql.functions.broadcast(sketch))
+      .where(graft.functions.SketchFunctions.bloomProbe(col("bf"), col("h"), k, m))
+      .count()
+    assert(fps < 1000L, s"false-positive rate implausibly high: $fps of 2000")
+    // probe positions follow the shared CmsHash family exactly: a
+    // single-key sketch is reproducible bit-by-bit
+    val one = spark.sql(s"SELECT graft_bloom(CAST(7 AS BIGINT), $k, $m) AS bf")
+      .head.getSeq[Long](0)
+    val expected = new Array[Long](m / 64)
+    (0 until k).foreach { j =>
+      val b = graft.functions.expressions.CmsHash.bucket(7L, j, m)
+      expected(b >>> 6) |= (1L << (b & 63))
+    }
+    assert(one === expected.toSeq)
+  }
 }

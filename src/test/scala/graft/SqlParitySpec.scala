@@ -570,6 +570,36 @@ class SqlParitySpec extends AnyFunSuite {
          |FROM z ORDER BY doc_id""".stripMargin)
   }
 
+  test("bloom_dedup via SQL (graft_bloom + graft_bloom_probe)") {
+    graft.functions.SketchFunctions.register(spark)
+    val k = DedupOps.BloomK
+    val m = DedupOps.BloomMBits
+    assertParity("bloom_dedup",
+      s"""WITH h AS (SELECT doc_id,
+         |    CAST(conv(substring(md5(lower(text)), 1, 15), 16, 10) AS BIGINT) AS h
+         |  FROM documents),
+         |corpus AS (SELECT DISTINCT h FROM h WHERE pmod(doc_id, 2) = 0),
+         |sk AS (SELECT graft_bloom(h, $k, $m) AS bf FROM corpus),
+         |batch AS (SELECT doc_id, h FROM h WHERE pmod(doc_id, 2) = 1)
+         |SELECT b.doc_id,
+         |  CAST(graft_bloom_probe(bf, b.h, $k, $m) AS BIGINT) AS maybe_dup,
+         |  CAST(CASE WHEN c.h IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+         |FROM batch b CROSS JOIN sk LEFT JOIN corpus c ON b.h = c.h
+         |ORDER BY b.doc_id""".stripMargin)
+  }
+
+  test("bpe_merge_pairs via SQL (graft_tokenize + lateral pair explode)") {
+    assertParity("bpe_merge_pairs",
+      s"""WITH wf AS (SELECT word, count(*) AS wf
+         |  FROM (SELECT explode(graft_tokenize(text)) AS word FROM documents)
+         |  GROUP BY word HAVING length(word) >= 2),
+         |pairs AS (SELECT substring(word, i, 2) AS pair, wf
+         |  FROM wf LATERAL VIEW explode(sequence(1, length(word) - 1)) t AS i)
+         |SELECT pair, sum(wf) AS cnt FROM pairs
+         |GROUP BY pair ORDER BY cnt DESC, pair
+         |LIMIT ${graft.operators.TextAnalysisOps.BpeMergeTopK}""".stripMargin)
+  }
+
   test("q13_custdist keeps zero-order customers (the outer-join point)") {
     import spark.implicits._
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))

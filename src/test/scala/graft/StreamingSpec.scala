@@ -38,6 +38,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming ingest dedup equals the batch incremental dedup's keep set") {
+    import org.apache.spark.sql.functions._
+    // replay the documents fixture as the arriving stream; the even
+    // doc_ids play the already-ingested corpus (incrementalDedup's
+    // parity split), so the stream must emit exactly one doc per
+    // digest the corpus has NOT seen
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf0001}/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val arriving = EventStreams.readDocumentsStream(spark, dir.toString)
+      .where(pmod(col("doc_id"), lit(2)) === 1)
+    val q = EventStreams.ingestDedupStream(arriving, corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_dedup")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamedFps = spark.table("ingest_dedup")
+      .collect().map(_.getString(1)).toSet
+    // batch truth: digests of odd docs that no even doc carries
+    val batchFps = graft.operators.DedupOps
+      .incrementalDedup(docs)
+      .collect().map(_.getString(2)).toSet
+    assert(streamedFps === batchFps)
+    // exactly one emission per new digest (the dropDuplicates state)
+    assert(spark.table("ingest_dedup").count() === streamedFps.size)
+  }
+
   test("streaming windowed counts equal the batch hourly totals") {
     val stream = EventStreams.readEventsStream(spark, eventsDir)
     // complete mode: append would (correctly) hold back the windows
