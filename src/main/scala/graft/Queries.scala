@@ -421,28 +421,31 @@ object Queries {
            |ORDER BY source, rnk""".stripMargin
       }),
 
-    // fixed-weight logistic quality classifier: features rounded to
-    // 4 decimals BEFORE the dot product so both engines dot the same
-    // bits; output is the linear logit (libm-free), not the sigmoid
+    // fixed-weight logistic quality classifier: 4-decimal features
+    // recovered into DECIMAL(10,4) exactly, dot product in EXACT
+    // decimal arithmetic, logit cast to double only at the end — no
+    // libm, no double round() of the logit (both failed a gate by
+    // 1 ULP / one .00005 tie before this form)
     "quality_logreg" -> QueryDef(
       (s, d) => PipelineOps.qualityLogreg(Tables.documents(s, d)),
       Some {
         val stops = TextAnalysisOps.EnStopwords.map(w => s"'$w'").mkString(", ")
         import PipelineOps._
+        def w(x: Double) = s"CAST($x AS DECIMAL(6,2))"
         s"""WITH t AS (SELECT doc_id, text, $toksSql AS ws FROM documents),
            |f AS (SELECT doc_id,
-           |    round(ln(1 + len(ws))::DOUBLE, 4) AS flog,
-           |    round(len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws), 4)
-           |      AS fstop,
-           |    round(len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\r\f]'))::DOUBLE
-           |      / length(text), 4) AS fpunct,
-           |    round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4)
-           |      AS flen
+           |    CAST(length(bin(len(ws)))::DOUBLE AS DECIMAL(10,4)) AS flog,
+           |    CAST(round(len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws), 4)
+           |      AS DECIMAL(10,4)) AS fstop,
+           |    CAST(round(len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\r\f]'))::DOUBLE
+           |      / length(text), 4) AS DECIMAL(10,4)) AS fpunct,
+           |    CAST(round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4)
+           |      AS DECIMAL(10,4)) AS flen
            |  FROM t WHERE len(ws) > 0),
-           |z AS (SELECT doc_id,
-           |    round(($LogregBias) + ($LogregWLogTokens) * flog +
-           |          ($LogregWStopword) * fstop + ($LogregWPunct) * fpunct +
-           |          ($LogregWAvgLen) * flen, 4) AS quality_logit
+           |z AS (SELECT doc_id, CAST(
+           |    ${w(LogregBias)} + ${w(LogregWLogTokens)} * flog +
+           |    ${w(LogregWStopword)} * fstop + ${w(LogregWPunct)} * fpunct +
+           |    ${w(LogregWAvgLen)} * flen AS DOUBLE) AS quality_logit
            |  FROM f)
            |SELECT doc_id, quality_logit,
            |  CAST(quality_logit > 0.0 AS BIGINT) AS keep
@@ -1559,6 +1562,20 @@ object Queries {
              |GROUP BY nation, o_year
              |ORDER BY nation, o_year DESC""".stripMargin)),
 
+    // supplier-relationship count (TPC-H Q16 shape): one-pass
+    // distinct aggregate + NOT-IN anti join on the complaint list
+    "q16_supplier_cnt" -> QueryDef(
+      (s, d) => RelationalOps.q16SupplierCnt(Tables.supplier(s, d),
+        Tables.part(s, d), Tables.lineitem(s, d)),
+      Some("""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |WHERE p_type <> 'PROMO'
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50""".stripMargin)),
+
     // sole-late-supplier count (TPC-H Q21 shape): semi + anti
     // self-joins on the order key, all riding one partitioning
     "q21_waiting" -> QueryDef(
@@ -1633,6 +1650,16 @@ object Queries {
              |FROM l WHERE prev_revenue IS NOT NULL ORDER BY yr, mo""".stripMargin)),
 
     // ----- events ------------------------------------------------------
+    // one-pass multi-DISTINCT: Expand + two-level aggregate, never a
+    // per-DISTINCT corpus re-scan (plan-pinned)
+    "events_multi_distinct" -> QueryDef(
+      (s, d) => EventsOps.multiDistinct(Tables.events(s, d)),
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS n_users,
+             |  count(DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d')) AS n_days,
+             |  count(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "events_hourly" -> QueryDef(
       (s, d) => EventsOps.hourly(Tables.events(s, d)),
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

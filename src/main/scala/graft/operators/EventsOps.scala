@@ -404,4 +404,24 @@ object EventsOps {
       .agg(round(sum("value"), 4).as("total_value"), count(lit(1)).as("n_purchases"))
       .orderBy(desc("total_value"), asc("user_id"))
       .limit(k)
+
+  /** Multiple DISTINCT aggregates in one pass: per event type, the
+    * distinct-user and distinct-active-day counts plus the plain row
+    * count. Catalyst plans this with ONE Expand (each row replicated
+    * once per distinct column set, null-padded) feeding a two-level
+    * aggregate — one subtree, not one corpus scan per DISTINCT
+    * (plan-pinned). The 100 TB trade: Expand multiplies the exchange
+    * payload by the number of distinct specs, the price of keeping a
+    * single pass; independent sketches (KMV/HLL per column) are the
+    * approximate escape when even that is too wide.
+    */
+  def multiDistinct(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_format(date_trunc("day", timestamp_millis(tsMs)), "yyyy-MM-dd"))
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
 }

@@ -459,9 +459,9 @@ object PipelineOps {
 
   /** Fixed weights for the logistic quality classifier — a
     * distilled stand-in for a fastText-style quality model: bias,
-    * then log1p(n_tokens), stopword_ratio, punct_ratio,
-    * avg_word_len. Shared Spark/oracle so the dot product is the
-    * same double sequence on both engines.
+    * then the log2-staircase token-length feature, stopword_ratio,
+    * punct_ratio, avg_word_len. Shared Spark/oracle so the dot
+    * product is the same double sequence on both engines.
     */
   val LogregBias = -2.0
   val LogregWLogTokens = 0.6
@@ -472,14 +472,19 @@ object PipelineOps {
   /** Logistic-regression quality classifier, fixed weights: the
     * shape of every learned quality filter (fastText / logreg over
     * cheap features) with the model baked in as constants. Features
-    * are the [[TextAnalysisOps.qualityScore]] signals, each rounded
+    * are the [[TextAnalysisOps.qualityScore]] signals — ratios of
+    * exact integers (one correctly-rounded IEEE divide each) plus a
+    * log2-STAIRCASE length feature (`length(bin(n))` =
+    * floor(log2 n)+1, integer-exact on both engines) — each rounded
     * to 4 decimals FIRST so both engines dot identical bits; the
     * gated output is the linear logit (rounded) and the keep
-    * decision — deliberately NOT the sigmoid, whose libm exp()
-    * differs across engines at the ULP level and would make the
-    * exact-float hash gate flaky. Row-local, shuffle-free: at 100 TB
-    * this is a pure map over the scan, and the keep flag composes
-    * with the funnel/cap stages without an exchange.
+    * decision — deliberately NOT the sigmoid, and deliberately no
+    * libm ANYWHERE: exp/ln/log1p differ across engines at the ULP
+    * level, and a 1-ULP feature shift near a .00005 boundary flips
+    * the rounded logit (caught live: the log1p form failed the 10×
+    * gate on exactly one row in 50k). Row-local, shuffle-free: at
+    * 100 TB this is a pure map over the scan, and the keep flag
+    * composes with the funnel/cap stages without an exchange.
     */
   def qualityLogreg(docs: DataFrame): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
@@ -491,16 +496,26 @@ object PipelineOps {
       lit("[^a-z0-9 \\t\\n\\r\\f]"), lit(0)))
     val sumLen = aggregate(transform(ws, x => length(x).cast("long")),
       lit(0L), (a, x) => a + x)
-    val fLog = round(log1p(n.cast("double")), 4)
-    val fStop = round(stop.cast("double") / n, 4)
-    val fPunct = round(punct.cast("double") / length(col("text")), 4)
-    val fLen = round(sumLen.cast("double") / n, 4)
-    // Fixed left-to-right sum: bias + w1*f1 + w2*f2 + w3*f3 + w4*f4.
-    val logit = lit(LogregBias) +
-      lit(LogregWLogTokens) * fLog + lit(LogregWStopword) * fStop +
-      lit(LogregWPunct) * fPunct + lit(LogregWAvgLen) * fLen
+    // Each rounded-double feature is the double NEAREST a 4-decimal
+    // value; casting to decimal(10,4) recovers that value exactly on
+    // both engines (the revenueExact pattern). The dot product then
+    // runs in EXACT decimal arithmetic — no double rounding of the
+    // logit at all, because round()-of-a-double itself diverges:
+    // Spark rounds the shortest decimal rendering (BigDecimal
+    // .valueOf), DuckDB the binary value, and a weighted sum of
+    // 4-decimal features lands on .00005 ties constantly (caught
+    // live at BOTH gates before this form).
+    def f4(c: org.apache.spark.sql.Column) = c.cast("decimal(10,4)")
+    val fLog = f4(length(bin(n)).cast("double"))
+    val fStop = f4(round(stop.cast("double") / n, 4))
+    val fPunct = f4(round(punct.cast("double") / length(col("text")), 4))
+    val fLen = f4(round(sumLen.cast("double") / n, 4))
+    def w(x: Double) = lit(x).cast("decimal(6,2)")
+    val logit = w(LogregBias) +
+      w(LogregWLogTokens) * fLog + w(LogregWStopword) * fStop +
+      w(LogregWPunct) * fPunct + w(LogregWAvgLen) * fLen
     docs
-      .select(col("doc_id"), round(logit, 4).as("quality_logit"))
+      .select(col("doc_id"), logit.cast("double").as("quality_logit"))
       .where(n > 0)
       .withColumn("keep", (col("quality_logit") > 0.0).cast("long"))
       .orderBy("doc_id")

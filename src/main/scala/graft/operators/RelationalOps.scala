@@ -973,6 +973,30 @@ object RelationalOps {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** Supplier-relationship count (the TPC-H Q16 shape, adapted:
+    * lineitem is the part↔supplier relation — no partsupp): per
+    * (brand, size) of non-PROMO parts, how many DISTINCT suppliers
+    * shipped it, excluding the negative-balance complaint list. The
+    * NOT IN is a left-anti join against a tiny pushed-filter
+    * supplier projection; the distinct aggregate keys the exchange
+    * on (brand, size, suppkey) with map-side partial-distinct, then
+    * collapses — one pass, no per-supplier re-scan. Top-50 by the
+    * (count desc, brand, size) total order: deterministic cut.
+    */
+  def q16SupplierCnt(supplier: DataFrame, part: DataFrame,
+                     lineitem: DataFrame, k: Int = 50): DataFrame = {
+    val complaints = supplier.where(col("s_acctbal") < 0).select("s_suppkey")
+    lineitem
+      .join(part.where(col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .limit(k)
+  }
+
   /** Suppliers who alone shipped late (the TPC-H Q21 shape, adapted
     * lateness: l_shipdate > o_orderdate + 365 days): for finished
     * orders, count per supplier the orders where THIS supplier

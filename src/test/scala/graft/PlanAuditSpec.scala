@@ -408,6 +408,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "the bloom bitmap must broadcast to the batch side")
   }
 
+  test("q16_supplier_cnt: one-pass distinct agg, NOT IN as anti join") {
+    // (brand,size,suppkey) partial-distinct exchange + (brand,size)
+    // collapse = 2; top-50 rides a heap. A 3rd exchange means the
+    // distinct split into a second corpus pass
+    assert(shuffles(q("q16_supplier_cnt")) === 2)
+    val plan = q("q16_supplier_cnt").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      "NOT IN must plan as a left-anti join")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 must be a per-partition heap")
+  }
+
+  test("events_multi_distinct: both DISTINCTs share one Expand subtree") {
+    // Expand feeds partial agg + the two-level distinct collapse +
+    // result sort = 3 exchanges, ONE scan. A 4th exchange (or a 2nd
+    // scan) means Catalyst split the DISTINCTs into separate passes
+    assert(shuffles(q("events_multi_distinct")) === 3)
+    val plan = q("events_multi_distinct").queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      "multi-DISTINCT must plan via Expand, not repeated scans")
+    assert(plan.linesIterator.count(_.contains("Scan ")) === 1,
+      "the events table must be scanned exactly once")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows

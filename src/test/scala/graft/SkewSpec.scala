@@ -93,4 +93,41 @@ class SkewSpec extends AnyFunSuite {
     out.filter(_.getLong(0) >= 100L)
       .foreach(r => assert(r.getLong(1) === 1L, s"cold user split: $r"))
   }
+
+  test("source_cap's group limit bounds the megadomain before the shuffle") {
+    import spark.implicits._
+    // one domain owns 96% of a 50k-doc corpus — the crawl-reality
+    // shape the per-source cap exists for. Text varies per doc so
+    // the quality key has a real ordering.
+    val docs = spark.range(0, 50000).select(
+      $"id".as("doc_id"),
+      when($"id" % 25 =!= 0, lit("megadomain"))
+        .otherwise(concat(lit("src"), ($"id" % 7).cast("string"))).as("source"),
+      concat(lit("the quick word "), lit("and of to in it "),
+        ($"id" % 997).cast("string")).as("text"))
+    val out = graft.operators.PipelineOps.sourceCap(docs).collect()
+    // cap holds: no source exceeds N rows, megadomain hits exactly N
+    val bySource = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource.values.max <= graft.operators.PipelineOps.SourceCapN)
+    assert(bySource("megadomain") === graft.operators.PipelineOps.SourceCapN)
+    // the partial WindowGroupLimit must prune map-side: across BOTH
+    // exchanges (window + result sort) the shuffle carries only each
+    // task's local top-N, bounded far under the 50k corpus
+    val written = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null && e.taskMetrics.shuffleWriteMetrics != null)
+          written.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.operators.PipelineOps.sourceCap(docs).collect()
+      val deadline = System.currentTimeMillis + 5000
+      while (written.get() == 0L && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(written.get() > 0L, "expected shuffle writes from the window exchange")
+    assert(written.get() < 5000L,
+      s"shuffles carried ${written.get()} rows — the megadomain was not pre-pruned map-side")
+  }
 }

@@ -550,21 +550,23 @@ class SqlParitySpec extends AnyFunSuite {
     import graft.operators.{PipelineOps, TextAnalysisOps}
     import PipelineOps._
     val stops = TextAnalysisOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+    def w(x: Double) = s"cast($x AS decimal(6,2))"
     assertParity("quality_logreg",
       s"""WITH t AS (SELECT doc_id, text, graft_tokenize(text) AS ws FROM documents),
          |f AS (SELECT doc_id,
-         |    round(log1p(cast(size(ws) AS double)), 4) AS flog,
-         |    round(cast(size(filter(ws, w -> w IN ($stops))) AS double) /
-         |          cast(size(ws) AS bigint), 4) AS fstop,
-         |    round(cast(size(regexp_extract_all(lower(text),
+         |    cast(cast(length(bin(size(ws))) AS double) AS decimal(10,4)) AS flog,
+         |    cast(round(cast(size(filter(ws, w -> w IN ($stops))) AS double) /
+         |          cast(size(ws) AS bigint), 4) AS decimal(10,4)) AS fstop,
+         |    cast(round(cast(size(regexp_extract_all(lower(text),
          |          '[^a-z0-9 \\\\t\\\\n\\\\r\\\\f]', 0)) AS double) / length(text), 4)
-         |      AS fpunct,
-         |    round(cast(aggregate(ws, 0L, (a, w) -> a + length(w)) AS double) /
-         |          cast(size(ws) AS bigint), 4) AS flen
+         |      AS decimal(10,4)) AS fpunct,
+         |    cast(round(cast(aggregate(ws, 0L, (a, w) -> a + length(w)) AS double) /
+         |          cast(size(ws) AS bigint), 4) AS decimal(10,4)) AS flen
          |  FROM t WHERE size(ws) > 0),
-         |z AS (SELECT doc_id,
-         |    round($LogregBias + $LogregWLogTokens * flog + $LogregWStopword * fstop +
-         |          ($LogregWPunct) * fpunct + $LogregWAvgLen * flen, 4) AS quality_logit
+         |z AS (SELECT doc_id, cast(
+         |    ${w(LogregBias)} + ${w(LogregWLogTokens)} * flog +
+         |    ${w(LogregWStopword)} * fstop + ${w(LogregWPunct)} * fpunct +
+         |    ${w(LogregWAvgLen)} * flen AS double) AS quality_logit
          |  FROM f)
          |SELECT doc_id, quality_logit, cast(quality_logit > 0.0 AS long) AS keep
          |FROM z ORDER BY doc_id""".stripMargin)
