@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{CosineSimilarityFloat, DotProductFloat}
+import graft.functions.expressions.{CosineSimilarityFloat, DotProductFloat, ExpressionArgs, PqReconstructFloat}
 
 /** Column-level API for the native vector expressions.
   *
@@ -17,6 +17,7 @@ object VectorFunctions {
 
   val CosineName = "graft_cosine"
   val DotName    = "graft_dot"
+  val PqReconstructName = "graft_pq_reconstruct"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -24,6 +25,13 @@ object VectorFunctions {
       CosineName, exprs => CosineSimilarityFloat(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       DotName, exprs => DotProductFloat(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      PqReconstructName,
+      exprs => PqReconstructFloat(exprs(0), exprs(1),
+        ExpressionArgs.literalInt(exprs(2), PqReconstructName),
+        ExpressionArgs.literalInt(exprs(3), PqReconstructName),
+        ExpressionArgs.literalInt(exprs(4), PqReconstructName)),
+      "scala_udf")
   }
 
   /** Cosine similarity of two array<float> columns (double result). */
@@ -34,4 +42,10 @@ object VectorFunctions {
 
   /** L2 norm of an array<float> column. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** PQ encode+reconstruct of an array<float> against an
+    * array<array<float>> codebook (m subspaces of sub dims, k rows).
+    */
+  def pqReconstruct(x: Column, cb: Column, m: Int, sub: Int, k: Int): Column =
+    call_function(PqReconstructName, x, cb, lit(m), lit(sub), lit(k))
 }

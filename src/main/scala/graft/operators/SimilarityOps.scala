@@ -461,25 +461,14 @@ object SimilarityOps {
     val codebook = emb.where(col("vec_id") < PqK)
       .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
         s => s.getField("embedding")).as("cb"))
-    def subspace(a: Column, m: Column): Column =
-      slice(a, m * PqSub + 1, lit(PqSub))
-    // per subspace m: argmin_j ( |c|^2 - 2 x·c )  — the |x|^2 term is
-    // constant across j and dropped; struct min ties to the lowest j
-    val codes = transform(sequence(lit(0), lit(PqM - 1)), m => {
-      val scored = transform(sequence(lit(0), lit(PqK - 1)), j => {
-        val c = subspace(element_at(col("cb"), j + 1), m)
-        struct(
-          (VectorFunctions.dot(c, c) -
-            lit(2.0) * VectorFunctions.dot(subspace(col("embedding"), m), c)).as("d"),
-          j.as("j"))
-      })
-      array_min(scored).getField("j")
-    })
-    val recon = flatten(transform(sequence(lit(0), lit(PqM - 1)), m =>
-      subspace(element_at(col("cb"), element_at(col("codes"), m + 1) + 1), m)))
+    // per subspace m: argmin_j ( |c|^2 - 2 x·c ) with ties to the
+    // lowest j, then concatenate the winning rows' slices — one
+    // native pass per vector (PqReconstructFloat; the interpreted
+    // nested-transform formulation ran the same math as per-element
+    // Catalyst lambdas, 34 s at the 10x sweep, bit-equal results)
     val encoded = emb.crossJoin(broadcast(codebook))
-      .withColumn("codes", codes)
-      .withColumn("recon", recon)
+      .withColumn("recon", VectorFunctions.pqReconstruct(
+        col("embedding"), col("cb"), PqM, PqSub, PqK))
       .select(col("vec_id"), col("recon"))
     val probes = emb.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))

@@ -26,7 +26,8 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
     val aggProbe =
       """SELECT graft_kmv_est(CAST(h AS DOUBLE), 64) AS kmv,
         |  round(graft_hist_quantile(CAST(v AS DOUBLE), 0.0, 10.0, 10, 0.5), 4) AS hq,
-        |  graft_cms_probe(graft_cms(CAST(h AS BIGINT), 2, 8), 1L, 2, 8) AS cms
+        |  graft_cms_probe(graft_cms(CAST(h AS BIGINT), 2, 8), 1L, 2, 8) AS cms,
+        |  graft_bloom_probe(graft_bloom(CAST(h AS BIGINT), 4, 64), 1L, 4, 64) AS bl
         |FROM (VALUES (1.0, 1.0), (2.0, 2.0)) AS t(h, v)""".stripMargin.replace("\n", " ")
 
     val out = new StringBuilder
@@ -51,7 +52,8 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
     // — i.e. the warning is direct evidence the EXTENSION injected it
     // at session build. Check it for the newest injections.
     Seq("graft_winnow_fp", "graft_simhash", "graft_hist_quantile",
-        "graft_cms", "graft_cms_probe").foreach { fn =>
+        "graft_cms", "graft_cms_probe", "graft_bloom",
+        "graft_bloom_probe").foreach { fn =>
       assert(text.contains(s"The function $fn replaced a previously registered function"),
         s"$fn was not injected by GraftExtensions at session build:\n$text")
     }

@@ -53,4 +53,27 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.select(VectorFunctions.l2Norm(col("a"))).head.getDouble(0) === 3.0)
     assert(df.select(VectorFunctions.cosine(col("a"), col("b"))).head.getDouble(0) === 1.0)
   }
+
+  test("pqReconstruct picks per-subspace nearest rows, ties to the lowest index") {
+    VectorFunctions.register(spark)
+    // m=2 subspaces of 2 dims, k=3 rows. x = [1,0, 0,1]:
+    //   subspace 0: row0 [1,0] exact (d = 1-2 = -1) beats row1/row2
+    //   subspace 1: row1 [0,1] exact; row2 duplicates row1 there —
+    //   the tie must resolve to the LOWER index (row1's slice)
+    val cb = Seq(
+      Seq(1f, 0f, 9f, 9f),
+      Seq(5f, 5f, 0f, 1f),
+      Seq(5f, 5f, 0f, 1f))
+    val df = Seq((Seq(1f, 0f, 0f, 1f), cb)).toDF("x", "cb")
+    val recon = df.select(
+      VectorFunctions.pqReconstruct(col("x"), col("cb"), 2, 2, 3).as("r"))
+      .head.getSeq[Float](0)
+    assert(recon === Seq(1f, 0f, 0f, 1f))
+    // a huge x turns argmin(|c|^2 - 2xc) into max-projection: row1
+    // wins subspace 0 ([5,5]), row0 wins subspace 1 ([9,9])
+    val far = Seq((Seq(100f, 100f, 100f, 100f), cb)).toDF("x", "cb")
+      .select(VectorFunctions.pqReconstruct(col("x"), col("cb"), 2, 2, 3).as("r"))
+      .head.getSeq[Float](0)
+    assert(far === Seq(5f, 5f, 9f, 9f))
+  }
 }
