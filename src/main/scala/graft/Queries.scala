@@ -402,6 +402,20 @@ object Queries {
            |FROM t WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin
       }),
 
+    // mixture reweighting: per-source sampling weights toward a
+    // uniform target mix; totals ride the |sources|-row model table
+    "source_mix_weights" -> QueryDef(
+      (s, d) => PipelineOps.sourceMixWeights(Tables.documents(s, d)),
+      Some("""WITH per_src AS (SELECT source, count(*) AS n_docs
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT sum(n_docs) AS n_total, count(*) AS k_sources
+             |  FROM per_src)
+             |SELECT source, n_docs,
+             |  round(n_docs::DOUBLE / n_total, 6) AS actual_share,
+             |  round(1.0::DOUBLE / k_sources, 6) AS target_share,
+             |  round(n_total::DOUBLE / (k_sources * n_docs), 6) AS mix_weight
+             |FROM per_src CROSS JOIN t ORDER BY source""".stripMargin)),
+
     // per-source (per-domain) quality cap: top-N docs per source by
     // stopword ratio — rank<=N rewrites to WindowGroupLimit so each
     // map task pre-prunes before the source shuffle (plan-pinned)

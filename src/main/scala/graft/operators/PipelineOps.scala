@@ -457,6 +457,36 @@ object PipelineOps {
       .orderBy("source", "rnk")
   }
 
+  /** Mixture reweighting (the DoReMi-flavored shape): per source,
+    * the corpus share it actually holds vs a UNIFORM target mix, and
+    * the sampling weight that moves the mixture there
+    * (weight = target/actual = N / (k·n_src)). One |sources|-row
+    * aggregate; the (N, k) totals are an unpartitioned WINDOW over
+    * that model table — NOT an aggregate-and-join-back, which
+    * duplicates the whole per-source subtree into a second corpus
+    * scan (Catalyst does not unify the two aggregate subtrees; same
+    * measured trap as q15's max). The window's single partition is
+    * the model table itself (|sources| rows, always ≪ corpus).
+    * Every division is a single int-ratio IEEE divide rounded on
+    * both engines. At 100 TB the output is the sampler's side
+    * input: a row-local hash threshold per source, the
+    * temperature_sample pattern with these weights.
+    */
+  def sourceMixWeights(docs: DataFrame): DataFrame = {
+    val all = Window.partitionBy()
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum(col("n_docs")).over(all))
+      .withColumn("k_sources", count(lit(1)).over(all))
+      .select(
+        col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("actual_share"),
+        round(lit(1.0) / col("k_sources"), 6).as("target_share"),
+        round(col("n_total").cast("double") /
+          (col("k_sources") * col("n_docs")), 6).as("mix_weight"))
+      .orderBy("source")
+  }
+
   /** Fixed weights for the logistic quality classifier — a
     * distilled stand-in for a fastText-style quality model: bias,
     * then the log2-staircase token-length feature, stopword_ratio,

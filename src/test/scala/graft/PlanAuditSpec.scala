@@ -432,6 +432,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "the events table must be scanned exactly once")
   }
 
+  test("source_mix_weights: totals ride a window over the model table, one corpus scan") {
+    // per-source agg + the totals window's SinglePartition pass = 2;
+    // an aggregate-and-join-back form re-scans the corpus (measured,
+    // the q15 subtree-duplication trap)
+    assert(shuffles(q("source_mix_weights")) === 2)
+    val plan = q("source_mix_weights").queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan ")) === 1,
+      "documents must be scanned exactly once")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows
