@@ -1576,6 +1576,69 @@ object Queries {
              |GROUP BY nation, o_year
              |ORDER BY nation, o_year DESC""".stripMargin)),
 
+    // min-cost supplier per part (TPC-H Q2 shape): decorrelated min
+    // over the derived partsupp, both sides share the ps CTE
+    "q2_min_cost" -> QueryDef(
+      (s, d) => RelationalOps.q2MinCost(Tables.region(s, d), Tables.nation(s, d),
+        Tables.supplier(s, d), Tables.part(s, d), Tables.lineitem(s, d)),
+      Some(s"""WITH ${RelationalOps.PartsuppDerivedSql},
+              |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+              |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |    JOIN region ON n_regionkey = r_regionkey
+              |  WHERE r_name = 'EUROPE'),
+              |offers AS (SELECT ps.*, p_partkey, p_brand, s_acctbal, s_name, n_name
+              |  FROM ps JOIN part ON ps_partkey = p_partkey
+              |    JOIN rs ON ps_suppkey = s_suppkey
+              |  WHERE p_size = 15),
+              |mc AS (SELECT ps_partkey AS m_partkey, min(ps_supplycost) AS min_cost
+              |  FROM offers GROUP BY ps_partkey)
+              |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+              |FROM offers JOIN mc ON ps_partkey = m_partkey
+              |  AND ps_supplycost = min_cost
+              |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin)),
+
+    // important stock (TPC-H Q11 shape): fraction-of-total HAVING via
+    // an exact decimal multiply against a window-form global total
+    "q11_important_stock" -> QueryDef(
+      (s, d) => RelationalOps.q11ImportantStock(Tables.nation(s, d),
+        Tables.supplier(s, d), Tables.lineitem(s, d)),
+      Some(s"""WITH ${RelationalOps.PartsuppDerivedSql},
+              |ns AS (SELECT s_suppkey FROM supplier
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  WHERE n_name = 'NATION_7'),
+              |pp AS (SELECT ps_partkey,
+              |    sum(CAST(ps_supplycost AS DECIMAL(10,2)) *
+              |        CAST(ps_availqty AS DECIMAL(8,0))) AS stock_value
+              |  FROM ps JOIN ns ON ps_suppkey = s_suppkey
+              |  GROUP BY ps_partkey),
+              |w AS (SELECT ps_partkey, stock_value,
+              |    sum(stock_value) OVER () AS total FROM pp)
+              |SELECT ps_partkey, CAST(stock_value AS DOUBLE) AS stock_value
+              |FROM w WHERE stock_value * ${RelationalOps.Q11Fraction} > total
+              |ORDER BY stock_value DESC, ps_partkey""".stripMargin)),
+
+    // excess availability (TPC-H Q20 shape): nested IN as semi joins,
+    // the threshold compare as an exact decimal multiply
+    "q20_excess_suppliers" -> QueryDef(
+      (s, d) => RelationalOps.q20ExcessSuppliers(Tables.nation(s, d),
+        Tables.supplier(s, d), Tables.lineitem(s, d)),
+      Some(s"""WITH ${RelationalOps.PartsuppDerivedSql},
+              |shipped AS (SELECT l_partkey AS q_partkey, l_suppkey AS q_suppkey,
+              |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS shipped_qty
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              |    AND l_shipdate < TIMESTAMP '1998-01-01'
+              |  GROUP BY 1, 2),
+              |excess AS (SELECT DISTINCT ps_suppkey
+              |  FROM ps JOIN shipped ON ps_partkey = q_partkey
+              |    AND ps_suppkey = q_suppkey
+              |  WHERE CAST(ps_availqty AS DECIMAL(12,2)) * 2 > shipped_qty)
+              |SELECT s_suppkey, s_name
+              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |WHERE n_name = 'NATION_9'
+              |  AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+              |ORDER BY s_suppkey""".stripMargin)),
+
     // supplier-relationship count (TPC-H Q16 shape): one-pass
     // distinct aggregate + NOT-IN anti join on the complaint list
     "q16_supplier_cnt" -> QueryDef(

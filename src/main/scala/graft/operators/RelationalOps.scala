@@ -973,6 +973,135 @@ object RelationalOps {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** The schema has no partsupp table; the Q2/Q11/Q20 shapes derive
+    * one from lineitem's DISTINCT (partkey, suppkey) pairs with
+    * deterministic integer-hash supply cost and availability —
+    * integer arithmetic only, so the oracle re-derives the identical
+    * table as a CTE. Cost is an exact 2-decimal value in [1, 101);
+    * availqty an integer in [1, 1000].
+    */
+  private def partsuppDerived(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost",
+        (pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 17, lit(10000))
+          .cast("double") / 100.0) + 1.0)
+      .withColumn("ps_availqty",
+        pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 13, lit(1000)) + 1)
+
+  /** The DuckDB mirror of [[partsuppDerived]] (CTE `ps`). */
+  val PartsuppDerivedSql: String =
+    """ps AS (SELECT ps_partkey, ps_suppkey,
+      |    ((ps_partkey * 31 + ps_suppkey * 17) % 10000)::DOUBLE / 100.0 + 1.0
+      |      AS ps_supplycost,
+      |    (ps_partkey * 7 + ps_suppkey * 13) % 1000 + 1 AS ps_availqty
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |        FROM lineitem))""".stripMargin
+
+  /** Min-cost supplier per part (the TPC-H Q2 shape): for one part
+    * size, the supplier(s) from one region offering each part at its
+    * regional minimum cost. The correlated min is a WINDOW over the
+    * offers table keyed on ps_partkey (partition = one part's
+    * regional suppliers, bounded) — the agg-and-join-back form
+    * re-derives the whole offers join tree into a second lineitem
+    * pass (measured: 9 exchanges, 2 scans; the q15 trap again).
+    * region⋈nation broadcasts; the size filter prunes part before
+    * anything joins it. Cost is exact 2-decimal so the min compare
+    * cannot flip; top-100 is a heap. The ORACLE keeps the
+    * independent agg+join-back formulation, so the hash match
+    * proves the window rewrite loses nothing.
+    */
+  def q2MinCost(region: DataFrame, nation: DataFrame, supplier: DataFrame,
+                part: DataFrame, lineitem: DataFrame,
+                size: Int = 15): DataFrame = {
+    val regionSupp = supplier
+      .join(broadcast(nation.join(region.where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    partsuppDerived(lineitem)
+      .join(part.where(col("p_size") === size).select("p_partkey", "p_brand"),
+        col("ps_partkey") === col("p_partkey"))
+      .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost",
+        min(col("ps_supplycost")).over(Window.partitionBy(col("ps_partkey"))))
+      .where(col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  /** Fraction-of-total threshold used by [[q11ImportantStock]] and
+    * its oracle: keep part groups worth more than 1/2000 of the
+    * nation's total stock value.
+    */
+  val Q11Fraction = 2000L
+
+  /** Important stock value (the TPC-H Q11 shape): per part, one
+    * nation's total supply value (cost × availqty, exact 2-decimal ×
+    * integer), keeping parts above a FRACTION of the global total.
+    * The global scalar is an unpartitioned window over the per-part
+    * model table (|parts| rows) — NOT an aggregate-and-join-back,
+    * which re-derives the whole join subtree into a second pass
+    * (the measured q15/mix-weights trap).
+    */
+  def q11ImportantStock(nation: DataFrame, supplier: DataFrame,
+                        lineitem: DataFrame): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation.where(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = col("ps_supplycost").cast("decimal(10,2)") *
+      col("ps_availqty").cast("decimal(8,0)")
+    val perPart = partsuppDerived(lineitem)
+      .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(sum(value).as("stock_value"))
+    perPart
+      .withColumn("total", sum(col("stock_value")).over(Window.partitionBy()))
+      // value*FRACTION > total: exact decimal multiply — a decimal
+      // DIVIDE would round at engine-specific scales at the boundary
+      .where(col("stock_value") * lit(Q11Fraction).cast("decimal(10,0)") >
+        col("total"))
+      .select(col("ps_partkey"),
+        col("stock_value").cast("double").as("stock_value"))
+      .orderBy(col("stock_value").desc, col("ps_partkey"))
+  }
+
+  /** Excess-availability suppliers (the TPC-H Q20 shape): suppliers
+    * from one nation holding MORE availability of some part than
+    * half of what they actually shipped of it in a year — the
+    * nested-IN chain planned as two semi joins. The shipped-quantity
+    * aggregate keys on the same (partkey, suppkey) the availability
+    * compare joins on, so the threshold join rides the aggregate's
+    * exchange; the final supplier cut is a left-semi. Quantities sum
+    * in decimal (exact halving).
+    */
+  def q20ExcessSuppliers(nation: DataFrame, supplier: DataFrame,
+                         lineitem: DataFrame): DataFrame = {
+    val shipped = lineitem
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey").as("q_partkey"), col("l_suppkey").as("q_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("shipped_qty"))
+    val excess = partsuppDerived(lineitem)
+      .join(shipped, col("ps_partkey") === col("q_partkey") &&
+        col("ps_suppkey") === col("q_suppkey"))
+      // availqty*2 > shipped: exact decimal multiply, no halving
+      // divide whose scale could round differently across engines
+      .where(col("ps_availqty").cast("decimal(12,2)") *
+        lit(2).cast("decimal(2,0)") > col("shipped_qty"))
+      .select(col("ps_suppkey"))
+    supplier
+      .join(broadcast(nation.where(col("n_name") === "NATION_9")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
   /** Supplier-relationship count (the TPC-H Q16 shape, adapted:
     * lineitem is the part↔supplier relation — no partsupp): per
     * (brand, size) of non-PROMO parts, how many DISTINCT suppliers

@@ -442,6 +442,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "documents must be scanned exactly once")
   }
 
+  test("q2_min_cost: the correlated min is a window, one lineitem pass") {
+    // ps distinct agg + offers partkey window + totals-free final
+    // sort path = 4 exchanges, ONE lineitem scan; the agg-and-join-
+    // back form measured 9 exchanges and 2 scans (subtree dup)
+    assert(shuffles(q("q2_min_cost")) === 4)
+    val plan = q("q2_min_cost").queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(l =>
+      l.contains("Scan ") && l.contains("lineitem")) === 1,
+      "lineitem must be scanned exactly once")
+  }
+
+  test("q11_important_stock: global total is a window over the model table") {
+    // ps distinct agg + per-part agg + the total window's
+    // SinglePartition pass = 3; a 4th means the fraction threshold
+    // re-derived the join subtree
+    assert(shuffles(q("q11_important_stock")) === 3)
+  }
+
+  test("q20_excess_suppliers: nested IN chain plans as semi joins") {
+    // ps distinct agg + shipped agg + excess distinct = 3 exchanges
+    // at fixture scale (supplier cut broadcasts); LeftSemi present
+    assert(shuffles(q("q20_excess_suppliers")) === 3)
+    val plan = q("q20_excess_suppliers").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "the IN chain must plan as left-semi joins")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows
