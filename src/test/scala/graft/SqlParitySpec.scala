@@ -602,6 +602,27 @@ class SqlParitySpec extends AnyFunSuite {
          |LIMIT ${graft.operators.TextAnalysisOps.BpeMergeTopK}""".stripMargin)
   }
 
+  test("q2_min_cost via SQL (derived partsupp + correlated min window)") {
+    assertParity("q2_min_cost",
+      """WITH ps AS (SELECT ps_partkey, ps_suppkey,
+        |    cast(pmod(ps_partkey * 31 + ps_suppkey * 17, 10000) AS double) / 100.0 + 1.0
+        |      AS ps_supplycost
+        |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |        FROM lineitem)),
+        |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (SELECT ps.*, p_partkey, p_brand, s_acctbal, s_name, n_name,
+        |    min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+        |  FROM ps JOIN part ON ps_partkey = p_partkey
+        |    JOIN rs ON ps_suppkey = s_suppkey
+        |  WHERE p_size = 15)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+        |FROM offers WHERE ps_supplycost = min_cost
+        |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin)
+  }
+
   test("q13_custdist keeps zero-order customers (the outer-join point)") {
     import spark.implicits._
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))

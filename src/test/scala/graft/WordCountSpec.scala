@@ -1,14 +1,20 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextFunctions
 import graft.operators.WordCountOps
 
-class WordCountSpec extends AnyFunSuite {
+class WordCountSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   lazy val docs = Tables.documents(spark, TestSpark.Sf0001).cache()
+
+  // the session is shared across suites: a leaked cache substitutes
+  // InMemoryRelation into every LATER plan over the same table and
+  // silently changes what the plan-audit pins are measuring
+  override def afterAll(): Unit = docs.unpersist()
 
   test("wordcount total equals token count") {
     val wc = WordCountOps.wordCount(docs)
