@@ -126,6 +126,28 @@ class AqeJoinStrategySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom_dedup's is_dup compare join broadcasts small and flips at size") {
+    // the sketch itself ALWAYS broadcasts (1 row, by construction);
+    // the scale-dependent join is the exact-verdict compare against
+    // the corpus digest set, which carries no hint — at 100 TB that
+    // side dwarfs a batch and must degrade to a shuffled join, not
+    // pin a broadcast of the corpus index
+    val small = Queries.queries("bloom_dedup")(spark, TestSpark.Sf0001)
+    val ls = executedJoinLines(small, "LeftOuter")
+    assert(ls.nonEmpty, "expected the left-outer compare join in the executed plan")
+    assert(ls.forall(_.contains("BroadcastHashJoin")),
+      s"fixture-scale corpus digests should broadcast, got:\n${ls.mkString("\n")}")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val big = Queries.queries("bloom_dedup")(spark, TestSpark.Sf0001)
+      val lb = executedJoinLines(big, "LeftOuter")
+      assert(lb.nonEmpty)
+      assert(lb.forall(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+        s"over-threshold corpus set must flip to a shuffled join, got:\n${lb.mkString("\n")}")
+    }
+  }
+
   test("10x fixture: broadcast survives under default thresholds — pruning keeps the build side small") {
     assume(new java.io.File("/tmp/sf1/customer.parquet").exists(),
       "10x fixture not present on this host")

@@ -33,7 +33,13 @@ class RoundingStabilitySpec extends AnyFunSuite {
     // conditional-LM log mean, partitioned-read value sums
     "orders_pricerank_banded", "customer_rfm_banded",
     "events_moving_avg", "bigram_logprob",
-    "events_partition_pruned", "events_dpp_join")
+    "events_partition_pruned", "events_dpp_join",
+    // round-9 waves 6-9: decimal-exact revenues/profit/ratios, the
+    // decimal-dot logit, int-ratio mix weights, min-cost window
+    "q7_volume", "q8_market_share", "q9_profit", "q14_promo_share",
+    "q15_top_supplier", "q17_small_qty", "quality_logreg",
+    "source_cap", "source_mix_weights", "q2_min_cost",
+    "q11_important_stock", "token_entropy", "bpe_merge_pairs")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)
