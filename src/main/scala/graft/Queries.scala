@@ -1727,6 +1727,25 @@ object Queries {
              |FROM l WHERE prev_revenue IS NOT NULL ORDER BY yr, mo""".stripMargin)),
 
     // ----- events ------------------------------------------------------
+    // date-spine resample: the complete (type, day) grid zero-filled
+    // — a plain groupBy DROPS empty days and corrupts moving
+    // averages; the rollup localCheckpoints (model-sized) so the
+    // fact table is scanned once across its three references
+    "events_daily_gapfill" -> QueryDef(
+      (s, d) => EventsOps.dailyGapfill(Tables.events(s, d)),
+      Some("""WITH daily AS (SELECT event_type, date_trunc('day', ts)::DATE AS day,
+             |    count(*) AS n, round(sum(value), 4) AS sum_value
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+             |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+             |    AS day FROM b),
+             |types AS (SELECT DISTINCT event_type FROM daily)
+             |SELECT t.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+             |  coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
+             |FROM spine s CROSS JOIN types t
+             |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+             |ORDER BY t.event_type, s.day""".stripMargin)),
+
     // one-pass multi-DISTINCT: Expand + two-level aggregate, never a
     // per-DISTINCT corpus re-scan (plan-pinned)
     "events_multi_distinct" -> QueryDef(

@@ -405,6 +405,40 @@ object EventsOps {
       .orderBy(desc("total_value"), asc("user_id"))
       .limit(k)
 
+  /** Daily rollup with gap filling: the complete (event_type, day)
+    * grid over the stream's [min_day, max_day] span, zero-filled
+    * where a type logged nothing — the resample/date-spine shape
+    * every time-series pipeline needs (a plain groupBy silently
+    * DROPS empty days, which corrupts moving averages and
+    * day-over-day rates downstream). The spine is
+    * sequence(min, max) exploded from a 1-row bounds aggregate ×
+    * the distinct types (both model-table-sized, broadcast), LEFT
+    * joined by the daily rollup. The rollup is referenced THREE
+    * times (bounds, types, values) — left lazy, Catalyst would
+    * re-derive the corpus scan+aggregate per reference (the
+    * measured q15 subtree trap, ×3) — so it localCheckpoints first:
+    * a |types|×|days| materialization, after which the fact table
+    * has been scanned exactly once and the grid never touches it.
+    */
+  def dailyGapfill(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", to_date(date_trunc("day", timestamp_millis(tsMs))))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .localCheckpoint()
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    spine.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** Multiple DISTINCT aggregates in one pass: per event type, the
     * distinct-user and distinct-active-day counts plus the plain row
     * count. Catalyst plans this with ONE Expand (each row replicated

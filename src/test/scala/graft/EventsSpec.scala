@@ -87,4 +87,24 @@ class EventsSpec extends AnyFunSuite {
     val bucketed = EventsOps.hourly(ev).collect().map(_.getLong(2)).sum
     assert(bucketed === total)
   }
+
+  test("daily gapfill zero-fills the holes (the fixture has none — synthetic)") {
+    // type A logs on days 0 and 3 of a 4-day span; type B only on
+    // day 1. Grid must be 2 types x 4 days = 8 rows, with the 5
+    // silent (type, day) cells zero-filled — a plain groupBy would
+    // return 3 rows and corrupt any downstream moving average.
+    val dayNanos = 86400L * 1000000000L
+    val rows = Seq(
+      ("A", 0L, 1.0), ("A", 3L, 2.0), ("B", 1L, 5.0))
+    val ev = spark.createDataFrame(rows.map { case (t, d, v) =>
+      (d * 10 + t.hashCode.toLong, d * dayNanos, 1L, t, v)
+    }).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventsOps.dailyGapfill(ev).collect()
+    assert(out.length === 8, s"expected the full 2x4 grid, got ${out.length}")
+    val zeros = out.filter(_.getLong(2) == 0L)
+    assert(zeros.length === 5, s"expected 5 zero-filled cells, got ${zeros.length}")
+    zeros.foreach(r => assert(r.getDouble(3) === 0.0))
+    val a0 = out.find(r => r.getString(0) == "A" && r.getString(1).endsWith("-01")).get
+    assert(a0.getLong(2) === 1L && a0.getDouble(3) === 1.0)
+  }
 }
