@@ -68,6 +68,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ingest_dedup").count() === streamedFps.size)
   }
 
+  test("idempotent foreachBatch sink: restart re-emits nothing, replay overwrites") {
+    val out = java.nio.file.Files.createTempDirectory("graft-idem-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idem-ckpt").toString
+    val total = Tables.events(spark, TestSpark.Sf0001).count()
+    def run(): Unit = {
+      val q = EventStreams.writeEventsIdempotent(
+        EventStreams.readEventsStream(spark, eventsDir), out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val once = spark.read.parquet(out).count()
+    assert(once === total, s"first run must land all $total events, saw $once")
+    // restart from the SAME checkpoint: the source offsets are
+    // committed, so no batch re-fires and counts are unchanged
+    run()
+    assert(spark.read.parquet(out).count() === total,
+      "checkpointed restart must not duplicate any batch")
+    // simulate a crash-replay of batch 0: re-writing the same
+    // batch_id directory overwrites, not appends — the idempotence
+    // the exactly-once claim rests on
+    val batch0 = spark.read.parquet(s"$out/batch_id=0")
+    val n0 = batch0.count()
+    batch0.write.mode("overwrite").parquet(s"$out/batch_id=0.tmp")
+    spark.read.parquet(s"$out/batch_id=0.tmp").write
+      .mode("overwrite").parquet(s"$out/batch_id=0")
+    assert(spark.read.parquet(s"$out/batch_id=0").count() === n0,
+      "replaying a batch into its own directory must leave counts unchanged")
+  }
+
   test("streaming windowed counts equal the batch hourly totals") {
     val stream = EventStreams.readEventsStream(spark, eventsDir)
     // complete mode: append would (correctly) hold back the windows
