@@ -70,6 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ExpressionArgs.literalDouble(exprs(2), "graft_hist_quantile"),
         ExpressionArgs.literalInt(exprs(3), "graft_hist_quantile"),
         ExpressionArgs.literalDouble(exprs(4), "graft_hist_quantile"))))
+    e.injectFunction((FunctionIdentifier("graft_pq_reconstruct"),
+      info("graft_pq_reconstruct", "product-quantization encode + reconstruct"),
+      exprs => PqReconstructFloat(exprs(0), exprs(1),
+        ExpressionArgs.literalInt(exprs(2), "graft_pq_reconstruct"),
+        ExpressionArgs.literalInt(exprs(3), "graft_pq_reconstruct"),
+        ExpressionArgs.literalInt(exprs(4), "graft_pq_reconstruct"))))
     e.injectFunction((FunctionIdentifier("graft_bloom"),
       info("graft_bloom", "bloom filter bitmap aggregate"),
       exprs => BloomAgg(exprs(0),
