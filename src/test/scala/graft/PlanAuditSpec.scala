@@ -479,6 +479,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "the IN chain must plan as left-semi joins")
   }
 
+  test("events_daily_gapfill: the grid never re-touches the fact table") {
+    // the rollup localCheckpoints, so the final plan's three
+    // references all read the materialized model table (ExistingRDD)
+    // — zero parquet scans in the grid plan means the corpus was
+    // scanned exactly once, at checkpoint time
+    val df = q("events_daily_gapfill")
+    assert(leafScans(df) === 0,
+      "the gapfill grid must read the checkpointed rollup, not re-scan events")
+    assert(df.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "expected the checkpointed rollup as the plan's leaf")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows

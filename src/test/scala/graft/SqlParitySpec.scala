@@ -623,6 +623,53 @@ class SqlParitySpec extends AnyFunSuite {
         |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin)
   }
 
+  test("q9_profit via SQL (synthetic-cost profit rollup)") {
+    assertParity("q9_profit",
+      """SELECT nation, o_year,
+        |  cast(round(sum(amount), 2) AS double) AS sum_profit
+        |FROM (SELECT n_name AS nation,
+        |        cast(year(o_orderdate) AS bigint) AS o_year,
+        |        cast(l_extendedprice AS decimal(15,2)) *
+        |          (cast(1 AS decimal(15,2)) - cast(l_discount AS decimal(15,2))) -
+        |        cast(p_retailprice AS decimal(15,2)) * cast(0.60 AS decimal(3,2)) *
+        |          cast(l_quantity AS decimal(12,2)) AS amount
+        |      FROM lineitem
+        |        JOIN part ON l_partkey = p_partkey
+        |        JOIN supplier ON l_suppkey = s_suppkey
+        |        JOIN nation ON s_nationkey = n_nationkey
+        |        JOIN orders ON l_orderkey = o_orderkey
+        |      WHERE p_type = 'STANDARD') t
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  test("q16_supplier_cnt via SQL (distinct agg + NOT IN)") {
+    assertParity("q16_supplier_cnt",
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50""".stripMargin)
+  }
+
+  test("events_daily_gapfill via SQL (date-spine left join)") {
+    assertParity("events_daily_gapfill",
+      """WITH daily AS (SELECT event_type,
+        |    to_date(date_trunc('day', timestamp_millis(ts div 1000000))) AS day,
+        |    count(*) AS n, round(sum(value), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT explode(sequence(d0, d1)) AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM daily)
+        |SELECT t.event_type, date_format(s.day, 'yyyy-MM-dd') AS day,
+        |  coalesce(n, 0L) AS n, coalesce(sum_value, cast(0.0 AS double)) AS sum_value
+        |FROM spine s CROSS JOIN types t
+        |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+        |ORDER BY t.event_type, s.day""".stripMargin)
+  }
+
   test("q13_custdist keeps zero-order customers (the outer-join point)") {
     import spark.implicits._
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))
