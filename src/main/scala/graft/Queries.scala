@@ -402,6 +402,17 @@ object Queries {
            |FROM t WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin
       }),
 
+    // deterministic training-order shuffle: md5(seed+doc_id) order,
+    // global rank via range partition + zipWithIndex — no
+    // single-point sort; oracle is the independent row_number form
+    "dataset_shuffle" -> QueryDef(
+      (s, d) => PipelineOps.datasetShuffle(Tables.documents(s, d)),
+      Some(s"""SELECT doc_id,
+              |  CAST(row_number() OVER (ORDER BY
+              |    md5('${PipelineOps.ShuffleSeed}' || doc_id::VARCHAR), doc_id)
+              |    - 1 AS BIGINT) AS shuffle_rank
+              |FROM documents ORDER BY shuffle_rank""".stripMargin)),
+
     // mixture reweighting: per-source sampling weights toward a
     // uniform target mix; totals ride the |sources|-row model table
     "source_mix_weights" -> QueryDef(

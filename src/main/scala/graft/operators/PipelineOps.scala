@@ -457,6 +457,40 @@ object PipelineOps {
       .orderBy("source", "rnk")
   }
 
+  /** Seed string for [[datasetShuffle]]'s hash order — shared with
+    * the generated oracle.
+    */
+  val ShuffleSeed = "shuf1:"
+
+  /** Deterministic training-order shuffle with a SCALABLE global
+    * rank — the canonical pre-training step (corpus order must be
+    * pseudo-random, reproducible, and assigned without a
+    * single-point sort). Order key: md5(seed + doc_id) — row-local,
+    * rerun-stable. The global rank comes from range partitioning on
+    * the key + within-partition sort + `zipWithIndex` (partition
+    * sizes via one lightweight count job, then offsets are added
+    * per partition) — a total order across partition boundaries BY
+    * CONSTRUCTION, with no `row_number() OVER (ORDER BY …)` single
+    * partition anywhere. This is the one registry query with a
+    * genuine per-partition imperative step (the SURVEY §2 RDD
+    * escape hatch, used for exactly the case it exists for:
+    * distributed index assignment).
+    */
+  def datasetShuffle(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select(col("doc_id"),
+        md5(concat(lit(ShuffleSeed), col("doc_id").cast("string"))).as("h"))
+      .repartitionByRange(col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+    keyed.select(col("doc_id"), col("h")).as[(Long, String)]
+      .rdd.zipWithIndex()
+      .map { case ((docId, _), idx) => (docId, idx) }
+      .toDF("doc_id", "shuffle_rank")
+      .orderBy("shuffle_rank")
+  }
+
   /** Mixture reweighting (the DoReMi-flavored shape): per source,
     * the corpus share it actually holds vs a UNIFORM target mix, and
     * the sampling weight that moves the mixture there

@@ -39,7 +39,9 @@ class RoundingStabilitySpec extends AnyFunSuite {
     "q7_volume", "q8_market_share", "q9_profit", "q14_promo_share",
     "q15_top_supplier", "q17_small_qty", "quality_logreg",
     "source_cap", "source_mix_weights", "q2_min_cost",
-    "q11_important_stock", "token_entropy", "bpe_merge_pairs")
+    "q11_important_stock", "token_entropy", "bpe_merge_pairs",
+    // the distributed global rank must not depend on partitioning
+    "dataset_shuffle")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)
