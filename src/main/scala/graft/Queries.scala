@@ -434,10 +434,11 @@ object Queries {
       (s, d) => PipelineOps.sourceCap(Tables.documents(s, d)),
       Some {
         val stops = TextAnalysisOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+        val q = TextAnalysisOps.det4Sql(
+          s"len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws)")
         s"""WITH t AS (SELECT doc_id, source, $toksSql AS ws FROM documents),
            |sc AS (SELECT doc_id, source,
-           |    round(len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws), 4)
-           |      AS quality
+           |    $q AS quality
            |  FROM t WHERE len(ws) > 0),
            |r AS (SELECT *, row_number() OVER (PARTITION BY source
            |        ORDER BY quality DESC, doc_id) AS rnk FROM sc)
@@ -457,15 +458,13 @@ object Queries {
         val stops = TextAnalysisOps.EnStopwords.map(w => s"'$w'").mkString(", ")
         import PipelineOps._
         def w(x: Double) = s"CAST($x AS DECIMAL(6,2))"
+        def f4(e: String) = s"CAST(${TextAnalysisOps.det4Sql(e)} AS DECIMAL(10,4))"
         s"""WITH t AS (SELECT doc_id, text, $toksSql AS ws FROM documents),
            |f AS (SELECT doc_id,
            |    CAST(length(bin(len(ws)))::DOUBLE AS DECIMAL(10,4)) AS flog,
-           |    CAST(round(len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws), 4)
-           |      AS DECIMAL(10,4)) AS fstop,
-           |    CAST(round(len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\r\f]'))::DOUBLE
-           |      / length(text), 4) AS DECIMAL(10,4)) AS fpunct,
-           |    CAST(round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4)
-           |      AS DECIMAL(10,4)) AS flen
+           |    ${f4(s"len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws)")} AS fstop,
+           |    ${f4("len(regexp_extract_all(lower(text), '[^a-z0-9 \t\n\r\f]'))::DOUBLE / length(text)")} AS fpunct,
+           |    ${f4("list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)")} AS flen
            |  FROM t WHERE len(ws) > 0),
            |z AS (SELECT doc_id, CAST(
            |    ${w(LogregBias)} + ${w(LogregWLogTokens)} * flog +
@@ -1600,7 +1599,7 @@ object Queries {
               |offers AS (SELECT ps.*, p_partkey, p_brand, s_acctbal, s_name, n_name
               |  FROM ps JOIN part ON ps_partkey = p_partkey
               |    JOIN rs ON ps_suppkey = s_suppkey
-              |  WHERE p_size = 15),
+              |  WHERE p_size = ${RelationalOps.Q2PartSize}),
               |mc AS (SELECT ps_partkey AS m_partkey, min(ps_supplycost) AS min_cost
               |  FROM offers GROUP BY ps_partkey)
               |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
@@ -1655,14 +1654,15 @@ object Queries {
     "q16_supplier_cnt" -> QueryDef(
       (s, d) => RelationalOps.q16SupplierCnt(Tables.supplier(s, d),
         Tables.part(s, d), Tables.lineitem(s, d)),
-      Some("""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-             |FROM lineitem
-             |  JOIN part ON l_partkey = p_partkey
-             |WHERE p_type <> 'PROMO'
-             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-             |                        WHERE s_acctbal < 0)
-             |GROUP BY p_brand, p_size
-             |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50""".stripMargin)),
+      Some(s"""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+              |FROM lineitem
+              |  JOIN part ON l_partkey = p_partkey
+              |WHERE p_type <> 'PROMO'
+              |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+              |                        WHERE s_acctbal < 0)
+              |GROUP BY p_brand, p_size
+              |ORDER BY supplier_cnt DESC, p_brand, p_size
+              |LIMIT ${RelationalOps.Q16TopK}""".stripMargin)),
 
     // sole-late-supplier count (TPC-H Q21 shape): semi + anti
     // self-joins on the order key, all riding one partitioning

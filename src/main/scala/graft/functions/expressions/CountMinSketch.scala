@@ -21,8 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 object CmsHash {
   val P = 1000000007L
+  // floorMod, not %: the registered SQL functions accept ANY bigint
+  // (xxhash64 keys are negative half the time), and a sign-preserving
+  // mod produced a negative bucket -> AIOOBE in the executor. For the
+  // non-negative 60-bit md5-prefix hashes every committed oracle
+  // uses, floorMod == % — no committed value changes.
   def bucket(x: Long, j: Int, w: Int): Int =
-    ((((2L * j + 1L) * (x % P) + j.toLong * j + 7L) % P) % w).toInt
+    ((((2L * j + 1L) * java.lang.Math.floorMod(x, P) + j.toLong * j + 7L) % P) % w).toInt
 }
 
 /** Count-min sketch as the engine's third TypedImperativeAggregate:

@@ -117,7 +117,19 @@ case class PqReconstructFloat(left: Expression, right: Expression,
   override def nullSafeEval(xAny: Any, cbAny: Any): Any = {
     val x = xAny.asInstanceOf[ArrayData]
     val cb = cbAny.asInstanceOf[ArrayData]
+    // validate shapes up front: this is a registered SQL function, so
+    // malformed input must fail with a diagnosable error, not an
+    // executor ArrayIndexOutOfBounds mid-loop
+    require(x.numElements() >= m * sub,
+      s"$prettyName: vector has ${x.numElements()} dims, needs >= ${m * sub} (m*sub)")
+    require(cb.numElements() >= 1, s"$prettyName: empty codebook")
     val nRows = math.min(k, cb.numElements())
+    var r = 0
+    while (r < nRows) {
+      require(cb.getArray(r).numElements() >= m * sub,
+        s"$prettyName: codebook row $r has ${cb.getArray(r).numElements()} dims, needs >= ${m * sub}")
+      r += 1
+    }
     val out = new Array[Float](m * sub)
     var mi = 0
     while (mi < m) {

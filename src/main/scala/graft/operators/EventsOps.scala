@@ -419,6 +419,12 @@ object EventsOps {
     * measured q15 subtree trap, ×3) — so it localCheckpoints first:
     * a |types|×|days| materialization, after which the fact table
     * has been scanned exactly once and the grid never touches it.
+    * localCheckpoint trade-offs, accepted deliberately: it is EAGER
+    * (the corpus job runs at plan-build time — Bench times build +
+    * action together, so nothing escapes measurement), and blocks
+    * live on executors only; on a real cluster where an executor
+    * loss must recompute rather than fail, use reliable
+    * `checkpoint()` with a checkpoint dir.
     */
   def dailyGapfill(events: DataFrame): DataFrame = {
     val daily = events

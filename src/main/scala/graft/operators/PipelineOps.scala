@@ -443,11 +443,14 @@ object PipelineOps {
     graft.functions.NativeText.register(docs.sparkSession)
     val ws = graft.functions.NativeText.tokens(col("text"))
     val nTok = size(ws).cast("long")
-    val stop = size(filter(ws, w =>
-      w.isin(TextAnalysisOps.EnStopwords.map(x => x: Any): _*)))
+    // det4, not round: the quality key RANKS rows, and Spark's
+    // round(double) can disagree with DuckDB's by one 4th decimal on
+    // ratio values (shortest-rendering vs binary rounding) — which
+    // here would keep a DIFFERENT doc, not misprint a digit
     val scored = docs
       .select(col("doc_id"), col("source"),
-        round(stop.cast("double") / nTok, 4).as("quality"))
+        TextAnalysisOps.det4(
+          TextAnalysisOps.qfStopCount(ws).cast("double") / nTok).as("quality"))
       .where(nTok > 0)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("quality").desc, col("doc_id").asc)
@@ -554,26 +557,22 @@ object PipelineOps {
     graft.functions.NativeText.register(docs.sparkSession)
     val ws = graft.functions.NativeText.tokens(col("text"))
     val n = size(ws).cast("long")
-    val stop = size(filter(ws, w =>
-      w.isin(TextAnalysisOps.EnStopwords.map(x => x: Any): _*)))
-    val punct = size(regexp_extract_all(lower(col("text")),
-      lit("[^a-z0-9 \\t\\n\\r\\f]"), lit(0)))
-    val sumLen = aggregate(transform(ws, x => length(x).cast("long")),
-      lit(0L), (a, x) => a + x)
-    // Each rounded-double feature is the double NEAREST a 4-decimal
-    // value; casting to decimal(10,4) recovers that value exactly on
-    // both engines (the revenueExact pattern). The dot product then
-    // runs in EXACT decimal arithmetic — no double rounding of the
-    // logit at all, because round()-of-a-double itself diverges:
-    // Spark rounds the shortest decimal rendering (BigDecimal
-    // .valueOf), DuckDB the binary value, and a weighted sum of
-    // 4-decimal features lands on .00005 ties constantly (caught
-    // live at BOTH gates before this form).
-    def f4(c: org.apache.spark.sql.Column) = c.cast("decimal(10,4)")
-    val fLog = f4(length(bin(n)).cast("double"))
-    val fStop = f4(round(stop.cast("double") / n, 4))
-    val fPunct = f4(round(punct.cast("double") / length(col("text")), 4))
-    val fLen = f4(round(sumLen.cast("double") / n, 4))
+    // Features come from the SHARED qf* building blocks (one source
+    // of truth with qualityScore/sourceCap), det4-rounded — round()
+    // of a double diverges between engines on ratio values, and a
+    // flipped 4th decimal here shifts the dot product by w·0.0001
+    // and can flip the keep flag. Each det4 result is the double
+    // nearest a 4-decimal value; casting to decimal(10,4) recovers
+    // it exactly on both engines (the revenueExact pattern), and the
+    // dot product then runs in EXACT decimal arithmetic — no double
+    // rounding of the logit either (it lands on .00005 ties
+    // constantly; caught live at both gates before this form).
+    def f4(c: org.apache.spark.sql.Column) =
+      TextAnalysisOps.det4(c).cast("decimal(10,4)")
+    val fLog = length(bin(n)).cast("double").cast("decimal(10,4)")
+    val fStop = f4(TextAnalysisOps.qfStopCount(ws).cast("double") / n)
+    val fPunct = f4(TextAnalysisOps.qfPunctCount.cast("double") / length(col("text")))
+    val fLen = f4(TextAnalysisOps.qfSumLen(ws).cast("double") / n)
     def w(x: Double) = lit(x).cast("decimal(6,2)")
     val logit = w(LogregBias) +
       w(LogregWLogTokens) * fLog + w(LogregWStopword) * fStop +

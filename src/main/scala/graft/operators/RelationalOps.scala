@@ -1012,9 +1012,12 @@ object RelationalOps {
     * independent agg+join-back formulation, so the hash match
     * proves the window rewrite loses nothing.
     */
+  /** Part size filter shared by [[q2MinCost]] and its oracle. */
+  val Q2PartSize = 15
+
   def q2MinCost(region: DataFrame, nation: DataFrame, supplier: DataFrame,
                 part: DataFrame, lineitem: DataFrame,
-                size: Int = 15): DataFrame = {
+                size: Int = Q2PartSize): DataFrame = {
     val regionSupp = supplier
       .join(broadcast(nation.join(region.where(col("r_name") === "EUROPE"),
         col("n_regionkey") === col("r_regionkey"))),
@@ -1112,8 +1115,11 @@ object RelationalOps {
     * collapses — one pass, no per-supplier re-scan. Top-50 by the
     * (count desc, brand, size) total order: deterministic cut.
     */
+  /** Top-K cut shared by [[q16SupplierCnt]] and its oracle. */
+  val Q16TopK = 50
+
   def q16SupplierCnt(supplier: DataFrame, part: DataFrame,
-                     lineitem: DataFrame, k: Int = 50): DataFrame = {
+                     lineitem: DataFrame, k: Int = Q16TopK): DataFrame = {
     val complaints = supplier.where(col("s_acctbal") < 0).select("s_suppkey")
     lineitem
       .join(part.where(col("p_type") =!= "PROMO")

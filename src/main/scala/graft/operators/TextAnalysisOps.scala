@@ -31,6 +31,40 @@ object TextAnalysisOps {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "in", "to", "is", "it", "on", "for")
 
+  /** Shared quality-feature building blocks — [[qualityScore]],
+    * [[PipelineOps.qualityLogreg]] and [[PipelineOps.sourceCap]] all
+    * derive from THESE columns, so the three surfaces cannot
+    * silently desynchronize (their gates depend on the features
+    * being the same expressions).
+    */
+  def qfStopCount(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(filter(ws, w => w.isin(EnStopwords.map(x => x: Any): _*)))
+
+  def qfPunctCount: org.apache.spark.sql.Column =
+    size(regexp_extract_all(lower(col("text")),
+      lit("[^a-z0-9 \\t\\n\\r\\f]"), lit(0)))
+
+  def qfSumLen(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+
+  /** Cross-engine-deterministic 4-decimal rounding:
+    * floor(x·10⁴ + 0.5)/10⁴ is pure IEEE arithmetic — bit-identical
+    * on any engine — unlike round(double, 4), where Spark rounds the
+    * SHORTEST decimal rendering (BigDecimal.valueOf) and DuckDB the
+    * binary value, which disagree on values like 11/4000 (verified).
+    * Used where a rounded feature feeds a RANKING or a THRESHOLD
+    * (source_cap's quality key, quality_logreg's features) — a
+    * one-ULP disagreement there flips a kept row, not a displayed
+    * digit. The DuckDB mirror is [[Det4Sql]].
+    */
+  def det4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** DuckDB mirror of [[det4]]. */
+  def det4Sql(expr: String): String =
+    s"floor(($expr) * 10000.0 + 0.5) / 10000.0"
+
   /** Per-doc token statistics: count, average/max token length.
     * Computed row-local (size/aggregate over the token array) — the
     * plan is a single projection over the scan, no exchange.
@@ -101,11 +135,9 @@ object TextAnalysisOps {
     graft.functions.NativeText.register(docs.sparkSession)
     val ws = graft.functions.NativeText.tokens(col("text"))
     val n = size(ws).cast("long")
-    val stop = size(filter(ws, w => w.isin(EnStopwords.map(x => x: Any): _*)))
-    val punct = size(regexp_extract_all(lower(col("text")),
-      lit("[^a-z0-9 \\t\\n\\r\\f]"), lit(0)))
-    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
-      lit(0L), (a, x) => a + x)
+    val stop = qfStopCount(ws)
+    val punct = qfPunctCount
+    val sumLen = qfSumLen(ws)
     docs
       .select(
         col("doc_id"),

@@ -174,21 +174,23 @@ object EventStreams {
     * within the stream via `dropDuplicates` keyed state, and (2)
     * anti-joined against the STATIC already-ingested corpus index (a
     * stream-static join is stateless: each micro-batch probes the
-    * index, nothing buffers). Emits the genuinely-new documents —
-    * the pipeline's steady-state ingest front door. At scale the
-    * static side is the stored fingerprint index; state for (1) is
-    * digest-keyed and unbounded by design here (exact once-ever
-    * semantics, the batch job's contract — bound it with
-    * dropDuplicatesWithinWatermark when the upstream is
-    * at-least-once within a horizon instead).
+    * index, nothing buffers — but the static side's PLAN re-executes
+    * per micro-batch, so the fingerprint projection is persisted
+    * here: hash the corpus once, not once per batch. At scale the
+    * static side is the stored fingerprint index read directly).
+    * Emits the genuinely-new documents — the pipeline's steady-state
+    * ingest front door. State for (1) is digest-keyed and unbounded
+    * by design here (exact once-ever semantics, the batch job's
+    * contract — bound it with dropDuplicatesWithinWatermark when the
+    * upstream is at-least-once within a horizon instead).
     */
   def ingestDedupStream(docsStream: DataFrame, corpusIndex: DataFrame): DataFrame = {
     val fp = md5(lower(col("text")))
+    val corpusFps = corpusIndex.select(md5(lower(col("text"))).as("fp")).persist()
     docsStream
       .select(col("doc_id"), col("text"), fp.as("fp"))
       .dropDuplicates("fp")
-      .join(corpusIndex.select(md5(lower(col("text"))).as("fp")),
-        Seq("fp"), "left_anti")
+      .join(corpusFps, Seq("fp"), "left_anti")
       .select("doc_id", "fp")
   }
 

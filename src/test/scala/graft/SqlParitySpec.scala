@@ -537,8 +537,9 @@ class SqlParitySpec extends AnyFunSuite {
     assertParity("source_cap",
       s"""WITH t AS (SELECT doc_id, source, graft_tokenize(text) AS ws FROM documents),
          |sc AS (SELECT doc_id, source,
-         |    round(cast(size(filter(ws, w -> w IN ($stops))) AS double) /
-         |          cast(size(ws) AS bigint), 4) AS quality
+         |    floor((cast(size(filter(ws, w -> w IN ($stops))) AS double) /
+         |           cast(size(ws) AS bigint)) * 1e4 + cast(0.5 AS double)) / 1e4
+         |      AS quality
          |  FROM t WHERE size(ws) > 0),
          |r AS (SELECT *, cast(row_number() OVER (PARTITION BY source
          |        ORDER BY quality DESC, doc_id) AS bigint) AS rnk FROM sc)
@@ -551,17 +552,15 @@ class SqlParitySpec extends AnyFunSuite {
     import PipelineOps._
     val stops = TextAnalysisOps.EnStopwords.map(w => s"'$w'").mkString(", ")
     def w(x: Double) = s"cast($x AS decimal(6,2))"
+    def f4(e: String) =
+      s"cast(floor(($e) * 1e4 + cast(0.5 AS double)) / 1e4 AS decimal(10,4))"
     assertParity("quality_logreg",
       s"""WITH t AS (SELECT doc_id, text, graft_tokenize(text) AS ws FROM documents),
          |f AS (SELECT doc_id,
          |    cast(cast(length(bin(size(ws))) AS double) AS decimal(10,4)) AS flog,
-         |    cast(round(cast(size(filter(ws, w -> w IN ($stops))) AS double) /
-         |          cast(size(ws) AS bigint), 4) AS decimal(10,4)) AS fstop,
-         |    cast(round(cast(size(regexp_extract_all(lower(text),
-         |          '[^a-z0-9 \\\\t\\\\n\\\\r\\\\f]', 0)) AS double) / length(text), 4)
-         |      AS decimal(10,4)) AS fpunct,
-         |    cast(round(cast(aggregate(ws, 0L, (a, w) -> a + length(w)) AS double) /
-         |          cast(size(ws) AS bigint), 4) AS decimal(10,4)) AS flen
+         |    ${f4(s"cast(size(filter(ws, w -> w IN ($stops))) AS double) / cast(size(ws) AS bigint)")} AS fstop,
+         |    ${f4("cast(size(regexp_extract_all(lower(text), '[^a-z0-9 \\\\t\\\\n\\\\r\\\\f]', 0)) AS double) / length(text)")} AS fpunct,
+         |    ${f4("cast(aggregate(ws, 0L, (a, w) -> a + length(w)) AS double) / cast(size(ws) AS bigint)")} AS flen
          |  FROM t WHERE size(ws) > 0),
          |z AS (SELECT doc_id, cast(
          |    ${w(LogregBias)} + ${w(LogregWLogTokens)} * flog +
