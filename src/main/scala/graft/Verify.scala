@@ -21,14 +21,35 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Staleness guard (round-10): a query output surviving from an older
+    // run must never be compared as if it were this run's answer. Each
+    // run gets a unique stamp; every query dir is wiped before compute
+    // (a throw before write leaves "missing" — a loud gate failure, not
+    // a stale pass) and stamped after a successful write. tools/check.py
+    // cross-checks the per-query stamp against run_stamp.txt.
+    val runStamp = java.util.UUID.randomUUID().toString
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+      if (selected(name)) {
+        val dest = Paths.get(outDir, name)
+        rmTree(dest)
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(dest.toString)
+          // underscore prefix → invisible to Spark/DuckDB parquet globs
+          Files.writeString(dest.resolve("_GRAFT_STAMP"), runStamp)
+        } catch { case e: Throwable =>
+          rmTree(dest)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+      }
     }
+    Files.writeString(Paths.get(outDir, "run_stamp.txt"), runStamp)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

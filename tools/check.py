@@ -32,7 +32,22 @@ def record(name, **kw):
     report[name] = row
 
 
+# Staleness guard: Verify stamps each query dir with the run's UUID and
+# writes the same UUID to run_stamp.txt alongside oracle_sql.json. A
+# query dir carrying a different (or missing) stamp is a leftover from an
+# older run — refuse to compare it instead of risking a stale pass/fail.
+run_stamp = None
+stamp_file = os.path.join(outdir, "run_stamp.txt")
+if os.path.exists(stamp_file):
+    run_stamp = open(stamp_file).read().strip()
+
 for name, sql in sorted(oracle.items()):
+    if run_stamp is not None:
+        qstamp_file = os.path.join(outdir, name, "_GRAFT_STAMP")
+        qstamp = open(qstamp_file).read().strip() if os.path.exists(qstamp_file) else None
+        if qstamp != run_stamp:
+            print(f"FAIL {name}: stale output (stamp {qstamp!r} != run {run_stamp!r})"); fail += 1
+            record(name, err="stale output: stamp mismatch"); continue
     try:
         got = con.execute(f"FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
     except Exception as e:
