@@ -422,9 +422,9 @@ object Queries {
              |t AS (SELECT sum(n_docs) AS n_total, count(*) AS k_sources
              |  FROM per_src)
              |SELECT source, n_docs,
-             |  round(n_docs::DOUBLE / n_total, 6) AS actual_share,
-             |  round(1.0::DOUBLE / k_sources, 6) AS target_share,
-             |  round(n_total::DOUBLE / (k_sources * n_docs), 6) AS mix_weight
+             |  floor(n_docs::DOUBLE / n_total * 1000000.0 + 0.5) / 1000000.0 AS actual_share,
+             |  floor(1.0::DOUBLE / k_sources * 1000000.0 + 0.5) / 1000000.0 AS target_share,
+             |  floor(n_total::DOUBLE / (k_sources * n_docs) * 1000000.0 + 0.5) / 1000000.0 AS mix_weight
              |FROM per_src CROSS JOIN t ORDER BY source""".stripMargin)),
 
     // per-source (per-domain) quality cap: top-N docs per source by
@@ -1516,9 +1516,10 @@ object Queries {
         Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), Tables.part(s, d)),
       Some("""SELECT o_year,
-             |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+             |  floor(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
              |                 ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE) /
-             |        CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+             |        CAST(sum(vol) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             |    AS mkt_share
              |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
              |        n1.n_name AS supp_nation,
              |        CAST(l_extendedprice AS DECIMAL(15,2)) *

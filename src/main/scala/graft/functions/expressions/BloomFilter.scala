@@ -39,7 +39,12 @@ case class BloomAgg(
   with UnaryLike[Expression] {
 
   require(k >= 1 && k <= 16, "bloom hash count k must be in [1, 16]")
-  require(mBits >= 64 && mBits % 64 == 0, "bloom mBits must be a positive multiple of 64")
+  // upper bound: (a) aggregation buffers are per-group, so an unbounded
+  // literal in registered SQL allocates mBits/64 longs per group;
+  // (b) CmsHash.bucket reduces mod P (~1e9+7), so mBits > P would leave
+  // high bits forever unset. 1<<27 bits = 16 MiB, far below both hazards.
+  require(mBits >= 64 && mBits <= (1 << 27) && mBits % 64 == 0,
+    "bloom mBits must be a multiple of 64 in [64, 2^27]")
 
   override def checkInputDataTypes(): TypeCheckResult =
     TextExprChecks.require(child.dataType == LongType, prettyName,
@@ -103,7 +108,12 @@ case class BloomProbe(left: Expression, right: Expression, k: Int, mBits: Int)
     extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
 
   require(k >= 1 && k <= 16, "bloom hash count k must be in [1, 16]")
-  require(mBits >= 64 && mBits % 64 == 0, "bloom mBits must be a positive multiple of 64")
+  // upper bound: (a) aggregation buffers are per-group, so an unbounded
+  // literal in registered SQL allocates mBits/64 longs per group;
+  // (b) CmsHash.bucket reduces mod P (~1e9+7), so mBits > P would leave
+  // high bits forever unset. 1<<27 bits = 16 MiB, far below both hazards.
+  require(mBits >= 64 && mBits <= (1 << 27) && mBits % 64 == 0,
+    "bloom mBits must be a multiple of 64 in [64, 2^27]")
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_probe"

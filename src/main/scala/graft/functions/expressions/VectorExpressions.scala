@@ -122,8 +122,10 @@ case class PqReconstructFloat(left: Expression, right: Expression,
     // executor ArrayIndexOutOfBounds mid-loop
     require(x.numElements() >= m * sub,
       s"$prettyName: vector has ${x.numElements()} dims, needs >= ${m * sub} (m*sub)")
-    require(cb.numElements() >= 1, s"$prettyName: empty codebook")
-    val nRows = math.min(k, cb.numElements())
+    require(cb.numElements() >= k,
+      s"$prettyName: codebook has ${cb.numElements()} rows, needs >= $k (k) — " +
+        "a truncated codebook would silently change encodings")
+    val nRows = k
     var r = 0
     while (r < nRows) {
       require(cb.getArray(r).numElements() >= m * sub,

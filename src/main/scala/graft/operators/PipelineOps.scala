@@ -517,10 +517,12 @@ object PipelineOps {
       .withColumn("k_sources", count(lit(1)).over(all))
       .select(
         col("source"), col("n_docs"),
-        round(col("n_docs").cast("double") / col("n_total"), 6).as("actual_share"),
-        round(lit(1.0) / col("k_sources"), 6).as("target_share"),
-        round(col("n_total").cast("double") /
-          (col("k_sources") * col("n_docs")), 6).as("mix_weight"))
+        // det6, not round: displayed cross-engine ratios (det4 doc)
+        TextAnalysisOps.det6(col("n_docs").cast("double") / col("n_total"))
+          .as("actual_share"),
+        TextAnalysisOps.det6(lit(1.0) / col("k_sources")).as("target_share"),
+        TextAnalysisOps.det6(col("n_total").cast("double") /
+          (col("k_sources") * col("n_docs"))).as("mix_weight"))
       .orderBy("source")
   }
 

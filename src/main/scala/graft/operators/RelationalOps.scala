@@ -887,7 +887,10 @@ object RelationalOps {
           .otherwise(lit(0).cast("decimal(15,2)"))).as("nat"),
         sum(volume).as("all"))
       .select(col("o_year"),
-        round(col("nat").cast("double") / col("all").cast("double"), 6)
+        // det6, not round: a displayed cross-engine ratio — round()
+        // diverges from DuckDB on .0000005 boundaries (det4 doc)
+        TextAnalysisOps.det6(
+          col("nat").cast("double") / col("all").cast("double"))
           .as("mkt_share"))
       .orderBy("o_year")
   }

@@ -65,6 +65,18 @@ object TextAnalysisOps {
   def det4Sql(expr: String): String =
     s"floor(($expr) * 10000.0 + 0.5) / 10000.0"
 
+  /** 6-decimal sibling of [[det4]], for displayed cross-engine RATIOS
+    * (q8 mkt_share, mixture shares): both engines compute the same
+    * floor over the same IEEE product, where round() would hit the
+    * Spark shortest-rendering vs DuckDB binary-rounding divergence on
+    * a .0000005 boundary. */
+  def det6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** DuckDB mirror of [[det6]]. */
+  def det6Sql(expr: String): String =
+    s"floor(($expr) * 1000000.0 + 0.5) / 1000000.0"
+
   /** Per-doc token statistics: count, average/max token length.
     * Computed row-local (size/aggregate over the token array) — the
     * plan is a single projection over the scan, no exchange.

@@ -184,14 +184,25 @@ object EventStreams {
     * contract — bound it with dropDuplicatesWithinWatermark when the
     * upstream is at-least-once within a horizon instead).
     */
-  def ingestDedupStream(docsStream: DataFrame, corpusIndex: DataFrame): DataFrame = {
+  def ingestDedupStream(docsStream: DataFrame, corpusIndex: DataFrame): IngestDedup = {
     val fp = md5(lower(col("text")))
     val corpusFps = corpusIndex.select(md5(lower(col("text"))).as("fp")).persist()
-    docsStream
+    val stream = docsStream
       .select(col("doc_id"), col("text"), fp.as("fp"))
       .dropDuplicates("fp")
       .join(corpusFps, Seq("fp"), "left_anti")
       .select("doc_id", "fp")
+    IngestDedup(stream, corpusFps)
+  }
+
+  /** Handle pair from [[ingestDedupStream]]: the deduped stream plus
+    * the persisted static fingerprint projection it probes. Callers
+    * own the cache lifetime — `close()` after the query stops, or a
+    * long-lived session leaks one cached relation per invocation
+    * (the [[graft.operators.DedupOps.connectedComponents]]
+    * persist/unpersist discipline, surfaced instead of hidden). */
+  final case class IngestDedup(stream: DataFrame, corpusFps: DataFrame) {
+    def close(): Unit = { corpusFps.unpersist(); () }
   }
 
   /** Stream-stream interval self-join: each purchase joined to the

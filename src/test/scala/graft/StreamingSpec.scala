@@ -52,11 +52,12 @@ class StreamingSpec extends AnyFunSuite {
     val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0)
     val arriving = EventStreams.readDocumentsStream(spark, dir.toString)
       .where(pmod(col("doc_id"), lit(2)) === 1)
-    val q = EventStreams.ingestDedupStream(arriving, corpus)
+    val ingest = EventStreams.ingestDedupStream(arriving, corpus)
+    val q = ingest.stream
       .writeStream.outputMode("append")
       .format("memory").queryName("ingest_dedup")
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    try { q.processAllAvailable() } finally { q.stop(); ingest.close() }
     val streamedFps = spark.table("ingest_dedup")
       .collect().map(_.getString(1)).toSet
     // batch truth: digests of odd docs that no even doc carries
@@ -75,7 +76,10 @@ class StreamingSpec extends AnyFunSuite {
     def run(): Unit = {
       val q = EventStreams.writeEventsIdempotent(
         EventStreams.readEventsStream(spark, eventsDir), out, ckpt)
-      try q.processAllAvailable() finally q.stop()
+      // stop() alone can leave the query briefly registered against the
+      // checkpoint; a same-checkpoint restart then trips the
+      // concurrent-use guard — await full termination before returning
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
     }
     run()
     val once = spark.read.parquet(out).count()
@@ -85,16 +89,24 @@ class StreamingSpec extends AnyFunSuite {
     run()
     assert(spark.read.parquet(out).count() === total,
       "checkpointed restart must not duplicate any batch")
-    // simulate a crash-replay of batch 0: re-writing the same
-    // batch_id directory overwrites, not appends — the idempotence
-    // the exactly-once claim rests on
-    val batch0 = spark.read.parquet(s"$out/batch_id=0")
-    val n0 = batch0.count()
-    batch0.write.mode("overwrite").parquet(s"$out/batch_id=0.tmp")
-    spark.read.parquet(s"$out/batch_id=0.tmp").write
-      .mode("overwrite").parquet(s"$out/batch_id=0")
-    assert(spark.read.parquet(s"$out/batch_id=0").count() === n0,
-      "replaying a batch into its own directory must leave counts unchanged")
+    // REAL crash-replay: delete the latest commits/<id> marker while
+    // keeping its offsets/<id>, then restart from the checkpoint.
+    // Spark sees the offset written but uncommitted and re-fires that
+    // exact batch THROUGH the foreachBatch closure with the same
+    // batch id — the actual replay path the exactly-once claim rests
+    // on, not a hand-simulated directory copy.
+    import scala.jdk.CollectionConverters._
+    val commitsDir = java.nio.file.Paths.get(ckpt, "commits")
+    val latest = java.nio.file.Files.list(commitsDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+      .map(_.toLong).max
+    java.nio.file.Files.delete(commitsDir.resolve(latest.toString))
+    // the local FS keeps a checksum sidecar; leaving it stale makes the
+    // re-write of commits/<latest> fail as a concurrent-use error
+    java.nio.file.Files.deleteIfExists(commitsDir.resolve(s".$latest.crc"))
+    run()
+    assert(spark.read.parquet(out).count() === total,
+      "a replayed batch must overwrite its own directory, not append")
   }
 
   test("streaming windowed counts equal the batch hourly totals") {
