@@ -781,13 +781,22 @@ object Queries {
     // min-label propagation vs DuckDB's recursive-CTE fixpoint over
     // the SAME pair graph (jaccardPairsBody is shared text)
     "dup_components" -> QueryDef(
-      (s, d) => DedupOps.dupComponents(Tables.documents(s, d)),
+      (s, d) => DedupOps.dupComponents(Tables.documents(s, d), d),
+      Some(s"""$componentsOracleBody
+              |SELECT node AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin)),
+
+    // steady-state closure: persisted corpus labels + live convergence
+    // of only the components the arriving (odd-id) batch touches; the
+    // oracle recomputes the WHOLE closure from scratch, so the hash
+    // match is the batch-incremental == full-rebuild proof
+    "incremental_components" -> QueryDef(
+      (s, d) => DedupOps.incrementalComponents(Tables.documents(s, d), d),
       Some(s"""$componentsOracleBody
               |SELECT node AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin)),
 
     // the deduplicated corpus itself: cluster minima + untouched docs
     "dedup_survivors" -> QueryDef(
-      (s, d) => DedupOps.dedupSurvivors(Tables.documents(s, d)),
+      (s, d) => DedupOps.dedupSurvivors(Tables.documents(s, d), d),
       Some(s"""$componentsOracleBody
               |SELECT d.doc_id, d.lang, d.source FROM documents d
               |WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE component < node)
@@ -840,8 +849,15 @@ object Queries {
     // the per-dimension means (round 4, cast float) and re-assigns.
     // pos is 0-based in Spark and 1-based in DuckDB — it only keys the
     // grouping and the rebuild order, so the groups and values match.
+    // persisted-model form: Lloyd training runs once per (dataset,
+    // params, fingerprint); the warm path loads the K-row centroid
+    // parquet and only scores (oracle hash unchanged — the model is
+    // deterministic)
     "ann_ivf_kmeans" -> QueryDef(
-      (s, d) => { VectorFunctions.register(s); SimilarityOps.annIvfKmeans(Tables.embeddings(s, d)) },
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfKmeans(Tables.embeddings(s, d), d,
+          centroidMod = 97, numCentroids = 16, nprobe = 3, nProbes = 10,
+          k = 10, iterations = 1, moveEps = 0.0) },
       Some(kmeansOracleSql(1))),
 
     // bounded multi-round Lloyd: the oracle unrolls the same fixed
@@ -849,7 +865,9 @@ object Queries {
     // engines' round counts)
     "ann_ivf_kmeans2" -> QueryDef(
       (s, d) => { VectorFunctions.register(s)
-        SimilarityOps.annIvfKmeans(Tables.embeddings(s, d), iterations = 2) },
+        SimilarityOps.annIvfKmeans(Tables.embeddings(s, d), d,
+          centroidMod = 97, numCentroids = 16, nprobe = 3, nProbes = 10,
+          k = 10, iterations = 2, moveEps = 0.0) },
       Some(kmeansOracleSql(2))),
 
     "doc_embedding_join" -> QueryDef(
@@ -895,7 +913,9 @@ object Queries {
     // pass; oracle reproduces the quantize/dequantize double math and
     // the rerank pool from SimilarityOps.Sq8RerankM
     "ann_sq8" -> QueryDef(
-      (s, d) => { VectorFunctions.register(s); SimilarityOps.annSq8(Tables.embeddings(s, d)) },
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annSq8(Tables.embeddings(s, d), d,
+          nProbes = 10, k = 10, rerankM = SimilarityOps.Sq8RerankM) },
       Some(s"""WITH dx AS (SELECT vec_id, embedding,
              |    unnest(generate_series(1, len(embedding))) AS pos FROM embeddings),
              |b AS (SELECT pos, min(embedding[pos]::DOUBLE) AS lo,
@@ -929,7 +949,9 @@ object Queries {
     // subspace argmin centroid, reconstruction scored then exact
     // rerank; every constant from SimilarityOps.Pq*
     "ann_pq" -> QueryDef(
-      (s, d) => { VectorFunctions.register(s); SimilarityOps.annPq(Tables.embeddings(s, d)) },
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annPq(Tables.embeddings(s, d), d,
+          nProbes = 10, k = 10, rerankM = SimilarityOps.PqRerankM) },
       Some({
         val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
         val kk = SimilarityOps.PqK; val rr = SimilarityOps.PqRerankM

@@ -199,6 +199,45 @@ object SimilarityOps {
       nprobe, nProbes, k)
   }
 
+  // --------------------------------------------------------------------
+  // Persisted ANN models: train once per (dataset, params, source
+  // fingerprint), load thereafter. Lloyd centroids, PQ codebooks and
+  // SQ8 bounds are all deterministic functions of the data (rounded
+  // at every cross-engine surface), so the written artifact is
+  // bit-stable across runs and the oracle hashes are unchanged; the
+  // warm path loads a K-row (or 1-row) parquet and only ever scores —
+  // no training stage in the plan (pinned in PlanAuditSpec). This is
+  // the bucket-layout discipline applied to model state: at 100 TB
+  // retraining centroids inside every query is the repeated-cost
+  // smell the round-9 audit flagged. annIvf's SEED centroids are a
+  // pure vec_id filter (no training pass), so they stay inline.
+  // --------------------------------------------------------------------
+
+  /** Write-once Lloyd-refined centroid model (see [[lloydIterate]]). */
+  def kmeansCentroidsDir(emb: DataFrame, sfDir: String, centroidMod: Int,
+                         numCentroids: Int, iterations: Int,
+                         moveEps: Double): String =
+    graft.sources.Fixtures.ensure("ivfkm", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"m${centroidMod}k${numCentroids}i$iterations") { dir =>
+      val (centroids, _) =
+        lloydIterate(emb, iterations, moveEps, centroidMod, numCentroids)
+      centroids.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+  /** [[annIvfKmeans]] over the persisted centroid model: the Lloyd
+    * training loop runs only on the index-build (first) invocation;
+    * the warm path reads the K-row model and scores. */
+  def annIvfKmeans(emb: DataFrame, sfDir: String, centroidMod: Int,
+                   numCentroids: Int, nprobe: Int, nProbes: Int, k: Int,
+                   iterations: Int, moveEps: Double): DataFrame = {
+    val dir = kmeansCentroidsDir(emb, sfDir, centroidMod, numCentroids,
+      iterations, moveEps)
+    val centroids = emb.sparkSession.read.parquet(dir)
+    ivfSearch(emb, centroids, assignToCentroids(emb, centroids),
+      nprobe, nProbes, k)
+  }
+
   /** documents joined with their embedding vector (doc_id == vec_id)
     * plus the L2 norm — the multimodal "attach features to metadata"
     * join. Equi-join on the shared key; Catalyst/AQE picks broadcast
@@ -371,9 +410,10 @@ object SimilarityOps {
     * dequantizes to lo exactly on both sides. Ranking ties break on
     * (rounded score, vec_id) as in [[similarityTopK]].
     */
-  def annSq8(emb: DataFrame, nProbes: Int = 10, k: Int = 10,
-             rerankM: Int = Sq8RerankM): DataFrame = {
-    val bounds = emb
+  /** The one-row SQ8 model: per-dimension global [lo, hi] bound
+    * arrays (pass 1 of [[annSq8]]). */
+  def sq8Bounds(emb: DataFrame): DataFrame =
+    emb
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
@@ -382,6 +422,28 @@ object SimilarityOps {
           s => s.getField("lo")).as("lo_arr"),
         transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
           s => s.getField("hi")).as("hi_arr"))
+
+  /** Write-once SQ8 bounds model (min/max are exact, so the artifact
+    * is bit-stable across runs). */
+  def sq8BoundsDir(emb: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("sq8bounds", sfDir,
+      Seq(s"$sfDir/embeddings.parquet")) { dir =>
+      sq8Bounds(emb).coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+  /** [[annSq8]] over the persisted bounds model: the corpus-wide
+    * min/max pass runs only on the index-build invocation. */
+  def annSq8(emb: DataFrame, sfDir: String, nProbes: Int, k: Int,
+             rerankM: Int): DataFrame =
+    annSq8From(emb, emb.sparkSession.read.parquet(sq8BoundsDir(emb, sfDir)),
+      nProbes, k, rerankM)
+
+  def annSq8(emb: DataFrame, nProbes: Int = 10, k: Int = 10,
+             rerankM: Int = Sq8RerankM): DataFrame =
+    annSq8From(emb, sq8Bounds(emb), nProbes, k, rerankM)
+
+  private def annSq8From(emb: DataFrame, bounds: DataFrame, nProbes: Int,
+                         k: Int, rerankM: Int): DataFrame = {
     def loAt(i: Column) = element_at(col("lo_arr"), i + 1)
     def hiAt(i: Column) = element_at(col("hi_arr"), i + 1)
     val codes = transform(col("embedding"), (x, i) =>
@@ -454,13 +516,33 @@ object SimilarityOps {
     * centroid index via struct array_min, and both rank windows
     * order on 6-decimal-rounded scores before the id tiebreak.
     */
-  def annPq(emb: DataFrame, nProbes: Int = 10, k: Int = 10,
-            rerankM: Int = PqRerankM): DataFrame = {
-    VectorFunctions.register(emb.sparkSession)
-    // one-row codebook: cb[j] = j-th seed embedding (j = vec_id < PqK)
-    val codebook = emb.where(col("vec_id") < PqK)
+  /** The one-row PQ codebook model: cb[j] = j-th seed embedding
+    * (j = vec_id < [[PqK]]; deterministic sample init). */
+  def pqCodebook(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") < PqK)
       .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
         s => s.getField("embedding")).as("cb"))
+
+  /** Write-once PQ codebook (deterministic seed rows — bit-stable). */
+  def pqCodebookDir(emb: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("pqcb", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"), params = s"k$PqK") { dir =>
+      pqCodebook(emb).coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+  /** [[annPq]] over the persisted codebook model. */
+  def annPq(emb: DataFrame, sfDir: String, nProbes: Int, k: Int,
+            rerankM: Int): DataFrame =
+    annPqFrom(emb, emb.sparkSession.read.parquet(pqCodebookDir(emb, sfDir)),
+      nProbes, k, rerankM)
+
+  def annPq(emb: DataFrame, nProbes: Int = 10, k: Int = 10,
+            rerankM: Int = PqRerankM): DataFrame =
+    annPqFrom(emb, pqCodebook(emb), nProbes, k, rerankM)
+
+  private def annPqFrom(emb: DataFrame, codebook: DataFrame, nProbes: Int,
+                        k: Int, rerankM: Int): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     // per subspace m: argmin_j ( |c|^2 - 2 x·c ) with ties to the
     // lowest j, then concatenate the winning rows' slices — one
     // native pass per vector (PqReconstructFloat; the interpreted

@@ -85,6 +85,32 @@ class ComponentsSpec extends AnyFunSuite {
     assert(run(Seq.empty) === Map.empty)
   }
 
+  test("incremental components equal the full rebuild (fixture)") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val full = DedupOps.dupComponents(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = DedupOps.incrementalComponents(docs, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.nonEmpty)
+    assert(inc === full,
+      "persisted-index incremental closure must equal the from-scratch rebuild")
+    // and the persisted-edge overload agrees with the direct form
+    val viaIndex = DedupOps.dupComponents(docs, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaIndex === full)
+  }
+
+  test("incremental edge set = full pair graph minus corpus-corpus pairs (fixture)") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val full = graft.operators.DedupOps.nearDupJaccard(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = DedupOps.incrementalEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter(e => e._1 % 2 == 1 || e._2 % 2 == 1)
+    assert(incr === expected,
+      "incremental edges must be exactly the >=1-batch-endpoint pairs, bit-equal jaccard included")
+  }
+
   test("survivors = corpus minus non-canonical cluster members (fixture)") {
     val docs = Tables.documents(spark, TestSpark.Sf0001).cache()
     val comp = DedupOps.dupComponents(docs).collect()

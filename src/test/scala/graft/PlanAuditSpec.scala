@@ -307,11 +307,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(q("token_entropy")) === 1)
   }
 
-  test("ann_pq: codebook broadcasts; exchanges are the 2 rank windows + model agg + sort") {
-    // 1-row codebook agg (SinglePartition) + quantized-rank window +
-    // exact-rerank window + result sort = 4; encode itself must stay
-    // map-side (a 5th exchange means encoding shuffled the corpus)
-    assert(shuffles(q("ann_pq")) === 4)
+  test("ann_pq: codebook broadcasts; exchanges are the 2 rank windows + sort") {
+    // quantized-rank window + exact-rerank window + result sort = 3;
+    // the 1-row codebook agg left the warm path when the model went
+    // write-once (it now loads from parquet); encode itself must stay
+    // map-side (a 4th exchange means encoding shuffled the corpus)
+    assert(shuffles(q("ann_pq")) === 3)
     val plan = q("ann_pq").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"),
       "codebook and probes must reach the corpus via broadcast")
@@ -489,6 +490,51 @@ class PlanAuditSpec extends AnyFunSuite {
       "the gapfill grid must read the checkpointed rollup, not re-scan events")
     assert(df.queryExecution.executedPlan.toString.contains("ExistingRDD"),
       "expected the checkpointed rollup as the plan's leaf")
+  }
+
+  /** Root paths of every file scan in the pre-adaptive plan. */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+
+  test("ann models load from persisted artifacts — no training stage on the warm path") {
+    // building the query ensures the write-once model artifact; the
+    // RETURNED plan must then read the model parquet and contain no
+    // training operator (Lloyd's posexplode/avg refine for kmeans,
+    // the corpus-wide min/max posexplode for sq8, the codebook
+    // collect_list for pq)
+    val km = q("ann_ivf_kmeans")
+    assert(scanPaths(km).exists(_.contains("graft_ivfkm")),
+      "kmeans warm path must scan the persisted centroid model")
+    assert(!km.queryExecution.executedPlan.toString.contains("posexplode"),
+      "no Lloyd refine stage may appear in the warm plan")
+
+    val sq8 = q("ann_sq8")
+    assert(scanPaths(sq8).exists(_.contains("graft_sq8bounds")),
+      "sq8 warm path must scan the persisted bounds model")
+    assert(!sq8.queryExecution.executedPlan.toString.contains("posexplode"),
+      "no bounds-computation stage may appear in the warm plan")
+
+    val pq = q("ann_pq")
+    assert(scanPaths(pq).exists(_.contains("graft_pqcb")),
+      "pq warm path must scan the persisted codebook model")
+    assert(!pq.queryExecution.executedPlan.toString.contains("collect_list"),
+      "no codebook-build stage may appear in the warm plan")
+  }
+
+  test("dup_components warm path reads the persisted edge index, not the text corpus") {
+    // the propagation loop runs eagerly at build time over the
+    // persisted graft_ccindex edges; the RETURNED plan is the final
+    // round's checkpoint — so the pin is the absence of any text
+    // re-derivation (no documents scan anywhere in the plan) plus the
+    // checkpoint leaf
+    val df = q("dup_components")
+    assert(!scanPaths(df).exists(_.contains("documents.parquet")),
+      "closure warm path must not re-derive pairs from documents")
+    assert(df.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "expected the converged label checkpoint as the plan's leaf")
   }
 
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
