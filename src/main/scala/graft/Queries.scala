@@ -2207,8 +2207,12 @@ object Queries {
   private lazy val semanticOracleBody: String = {
     import graft.operators.{SimilarityOps => S}
     s"""WITH RECURSIVE
-       |c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
-       |      WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),
+       |params AS (SELECT CAST(greatest(${S.SemMinK}, ceil(sqrt(count(*)))) AS BIGINT) AS k,
+       |                  count(*) AS n FROM embeddings),
+       |p2 AS (SELECT k, greatest(1, n // k) AS stride FROM params),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings, p2
+       |      WHERE (vec_id + 7) % ${graft.functions.expressions.CmsHash.P} % stride = 0
+       |      QUALIFY row_number() OVER (ORDER BY vec_id) <= k),
        |ps AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
        |       FROM embeddings e CROSS JOIN c),
        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id

@@ -323,23 +323,69 @@ object SimilarityOps {
   val SemThreshold = 0.4
   val SemMaxCluster = 10000
 
+  /** Minimum semantic-dedup cluster count; [[semAdaptiveParams]]
+    * raises it with corpus size. Shared with the generated oracle.
+    */
+  val SemMinK = 16
+
+  /** Adaptive cluster count for semantic dedup: K = max([[SemMinK]],
+    * ceil(sqrt n)) keeps per-cluster pairwise work ~flat as the
+    * corpus grows (sum cluster² ≈ n²/K = n^1.5), and the seed stride
+    * = floor(n / K) spreads the K seeds evenly over the dense vec_id
+    * range. Both engines compute the same formula — the oracle SQL
+    * derives (k, stride) from `count(*)` with the identical
+    * greatest/ceil/sqrt/integer-division ops, so a changed corpus
+    * size can never put the two engines on different cluster layouts.
+    * sqrt/ceil are correctly-rounded IEEE doubles on both sides.
+    */
+  def semAdaptiveParams(n: Long): (Int, Long) = {
+    val k = math.max(SemMinK.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)
+    (k.toInt, math.max(1L, n / k))
+  }
+
+  /** Hash-spread seed centroids for the adaptive semantic path:
+    * `(vec_id + 7) % P % stride == 0` (P = the [[graft.functions.expressions.CmsHash]]
+    * prime) selects ~k ids regardless of how vec_ids are distributed —
+    * dense 0..n-1 OR the 10× replica layout's 1e9-shifted sparse ids
+    * (a plain `vec_id % stride` rule collapses to the first replica
+    * there). The deterministic `ORDER BY vec_id LIMIT k` cap bounds
+    * the broadcast at exactly k rows even for adversarial id sets;
+    * Spark plans it as TakeOrderedAndProject (per-partition heaps, no
+    * global sort materialization). Requires non-negative vec_ids,
+    * which [[graft.Tables]] fixtures guarantee — `pmod` keeps the
+    * Spark side sign-safe anyway.
+    */
+  private def seedCentroidsStride(emb: DataFrame, stride: Long, k: Int): DataFrame =
+    emb
+      .where(pmod(col("vec_id") + 7L,
+        lit(graft.functions.expressions.CmsHash.P)) % stride === 0)
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+
   /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", 2023): assign every vector to its nearest seed
     * centroid (the [[annIvf]] assignment — K-row broadcast, one
     * corpus pass, no shuffle of vectors), then score pairs ONLY
     * within a cluster. The pairwise work drops from O(n²) to
-    * O(sum cluster²) ≈ O(n²/K) — at 100 TB you raise K with corpus
-    * size (K ~ sqrt n keeps per-cluster work flat) and the self-join
-    * shuffles on centroid_id, each cluster a hash partition. The
-    * [[SemMaxCluster]] cap rides that same shuffle's count window, so
-    * a degenerate embedding collapse (everything in one cluster)
-    * bounds instead of going quadratic.
+    * O(sum cluster²) ≈ O(n²/K), and K scales with corpus size
+    * ([[semAdaptiveParams]]: K ~ sqrt n keeps per-cluster work flat —
+    * the count() deriving it is a parquet-metadata read, not a data
+    * pass). The self-join shuffles on centroid_id, each cluster a
+    * hash partition. The [[SemMaxCluster]] cap rides that same
+    * shuffle's count window, so a degenerate embedding collapse
+    * (everything in one cluster) bounds instead of going quadratic.
+    *
+    * `explicitParams` pins (k, stride) for specs; the default derives
+    * them from the corpus.
     */
-  def semanticPairs(emb: DataFrame, centroidMod: Int = 97, numCentroids: Int = 16,
+  def semanticPairs(emb: DataFrame,
                     threshold: Double = SemThreshold,
-                    maxCluster: Int = SemMaxCluster): DataFrame = {
-    val centroids = seedCentroids(emb, centroidMod, numCentroids)
+                    maxCluster: Int = SemMaxCluster,
+                    explicitParams: Option[(Int, Long)] = None): DataFrame = {
+    val (k, stride) = explicitParams.getOrElse(semAdaptiveParams(emb.count()))
+    val centroids = seedCentroidsStride(emb, stride, k)
     val assign = assignToCentroids(emb, centroids)
     val capped = assign
       .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("centroid_id"))))
@@ -366,12 +412,14 @@ object SimilarityOps {
     * labeling — the downstream training-data filter is
     * `WHERE is_survivor = 1`.
     */
-  def semanticDedup(emb: DataFrame, centroidMod: Int = 97, numCentroids: Int = 16,
+  def semanticDedup(emb: DataFrame,
                     threshold: Double = SemThreshold,
-                    maxCluster: Int = SemMaxCluster): DataFrame = {
-    val centroids = seedCentroids(emb, centroidMod, numCentroids)
+                    maxCluster: Int = SemMaxCluster,
+                    explicitParams: Option[(Int, Long)] = None): DataFrame = {
+    val (k, stride) = explicitParams.getOrElse(semAdaptiveParams(emb.count()))
+    val centroids = seedCentroidsStride(emb, stride, k)
     val assign = assignToCentroids(emb, centroids)
-    val pairs = semanticPairs(emb, centroidMod, numCentroids, threshold, maxCluster)
+    val pairs = semanticPairs(emb, threshold, maxCluster, Some((k, stride)))
     val comp = DedupOps.connectedComponents(pairs.select(col("a_id"), col("b_id")))
       .select(col("doc_id").as("vec_id"), col("component"))
     assign.select("vec_id", "centroid_id")
