@@ -2031,11 +2031,39 @@ object Queries {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // the reference's coded-shuffle research metric, simulated with
-    // the *intended* (bug-fixed) semantics — packet accounting has no
-    // SQL form, so the driver records the weaker rows-only check
+    // the *intended* (bug-fixed) semantics. Round-10: the rank-zip
+    // pairing policy (a maximum matching on the per-encoder class
+    // path L1—R1—L2—R2, see CodedShuffleSim) makes every counter a
+    // closed form over cross-engine md5 topology hashes, so the row
+    // is fully hash-gated — no more rows-only entries in the registry
     "coded_shuffle_sim" -> QueryDef(
       (s, d) => graft.plans.CodedShuffleSim.asDataFrame(Tables.documents(s, d)),
-      None),
+      Some(s"""WITH tok AS (SELECT source, unnest($toksSql) AS word FROM documents),
+              |sw AS (SELECT source, word, count(*) AS cnt FROM tok GROUP BY source, word),
+              |pw AS (SELECT CAST(('0x' || substr(md5(source),1,15))::UBIGINT % 4294967291 % 3 AS BIGINT) AS p,
+              |         word FROM sw),
+              |pt AS (SELECT p, word,
+              |         CAST(('0x' || substr(md5(word),1,15))::UBIGINT % 4294967291 % 3 AS BIGINT) AS tgt,
+              |         CASE WHEN ('0x' || substr(md5(word),1,15))::UBIGINT % 4294967291 % 2 = 0
+              |              THEN p ELSE (p+1)%3 END AS enc
+              |       FROM (SELECT p, word FROM pw GROUP BY p, word)),
+              |cc AS (SELECT enc,
+              |         count(*) FILTER (WHERE p=(enc+2)%3 AND tgt=enc)       AS l1,
+              |         count(*) FILTER (WHERE p=(enc+2)%3 AND tgt=(enc+1)%3) AS l2,
+              |         count(*) FILTER (WHERE p=enc       AND tgt=(enc+2)%3) AS r1,
+              |         count(*) FILTER (WHERE p=enc       AND tgt=enc)       AS r2
+              |       FROM pt GROUP BY enc),
+              |x AS (SELECT enc, least(l2, r2) AS x22,
+              |        least(l2 - least(l2, r2), r1) AS x21,
+              |        least(l1, r1 - least(l2 - least(l2, r2), r1)) AS x11 FROM cc),
+              |tot AS (SELECT coalesce(sum(x22 + x21 + x11), 0) AS encoded FROM x),
+              |nv AS (SELECT count(*) AS naive FROM pt)
+              |SELECT CAST(naive AS BIGINT) AS naive_packets,
+              |       CAST(naive - encoded AS BIGINT) AS packets_sent,
+              |       CAST(encoded AS BIGINT) AS encoded_packets,
+              |       floor(CAST(naive - encoded AS DOUBLE) / naive * 10000 + 0.5) / 10000 AS load_ratio,
+              |       TRUE AS decoded_ok
+              |FROM nv, tot""".stripMargin)),
 
     // ----- multimodal --------------------------------------------------
     // NOTE: the oracle mirrors the byte-level decodeStub with
