@@ -1613,7 +1613,7 @@ object Queries {
     // over the derived partsupp, both sides share the ps CTE
     "q2_min_cost" -> QueryDef(
       (s, d) => RelationalOps.q2MinCost(Tables.region(s, d), Tables.nation(s, d),
-        Tables.supplier(s, d), Tables.part(s, d), Tables.lineitem(s, d)),
+        Tables.supplier(s, d), Tables.part(s, d), RelationalOps.partsuppTable(s, d)),
       Some(s"""WITH ${RelationalOps.PartsuppDerivedSql},
               |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
               |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -1634,7 +1634,7 @@ object Queries {
     // an exact decimal multiply against a window-form global total
     "q11_important_stock" -> QueryDef(
       (s, d) => RelationalOps.q11ImportantStock(Tables.nation(s, d),
-        Tables.supplier(s, d), Tables.lineitem(s, d)),
+        Tables.supplier(s, d), RelationalOps.partsuppTable(s, d)),
       Some(s"""WITH ${RelationalOps.PartsuppDerivedSql},
               |ns AS (SELECT s_suppkey FROM supplier
               |  JOIN nation ON s_nationkey = n_nationkey
@@ -1654,7 +1654,7 @@ object Queries {
     // the threshold compare as an exact decimal multiply
     "q20_excess_suppliers" -> QueryDef(
       (s, d) => RelationalOps.q20ExcessSuppliers(Tables.nation(s, d),
-        Tables.supplier(s, d), Tables.lineitem(s, d)),
+        Tables.supplier(s, d), Tables.lineitem(s, d), RelationalOps.partsuppTable(s, d)),
       Some(s"""WITH ${RelationalOps.PartsuppDerivedSql},
               |shipped AS (SELECT l_partkey AS q_partkey, l_suppkey AS q_suppkey,
               |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS shipped_qty

@@ -993,6 +993,25 @@ object RelationalOps {
       .withColumn("ps_availqty",
         pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 13, lit(1000)) + 1)
 
+  /** Write-once materialized partsupp (round-10): Q2/Q11/Q20 each
+    * paid a `lineitem.distinct` exchange re-deriving the same model
+    * table inside every query run. This persists the derivation once
+    * per (dataset, lineitem fingerprint) — the ANN-model /
+    * bucket-layout pattern — and the three queries read it as a
+    * parquet table (one scan, zero derivation exchanges on the warm
+    * path). The oracle intentionally KEEPS the inline CTE derivation
+    * ([[PartsuppDerivedSql]]) as the independent cross-check, so a
+    * stale or corrupted materialization reds the hash gate.
+    */
+  def partsuppTable(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.sources.Fixtures.ensure("partsupp", sfDir,
+      Seq(s"$sfDir/lineitem.parquet")) { path =>
+      partsuppDerived(graft.Tables.lineitem(spark, sfDir))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(dir)
+  }
+
   /** The DuckDB mirror of [[partsuppDerived]] (CTE `ps`). */
   val PartsuppDerivedSql: String =
     """ps AS (SELECT ps_partkey, ps_suppkey,
@@ -1019,14 +1038,14 @@ object RelationalOps {
   val Q2PartSize = 15
 
   def q2MinCost(region: DataFrame, nation: DataFrame, supplier: DataFrame,
-                part: DataFrame, lineitem: DataFrame,
+                part: DataFrame, partsupp: DataFrame,
                 size: Int = Q2PartSize): DataFrame = {
     val regionSupp = supplier
       .join(broadcast(nation.join(region.where(col("r_name") === "EUROPE"),
         col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    partsuppDerived(lineitem)
+    partsupp
       .join(part.where(col("p_size") === size).select("p_partkey", "p_brand"),
         col("ps_partkey") === col("p_partkey"))
       .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
@@ -1054,14 +1073,14 @@ object RelationalOps {
     * (the measured q15/mix-weights trap).
     */
   def q11ImportantStock(nation: DataFrame, supplier: DataFrame,
-                        lineitem: DataFrame): DataFrame = {
+                        partsupp: DataFrame): DataFrame = {
     val natSupp = supplier
       .join(broadcast(nation.where(col("n_name") === "NATION_7")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
     val value = col("ps_supplycost").cast("decimal(10,2)") *
       col("ps_availqty").cast("decimal(8,0)")
-    val perPart = partsuppDerived(lineitem)
+    val perPart = partsupp
       .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
       .groupBy(col("ps_partkey"))
       .agg(sum(value).as("stock_value"))
@@ -1086,13 +1105,13 @@ object RelationalOps {
     * in decimal (exact halving).
     */
   def q20ExcessSuppliers(nation: DataFrame, supplier: DataFrame,
-                         lineitem: DataFrame): DataFrame = {
+                         lineitem: DataFrame, partsupp: DataFrame): DataFrame = {
     val shipped = lineitem
       .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy(col("l_partkey").as("q_partkey"), col("l_suppkey").as("q_suppkey"))
       .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("shipped_qty"))
-    val excess = partsuppDerived(lineitem)
+    val excess = partsupp
       .join(shipped, col("ps_partkey") === col("q_partkey") &&
         col("ps_suppkey") === col("q_suppkey"))
       // availqty*2 > shipped: exact decimal multiply, no halving

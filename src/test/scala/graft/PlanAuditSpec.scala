@@ -453,28 +453,32 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q2_min_cost: the correlated min is a window, one lineitem pass") {
-    // ps distinct agg + offers partkey window + totals-free final
-    // sort path = 4 exchanges, ONE lineitem scan; the agg-and-join-
-    // back form measured 9 exchanges and 2 scans (subtree dup)
-    assert(shuffles(q("q2_min_cost")) === 4)
+    // offers partkey window + final sort path = 3 exchanges (the ps
+    // distinct agg exchange moved into the write-once partsupp
+    // materialization — round 10), ZERO lineitem scans (partsupp is
+    // read as a table); the agg-and-join-back form measured 9
+    // exchanges and 2 scans (subtree dup)
+    assert(shuffles(q("q2_min_cost")) === 3)
     val nLineitemScans = q("q2_min_cost").queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
         if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => s
     }.size
-    assert(nLineitemScans === 1, "lineitem must be scanned exactly once")
+    assert(nLineitemScans === 0,
+      "q2 must read the materialized partsupp, not re-derive from lineitem")
   }
 
   test("q11_important_stock: global total is a window over the model table") {
-    // ps distinct agg + per-part agg + the total window's
-    // SinglePartition pass = 3; a 4th means the fraction threshold
-    // re-derived the join subtree
-    assert(shuffles(q("q11_important_stock")) === 3)
+    // per-part agg + the total window's SinglePartition pass = 2 (ps
+    // derivation is the write-once table now); a 3rd means the
+    // fraction threshold re-derived the join subtree
+    assert(shuffles(q("q11_important_stock")) === 2)
   }
 
   test("q20_excess_suppliers: nested IN chain plans as semi joins") {
-    // ps distinct agg + shipped agg + excess distinct = 3 exchanges
-    // at fixture scale (supplier cut broadcasts); LeftSemi present
-    assert(shuffles(q("q20_excess_suppliers")) === 3)
+    // shipped agg + excess distinct = 2 exchanges at fixture scale
+    // (ps is the write-once table; supplier cut broadcasts);
+    // LeftSemi present
+    assert(shuffles(q("q20_excess_suppliers")) === 2)
     val plan = q("q20_excess_suppliers").queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"),
       "the IN chain must plan as left-semi joins")
