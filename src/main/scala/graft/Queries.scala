@@ -1254,6 +1254,27 @@ object Queries {
              |  AND day <= '${graft.sources.Partitioning.PruneDayTo}'
              |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin)),
 
+    // the streaming path under the hash gate (round 10): day counts
+    // read back from the write-once availableNow streamed partitioned
+    // layout; the oracle computes from the ORIGINAL events table, so
+    // a lost/duplicated micro-batch or a broken sink manifest reds
+    // the row
+    "streamed_day_counts" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, round, sum}
+        val dir = graft.streaming.EventStreams.streamedEventsLayout(s, d)
+        val schema = Tables.events(s, d).schema
+          .add("day", org.apache.spark.sql.types.StringType)
+        s.read.schema(schema).parquet(dir)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |    value FROM events)
+             |SELECT day, count(*) AS n, round(sum(value), 4) AS sum_value
+             |FROM e GROUP BY day ORDER BY day""".stripMargin)),
+
     // dynamic partition pruning: the day set comes from a runtime
     // dim aggregate (days with a high-value purchase), so the fact
     // scan prunes via a dynamicpruning subquery instead of a literal
