@@ -386,7 +386,24 @@ object SimilarityOps {
                     explicitParams: Option[(Int, Long)] = None): DataFrame = {
     val (k, stride) = explicitParams.getOrElse(semAdaptiveParams(emb.count()))
     val centroids = seedCentroidsStride(emb, stride, k)
-    val assign = assignToCentroids(emb, centroids)
+    semanticPairsFrom(assignLabeled(emb, centroids), threshold, maxCluster)
+  }
+
+  /** The materialized assignment table: every (vec_id, centroid_id,
+    * embedding) label, computed ONCE (`localCheckpoint`) because both
+    * the pair self-join's two branches and [[semanticDedup]]'s final
+    * labeling read it — Catalyst does not share duplicated subtrees,
+    * so without truncation the O(n·K) assignment pass would run once
+    * per reference. At 100 TB this checkpoint IS the persisted
+    * cluster-assignment index an ingest pipeline would keep next to
+    * the dedup digest index.
+    */
+  private def assignLabeled(emb: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(emb, centroids).localCheckpoint()
+
+  /** Within-cluster scored pairs over a materialized assignment. */
+  private def semanticPairsFrom(assign: DataFrame, threshold: Double,
+                                maxCluster: Int): DataFrame = {
     val capped = assign
       .withColumn("cn", count(lit(1)).over(Window.partitionBy(col("centroid_id"))))
       .where(col("cn") <= maxCluster)
@@ -418,8 +435,8 @@ object SimilarityOps {
                     explicitParams: Option[(Int, Long)] = None): DataFrame = {
     val (k, stride) = explicitParams.getOrElse(semAdaptiveParams(emb.count()))
     val centroids = seedCentroidsStride(emb, stride, k)
-    val assign = assignToCentroids(emb, centroids)
-    val pairs = semanticPairs(emb, threshold, maxCluster, Some((k, stride)))
+    val assign = assignLabeled(emb, centroids)
+    val pairs = semanticPairsFrom(assign, threshold, maxCluster)
     val comp = DedupOps.connectedComponents(pairs.select(col("a_id"), col("b_id")))
       .select(col("doc_id").as("vec_id"), col("component"))
     assign.select("vec_id", "centroid_id")

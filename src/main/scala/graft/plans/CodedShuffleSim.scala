@@ -107,6 +107,12 @@ object CodedShuffleSim {
           .otherwise(pmod(col("p") + 1, lit(Nodes))).cast("int"))
       .drop("wh")
 
+    // the partial table fans out (classing → both pair sides +
+    // unicast, plus the knowledge table) — persist it so the corpus
+    // tokenize + two aggregations run once, not once per branch; its
+    // size is bounded by 3 × vocabulary, not the corpus
+    partials.persist(StorageLevel.MEMORY_AND_DISK)
+
     // compatibility class at the encoder: left partials live on the
     // node-set {e-1, e} (p = e-1), right on {e, e+1} (p = e); a pair
     // must address each side's target inside the OTHER side's replica
@@ -133,7 +139,9 @@ object CodedShuffleSim {
       .withColumn("x11", least(col("l1"), col("r1") - col("x21")))
       .select("enc", "x22", "x21", "x11")
 
-    // rank-zip pair assignment: pair t and index within t
+    // rank-zip pair assignment: pair t and index within t. Persisted:
+    // three branches (both pair sides + unicast) read it, and the
+    // rank window above it would otherwise run per branch
     val assigned = classed.join(broadcast(alloc), Seq("enc"))
       .withColumn("pair_t",
         when(col("cls") === "L2" && col("rk") <= col("x22"), "A")
@@ -150,6 +158,7 @@ object CodedShuffleSim {
             when(col("cls") === "L2", col("rk") - col("x22")).otherwise(col("rk")))
           .when(col("pair_t") === "C",
             when(col("cls") === "R1", col("rk") - col("x21")).otherwise(col("rk"))))
+    assigned.persist(StorageLevel.MEMORY_AND_DISK)
 
     // the packet stream: a coded pair multicasts ONE packet carried as
     // TWO target rows (one per stripped partial); an unpaired partial
@@ -232,6 +241,8 @@ object CodedShuffleSim {
       Result(naivePackets, packetsSent, encodedPackets, decodedOk)
     } finally {
       packets.unpersist()
+      assigned.unpersist()
+      partials.unpersist()
     }
   }
 

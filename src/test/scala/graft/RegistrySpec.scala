@@ -18,12 +18,13 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
-  test("oracle keys are exactly the SQL-expressible queries") {
+  test("every registered query is oracle-gated (no rows-only entries)") {
     val names = Queries.registry.map(_._1).toSet
     assert(Queries.oracleSql.keySet.subsetOf(names))
+    // round 10 closed the last rows-only entry (coded_shuffle_sim's
+    // rank-zip closed form); a new rows-only query is a regression
     val rowsOnly = names -- Queries.oracleSql.keySet
-    assert(rowsOnly === Set("coded_shuffle_sim"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"rows-only queries crept back in: $rowsOnly")
   }
 
   test("flagship entry returns rows") {
