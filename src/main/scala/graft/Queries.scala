@@ -777,6 +777,18 @@ object Queries {
       (s, d) => DedupOps.nearDupMinhash(Tables.documents(s, d)),
       Some(jaccardOracle)),
 
+    // steady-state LSH: the arriving (odd-id) batch probes the
+    // PERSISTED corpus band index — the corpus is never re-banded or
+    // self-joined. Candidates are exact-verified, so the result is
+    // the exact-jaccard pair set restricted to >= 1 batch endpoint;
+    // the oracle recomputes that restriction from scratch.
+    "incremental_near_dedup" -> QueryDef(
+      (s, d) => DedupOps.incrementalNearDedup(Tables.documents(s, d), d),
+      Some(s"""WITH $jaccardPairsBody
+              |SELECT a_id, b_id, jac FROM pairs
+              |WHERE a_id % 2 = 1 OR b_id % 2 = 1
+              |ORDER BY a_id, b_id""".stripMargin)),
+
     // transitive duplicate clusters: the engine's distributed
     // min-label propagation vs DuckDB's recursive-CTE fixpoint over
     // the SAME pair graph (jaccardPairsBody is shared text)
@@ -856,6 +868,18 @@ object Queries {
     "ann_ivf_kmeans" -> QueryDef(
       (s, d) => { VectorFunctions.register(s)
         SimilarityOps.annIvfKmeans(Tables.embeddings(s, d), d,
+          centroidMod = 97, numCentroids = 16, nprobe = 3, nProbes = 10,
+          k = 10, iterations = 1, moveEps = 0.0) },
+      Some(kmeansOracleSql(1))),
+
+    // persisted INVERTED LISTS: the corpus assignment lives on disk
+    // partitioned by centroid_id and the probe scans only its nprobe
+    // list partitions (partition pruning, pinned in PlanAuditSpec).
+    // Same deterministic assignment rule as ann_ivf_kmeans -> same
+    // result -> same oracle; the hash match proves index == inline.
+    "ann_ivf_indexed" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfIndexed(Tables.embeddings(s, d), d,
           centroidMod = 97, numCentroids = 16, nprobe = 3, nProbes = 10,
           k = 10, iterations = 1, moveEps = 0.0) },
       Some(kmeansOracleSql(1))),

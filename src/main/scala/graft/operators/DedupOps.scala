@@ -137,6 +137,29 @@ object DedupOps {
       .where(size(col("sh")) > 0)
   }
 
+  /** LSH band keys of a shingled corpus: one (doc_id, band) row per
+    * band, key = band index + the signature's row-slice for that
+    * band. The signature is the native one-pass
+    * [[graft.functions.expressions.MinHashSignature]] — the HOF
+    * formulation of the same math benches ~20x slower interpreted.
+    * Shared by the self-join path ([[nearDupMinhash]]) and the
+    * persisted-index path ([[lshIndexDir]] / [[incrementalNearDedup]]),
+    * so the two can never disagree on banding.
+    */
+  private def bandsOf(ds: DataFrame): DataFrame = {
+    ds.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => graft.functions.expressions.MinHashSignature(exprs.head, NumHashes, P),
+      "scala_udf")
+    val signed = ds.withColumn("sig", call_function("graft_minhash_sig", col("sh")))
+    signed.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        concat_ws(":", b.cast("string"),
+          concat_ws(",", transform(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
+            v => v.cast("string")))))).as("band"))
+  }
+
   /** Exact near-dup pairs by word-5-gram Jaccard >= threshold,
     * via inverted-index self-join on shingles.
     */
@@ -177,20 +200,7 @@ object DedupOps {
                      maxBucket: Int = 1000): DataFrame = {
     log.info(s"nearDupMinhash: capping LSH band buckets at $maxBucket docs")
     val ds = docShingles(docs)
-    // native one-pass signature (see MinHashSignature scaladoc); the
-    // HOF formulation of the same math benches ~20x slower interpreted
-    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig",
-      exprs => graft.functions.expressions.MinHashSignature(exprs.head, NumHashes, P),
-      "scala_udf")
-    val signed = ds.withColumn("sig", call_function("graft_minhash_sig", col("sh")))
-    // bands: key = band index + joined row-slice of the signature
-    val bands = signed.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-        concat_ws(":", b.cast("string"),
-          concat_ws(",", transform(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
-            v => v.cast("string")))))).as("band"))
+    val bands = bandsOf(ds)
     // cap pathological buckets: a count window over the band key —
     // the window's hash-partitioning on band is exactly what the
     // self-join below needs, so the cap rides the shuffle the join
@@ -510,6 +520,101 @@ object DedupOps {
       .join(cnt.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(cnt.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
     jaccardOutput(withCounts, threshold)
+  }
+
+  /** Write-once MinHash-LSH band index of the already-ingested corpus
+    * (even doc_ids — [[incrementalDedup]]'s parity convention):
+    * `bands/` holds one (band, doc_id) row per corpus doc per band
+    * (32 rows/doc — fixed fan-out, index size is linear in the
+    * corpus), `band_counts/` the per-band corpus population so a
+    * probing batch can enforce the [[nearDupMinhash]] mega-bucket cap
+    * against the COMBINED (stored + arriving) bucket size without
+    * ever re-aggregating the stored side. Keyed by dataset basename +
+    * source fingerprint ([[graft.sources.Fixtures]]) so regenerated
+    * data can never hit a stale index. At 100 TB this is the stored
+    * LSH index a streaming ingest front door maintains per batch; the
+    * shingle inverted index ([[incrementalEdges]]) grows with total
+    * text volume, the band index with document count x 32.
+    */
+  def lshIndexDir(docs: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("lshidx", sfDir,
+      Seq(s"$sfDir/documents.parquet")) { dir =>
+      val corpusBands =
+        bandsOf(docShingles(docs.where(pmod(col("doc_id"), lit(2)) === 0)))
+      corpusBands.write.mode("overwrite").parquet(s"$dir/bands")
+      docs.sparkSession.read.parquet(s"$dir/bands")
+        .groupBy("band").agg(count(lit(1)).as("corpus_n"))
+        .write.mode("overwrite").parquet(s"$dir/band_counts")
+      // top-level marker: the parquet subdirs carry their own
+      // _SUCCESS, Fixtures keys completion on the directory's
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+      ()
+    }
+
+  /** Near-dup pairs of an arriving batch (odd doc_ids) against
+    * corpus+batch via the PERSISTED LSH band index — the steady-state
+    * form of [[nearDupMinhash]], the way [[incrementalDedup]] is the
+    * steady-state form of [[exactDedup]]. Per batch the engine pays:
+    * banding the batch (row-local), one equijoin of the batch's bands
+    * against the stored index restricted to bands the batch actually
+    * occupies (a point probe — at scale the index is bucketed by
+    * band, so this is co-located), the batch's own tiny band
+    * self-join, and exact-Jaccard verification of the candidates.
+    * The corpus is never re-banded and never self-joined.
+    *
+    * The mega-bucket cap is enforced on the combined bucket size
+    * (stored `corpus_n` + the batch's own count), which is exactly
+    * the population [[nearDupMinhash]]'s count-window sees on a full
+    * rebuild — so the output equals the full-rebuild pair set
+    * restricted to pairs with at least one batch endpoint, cap
+    * included (DedupSpec proves that equality at several caps; the
+    * DuckDB oracle recomputes exact Jaccard from scratch).
+    */
+  def incrementalNearDedup(docs: DataFrame, sfDir: String,
+                           threshold: Double = 0.8,
+                           maxBucket: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    val idx = lshIndexDir(docs, sfDir)
+    val ds = docShingles(docs)
+    val batchBands = bandsOf(ds.where(pmod(col("doc_id"), lit(2)) === 1))
+    val batchCounts = batchBands.groupBy("band")
+      .agg(count(lit(1)).as("batch_n"))
+    // combined-population cap: bands the batch never touches generate
+    // no new pairs, so only batch-occupied bands need the check
+    val corpusCounts = spark.read.parquet(s"$idx/band_counts")
+    val keptBands = batchCounts
+      .join(corpusCounts, Seq("band"), "left")
+      .where(coalesce(col("corpus_n"), lit(0L)) + col("batch_n") <= maxBucket)
+      .select("band")
+    val batchBounded = batchBands.join(keptBands, Seq("band"), "left_semi")
+    // index probe: stored corpus rows in exactly the bands the batch
+    // occupies (left_semi prunes before the pair fan-out)
+    val corpusBounded = spark.read.parquet(s"$idx/bands")
+      .join(keptBands, Seq("band"), "left_semi")
+    val candBC = batchBounded.as("a").join(corpusBounded.as("b"),
+        col("a.band") === col("b.band"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+    val candBB = batchBounded.as("a").join(batchBounded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // the two branches are disjoint pair classes (mixed-parity vs
+    // odd-odd endpoints), so the per-branch distincts suffice
+    val cand = candBC.unionByName(candBB)
+    // exact verification — identical tail to nearDupMinhash
+    val withSh = cand
+      .join(ds.select(col("doc_id"), col("sh").as("sh_a")), col("a_id") === col("doc_id"))
+      .drop("doc_id")
+      .join(ds.select(col("doc_id"), col("sh").as("sh_b")), col("b_id") === col("doc_id"))
+      .drop("doc_id")
+    val verified = withSh.select(
+      col("a_id"), col("b_id"),
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+      size(col("sh_a")).cast("long").as("na"),
+      size(col("sh_b")).cast("long").as("nb"))
+    jaccardOutput(verified, threshold)
   }
 
   /** Steady-state transitive dedup: the closure of the FULL corpus

@@ -238,6 +238,86 @@ object SimilarityOps {
       nprobe, nProbes, k)
   }
 
+  /** Write-once IVF INVERTED LISTS: the full corpus assignment
+    * (vec_id, embedding) written partitioned by `centroid_id` on top
+    * of the persisted Lloyd centroid model. This is the piece that
+    * makes IVF an *index* rather than a search strategy: with the
+    * lists on disk as partitions, a probe touches only the `nprobe`
+    * directories it ranks nearest — partition pruning at the scan,
+    * so the per-query I/O is corpus_size x (nprobe / K), not the
+    * corpus. At 100 TB the layout is exactly this (lists bucketed by
+    * centroid), maintained incrementally as vectors arrive; here it
+    * is built once per (dataset, params, source fingerprint).
+    */
+  def ivfListsDir(emb: DataFrame, sfDir: String, centroidMod: Int,
+                  numCentroids: Int, iterations: Int,
+                  moveEps: Double): String =
+    graft.sources.Fixtures.ensure("ivflists", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"m${centroidMod}k${numCentroids}i$iterations") { dir =>
+      val cdir = kmeansCentroidsDir(emb, sfDir, centroidMod, numCentroids,
+        iterations, moveEps)
+      val centroids = emb.sparkSession.read.parquet(cdir)
+      assignToCentroids(emb, centroids)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    }
+
+  /** [[annIvfKmeans]] over the persisted inverted-list layout: the
+    * warm path ranks centroids for each probe (a probes x K flop
+    * count), collects the probed centroid ids (MODEL-sized driver
+    * traffic — at most nProbes x nprobe longs, the same size class
+    * as the centroid broadcast itself), and scans ONLY those list
+    * partitions via an IN filter on the partition column (pinned as
+    * PartitionFilters in PlanAuditSpec). No assignment pass, no
+    * training stage, no full-corpus scan — identical output to
+    * [[annIvfKmeans]] because the stored assignment is the same
+    * deterministic max-cosine rule the inline path computes.
+    */
+  def annIvfIndexed(emb: DataFrame, sfDir: String, centroidMod: Int = 97,
+                    numCentroids: Int = 16, nprobe: Int = 3,
+                    nProbes: Int = 10, k: Int = 10, iterations: Int = 1,
+                    moveEps: Double = 0.0): DataFrame = {
+    val spark = emb.sparkSession
+    val centroids = spark.read.parquet(kmeansCentroidsDir(emb, sfDir,
+      centroidMod, numCentroids, iterations, moveEps))
+    val lists = spark.read.parquet(ivfListsDir(emb, sfDir, centroidMod,
+      numCentroids, iterations, moveEps))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("cscore"), 6).desc, col("centroid_id").asc)
+    val probeLists = emb.where(col("vec_id") < nProbes)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"),
+        VectorFunctions.cosine(col("embedding"), col("cvec")).as("cscore"))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("centroid_id"),
+        col("embedding").as("probe_vec"))
+    val probed = probeLists.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // IN-filter literals typed to the partition column as read from
+    // disk (inference may narrow the directory values to int) — a
+    // cast on the column side would defeat partition pruning
+    val probedTyped: Seq[Any] =
+      if (lists.schema("centroid_id").dataType ==
+        org.apache.spark.sql.types.IntegerType) probed.toSeq.map(_.toInt)
+      else probed.toSeq
+    val pruned = lists.where(col("centroid_id").isInCollection(probedTyped))
+      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
+        col("embedding"))
+    val scored = pruned.join(broadcast(probeLists), Seq("centroid_id"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorFunctions.cosine(col("probe_vec"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** documents joined with their embedding vector (doc_id == vec_id)
     * plus the L2 norm — the multimodal "attach features to metadata"
     * join. Equi-join on the shared key; Catalyst/AQE picks broadcast

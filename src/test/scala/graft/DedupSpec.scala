@@ -37,6 +37,41 @@ class DedupSpec extends AnyFunSuite {
     assert(fps.distinct.length === fps.length)
   }
 
+  test("incremental near-dedup equals full-rebuild LSH restricted to batch-endpoint pairs") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val full = DedupOps.nearDupMinhash(docs).collect()
+      .filter(r => r.getLong(0) % 2 == 1 || r.getLong(1) % 2 == 1)
+      .map(key).toSeq
+    val inc = DedupOps.incrementalNearDedup(docs, TestSpark.Sf0001)
+      .collect().map(key).toSeq
+    assert(full.nonEmpty, "fixture should contain batch-endpoint near-dup pairs")
+    assert(inc === full)
+  }
+
+  test("incremental near-dedup combined-bucket cap matches the full-rebuild count window") {
+    // the incremental form's stored-count + batch-count criterion
+    // must gate exactly the bands the full rebuild's count window
+    // gates, at every cap — including caps tight enough to bite
+    // (cap=1 admits no pair at all, so the bite is guaranteed)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    def restricted(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(r => r.getLong(0) % 2 == 1 || r.getLong(1) % 2 == 1)
+      .map(key).toSeq
+    val uncapped = restricted(DedupOps.nearDupMinhash(docs).collect())
+    assert(uncapped.nonEmpty)
+    var someCapBites = false
+    for (cap <- Seq(1, 3)) {
+      val full = restricted(DedupOps.nearDupMinhash(docs, maxBucket = cap).collect())
+      val inc = DedupOps.incrementalNearDedup(docs, TestSpark.Sf0001, maxBucket = cap)
+        .collect().map(key).toSeq
+      assert(inc === full, s"cap=$cap: incremental != full rebuild")
+      if (full.size < uncapped.size) someCapBites = true
+    }
+    assert(someCapBites, "no tested cap dropped a pair — the cap path went untested")
+  }
+
   test("simhash is stable and near-dup pairs agree on most bits") {
     val sh = DedupOps.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -541,6 +541,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the converged label checkpoint as the plan's leaf")
   }
 
+  test("ann_ivf_indexed: the probe reads only its nprobe list partitions") {
+    // the IVF-index read-path claim: the probed centroid set is an
+    // IN filter on the partition column, so the scan touches the
+    // probed inverted lists and nothing else — per-query I/O is
+    // corpus x (probed / K), the property that makes IVF an index
+    // nprobe=1 over 3 probes: at most 3 of the fixture's lists are
+    // probed (the registered query's 10x3 probe set can legitimately
+    // cover every list at sf0.001 — the pin is about the mechanism)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    graft.functions.VectorFunctions.register(spark)
+    val df = graft.operators.SimilarityOps.annIvfIndexed(
+      Tables.embeddings(spark, TestSpark.Sf0001), TestSpark.Sf0001,
+      nprobe = 1, nProbes = 3)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivflists")) => s
+    }
+    assert(scans.size === 1, "expected exactly one inverted-lists scan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the probed-centroid IN list must plan as a partition filter")
+    val selected = scan.selectedPartitions.partitionCount
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected < total,
+      s"probe must prune the list scan: read $selected of $total partitions")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows

@@ -68,6 +68,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"kmeans IVF recall collapsed: $recall")
   }
 
+  test("ann_ivf_indexed equals the inline kmeans path (index == inline proof)") {
+    VectorFunctions.register(spark)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val inline = SimilarityOps.annIvfKmeans(emb, TestSpark.Sf0001,
+      centroidMod = 97, numCentroids = 16, nprobe = 3, nProbes = 10,
+      k = 10, iterations = 1, moveEps = 0.0).collect().map(key).toSeq
+    val indexed = SimilarityOps.annIvfIndexed(emb, TestSpark.Sf0001)
+      .collect().map(key).toSeq
+    assert(indexed.nonEmpty)
+    assert(indexed === inline)
+  }
+
   test("multi-round Lloyd recall is at least the 1-round build's") {
     VectorFunctions.register(spark)
     val exact = SimilarityOps.similarityTopK(emb).collect()
