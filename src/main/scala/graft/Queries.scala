@@ -52,9 +52,19 @@ object Queries {
     * disables the early stop), so the two sides cannot diverge on
     * round count.
     */
-  private def kmeansOracleSql(iters: Int): String = {
+  private def kmeansOracleSql(iters: Int): String =
+    s"WITH ${kmeansOracleCtes(iters)}\n" +
+      "SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score " +
+      "FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk"
+
+  /** The CTE chain of [[kmeansOracleSql]] (ending at `r2`, the ranked
+    * IVF result), without the WITH keyword or final SELECT — reusable
+    * inside composite oracles (ann_recall_eval joins it against the
+    * brute-force chain).
+    */
+  private def kmeansOracleCtes(iters: Int): String = {
     val sb = new StringBuilder
-    sb.append("WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec " +
+    sb.append("c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec " +
       "FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),\n")
     for (i <- 0 until iters) {
       sb.append(s"s$i AS (SELECT e.vec_id, c.centroid_id, e.embedding, " +
@@ -80,9 +90,7 @@ object Queries {
       s"${cosSql("pl.probe_vec", "a.embedding")} AS score FROM pl " +
       "JOIN assign a ON pl.centroid_id = a.centroid_id WHERE a.vec_id <> pl.probe_id),\n")
     sb.append("r2 AS (SELECT probe_id, vec_id, score, row_number() OVER " +
-      "(PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM sc)\n")
-    sb.append("SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score " +
-      "FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk")
+      "(PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM sc)")
     sb.toString
   }
 
@@ -883,6 +891,28 @@ object Queries {
           centroidMod = 97, numCentroids = 16, nprobe = 3, nProbes = 10,
           k = 10, iterations = 1, moveEps = 0.0) },
       Some(kmeansOracleSql(1))),
+
+    // ANN quality eval: recall@10 of the IVF index vs brute-force
+    // ground truth as a 1-row metric; the oracle recomputes BOTH
+    // searches from scratch and intersects them, so the hash match
+    // re-proves both search paths and the metric arithmetic at once
+    "ann_recall_eval" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annRecallEval(Tables.embeddings(s, d), d) },
+      Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings WHERE vec_id < 10),
+              |s AS (SELECT probe_id, vec_id, ${cosSql("probe_vec", "embedding")} AS score
+              |      FROM embeddings CROSS JOIN p WHERE vec_id <> probe_id),
+              |r AS (SELECT probe_id, vec_id, score,
+              |        row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
+              |      FROM s),
+              |${kmeansOracleCtes(1)},
+              |ex AS (SELECT probe_id, vec_id FROM r WHERE rnk <= 10),
+              |ap AS (SELECT probe_id, vec_id FROM r2 WHERE rnk <= 10),
+              |m AS (SELECT count(*) AS hits FROM ex JOIN ap USING (probe_id, vec_id)),
+              |t AS (SELECT count(*) AS total FROM ex)
+              |SELECT hits::BIGINT AS hits, total::BIGINT AS total,
+              |  ${TextAnalysisOps.det4Sql("hits::DOUBLE / total")} AS recall
+              |FROM m, t""".stripMargin)),
 
     // bounded multi-round Lloyd: the oracle unrolls the same fixed
     // round count (moveEps = 0 → the early stop can't desync the two

@@ -318,6 +318,32 @@ object SimilarityOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** ANN quality evaluation: recall@k of the IVF index against the
+    * brute-force ground truth, as a 1-row metric table (hits, total,
+    * recall). The heavy inputs are the two searches themselves — the
+    * eval join runs over two (probes x k)-row results, so its cost is
+    * the metric's, not the corpus's. At 100 TB you sample the probe
+    * set (the `nProbes` knob both searches already share) — recall is
+    * a statistical property, so a probe sample estimates it without a
+    * full-corpus ground-truth pass. det4 on the displayed ratio: the
+    * cross-engine rounding rule for ratios (see
+    * [[graft.operators.TextAnalysisOps.det4]]).
+    */
+  def annRecallEval(emb: DataFrame, sfDir: String, k: Int = 10): DataFrame = {
+    val exact = similarityTopK(emb, nProbes = 10, k = k)
+      .select("probe_id", "vec_id")
+    val approx = annIvfKmeans(emb, sfDir, centroidMod = 97,
+      numCentroids = 16, nprobe = 3, nProbes = 10, k = k,
+      iterations = 1, moveEps = 0.0)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("probe_id", "vec_id"), "left")
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("hits"),
+        count(lit(1)).as("total"))
+      .select(col("hits"), col("total"),
+        graft.operators.TextAnalysisOps.det4(
+          col("hits").cast("double") / col("total")).as("recall"))
+  }
+
   /** documents joined with their embedding vector (doc_id == vec_id)
     * plus the L2 norm — the multimodal "attach features to metadata"
     * join. Equi-join on the shared key; Catalyst/AQE picks broadcast

@@ -81,6 +81,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed === inline)
   }
 
+  test("ann_recall_eval emits one sane metric row consistent with the searches") {
+    VectorFunctions.register(spark)
+    val rows = SimilarityOps.annRecallEval(emb, TestSpark.Sf0001).collect()
+    assert(rows.length === 1)
+    val (hits, total, recall) =
+      (rows(0).getLong(0), rows(0).getLong(1), rows(0).getDouble(2))
+    assert(total === 10L * 10L)
+    assert(hits >= 0L && hits <= total)
+    assert(recall >= 0.0 && recall <= 1.0)
+    // the metric must agree with recomputing the intersection here
+    val exact = SimilarityOps.similarityTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SimilarityOps.annIvfKmeans(emb, TestSpark.Sf0001,
+      centroidMod = 97, numCentroids = 16, nprobe = 3, nProbes = 10,
+      k = 10, iterations = 1, moveEps = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(hits === (exact & approx).size.toLong)
+  }
+
   test("multi-round Lloyd recall is at least the 1-round build's") {
     VectorFunctions.register(spark)
     val exact = SimilarityOps.similarityTopK(emb).collect()
