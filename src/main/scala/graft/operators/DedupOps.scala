@@ -573,10 +573,31 @@ object DedupOps {
   def incrementalNearDedup(docs: DataFrame, sfDir: String,
                            threshold: Double = 0.8,
                            maxBucket: Int = 1000): DataFrame = {
+    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    incrementalNearDedupFrom(batch, docs, sfDir, threshold, maxBucket,
+      includeBatchSelfPairs = true)
+  }
+
+  /** The index-probe engine behind [[incrementalNearDedup]] and the
+    * streaming ingest front door
+    * ([[graft.streaming.EventStreams]]): `arriving` is any frame of
+    * (doc_id, text) rows — a parity-split batch or one micro-batch —
+    * probed against `docs`'s persisted band index. With
+    * `includeBatchSelfPairs` the arriving frame is also self-joined
+    * within kept bands (the batch-batch pair class); a streaming
+    * caller leaves it on per micro-batch (within-batch pairs) while
+    * cross-batch arriving-arriving pairs are the index's job once
+    * the earlier batch is folded in.
+    */
+  private[graft] def incrementalNearDedupFrom(arriving: DataFrame,
+                                              docs: DataFrame, sfDir: String,
+                                              threshold: Double,
+                                              maxBucket: Int,
+                                              includeBatchSelfPairs: Boolean): DataFrame = {
     val spark = docs.sparkSession
     val idx = lshIndexDir(docs, sfDir)
-    val ds = docShingles(docs)
-    val batchBands = bandsOf(ds.where(pmod(col("doc_id"), lit(2)) === 1))
+    val dsArriving = docShingles(arriving)
+    val batchBands = bandsOf(dsArriving)
     val batchCounts = batchBands.groupBy("band")
       .agg(count(lit(1)).as("batch_n"))
     // combined-population cap: bands the batch never touches generate
@@ -596,18 +617,25 @@ object DedupOps {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       .distinct()
-    val candBB = batchBounded.as("a").join(batchBounded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    // the two branches are disjoint pair classes (mixed-parity vs
-    // odd-odd endpoints), so the per-branch distincts suffice
-    val cand = candBC.unionByName(candBB)
-    // exact verification — identical tail to nearDupMinhash
+    // the two branches are disjoint pair classes (arriving-corpus vs
+    // arriving-arriving endpoints), so the per-branch distincts
+    // suffice — no cross-branch dedup needed
+    val cand = if (includeBatchSelfPairs) {
+      val candBB = batchBounded.as("a").join(batchBounded.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      candBC.unionByName(candBB)
+    } else candBC
+    // exact verification — identical tail to nearDupMinhash; shingle
+    // sources: the arriving frame itself plus the corpus half (even
+    // ids), so a pair endpoint resolves whichever side it came from
+    val vs = dsArriving.unionByName(
+      docShingles(docs.where(pmod(col("doc_id"), lit(2)) === 0)))
     val withSh = cand
-      .join(ds.select(col("doc_id"), col("sh").as("sh_a")), col("a_id") === col("doc_id"))
+      .join(vs.select(col("doc_id"), col("sh").as("sh_a")), col("a_id") === col("doc_id"))
       .drop("doc_id")
-      .join(ds.select(col("doc_id"), col("sh").as("sh_b")), col("b_id") === col("doc_id"))
+      .join(vs.select(col("doc_id"), col("sh").as("sh_b")), col("b_id") === col("doc_id"))
       .drop("doc_id")
     val verified = withSh.select(
       col("a_id"), col("b_id"),
@@ -619,19 +647,24 @@ object DedupOps {
 
   /** Steady-state transitive dedup: the closure of the FULL corpus
     * computed incrementally from the persisted index — new edges from
-    * the arriving batch ([[incrementalEdges]]), persisted converged
-    * labels for the already-ingested corpus, and label propagation
-    * re-run ONLY over components a new edge touches. Untouched
-    * corpus components pass through as stored labels (their minima
-    * cannot change: min-label fixpoints are per-component, and no
-    * new edge reaches them), so per-batch convergence cost scales
-    * with the affected subgraph, not the corpus — the
-    * [[incrementalDedup]] digest-index pattern applied to the
-    * closure, the 100 TB fix for the re-derive-per-query cost the
-    * round-9 plan audit flagged. The oracle recomputes the whole
-    * closure from scratch (recursive CTE over the full pair set), so
-    * a hash match proves batch-incremental == full rebuild; the spec
-    * proves the same against [[dupComponents]] in-engine.
+    * the arriving batch (the [[incrementalNearDedup]] LSH-index
+    * probe; the exact shingle-inverted form [[incrementalEdges]] is
+    * the oracle of record, and ComponentsSpec proves the two emit the
+    * same edge set), persisted converged labels for the
+    * already-ingested corpus, and label propagation re-run ONLY over
+    * components a new edge touches. Untouched corpus components pass
+    * through as stored labels (their minima cannot change: min-label
+    * fixpoints are per-component, and no new edge reaches them), so
+    * per-batch convergence cost scales with the affected subgraph,
+    * not the corpus — the [[incrementalDedup]] digest-index pattern
+    * applied to the closure, the 100 TB fix for the
+    * re-derive-per-query cost the round-9 plan audit flagged. The
+    * same persisted LSH index serves near-dedup and closure
+    * maintenance: one index, both steady-state paths. The oracle
+    * recomputes the whole closure from scratch (recursive CTE over
+    * the full pair set), so a hash match proves batch-incremental ==
+    * full rebuild; the spec proves the same against
+    * [[dupComponents]] in-engine.
     */
   def incrementalComponents(docs: DataFrame, sfDir: String): DataFrame = {
     val spark = docs.sparkSession
@@ -640,7 +673,7 @@ object DedupOps {
     val oldEdges = spark.read.parquet(s"$idx/edges")
       .where(col("a_id") % 2 === 0 && col("b_id") % 2 === 0)
       .select("a_id", "b_id")
-    val newEdges = incrementalEdges(docs).select("a_id", "b_id")
+    val newEdges = incrementalNearDedup(docs, sfDir).select("a_id", "b_id")
     // components the batch touches: endpoints of new edges -> their
     // stored component labels (an endpoint absent from the stored
     // labels is a new node; it only lives in the re-run subgraph)

@@ -205,6 +205,37 @@ object EventStreams {
     def close(): Unit = { corpusFps.unpersist(); () }
   }
 
+  /** Streaming NEAR-dedup ingest front door — the LSH analog of
+    * [[ingestDedupStream]]: each arriving micro-batch probes the
+    * PERSISTED corpus band index
+    * ([[graft.operators.DedupOps.lshIndexDir]]) and emits its
+    * verified near-dup pairs. The probe needs batch-only ops (the
+    * bucket-cap aggregate, candidate distinct, the verification
+    * join), so it runs inside `foreachBatch` with the exact batch
+    * operator — semantics identical to
+    * [[graft.operators.DedupOps.incrementalNearDedup]], micro-batch
+    * by micro-batch (within-batch self pairs included; cross-batch
+    * arriving-arriving pairs become the index's job once earlier
+    * batches are folded into it, which at scale is the ingest
+    * pipeline's index-maintenance step). Pairs land idempotently as
+    * `batch_id=` directories (the [[writeEventsIdempotent]] recipe),
+    * so a crash-replayed batch overwrites itself instead of
+    * appending duplicates.
+    */
+  def ingestNearDedupStream(docsStream: DataFrame, docs: DataFrame,
+                            sfDir: String, outDir: String,
+                            checkpointDir: String): StreamingQuery =
+    docsStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.DedupOps
+          .incrementalNearDedupFrom(batch, docs, sfDir,
+            threshold = 0.8, maxBucket = 1000, includeBatchSelfPairs = true)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+      .start()
+
   /** Stream-stream interval self-join: each purchase joined to the
     * same user's clicks within the preceding `intervalMinutes` — the
     * watermarked join whose state store holds only rows inside the

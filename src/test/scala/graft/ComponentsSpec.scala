@@ -109,6 +109,12 @@ class ComponentsSpec extends AnyFunSuite {
     val expected = full.filter(e => e._1 % 2 == 1 || e._2 % 2 == 1)
     assert(incr === expected,
       "incremental edges must be exactly the >=1-batch-endpoint pairs, bit-equal jaccard included")
+    // the LSH-index probe (what incrementalComponents actually feeds
+    // on) must emit the same edge set as the exact inverted-index form
+    val viaLsh = DedupOps.incrementalNearDedup(docs, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaLsh === expected,
+      "LSH-index incremental edges must equal the exact inverted-index edges")
   }
 
   test("survivors = corpus minus non-canonical cluster members (fixture)") {

@@ -69,6 +69,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ingest_dedup").count() === streamedFps.size)
   }
 
+  test("streaming near-dedup ingest equals the batch incremental near-dedup") {
+    import org.apache.spark.sql.functions._
+    // replay the odd-id docs as the arriving stream (one parquet file
+    // -> one micro-batch, so within-batch self pairs line up with the
+    // batch operator's batch-batch class exactly)
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.Sf0001}/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val arriving = EventStreams.readDocumentsStream(spark, dir.toString)
+      .where(pmod(col("doc_id"), lit(2)) === 1)
+    val out = java.nio.file.Files.createTempDirectory("graft-neardup-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-neardup-ckpt").toString
+    val q = EventStreams.ingestNearDedupStream(arriving, docs,
+      TestSpark.Sf0001, out, ckpt)
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamed = spark.read.parquet(out)
+      .select("a_id", "b_id", "jac").collect().map(key).toSet
+    val batch = graft.operators.DedupOps
+      .incrementalNearDedup(docs, TestSpark.Sf0001)
+      .collect().map(key).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("idempotent foreachBatch sink: restart re-emits nothing, replay overwrites") {
     val out = java.nio.file.Files.createTempDirectory("graft-idem-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-idem-ckpt").toString
