@@ -792,10 +792,21 @@ object Queries {
     // the oracle recomputes that restriction from scratch.
     "incremental_near_dedup" -> QueryDef(
       (s, d) => DedupOps.incrementalNearDedup(Tables.documents(s, d), d),
-      Some(s"""WITH $jaccardPairsBody
-              |SELECT a_id, b_id, jac FROM pairs
-              |WHERE a_id % 2 = 1 OR b_id % 2 = 1
-              |ORDER BY a_id, b_id""".stripMargin)),
+      Some(incrementalJaccardOracle)),
+
+    // the STREAMING near-dedup path under the hash gate: the pairs
+    // were landed by a real checkpointed micro-batch run (availableNow
+    // foreachBatch probing the persisted band index); the oracle
+    // recomputes exact Jaccard from the ORIGINAL documents table, so
+    // a lost/duplicated micro-batch or a drifted index reds the row
+    "streamed_ingest_pairs" -> QueryDef(
+      (s, d) => {
+        val dir = graft.streaming.EventStreams.streamedNearDedupLayout(s, d)
+        s.read.parquet(dir)
+          .select("a_id", "b_id", "jac")
+          .orderBy("a_id", "b_id")
+      },
+      Some(incrementalJaccardOracle)),
 
     // transitive duplicate clusters: the engine's distributed
     // min-label propagation vs DuckDB's recursive-CTE fixpoint over
@@ -2290,6 +2301,16 @@ object Queries {
   private lazy val jaccardOracle: String =
     s"""WITH $jaccardPairsBody
        |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin
+
+  /** [[jaccardOracle]] restricted to pairs with >= 1 batch (odd-id)
+    * endpoint — the ground truth for both the batch incremental LSH
+    * probe and the streamed ingest pairs it feeds.
+    */
+  private lazy val incrementalJaccardOracle: String =
+    s"""WITH $jaccardPairsBody
+       |SELECT a_id, b_id, jac FROM pairs
+       |WHERE a_id % 2 = 1 OR b_id % 2 = 1
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** Min-label fixpoint of the pair graph as a recursive CTE: `walk`
     * accumulates every (node, smaller-id label) pair reachable by

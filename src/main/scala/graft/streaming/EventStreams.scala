@@ -224,8 +224,9 @@ object EventStreams {
     */
   def ingestNearDedupStream(docsStream: DataFrame, docs: DataFrame,
                             sfDir: String, outDir: String,
-                            checkpointDir: String): StreamingQuery =
-    docsStream
+                            checkpointDir: String,
+                            availableNow: Boolean = false): StreamingQuery = {
+    val writer = docsStream
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -234,7 +235,47 @@ object EventStreams {
             threshold = 0.8, maxBucket = 1000, includeBatchSelfPairs = true)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
       }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
       .start()
+  }
+
+  /** Write-once STREAMED near-dedup pair layout: replay the fixture's
+    * odd-id documents through [[ingestNearDedupStream]] to
+    * termination (availableNow trigger, real checkpointed micro-batch
+    * run) — the registry's `streamed_ingest_pairs` reads the landed
+    * pairs back while the oracle recomputes exact Jaccard from the
+    * ORIGINAL documents table, so the streaming near-dedup path
+    * (source → index probe → idempotent sink) joins the hash gate
+    * the way `streamed_day_counts` put the partitioned event sink
+    * under it.
+    */
+  def streamedNearDedupLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("streamdedup", sfDir,
+      Seq(s"$sfDir/documents.parquet")) { path =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val srcDir = root.resolve("_src")
+      java.nio.file.Files.createDirectories(srcDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+        srcDir.resolve("documents.parquet"))
+      val arriving = readDocumentsStream(spark, srcDir.toString)
+        .where(pmod(col("doc_id"), lit(2)) === 1)
+      val q = ingestNearDedupStream(arriving,
+        graft.Tables.documents(spark, sfDir), sfDir,
+        path, s"$path/_checkpoint", availableNow = true)
+      try q.awaitTermination() finally q.stop()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
 
   /** Stream-stream interval self-join: each purchase joined to the
     * same user's clicks within the preceding `intervalMinutes` — the
