@@ -673,7 +673,12 @@ object DedupOps {
     val oldEdges = spark.read.parquet(s"$idx/edges")
       .where(col("a_id") % 2 === 0 && col("b_id") % 2 === 0)
       .select("a_id", "b_id")
+    // eager checkpoint: the index-probe subtree is referenced by THREE
+    // consumers (touched, the closure re-run's edge union, and the
+    // untouched anti-join's lineage) — without it the probe re-runs
+    // per consumer, tripling the per-batch cost
     val newEdges = incrementalNearDedup(docs, sfDir).select("a_id", "b_id")
+      .localCheckpoint()
     // components the batch touches: endpoints of new edges -> their
     // stored component labels (an endpoint absent from the stored
     // labels is a new node; it only lives in the re-run subgraph)
