@@ -542,6 +542,33 @@ object Queries {
               |  round(1 - len(list_distinct(gs))::DOUBLE / len(gs), 4) AS dup_frac
               |FROM g WHERE len(gs) > 0 ORDER BY doc_id""".stripMargin)),
 
+    // Gopher quality-rule gate (Rae et al. 2021): per-rule flag
+    // columns + the conjunction, thresholds shared from the same
+    // constants; det4 ratios so no boundary doc can flip engines
+    "gopher_rules" -> QueryDef(
+      (s, d) => TextAnalysisOps.gopherRules(Tables.documents(s, d)),
+      Some {
+        import TextAnalysisOps._
+        val stops = EnStopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+           |f AS (SELECT doc_id,
+           |    len(ws)::BIGINT AS n_tokens,
+           |    ${det4Sql("list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)")} AS mean_word_len,
+           |    ${det4Sql("len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::DOUBLE / len(ws)")} AS alpha_ratio,
+           |    len(list_intersect(list_distinct(ws), [$stops]))::BIGINT AS stop_hits
+           |  FROM t WHERE len(ws) > 0),
+           |g AS (SELECT *,
+           |    CAST(n_tokens >= $GopherMinWords AND n_tokens <= $GopherMaxWords AS BIGINT) AS wc_ok,
+           |    CAST(mean_word_len >= $GopherMinMeanLen AND mean_word_len <= $GopherMaxMeanLen AS BIGINT) AS mwl_ok,
+           |    CAST(alpha_ratio >= $GopherMinAlphaRatio AS BIGINT) AS alpha_ok,
+           |    CAST(stop_hits >= $GopherMinStopHits AS BIGINT) AS stop_ok
+           |  FROM f)
+           |SELECT doc_id, n_tokens, mean_word_len, alpha_ratio, stop_hits,
+           |  wc_ok, mwl_ok, alpha_ok, stop_ok,
+           |  CAST(wc_ok = 1 AND mwl_ok = 1 AND alpha_ok = 1 AND stop_ok = 1 AS BIGINT) AS passes
+           |FROM g ORDER BY doc_id""".stripMargin
+      }),
+
     // winnowing (MOSS): per-window minima over k-gram hashes; the
     // oracle reproduces the identical hash + window arithmetic from
     // the shared TextAnalysisOps.Winnow* constants
@@ -641,6 +668,39 @@ object Queries {
               |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
               |  round(sum(tf::DOUBLE * ln(wc::DOUBLE / total_tokens)) / sum(tf)::DOUBLE, 4) AS avg_logprob
               |FROM wcs CROSS JOIN n GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram
+    // log-ratio of target (probe docs) vs raw distributions, summed
+    // per doc over the bucket-sorted contribution list (canonical FP
+    // order); the 64-row model is the same md5 hash family
+    "dsir_weights" -> QueryDef(
+      (s, d) => PipelineOps.dsirWeights(Tables.documents(s, d)),
+      Some {
+        import PipelineOps.{DsirBuckets => B, DsirSmooth => Sm}
+        val smB = Sm * B
+        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+           |h AS (SELECT doc_id,
+           |    CAST(('0x' || substr(md5(word), 1, 15))::UBIGINT % $B AS BIGINT) AS b
+           |  FROM toks),
+           |tgt AS (SELECT b, count(*) AS ct FROM h WHERE doc_id < 20 GROUP BY b),
+           |raw AS (SELECT b, count(*) AS cr FROM h WHERE doc_id >= 20 GROUP BY b),
+           |tot AS (SELECT
+           |    sum(CASE WHEN doc_id < 20 THEN 1 ELSE 0 END)::DOUBLE AS tt,
+           |    sum(CASE WHEN doc_id >= 20 THEN 1 ELSE 0 END)::DOUBLE AS tr FROM h),
+           |spine AS (SELECT unnest(generate_series(0, ${B - 1}))::BIGINT AS b),
+           |model AS (SELECT spine.b,
+           |    ln(((coalesce(ct, 0) + $Sm) / (tt + $smB)) /
+           |       ((coalesce(cr, 0) + $Sm) / (tr + $smB))) AS lr
+           |  FROM spine LEFT JOIN tgt ON spine.b = tgt.b
+           |    LEFT JOIN raw ON spine.b = raw.b CROSS JOIN tot),
+           |tf AS (SELECT doc_id, b, count(*) AS tf FROM h
+           |  WHERE doc_id >= 20 GROUP BY doc_id, b)
+           |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+           |  floor(list_sum(list(tf::DOUBLE * lr ORDER BY b)) * 10000.0 + 0.5) / 10000.0
+           |    AS dsir_logweight
+           |FROM tf JOIN model USING (b)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
 
     // bigram-LM quality score: frequency-weighted mean ln P(w2|w1),
     // both corpus stats as count windows over the per-doc bigram

@@ -24,14 +24,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects by default; read it as nanos-since-epoch Long instead
-    * ([[graft.operators.EventsOps]] does all time math on integers,
-    * so no precision is lost vs the DuckDB oracle's TIMESTAMP_NS).
+  /** The engine-internal `events.ts` contract is nanos-since-epoch
+    * LONG ([[graft.operators.EventsOps]] does all time math on
+    * integers, so no precision is lost vs the DuckDB oracle's native
+    * timestamp functions). The fixture's physical type has varied
+    * across driver regenerations — TIMESTAMP(NANOS) (readable only as
+    * Long via `nanosAsLong`) and TIMESTAMP(MICROS) (read as NTZ) —
+    * so [[normalizeEventsTs]] maps whatever the reader produced onto
+    * the contract instead of assuming one physical layout. The NTZ
+    * branch interprets wall time as UTC (the session timezone every
+    * entry point pins), matching DuckDB's naive-timestamp read of the
+    * same file.
     */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * 1000"))
+      case TimestampType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+      case other => sys.error(s"unexpected events.ts type: $other")
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeEventsTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

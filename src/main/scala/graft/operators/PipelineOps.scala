@@ -97,6 +97,74 @@ object PipelineOps {
       .orderBy("corpus_id", "probe_id")
   }
 
+  /** [[dsirWeights]] parameters, shared with the generated oracle:
+    * the hashed-feature bucket count and the additive-smoothing mass.
+    * B = 64 keeps the feature model a broadcastable 64-row table at
+    * ANY corpus size — the whole point of hashing the vocabulary.
+    */
+  val DsirBuckets = 64
+  val DsirSmooth = 0.5
+
+  /** DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023):
+    * score every raw-corpus document by how target-like its hashed
+    * unigram features are — `log w(doc) = Σ_tokens ln(p_target(b) /
+    * p_raw(b))`, with `b = hash(word) mod B` and both distributions
+    * additive-smoothed. Sampling ∝ w resamples the raw corpus toward
+    * the target domain; here the target is the fixed probe set
+    * (doc_id < `probeMaxId`, the [[contaminationCheck]] convention)
+    * and the raw side is everything else.
+    *
+    * Scale shape: one explode→(doc, bucket) map-side-combinable
+    * aggregate over the corpus; the two feature distributions are
+    * B-row aggregates of that table; the log-ratio model (B rows,
+    * corpus-size-independent) broadcast-joins back onto the per-doc
+    * frequencies. No vocabulary-sized state anywhere — hashing is
+    * what makes the model bounded at 100 TB. The per-doc sum folds
+    * over the bucket-SORTED contribution list (the [[TextAnalysisOps
+    * .tokenEntropy]] discipline) so FP addition order is canonical on
+    * both engines, then det4-rounds: this weight RANKS documents, so
+    * a one-ULP cross-engine divergence would flip a resampled row.
+    */
+  def dsirWeights(docs: DataFrame, probeMaxId: Long = 20): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val b = pmod(
+      conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"),
+      lit(DsirBuckets.toLong))
+    val buckets = docs
+      .select(col("doc_id"),
+        explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
+      .select(col("doc_id"), b.as("b"))
+    def dist(side: DataFrame, cname: String) =
+      side.groupBy("b").agg(count(lit(1)).as(cname))
+    val target = dist(buckets.where(col("doc_id") < probeMaxId), "ct")
+    val raw = dist(buckets.where(col("doc_id") >= probeMaxId), "cr")
+    // B-row model: every bucket present (smoothing handles empties),
+    // totals ride a 1-row cross join — all model-sized
+    val spine = docs.sparkSession.range(DsirBuckets).select(col("id").as("b"))
+    val totals = buckets
+      .agg(sum(when(col("doc_id") < probeMaxId, 1L).otherwise(0L)).as("tt"),
+        sum(when(col("doc_id") >= probeMaxId, 1L).otherwise(0L)).as("tr"))
+    val model = spine
+      .join(target, Seq("b"), "left").join(raw, Seq("b"), "left")
+      .crossJoin(totals)
+      .select(col("b"),
+        log(((coalesce(col("ct"), lit(0L)).cast("double") + lit(DsirSmooth)) /
+          (col("tt").cast("double") + lit(DsirSmooth * DsirBuckets))) /
+          ((coalesce(col("cr"), lit(0L)).cast("double") + lit(DsirSmooth)) /
+            (col("tr").cast("double") + lit(DsirSmooth * DsirBuckets))))
+          .as("lr"))
+    val tf = buckets.where(col("doc_id") >= probeMaxId)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        TextAnalysisOps.det4(aggregate(
+          array_sort(collect_list(struct(col("b"), (col("tf").cast("double") * col("lr")).as("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c"))).as("dsir_logweight"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram log-probability quality score — the cheap perplexity
     * proxy: score(doc) = mean over tokens of ln(count(word) / total
     * tokens). Skew-safe formulation: aggregate term frequencies

@@ -161,6 +161,67 @@ object TextAnalysisOps {
       .orderBy("doc_id")
   }
 
+  /** [[gopherRules]] thresholds (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021, §A1.1
+    * quality heuristics), shared with the generated oracle. The rules
+    * that need document structure this corpus lacks (bullet-line and
+    * ellipsis-line fractions — the fixture text is single-line) are
+    * omitted rather than emitted as constants.
+    */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMinAlphaRatio = 0.8
+  val GopherMinStopHits = 2
+
+  /** Gopher-style quality-rule filter: word-count bounds, mean-word-
+    * length bounds, minimum fraction of tokens containing an
+    * alphabetic character, and a minimum number of DISTINCT stopword
+    * hits — the published pre-training document gate, emitted as one
+    * flag column per rule plus the conjunction (`passes`), so a
+    * pipeline can either filter on `passes` or audit which rule
+    * rejected a document. Entirely row-local (array higher-order
+    * functions over the shared tokenizer) — at 100 TB this is pure
+    * map work on the same scan as the other quality signals, no
+    * exchange. Both ratio features are det4-rounded BEFORE the
+    * threshold compare, so a boundary document cannot flip between
+    * engines on an FP rendering difference.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
+    val n = size(ws).cast("long")
+    val meanLen = det4(qfSumLen(ws).cast("double") / n.cast("double"))
+    val alphaRatio = det4(
+      size(filter(ws, w => w.rlike("[a-z]"))).cast("double") / n.cast("double"))
+    val stopHits = size(array_intersect(
+      array_distinct(ws),
+      array(EnStopwords.map(lit): _*))).cast("long")
+    docs
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        meanLen.as("mean_word_len"),
+        alphaRatio.as("alpha_ratio"),
+        stopHits.as("stop_hits"))
+      .where(col("n_tokens") > 0)
+      .withColumn("wc_ok",
+        (col("n_tokens") >= GopherMinWords &&
+          col("n_tokens") <= GopherMaxWords).cast("long"))
+      .withColumn("mwl_ok",
+        (col("mean_word_len") >= GopherMinMeanLen &&
+          col("mean_word_len") <= GopherMaxMeanLen).cast("long"))
+      .withColumn("alpha_ok",
+        (col("alpha_ratio") >= GopherMinAlphaRatio).cast("long"))
+      .withColumn("stop_ok",
+        (col("stop_hits") >= GopherMinStopHits).cast("long"))
+      .withColumn("passes",
+        (col("wc_ok") === 1L && col("mwl_ok") === 1L &&
+          col("alpha_ok") === 1L && col("stop_ok") === 1L).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic: count stopword hits per language profile,
     * predict the argmax (ties broken by language-code order — the
     * CASE chain evaluates in sorted-lang order with >=). Deterministic

@@ -16,27 +16,25 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the events fixture with `ts` as nanos-since-epoch Long
-    * (matching [[graft.Tables.events]]'s batch read).
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-based streaming source over a directory of events parquet.
     * `maxFilesPerTrigger=1` gives deterministic micro-batches locally;
     * on a cluster this is the same plan over a real queue/log source.
+    * A streaming file source needs its schema up front, and the
+    * fixture's physical `ts` type varies across driver regenerations
+    * (nanos-long vs micros-timestamp) — so probe the files with a
+    * batch read and normalize onto the nanos-long contract the same
+    * way [[graft.Tables.events]] does; the normalization is a
+    * stateless projection, safe ahead of any watermark.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val physical = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(physical)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
   }
 
   /** File-based streaming source over a directory of documents

@@ -235,4 +235,81 @@ class PipelineSpec extends AnyFunSuite {
     val kept = out.map(_._3)
     assert(kept.max.toDouble / kept.min < rawImb)
   }
+
+  private def naiveTokens(text: String): Seq[String] =
+    text.toLowerCase.split("[ \t\n\r\f]+").toSeq.filter(_.nonEmpty)
+
+  private def det4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  test("gopher rules equal a naive per-document recompute") {
+    import graft.operators.TextAnalysisOps._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val got = graft.operators.TextAnalysisOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === raw.keySet.filter(id => naiveTokens(raw(id)).nonEmpty))
+    raw.foreach { case (id, text) =>
+      val ws = naiveTokens(text)
+      if (ws.nonEmpty) {
+        val r = got(id)
+        val n = ws.size.toLong
+        val meanLen = det4(ws.map(_.length).sum.toDouble / n)
+        val alpha = det4(ws.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / n)
+        val stopHits = ws.distinct.count(EnStopwords.contains).toLong
+        assert(r.getLong(1) === n)
+        assert(r.getDouble(2) === meanLen)
+        assert(r.getDouble(3) === alpha)
+        assert(r.getLong(4) === stopHits)
+        assert(r.getLong(5) === (if (n >= GopherMinWords && n <= GopherMaxWords) 1L else 0L))
+        assert(r.getLong(6) === (if (meanLen >= GopherMinMeanLen && meanLen <= GopherMaxMeanLen) 1L else 0L))
+        assert(r.getLong(7) === (if (alpha >= GopherMinAlphaRatio) 1L else 0L))
+        assert(r.getLong(8) === (if (stopHits >= GopherMinStopHits) 1L else 0L))
+        assert(r.getLong(9) ===
+          (if (Seq(5, 6, 7, 8).forall(i => r.getLong(i) == 1L)) 1L else 0L))
+      }
+    }
+    // the gate must discriminate on this fixture, not emit a constant
+    val passes = got.values.map(_.getLong(9)).toSet
+    assert(passes === Set(0L, 1L))
+  }
+
+  test("dsir weights equal a naive hashed-ngram importance recompute") {
+    import PipelineOps.{DsirBuckets, DsirSmooth}
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % DsirBuckets
+    }
+    val tgtCnt = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+    val rawCnt = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+    raw.foreach { case (id, text) =>
+      val m = if (id < 20) tgtCnt else rawCnt
+      naiveTokens(text).foreach(w => m(bucket(w)) += 1)
+    }
+    val (tt, tr) = (tgtCnt.values.sum.toDouble, rawCnt.values.sum.toDouble)
+    val smB = DsirSmooth * DsirBuckets
+    def lr(b: Long): Double =
+      math.log(((tgtCnt(b) + DsirSmooth) / (tt + smB)) /
+        ((rawCnt(b) + DsirSmooth) / (tr + smB)))
+    val got = PipelineOps.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = raw.collect { case (id, text) if id >= 20 =>
+      val tf = naiveTokens(text).groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
+      val w = det4(tf.toSeq.sortBy(_._1).map { case (b, f) => f.toDouble * lr(b) }.sum)
+      id -> (naiveTokens(text).size.toLong, w)
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, (n, w)) =>
+      val r = got(id)
+      assert(r._1 === n, s"doc $id n_tokens")
+      assert(r._2 === w, s"doc $id weight")
+    }
+    // weights must vary — a constant weight means the hash or the
+    // model collapsed
+    assert(expected.values.map(_._2).toSet.size > 1)
+  }
 }
