@@ -653,7 +653,7 @@ object Queries {
               |inv AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE len(sh) > 0),
               |j AS (SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id, count(*) AS overlap
               |      FROM inv c JOIN inv p ON c.s = p.s
-              |      WHERE p.doc_id < 20 AND c.doc_id >= 20
+              |      WHERE p.doc_id < ${PipelineOps.ProbeMaxId} AND c.doc_id >= ${PipelineOps.ProbeMaxId}
               |      GROUP BY 1, 2)
               |SELECT corpus_id, probe_id, overlap FROM j
               |WHERE overlap >= 3 ORDER BY corpus_id, probe_id""".stripMargin)),
@@ -676,17 +676,17 @@ object Queries {
     "dsir_weights" -> QueryDef(
       (s, d) => PipelineOps.dsirWeights(Tables.documents(s, d)),
       Some {
-        import PipelineOps.{DsirBuckets => B, DsirSmooth => Sm}
+        import PipelineOps.{DsirBuckets => B, DsirSmooth => Sm, ProbeMaxId => P}
         val smB = Sm * B
         s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
            |h AS (SELECT doc_id,
            |    CAST(('0x' || substr(md5(word), 1, 15))::UBIGINT % $B AS BIGINT) AS b
            |  FROM toks),
-           |tgt AS (SELECT b, count(*) AS ct FROM h WHERE doc_id < 20 GROUP BY b),
-           |raw AS (SELECT b, count(*) AS cr FROM h WHERE doc_id >= 20 GROUP BY b),
+           |tgt AS (SELECT b, count(*) AS ct FROM h WHERE doc_id < $P GROUP BY b),
+           |raw AS (SELECT b, count(*) AS cr FROM h WHERE doc_id >= $P GROUP BY b),
            |tot AS (SELECT
-           |    sum(CASE WHEN doc_id < 20 THEN 1 ELSE 0 END)::DOUBLE AS tt,
-           |    sum(CASE WHEN doc_id >= 20 THEN 1 ELSE 0 END)::DOUBLE AS tr FROM h),
+           |    sum(CASE WHEN doc_id < $P THEN 1 ELSE 0 END)::DOUBLE AS tt,
+           |    sum(CASE WHEN doc_id >= $P THEN 1 ELSE 0 END)::DOUBLE AS tr FROM h),
            |spine AS (SELECT unnest(generate_series(0, ${B - 1}))::BIGINT AS b),
            |model AS (SELECT spine.b,
            |    ln(((coalesce(ct, 0) + $Sm) / (tt + $smB)) /
@@ -694,7 +694,7 @@ object Queries {
            |  FROM spine LEFT JOIN tgt ON spine.b = tgt.b
            |    LEFT JOIN raw ON spine.b = raw.b CROSS JOIN tot),
            |tf AS (SELECT doc_id, b, count(*) AS tf FROM h
-           |  WHERE doc_id >= 20 GROUP BY doc_id, b)
+           |  WHERE doc_id >= $P GROUP BY doc_id, b)
            |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
            |  floor(list_sum(list(tf::DOUBLE * lr ORDER BY b)) * 10000.0 + 0.5) / 10000.0
            |    AS dsir_logweight
@@ -1569,7 +1569,7 @@ object Queries {
              |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 210)
              |SELECT c_name, c_custkey, o_orderkey,
              |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-             |  o_totalprice, total_qty
+             |  o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
              |FROM orders JOIN big ON o_orderkey = l_orderkey
              |  JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
@@ -2244,6 +2244,43 @@ object Queries {
              |  CAST(length(frame) AS BIGINT) AS frame_len,
              |  CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) % 65521 AS BIGINT) AS frame_checksum
              |FROM s ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // the GENUINE binary decode: text bytes → real RIFF/WAVE container
+    // (fmt + odd-sized LIST + PCM16 data chunks) → features parsed
+    // back out of the actual bytes by WavCodec.decode's chunk walker.
+    // The oracle predicts each feature from the source text and the
+    // doc_id-derived encoding parameters, so any header-parse error
+    // (LE field order, pad-byte rule, block-align math) reds the row.
+    // sample = (byte - 128) * 256; frames zero-pad to a channel
+    // multiple; char==byte holds on the ASCII fixture
+    "multimodal_wav_decode" -> QueryDef(
+      (s, d) => MultimodalOps.wavFeatures(Tables.documents(s, d)),
+      Some("""WITH p AS (SELECT doc_id, text,
+             |    8000 + (doc_id % 3) * 4000 AS sample_rate,
+             |    1 + doc_id % 2 AS n_channels,
+             |    octet_length(CAST(text AS BLOB)) AS n_bytes
+             |  FROM documents),
+             |f AS (SELECT doc_id, text, sample_rate, n_channels,
+             |    (n_bytes + n_channels - 1) // n_channels AS n_frames
+             |  FROM p),
+             |a AS (SELECT doc_id,
+             |    coalesce(list_max(list_transform(string_split(text, ''),
+             |      c -> abs((ascii(c) - 128) * 256))), 0) AS peak_amp,
+             |    coalesce(list_sum(list_transform(string_split(text, ''),
+             |      c -> abs((ascii(c) - 128) * 256))), 0) AS sum_abs
+             |  FROM f WHERE length(text) > 0)
+             |SELECT f.doc_id,
+             |  CAST(sample_rate AS BIGINT) AS sample_rate,
+             |  CAST(n_channels AS BIGINT) AS n_channels,
+             |  CAST(16 AS BIGINT) AS bits_per_sample,
+             |  CAST(n_frames AS BIGINT) AS n_frames,
+             |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+             |  CAST(coalesce(peak_amp, 0) AS BIGINT) AS peak_amp,
+             |  CAST(CASE WHEN n_frames > 0
+             |    THEN coalesce(sum_abs, 0) // (n_frames * n_channels)
+             |    ELSE 0 END AS BIGINT) AS mean_abs_amp
+             |FROM f LEFT JOIN a ON f.doc_id = a.doc_id
+             |ORDER BY f.doc_id""".stripMargin)),
 
     "multimodal_features" -> QueryDef(
       (s, d) => MultimodalOps.mediaFeatures(Tables.documents(s, d)),

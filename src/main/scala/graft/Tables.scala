@@ -53,7 +53,12 @@ object Tables {
 
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // UTC is pinned by every entry point (TestSpark / Verify / Bench /
+    // SparkEntry); the NTZ branch of normalizeEventsTs reads the session
+    // TZ lazily at execution, so assert the contract here rather than
+    // re-mutating global state as a table-load side effect.
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "events requires spark.sql.session.timeZone=UTC (pinned by entry points)")
     normalizeEventsTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

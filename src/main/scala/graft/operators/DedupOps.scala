@@ -129,7 +129,7 @@ object DedupOps {
   /** (doc_id, shingles array) — the shared dedup input. Native
     * tokenize + n-gram expressions (hot path at scale).
     */
-  private def docShingles(docs: DataFrame): DataFrame = {
+  private[graft] def docShingles(docs: DataFrame): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     docs.select(col("doc_id"),
         graft.functions.NativeText.shingles(
@@ -146,7 +146,7 @@ object DedupOps {
     * persisted-index path ([[lshIndexDir]] / [[incrementalNearDedup]]),
     * so the two can never disagree on banding.
     */
-  private def bandsOf(ds: DataFrame): DataFrame = {
+  private[graft] def bandsOf(ds: DataFrame): DataFrame = {
     ds.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig",
       exprs => graft.functions.expressions.MinHashSignature(exprs.head, NumHashes, P),
@@ -351,9 +351,10 @@ object DedupOps {
     * graphs OOM the *driver* on plan bookkeeping alone. Checkpointing
     * makes each round's plan read the previous round's materialized
     * result; superseded round caches are unreferenced and the
-    * ContextCleaner reclaims them. (On a multi-executor cluster,
-    * prefer reliable `checkpoint()` with a checkpoint dir — local
-    * checkpoints die with a lost executor.) Convergence is detected
+    * ContextCleaner reclaims them. Durability is a deployment choice:
+    * [[Checkpoints.truncate]] uses `localCheckpoint()` by default and
+    * switches to reliable `checkpoint()` when `graft.checkpoint.dir`
+    * is set (local checkpoints die with a lost executor). Convergence is detected
     * from the label-sum fixpoint: labels only ever decrease under min
     * propagation, so an unchanged `sum(label)` proves an unchanged
     * label table without a second join (decimal(38,0) sum — exact,
@@ -378,9 +379,9 @@ object DedupOps {
     val e = edges.select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .persist()
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = Checkpoints.truncate(
+      sym.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id")))
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       df.agg(sum(col("label")).cast("decimal(38,0)")).head()
         .getAs[java.math.BigDecimal](0) match { case null => None; case s => Some(s) }
@@ -392,9 +393,9 @@ object DedupOps {
       val prop = sym.join(l, sym("v") === l("id"))
         .select(sym("u").as("id"), l("label"))
       // eager checkpoint: materializes the round AND truncates lineage
-      val next = l.select("id", "label").union(prop)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      val next = Checkpoints.truncate(
+        l.select("id", "label").union(prop)
+          .groupBy("id").agg(min("label").as("label")))
       val cur = labelSum(next)
       labels = next
       converged = cur == prev
@@ -677,8 +678,8 @@ object DedupOps {
     // consumers (touched, the closure re-run's edge union, and the
     // untouched anti-join's lineage) — without it the probe re-runs
     // per consumer, tripling the per-batch cost
-    val newEdges = incrementalNearDedup(docs, sfDir).select("a_id", "b_id")
-      .localCheckpoint()
+    val newEdges = Checkpoints.truncate(
+      incrementalNearDedup(docs, sfDir).select("a_id", "b_id"))
     // components the batch touches: endpoints of new edges -> their
     // stored component labels (an endpoint absent from the stored
     // labels is a new node; it only lives in the re-run subgraph)

@@ -416,22 +416,22 @@ object EventsOps {
     * joined by the daily rollup. The rollup is referenced THREE
     * times (bounds, types, values) — left lazy, Catalyst would
     * re-derive the corpus scan+aggregate per reference (the
-    * measured q15 subtree trap, ×3) — so it localCheckpoints first:
-    * a |types|×|days| materialization, after which the fact table
-    * has been scanned exactly once and the grid never touches it.
-    * localCheckpoint trade-offs, accepted deliberately: it is EAGER
-    * (the corpus job runs at plan-build time — Bench times build +
-    * action together, so nothing escapes measurement), and blocks
-    * live on executors only; on a real cluster where an executor
-    * loss must recompute rather than fail, use reliable
-    * `checkpoint()` with a checkpoint dir.
+    * measured q15 subtree trap, ×3) — so it truncates through
+    * [[Checkpoints.truncate]] first: a |types|×|days|
+    * materialization, after which the fact table has been scanned
+    * exactly once and the grid never touches it. Trade-offs accepted
+    * deliberately: truncation is EAGER (the corpus job runs at
+    * plan-build time — Bench times build + action together, so
+    * nothing escapes measurement), and in the default local mode
+    * blocks live on executors only; on a real cluster set
+    * `graft.checkpoint.dir` to flip every truncation point to
+    * reliable `checkpoint()`.
     */
   def dailyGapfill(events: DataFrame): DataFrame = {
-    val daily = events
+    val daily = Checkpoints.truncate(events
       .withColumn("day", to_date(date_trunc("day", timestamp_millis(tsMs))))
       .groupBy("event_type", "day")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value")))
     val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val spine = bounds
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))

@@ -67,6 +67,48 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Typed features from the REAL decoder ([[WavCodec.decode]]). */
+  case class WavFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_channels: Long,
+      bits_per_sample: Long,
+      n_frames: Long,
+      duration_ms: Long,
+      peak_amp: Long,
+      mean_abs_amp: Long)
+
+  /** The genuine-format pipeline stage: each document's bytes are
+    * packed into a REAL RIFF/WAVE container ([[WavCodec.encode]] —
+    * fmt chunk, odd-sized LIST chunk, PCM16 data) and the features
+    * come from actually PARSING that container ([[WavCodec.decode]]
+    * walks the chunk table and reads LE header fields + samples), not
+    * from byte arithmetic on the input. Sample rate and channel count
+    * vary per doc_id, so a decoder that misreads any header field or
+    * mis-skips the odd LIST chunk diverges from the oracle, which
+    * recomputes every feature from the source text independently.
+    *
+    * Same scale shape as [[mediaFeatures]]: map-only over (doc_id,
+    * blob) rows, no shuffle until the caller aggregates.
+    */
+  def wavFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val sampleRate = (8000L + (r.doc_id % 3) * 4000L).toInt
+        val channels = (1L + (r.doc_id % 2)).toInt
+        val info = WavCodec.decode(WavCodec.encode(r.blob, sampleRate, channels))
+        WavFeatures(r.doc_id, info.sampleRate, info.nChannels,
+          info.bitsPerSample, info.nFrames, info.durationMs,
+          info.peakAmp, info.meanAbsAmp)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Result of the resize stage. */
   case class Resized(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
                      resized_checksum: Long)

@@ -80,7 +80,7 @@ object PipelineOps {
     * shingles per (corpus, probe) pair. The standard pre-training
     * train/test-overlap sweep at 100 TB.
     */
-  def contaminationCheck(docs: DataFrame, probeMaxId: Long = 20,
+  def contaminationCheck(docs: DataFrame, probeMaxId: Long = ProbeMaxId,
                          n: Int = 8, minOverlap: Long = 3): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     def shingled(df: DataFrame) = df.select(col("doc_id"),
@@ -105,6 +105,13 @@ object PipelineOps {
   val DsirBuckets = 64
   val DsirSmooth = 0.5
 
+  /** The shared probe/target boundary (`doc_id < ProbeMaxId`) used by
+    * both [[contaminationCheck]] and [[dsirWeights]]; the registry
+    * oracles interpolate THIS constant, so a caller overriding the
+    * default knowingly steps outside the oracle-gated configuration.
+    */
+  val ProbeMaxId = 20L
+
   /** DSIR importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023):
     * score every raw-corpus document by how target-like its hashed
@@ -126,7 +133,7 @@ object PipelineOps {
     * both engines, then det4-rounds: this weight RANKS documents, so
     * a one-ULP cross-engine divergence would flip a resampled row.
     */
-  def dsirWeights(docs: DataFrame, probeMaxId: Long = 20): DataFrame = {
+  def dsirWeights(docs: DataFrame, probeMaxId: Long = ProbeMaxId): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     val b = pmod(
       conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"),

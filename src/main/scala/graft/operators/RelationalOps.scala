@@ -686,7 +686,12 @@ object RelationalOps {
       .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("o_totalprice"), col("total_qty"))
+        col("o_totalprice"),
+        // the HAVING filter above stays decimal-exact; only the OUTPUT is
+        // cast, because Spark widens sum(decimal(12,2)) to DECIMAL(22,2)
+        // while DuckDB widens to DECIMAL(38,2) — a type-sensitive hash
+        // sees different columns even when every value matches (q1 pattern)
+        col("total_qty").cast("double").as("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }

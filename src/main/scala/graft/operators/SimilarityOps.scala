@@ -505,7 +505,7 @@ object SimilarityOps {
     * the dedup digest index.
     */
   private def assignLabeled(emb: DataFrame, centroids: DataFrame): DataFrame =
-    assignToCentroids(emb, centroids).localCheckpoint()
+    Checkpoints.truncate(assignToCentroids(emb, centroids))
 
   /** Within-cluster scored pairs over a materialized assignment. */
   private def semanticPairsFrom(assign: DataFrame, threshold: Double,

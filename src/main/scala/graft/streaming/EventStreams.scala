@@ -16,6 +16,18 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** The nanos-long events contract ([[graft.Tables.events]]): the
+    * schema a stream starts with when the source directory is still
+    * empty and no file is available to probe.
+    */
+  val eventsContractSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-based streaming source over a directory of events parquet.
     * `maxFilesPerTrigger=1` gives deterministic micro-batches locally;
     * on a cluster this is the same plan over a real queue/log source.
@@ -29,7 +41,13 @@ object EventStreams {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val physical = spark.read.parquet(dir).schema
+    // An empty source directory has nothing to probe ("unable to infer
+    // schema"); fall back to the nanos-long contract so a stream can
+    // start before the first file arrives (files then conform or the
+    // first micro-batch fails loudly).
+    val physical =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsContractSchema }
     graft.Tables.normalizeEventsTs(
       spark.readStream
         .schema(physical)

@@ -239,7 +239,7 @@ class PipelineSpec extends AnyFunSuite {
   private def naiveTokens(text: String): Seq[String] =
     text.toLowerCase.split("[ \t\n\r\f]+").toSeq.filter(_.nonEmpty)
 
-  private def det4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+  private def det4d(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
 
   test("gopher rules equal a naive per-document recompute") {
     import graft.operators.TextAnalysisOps._
@@ -254,8 +254,8 @@ class PipelineSpec extends AnyFunSuite {
       if (ws.nonEmpty) {
         val r = got(id)
         val n = ws.size.toLong
-        val meanLen = det4(ws.map(_.length).sum.toDouble / n)
-        val alpha = det4(ws.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / n)
+        val meanLen = det4d(ws.map(_.length).sum.toDouble / n)
+        val alpha = det4d(ws.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / n)
         val stopHits = ws.distinct.count(EnStopwords.contains).toLong
         assert(r.getLong(1) === n)
         assert(r.getDouble(2) === meanLen)
@@ -275,7 +275,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("dsir weights equal a naive hashed-ngram importance recompute") {
-    import PipelineOps.{DsirBuckets, DsirSmooth}
+    import PipelineOps.{DsirBuckets, DsirSmooth, ProbeMaxId}
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val raw = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -287,7 +287,7 @@ class PipelineSpec extends AnyFunSuite {
     val tgtCnt = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
     val rawCnt = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
     raw.foreach { case (id, text) =>
-      val m = if (id < 20) tgtCnt else rawCnt
+      val m = if (id < ProbeMaxId) tgtCnt else rawCnt
       naiveTokens(text).foreach(w => m(bucket(w)) += 1)
     }
     val (tt, tr) = (tgtCnt.values.sum.toDouble, rawCnt.values.sum.toDouble)
@@ -297,9 +297,9 @@ class PipelineSpec extends AnyFunSuite {
         ((rawCnt(b) + DsirSmooth) / (tr + smB)))
     val got = PipelineOps.dsirWeights(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    val expected = raw.collect { case (id, text) if id >= 20 =>
+    val expected = raw.collect { case (id, text) if id >= ProbeMaxId =>
       val tf = naiveTokens(text).groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
-      val w = det4(tf.toSeq.sortBy(_._1).map { case (b, f) => f.toDouble * lr(b) }.sum)
+      val w = det4d(tf.toSeq.sortBy(_._1).map { case (b, f) => f.toDouble * lr(b) }.sum)
       id -> (naiveTokens(text).size.toLong, w)
     }
     assert(got.keySet === expected.keySet)

@@ -18,6 +18,21 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query outputs a raw decimal column") {
+    // Spark widens sum(DECIMAL(p,s)) to DECIMAL(p+10,s) while DuckDB
+    // widens to DECIMAL(38,s): values match but a type-sensitive hash
+    // diverges (the round-10 q18_large_orders red). Decimal math is
+    // fine INSIDE a query (decimal-exact filters/joins); the OUTPUT
+    // projection must land on double/long/string on both engines.
+    import org.apache.spark.sql.types.DecimalType
+    Queries.registry.foreach { case (name, qd) =>
+      val decimals = qd.run(spark, TestSpark.Sf0001).schema.fields
+        .collect { case f if f.dataType.isInstanceOf[DecimalType] => f.name }
+      assert(decimals.isEmpty,
+        s"$name emits raw decimal column(s) ${decimals.mkString(",")}; cast the output")
+    }
+  }
+
   test("every registered query is oracle-gated (no rows-only entries)") {
     val names = Queries.registry.map(_._1).toSet
     assert(Queries.oracleSql.keySet.subsetOf(names))
