@@ -400,7 +400,7 @@ class SqlParitySpec extends AnyFunSuite {
         |  HAVING sum(cast(l_quantity AS decimal(12,2))) > 210)
         |SELECT c_name, c_custkey, o_orderkey,
         |  date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
-        |  o_totalprice, total_qty
+        |  o_totalprice, cast(total_qty AS double) AS total_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
