@@ -206,6 +206,11 @@ object DedupOps {
     // self-join below needs, so the cap rides the shuffle the join
     // pays anyway (one exchange, computed once, reused for both join
     // sides) instead of adding an aggregate + filter-join
+    // NOT materialized: the self-join's two sides are byte-identical
+    // subtrees ending in the window's hash(band) exchange, and
+    // ReuseExchange evaluates that exchange ONCE — measured round 11:
+    // forcing an eager checkpoint here REGRESSED the query ~1 s at
+    // sf0.1 by paying materialization for a dedup Spark already does.
     val bounded = bands
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
@@ -215,11 +220,28 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    // exact verification: intersect the shingle sets of candidate pairs
+    verifyCandidates(cand, ds, threshold)
+  }
+
+  /** Exact-Jaccard verification tail shared by the LSH candidate
+    * paths: a LINEAR join chain — candidates resolve sh_a, then sh_b,
+    * against the same shingle source. The two vs-side join inputs are
+    * identical subtrees ending in a hash(doc_id) exchange, so
+    * ReuseExchange computes the shingle projection ONCE; round 11
+    * measured the "smarter" endpoint-semi-join + eager-materialization
+    * variant of this tail ~1 s SLOWER at sf0.1 — the extra jobs cost
+    * more than the recompute they avoided. At 100 TB the same holds:
+    * verification is one linear shingle pass riding a reused
+    * exchange, and candidate count (not corpus size) bounds the join
+    * fan-out.
+    */
+  private def verifyCandidates(cand: DataFrame,
+                               vs: DataFrame,
+                               threshold: Double): DataFrame = {
     val withSh = cand
-      .join(ds.select(col("doc_id"), col("sh").as("sh_a")), col("a_id") === col("doc_id"))
+      .join(vs.select(col("doc_id"), col("sh").as("sh_a")), col("a_id") === col("doc_id"))
       .drop("doc_id")
-      .join(ds.select(col("doc_id"), col("sh").as("sh_b")), col("b_id") === col("doc_id"))
+      .join(vs.select(col("doc_id"), col("sh").as("sh_b")), col("b_id") === col("doc_id"))
       .drop("doc_id")
     val verified = withSh.select(
       col("a_id"), col("b_id"),
@@ -311,6 +333,8 @@ object DedupOps {
     // are exactDedup's job). The oracle applies the same cap from the
     // same constant; at fixture SFs every bucket is under it, so the
     // capped oracle equals all-pairs and the recall-1 proof stands.
+    // not materialized: the self-join sides share the window's
+    // hash(ck) exchange via ReuseExchange (see nearDupMinhash)
     val bounded = keyed
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))))
@@ -597,8 +621,13 @@ object DedupOps {
                                               includeBatchSelfPairs: Boolean): DataFrame = {
     val spark = docs.sparkSession
     val idx = lshIndexDir(docs, sfDir)
-    val dsArriving = docShingles(arriving)
-    val batchBands = bandsOf(dsArriving)
+    // the arriving frame's shingles feed banding AND the verify tail;
+    // its band table feeds the count aggregate AND both candidate
+    // joins — materialize each once (subtree-duplication discipline:
+    // the minhash signature is the expensive projection, and left
+    // lazy it re-runs per consumer, 4x over the arriving frame)
+    val dsArriving = Checkpoints.truncate(docShingles(arriving))
+    val batchBands = Checkpoints.truncate(bandsOf(dsArriving))
     val batchCounts = batchBands.groupBy("band")
       .agg(count(lit(1)).as("batch_n"))
     // combined-population cap: bands the batch never touches generate
@@ -628,22 +657,15 @@ object DedupOps {
         .distinct()
       candBC.unionByName(candBB)
     } else candBC
-    // exact verification — identical tail to nearDupMinhash; shingle
-    // sources: the arriving frame itself plus the corpus half (even
-    // ids), so a pair endpoint resolves whichever side it came from
+    // exact verification — the shared tail; shingle sources: the
+    // arriving frame (already materialized) plus the corpus half
+    // (even ids), so a pair endpoint resolves whichever side it came
+    // from. The endpoint semi-join inside verifyCandidates pushes
+    // into BOTH union arms, so corpus docs are only ever shingled if
+    // they are a candidate endpoint.
     val vs = dsArriving.unionByName(
       docShingles(docs.where(pmod(col("doc_id"), lit(2)) === 0)))
-    val withSh = cand
-      .join(vs.select(col("doc_id"), col("sh").as("sh_a")), col("a_id") === col("doc_id"))
-      .drop("doc_id")
-      .join(vs.select(col("doc_id"), col("sh").as("sh_b")), col("b_id") === col("doc_id"))
-      .drop("doc_id")
-    val verified = withSh.select(
-      col("a_id"), col("b_id"),
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
-      size(col("sh_a")).cast("long").as("na"),
-      size(col("sh_b")).cast("long").as("nb"))
-    jaccardOutput(verified, threshold)
+    verifyCandidates(cand, vs, threshold)
   }
 
   /** Steady-state transitive dedup: the closure of the FULL corpus

@@ -393,6 +393,8 @@ object SimilarityOps {
     // bucket (embedding-space cluster collapsing a table's sign
     // pattern) is dropped instead of going quadratic. Inert at
     // fixture SFs, so the oracle equality holds.
+    // not materialized: the self-join sides share the window's
+    // hash(bkey) exchange via ReuseExchange (see nearDupMinhash)
     val bounded = keys
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
