@@ -435,6 +435,22 @@ object Queries {
              |  floor(n_total::DOUBLE / (k_sources * n_docs) * 1000000.0 + 0.5) / 1000000.0 AS mix_weight
              |FROM per_src CROSS JOIN t ORDER BY source""".stripMargin)),
 
+    // deterministic curriculum interleave: stride schedule at rates
+    // proportional to sqrt(n_src) (alpha=0.5 temperature); vtime is
+    // sqrt + exact x2 + one IEEE int-ratio divide, bit-identical on
+    // both engines, so the schedule ORDER can never diverge
+    "mixture_schedule" -> QueryDef(
+      (s, d) => PipelineOps.mixtureSchedule(Tables.documents(s, d)),
+      Some("""WITH c AS (SELECT source, count(*) AS n_src
+             |  FROM documents GROUP BY source),
+             |r AS (SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+             |  FROM documents)
+             |SELECT doc_id, r.source, src_rank,
+             |  (2 * src_rank - 1)::DOUBLE / (2.0 * sqrt(n_src::DOUBLE)) AS vtime
+             |FROM r JOIN c ON r.source = c.source
+             |ORDER BY vtime, r.source, doc_id""".stripMargin)),
+
     // per-source (per-domain) quality cap: top-N docs per source by
     // stopword ratio — rank<=N rewrites to WindowGroupLimit so each
     // map task pre-prunes before the source shuffle (plan-pinned)

@@ -569,6 +569,60 @@ object PipelineOps {
       .orderBy("shuffle_rank")
   }
 
+  /** Deterministic curriculum interleave — a STRIDE SCHEDULE over
+    * sources (the weighted-round-robin construction from stride
+    * scheduling / WFQ): the r-th document of source `s` is assigned
+    * virtual time `(2r − 1) / (2·√n_s)`, so sorting by `vtime`
+    * interleaves sources at rates proportional to √n_s — the α = 0.5
+    * temperature flattening ([[temperatureSample]]'s convention) that
+    * keeps big sources from monopolizing any training window while
+    * still showing them more often. The whole schedule is
+    * deterministic: no seed, rerun-identical, resumable from any
+    * vtime offset.
+    *
+    * Scale shape: per-source ranks come from the [[datasetShuffle]]
+    * machinery — range-partition by (source, doc_id), within-partition
+    * sort, `zipWithIndex`, then per-source offsets subtracted via a
+    * |sources|-row broadcast agg-join. NO `row_number() OVER
+    * (PARTITION BY source)` anywhere: that window would sort each
+    * source in a single task, and a 30 TB source would be one task.
+    * The indexed table is materialized once ([[Checkpoints.truncate]])
+    * because the offset aggregate and the final join both read it —
+    * and an RDD zipWithIndex re-run per consumer would double the
+    * count job it embeds. At 100 TB the output contract is the SORT
+    * ORDER (vtime, source, doc_id) — a range-partitioned sort — not a
+    * dense global position, which would re-introduce the single-point
+    * rank this construction exists to avoid.
+    *
+    * Cross-engine FP: vtime is `sqrt` (correctly rounded), an exact
+    * ×2, and ONE IEEE division of exact integers — bit-identical on
+    * both engines by the [[qualityLogreg]] discipline, so no det4
+    * rounding is needed and schedule ORDER (the thing that matters)
+    * can never diverge.
+    */
+  def mixtureSchedule(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val indexed = graft.operators.Checkpoints.truncate(
+      docs.select(col("source"), col("doc_id"))
+        .repartitionByRange(col("source"), col("doc_id"))
+        .sortWithinPartitions("source", "doc_id")
+        .as[(String, Long)]
+        .rdd.zipWithIndex()
+        .map { case ((src, id), gidx) => (src, id, gidx) }
+        .toDF("source", "doc_id", "gidx"))
+    // sources are contiguous in the global sort, so per-source rank =
+    // gidx − min(gidx over source); the offset table is |sources| rows
+    val offsets = indexed.groupBy("source")
+      .agg(min("gidx").as("g0"), count(lit(1)).as("n_src"))
+    indexed.join(broadcast(offsets), "source")
+      .select(col("doc_id"), col("source"),
+        (col("gidx") - col("g0") + 1L).as("src_rank"),
+        (((col("gidx") - col("g0")) * 2L + 1L).cast("double") /
+          (sqrt(col("n_src").cast("double")) * 2.0)).as("vtime"))
+      .orderBy("vtime", "source", "doc_id")
+  }
+
   /** Mixture reweighting (the DoReMi-flavored shape): per source,
     * the corpus share it actually holds vs a UNIFORM target mix, and
     * the sampling weight that moves the mixture there

@@ -274,6 +274,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(passes === Set(0L, 1L))
   }
 
+  test("mixture schedule is a sqrt-rate stride interleave") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val out = PipelineOps.mixtureSchedule(docs).collect()
+    assert(out.length === docs.count())
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size > 1, "fixture needs multiple sources")
+    // per source: ranks are exactly 1..n_src, vtime follows the
+    // closed form and therefore strictly increases with rank
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq === (1L to counts(src)))
+      sorted.foreach { r =>
+        val expect = (2.0 * r.getLong(2) - 1) / (2.0 * math.sqrt(counts(src).toDouble))
+        assert(r.getDouble(3) === expect, s"$src rank ${r.getLong(2)}")
+      }
+    }
+    // interleave rates: before ANY source exhausts (vtime < sqrt of
+    // the smallest count), source s has emitted floor(v*sqrt(n_s)+0.5)
+    // docs — occurrence rate proportional to sqrt(n_s), the whole
+    // point of the stride construction
+    val vCut = math.sqrt(counts.values.min.toDouble) * 0.9
+    val prefixCounts = out.filter(_.getDouble(3) < vCut)
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    counts.foreach { case (src, nSrc) =>
+      val expect = math.floor(vCut * math.sqrt(nSrc.toDouble) + 0.5).toLong
+      val got = prefixCounts.getOrElse(src, 0L)
+      assert(math.abs(got - expect) <= 1L,
+        s"$src: $got docs before vtime $vCut, stride predicts $expect")
+    }
+    // the schedule order is the (vtime, source, doc_id) sort
+    val keys = out.map(r => (r.getDouble(3), r.getString(1), r.getLong(0)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
   test("dsir weights equal a naive hashed-ngram importance recompute") {
     import PipelineOps.{DsirBuckets, DsirSmooth, ProbeMaxId}
     val docs = Tables.documents(spark, TestSpark.Sf0001)
