@@ -142,16 +142,26 @@ object PipelineOps {
       .select(col("doc_id"),
         explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
       .select(col("doc_id"), b.as("b"))
+    // collapse token rows to per-(doc, bucket) frequencies FIRST: the
+    // token-sized explode then feeds exactly ONE map-side-combinable
+    // aggregate, and every other consumer (target dist, raw dist,
+    // totals, per-doc tf) derives from this ≤ B-rows-per-doc table.
+    // Before round 11 the explode was referenced 4x with distinct
+    // shapes — the genuine multi-consumer duplication ReuseExchange
+    // cannot unify (measured: 1.9 → ~1.2 s at sf0.1) — and at 100 TB
+    // the materialized table is bounded by docs × B, not token count.
+    val tfAll = graft.operators.Checkpoints.truncate(
+      buckets.groupBy("doc_id", "b").agg(count(lit(1)).as("tf")))
     def dist(side: DataFrame, cname: String) =
-      side.groupBy("b").agg(count(lit(1)).as(cname))
-    val target = dist(buckets.where(col("doc_id") < probeMaxId), "ct")
-    val raw = dist(buckets.where(col("doc_id") >= probeMaxId), "cr")
+      side.groupBy("b").agg(sum(col("tf")).as(cname))
+    val target = dist(tfAll.where(col("doc_id") < probeMaxId), "ct")
+    val raw = dist(tfAll.where(col("doc_id") >= probeMaxId), "cr")
     // B-row model: every bucket present (smoothing handles empties),
     // totals ride a 1-row cross join — all model-sized
     val spine = docs.sparkSession.range(DsirBuckets).select(col("id").as("b"))
-    val totals = buckets
-      .agg(sum(when(col("doc_id") < probeMaxId, 1L).otherwise(0L)).as("tt"),
-        sum(when(col("doc_id") >= probeMaxId, 1L).otherwise(0L)).as("tr"))
+    val totals = tfAll
+      .agg(sum(when(col("doc_id") < probeMaxId, col("tf")).otherwise(0L)).as("tt"),
+        sum(when(col("doc_id") >= probeMaxId, col("tf")).otherwise(0L)).as("tr"))
     val model = spine
       .join(target, Seq("b"), "left").join(raw, Seq("b"), "left")
       .crossJoin(totals)
@@ -161,8 +171,7 @@ object PipelineOps {
           ((coalesce(col("cr"), lit(0L)).cast("double") + lit(DsirSmooth)) /
             (col("tr").cast("double") + lit(DsirSmooth * DsirBuckets))))
           .as("lr"))
-    val tf = buckets.where(col("doc_id") >= probeMaxId)
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val tf = tfAll.where(col("doc_id") >= probeMaxId)
     tf.join(broadcast(model), Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
