@@ -2298,6 +2298,41 @@ object Queries {
              |FROM f LEFT JOIN a ON f.doc_id = a.doc_id
              |ORDER BY f.doc_id""".stripMargin)),
 
+    // segment-level decode of the same real WAV containers: per
+    // 25-frame window, peak/mean |amplitude| from the parsed PCM.
+    // Last window may be short; zero-pad samples (stereo frame
+    // alignment) contribute 0 to sum and peak, and the mean divides
+    // by frames*channels INCLUDING pads — mirrored exactly below
+    "multimodal_wav_segments" -> QueryDef(
+      (s, d) => MultimodalOps.wavSegments(Tables.documents(s, d)),
+      Some {
+        val F = MultimodalOps.WavSegFrames
+        s"""WITH p AS (SELECT doc_id, text,
+           |    1 + doc_id % 2 AS ch,
+           |    octet_length(CAST(text AS BLOB)) AS len
+           |  FROM documents),
+           |f AS (SELECT doc_id, text, ch, len, (len + ch - 1) // ch AS n_frames
+           |  FROM p),
+           |s AS (SELECT doc_id, text, ch, n_frames,
+           |    unnest(generate_series(0, (n_frames + $F - 1) // $F - 1)) AS seg_idx
+           |  FROM f WHERE n_frames > 0),
+           |seg AS (SELECT doc_id, seg_idx, ch,
+           |    least($F, n_frames - seg_idx * $F) AS seg_frames,
+           |    substring(text, seg_idx * $F * ch + 1,
+           |              least($F, n_frames - seg_idx * $F) * ch) AS chunk
+           |  FROM s),
+           |a AS (SELECT doc_id, seg_idx, ch, seg_frames,
+           |    list_transform(string_split(chunk, ''),
+           |      c -> abs((ascii(c) - 128) * 256)) AS amps
+           |  FROM seg)
+           |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+           |  CAST(seg_frames AS BIGINT) AS n_frames,
+           |  CAST(coalesce(list_max(amps), 0) AS BIGINT) AS peak_amp,
+           |  CAST(coalesce(list_sum(amps), 0) // (seg_frames * ch) AS BIGINT)
+           |    AS mean_abs_amp
+           |FROM a ORDER BY doc_id, seg_idx""".stripMargin
+      }),
+
     "multimodal_features" -> QueryDef(
       (s, d) => MultimodalOps.mediaFeatures(Tables.documents(s, d)),
       Some("""SELECT doc_id,

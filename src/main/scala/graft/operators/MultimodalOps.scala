@@ -109,6 +109,42 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Frames per analysis window for [[wavSegments]] — shared with the
+    * generated oracle so the two sides cannot disagree.
+    */
+  val WavSegFrames = 25
+
+  /** Typed per-segment features from [[WavCodec.decodeSegments]]. */
+  case class WavSegmentRow(
+      doc_id: Long, seg_idx: Long, n_frames: Long,
+      peak_amp: Long, mean_abs_amp: Long)
+
+  /** Segment-level audio analysis — the energy-windowing / VAD shape:
+    * one blob row fans out to one row per [[WavSegFrames]]-frame
+    * window, each with peak and mean |amplitude| decoded from the
+    * actual PCM bytes of a real container ([[WavCodec]] round trip,
+    * like [[wavFeatures]]). Map-only fan-out, no shuffle until the
+    * result sort; the oracle recomputes every segment's energy from
+    * the source text and the doc_id-derived encoding parameters.
+    */
+  def wavSegments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val sampleRate = (8000L + (r.doc_id % 3) * 4000L).toInt
+        val channels = (1L + (r.doc_id % 2)).toInt
+        WavCodec.decodeSegments(
+            WavCodec.encode(r.blob, sampleRate, channels), WavSegFrames)
+          .map(s => WavSegmentRow(r.doc_id, s.segIdx, s.nFrames,
+            s.peakAmp, s.meanAbsAmp))
+      })
+      .toDF()
+      .orderBy("doc_id", "seg_idx")
+  }
+
   /** Result of the resize stage. */
   case class Resized(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
                      resized_checksum: Long)

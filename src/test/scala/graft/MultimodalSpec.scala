@@ -62,6 +62,30 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavCodec.decode(wav.take(30)))
   }
 
+  test("WavCodec segment decode is consistent with the whole-file decode") {
+    import graft.operators.WavCodec
+    val payload = ("the quick brown fox " * 20).getBytes("US-ASCII") // 400 bytes
+    for (ch <- Seq(1, 2)) {
+      val wav = WavCodec.encode(payload, 8000, ch)
+      val whole = WavCodec.decode(wav)
+      val segs = WavCodec.decodeSegments(wav, 25)
+      assert(segs.map(_.nFrames).sum === whole.nFrames)
+      assert(segs.map(_.peakAmp).max === whole.peakAmp)
+      assert(segs.map(_.segIdx) === segs.indices.map(_.toLong))
+      // all but the last window are exactly 25 frames
+      assert(segs.init.forall(_.nFrames === 25L))
+      assert(segs.last.nFrames === whole.nFrames - 25L * (segs.length - 1))
+      // per-segment means reassemble to the whole-file sum
+      val sumFromSegs = segs.map(s => {
+        // mean rounds down, so reconstruct bounds instead of equality
+        s.meanAbsAmp * s.nFrames * ch
+      }).sum
+      val wholeSum = whole.meanAbsAmp * whole.nFrames * ch
+      assert(math.abs(sumFromSegs - wholeSum) <= (segs.length + 1L) * 25L * ch)
+    }
+    assert(WavCodec.decodeSegments(WavCodec.encode(Array.emptyByteArray, 8000, 1), 25).isEmpty)
+  }
+
   test("wavFeatures derives features from parsed container structure") {
     val out = MultimodalOps.wavFeatures(Tables.documents(spark, TestSpark.Sf0001))
     assert(out.columns.toSeq === Seq("doc_id", "sample_rate", "n_channels",

@@ -137,6 +137,33 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed batch must overwrite its own directory, not append")
   }
 
+  test("event stream starts on an EMPTY directory and picks up late-arriving files") {
+    // the schema probe has nothing to read in an empty source dir; the
+    // stream must fall back to the nanos-long contract schema instead
+    // of dying with 'unable to infer schema' (ADVICE round 10), then
+    // process files that arrive after start
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-stream")
+    val stream = EventStreams.readEventsStream(spark, dir.toString)
+    assert(stream.schema.fieldNames.toSeq ===
+      EventStreams.eventsContractSchema.fieldNames.toSeq)
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("empty_start_stream")
+      .start()
+    try {
+      q.processAllAvailable() // zero batches: must not throw
+      assert(spark.table("empty_start_stream").count() === 0)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+        dir.resolve("events.parquet"))
+      q.processAllAvailable()
+      assert(spark.table("empty_start_stream").count() > 0,
+        "files arriving after an empty start must be processed")
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch hourly totals") {
     val stream = EventStreams.readEventsStream(spark, eventsDir)
     // complete mode: append would (correctly) hold back the windows
