@@ -2333,6 +2333,19 @@ object Queries {
            |FROM a ORDER BY doc_id, seg_idx""".stripMargin
       }),
 
+    // decode quarantine: deterministically corrupted containers (odd
+    // doc_ids, flipped RIFF magic) become quarantined rows, never job
+    // failures; even doc_ids decode to their frame count (mono: one
+    // frame per byte, since corruption hits exactly the stereo docs)
+    "multimodal_wav_quarantine" -> QueryDef(
+      (s, d) => MultimodalOps.wavQuarantine(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END AS BIGINT) AS decoded_ok,
+             |  CAST(CASE WHEN doc_id % 2 = 1 THEN -1
+             |    ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_frames,
+             |  CASE WHEN doc_id % 2 = 1 THEN 'rejected' ELSE '' END AS err_class
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "multimodal_features" -> QueryDef(
       (s, d) => MultimodalOps.mediaFeatures(Tables.documents(s, d)),
       Some("""SELECT doc_id,

@@ -145,6 +145,42 @@ object MultimodalOps {
       .orderBy("doc_id", "seg_idx")
   }
 
+  /** Per-blob decode verdict for the quarantine path. */
+  case class WavVerdict(
+      doc_id: Long, decoded_ok: Long, n_frames: Long, err_class: String)
+
+  /** The quarantine contract: a corrupt container must become a
+    * quarantined ROW, never a failed JOB — at 100 TB some blobs WILL
+    * be truncated or mis-labeled, and one of them must not kill a
+    * thousand-executor pipeline. Corruption is injected
+    * deterministically (odd doc_ids get their RIFF magic flipped, the
+    * fixture stand-in for wire rot) and the decode is wrapped: parse
+    * failures emit `(decoded_ok = 0, err_class = rejected)` with no
+    * features; successes carry the parsed frame count. Map-only; the
+    * ok/quarantine split downstream is a filter, not a second decode.
+    */
+  def wavQuarantine(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val wav = WavCodec.encode(r.blob,
+          (8000L + (r.doc_id % 3) * 4000L).toInt, (1L + (r.doc_id % 2)).toInt)
+        if (r.doc_id % 2 == 1) wav(0) = 'X'.toByte // injected corruption
+        try {
+          val info = WavCodec.decode(wav)
+          WavVerdict(r.doc_id, 1L, info.nFrames, "")
+        } catch {
+          case _: IllegalArgumentException =>
+            WavVerdict(r.doc_id, 0L, -1L, "rejected")
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Result of the resize stage. */
   case class Resized(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
                      resized_checksum: Long)

@@ -101,6 +101,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decode quarantine splits corrupt containers from decodable ones") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val verdicts = MultimodalOps.wavQuarantine(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val frames = MultimodalOps.wavFeatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(verdicts.nonEmpty)
+    verdicts.foreach { case (id, (ok, nf, err)) =>
+      if (id % 2 == 1) assert(ok === 0L && nf === -1L && err === "rejected", s"doc $id")
+      else assert(ok === 1L && nf === frames(id) && err === "", s"doc $id")
+    }
+    // both classes occur — a constant verdict means the injection or
+    // the catch path went dead
+    assert(verdicts.values.map(_._1).toSet === Set(0L, 1L))
+  }
+
   test("pipeline runs over the fixture with stable schema") {
     val out = MultimodalOps.mediaFeatures(Tables.documents(spark, TestSpark.Sf0001))
     assert(out.columns.toSeq ===
