@@ -590,4 +590,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(selected === 7,
       s"the one-week range must prune to 7 partitions, saw $selected")
   }
+
+  test("mixture_schedule: no per-source window sort; ranks ride a materialized RDD") {
+    // the scale claim: NO row_number() OVER (PARTITION BY source) —
+    // that window sorts a whole source in one task. Ranks come from
+    // the range-partition + zipWithIndex table, materialized once and
+    // read by both the offset aggregate and the final join.
+    val plan = q("mixture_schedule").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "a window crept into the schedule plan")
+    assert(plan.contains("BroadcastExchange"),
+      "the |sources|-row offset table must broadcast")
+    val rddScans = plan.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(rddScans === 2,
+      s"both consumers must read the one materialized rank table, saw $rddScans")
+  }
+
+  test("incremental_near_dedup: probe subtrees are materialized, not re-derived") {
+    // round-11 measurement: the arriving frame's shingle + band tables
+    // feed four distinct consumers; left lazy they re-run per consumer.
+    // The materialized form shows up as ExistingRDD scans in place of
+    // repeated parquet scans of documents.
+    val df = q("incremental_near_dedup")
+    val rddScans = df.queryExecution.sparkPlan.collect {
+      case s if s.getClass.getSimpleName == "RDDScanExec" => s
+    }.size
+    assert(rddScans >= 3,
+      s"expected the truncated shingle/band tables across consumers, saw $rddScans RDD scans")
+    // file scans remaining in the PRE-execution plan: index parquet
+    // (bands ×1, band_counts ×2 via the twice-referenced keptBands)
+    // and the corpus shingle arm of the verify union (×2 — identical
+    // subtrees that ReuseExchange unifies at runtime). The pin guards
+    // against the pre-round-11 shape, where the ARRIVING side also
+    // re-derived per consumer and the count grew past ten.
+    assert(leafScans(df) <= 7, s"corpus re-derivation crept back: ${leafScans(df)} file scans")
+  }
 }
