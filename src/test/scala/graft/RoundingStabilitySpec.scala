@@ -41,7 +41,14 @@ class RoundingStabilitySpec extends AnyFunSuite {
     "source_cap", "source_mix_weights", "q2_min_cost",
     "q11_important_stock", "token_entropy", "bpe_merge_pairs",
     // the distributed global rank must not depend on partitioning
-    "dataset_shuffle")
+    "dataset_shuffle",
+    // round-11: the stride schedule's vtime doubles and per-source
+    // ranks must not depend on partitioning (rank table comes from
+    // range-partition + zipWithIndex); dsir's model log-ratios ride
+    // a canonical bucket-sorted fold; the WAV family is integer-only
+    // but its mapPartitions fan-out must still be partition-invariant
+    "mixture_schedule", "dsir_weights", "gopher_rules",
+    "multimodal_wav_decode", "multimodal_wav_segments")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)
