@@ -73,7 +73,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(segs.map(_.peakAmp).max === whole.peakAmp)
       assert(segs.map(_.segIdx) === segs.indices.map(_.toLong))
       // all but the last window are exactly 25 frames
-      assert(segs.init.forall(_.nFrames === 25L))
+      assert(segs.dropRight(1).forall(_.nFrames === 25L))
       assert(segs.last.nFrames === whole.nFrames - 25L * (segs.length - 1))
       // per-segment means reassemble to the whole-file sum
       val sumFromSegs = segs.map(s => {

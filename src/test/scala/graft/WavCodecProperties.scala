@@ -50,7 +50,7 @@ object WavCodecProperties extends Properties("graft.wavcodec") {
       val whole = WavCodec.decode(wav)
       val segs = WavCodec.decodeSegments(wav, fps)
       val framesOk = segs.map(_.nFrames).sum == whole.nFrames &&
-        segs.init.forall(_.nFrames == fps)
+        segs.dropRight(1).forall(_.nFrames == fps)
       val peakOk = (if (segs.isEmpty) 0L else segs.map(_.peakAmp).max) == whole.peakAmp
       val idxOk = segs.map(_.segIdx) == segs.indices.map(_.toLong)
       (segs.isEmpty == (whole.nFrames == 0)) && idxOk && peakOk &&
