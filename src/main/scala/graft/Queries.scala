@@ -2228,38 +2228,80 @@ object Queries {
               |FROM nv, tot""".stripMargin)),
 
     // ----- multimodal --------------------------------------------------
-    // NOTE: the oracle mirrors the byte-level decodeStub with
-    // character functions (ascii / per-char codepoint sum), which is
-    // equivalent only for ASCII text — verified true for all fixtures;
-    // a non-ASCII corpus would need a byte-level oracle
-    // resize stage: keep every 4th byte; positions 1,5,9,... in SQL
+    // NOTE: the oracles mirror the pixel math with character functions
+    // (ascii / per-char codepoint sum), which is equivalent only for
+    // ASCII text — verified true for all fixtures; a non-ASCII corpus
+    // would need a byte-level oracle.
+    //
+    // The image stages ride a GENUINE container round trip: text bytes
+    // become grayscale pixels of a real BMP (file+info headers, 8-bit
+    // palette or 24-bit BGR per doc_id, rows stored BOTTOM-UP and
+    // padded to 4-byte stride — widths 17/23/29/35 keep the pad rule
+    // always live) and every feature is parsed back out of those bytes
+    // by BmpCodec. The oracle predicts the features from the source
+    // text and the doc_id-derived geometry, so a decoder that misreads
+    // stride, vertical flip, or palette reds the row. Grayscale
+    // payload pixels make luma == source byte at both depths.
+
+    // resize: decode the pixel grid, then nearest-neighbor keep of
+    // every 2nd row and column (top-down reading order)
     "multimodal_resize" -> QueryDef(
       (s, d) => MultimodalOps.resize(Tables.documents(s, d)),
-      Some("""SELECT doc_id,
-             |  octet_length(CAST(text AS BLOB)) AS orig_bytes,
-             |  CAST((octet_length(CAST(text AS BLOB)) + 3) // 4 AS BIGINT) AS resized_bytes,
-             |  CAST(coalesce(list_sum(list_transform(
-             |    generate_series(1, (length(text) + 3) // 4),
-             |    i -> ascii(substring(text, (i - 1) * 4 + 1, 1)))), 0) % 65521 AS BIGINT) AS resized_checksum
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some("""WITH p AS (SELECT doc_id, text, 17 + (doc_id % 4) * 6 AS w,
+             |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
+             |d AS (SELECT doc_id, text, w, len, (len + w - 1) // w AS h FROM p),
+             |r AS (SELECT doc_id, w, len, text, unnest(generate_series(0, h - 1, 2)) AS rw
+             |      FROM d WHERE h > 0),
+             |c AS (SELECT doc_id, len, text, rw, w, unnest(generate_series(0, w - 1, 2)) AS cl
+             |      FROM r),
+             |v AS (SELECT doc_id, CASE WHEN rw * w + cl < len
+             |        THEN ascii(substring(text, rw * w + cl + 1, 1)) ELSE 0 END AS px
+             |      FROM c),
+             |s AS (SELECT doc_id, count(*) AS kept, sum(px) AS sm FROM v GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST((w + 1) // 2 AS BIGINT) AS new_w,
+             |  CAST((h + 1) // 2 AS BIGINT) AS new_h,
+             |  CAST(coalesce(kept, 0) AS BIGINT) AS kept_px,
+             |  CAST(coalesce(sm, 0) % 65521 AS BIGINT) AS resized_checksum
+             |FROM d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
 
-    // frame-sampling stage: 256-byte frames, every 4th kept; per-frame
-    // sums stay < 65521 so the oracle's plain sum equals the running
-    // mod; char==byte holds on the ASCII fixture (as in
-    // multimodal_features)
+    // band sampling: decode the pixel grid, split into 8-row top-down
+    // bands, keep every 2nd band; band sums include zero pad pixels
     "multimodal_frame_sample" -> QueryDef(
       (s, d) => MultimodalOps.frameSample(Tables.documents(s, d)),
-      Some("""WITH f AS (
-             |  SELECT doc_id, text,
-             |    unnest(generate_series(0, (octet_length(CAST(text AS BLOB)) + 255) // 256 - 1)) AS frame_idx
-             |  FROM documents),
-             |s AS (SELECT doc_id, frame_idx,
-             |        substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256) AS frame
-             |      FROM f WHERE frame_idx % 4 = 0)
-             |SELECT doc_id, frame_idx,
-             |  CAST(length(frame) AS BIGINT) AS frame_len,
-             |  CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) % 65521 AS BIGINT) AS frame_checksum
-             |FROM s ORDER BY doc_id, frame_idx""".stripMargin)),
+      Some {
+        val B = MultimodalOps.BandRows
+        val E = MultimodalOps.BandEvery
+        s"""WITH p AS (SELECT doc_id, text, 17 + (doc_id % 4) * 6 AS w,
+           |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
+           |d AS (SELECT doc_id, text, w, len, (len + w - 1) // w AS h FROM p),
+           |b AS (SELECT doc_id, w, h, text,
+           |    unnest(generate_series(0, (h + $B - 1) // $B - 1)) AS band
+           |  FROM d WHERE h > 0),
+           |k AS (SELECT doc_id, band, least($B, h - band * $B) AS n_rows,
+           |    substring(text, band * $B * w + 1, least($B, h - band * $B) * w) AS chunk
+           |  FROM b WHERE band % $E = 0)
+           |SELECT doc_id, CAST(band AS BIGINT) AS band_idx,
+           |  CAST(n_rows AS BIGINT) AS n_rows,
+           |  CAST(coalesce(list_sum(list_transform(string_split(chunk, ''),
+           |    c -> ascii(c))), 0) % 65521 AS BIGINT) AS band_sum
+           |FROM k ORDER BY doc_id, band_idx""".stripMargin
+      }),
+
+    // image quarantine: deterministically corrupted containers
+    // (doc_id % 3 = 2, flipped 'BM' magic) become quarantined rows,
+    // never job failures; the rest decode to their pixel count
+    "multimodal_bmp_quarantine" -> QueryDef(
+      (s, d) => MultimodalOps.bmpQuarantine(Tables.documents(s, d)),
+      Some("""WITH p AS (SELECT doc_id, text, 17 + (doc_id % 4) * 6 AS w,
+             |    octet_length(CAST(text AS BLOB)) AS len FROM documents)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS BIGINT) AS decoded_ok,
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+             |    ELSE w * ((len + w - 1) // w) END AS BIGINT) AS n_pixels,
+             |  CASE WHEN doc_id % 3 = 2 THEN 'rejected' ELSE '' END AS err_class
+             |FROM p ORDER BY doc_id""".stripMargin)),
 
     // the GENUINE binary decode: text bytes → real RIFF/WAVE container
     // (fmt + odd-sized LIST + PCM16 data chunks) → features parsed
@@ -2346,14 +2388,31 @@ object Queries {
              |  CASE WHEN doc_id % 2 = 1 THEN 'rejected' ELSE '' END AS err_class
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // full-feature image decode: geometry + luma stats parsed out of
+    // the real container; top_row_sum pins the bottom-up→top-down flip
+    // (the top image row is the LAST stored row)
     "multimodal_features" -> QueryDef(
-      (s, d) => MultimodalOps.mediaFeatures(Tables.documents(s, d)),
-      Some("""SELECT doc_id,
-             |  octet_length(CAST(text AS BLOB)) AS n_bytes,
-             |  CAST(CASE WHEN length(text) > 0 THEN ascii(text) ELSE -1 END AS BIGINT) AS first_byte,
-             |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 65521 AS BIGINT) AS checksum,
-             |  CAST((octet_length(CAST(text AS BLOB)) + 255) // 256 AS BIGINT) AS n_frames
-             |FROM documents ORDER BY doc_id""".stripMargin))
+      (s, d) => MultimodalOps.imageFeatures(Tables.documents(s, d)),
+      Some("""WITH p AS (SELECT doc_id, text, 17 + (doc_id % 4) * 6 AS w,
+             |    CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS bits,
+             |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
+             |d AS (SELECT doc_id, text, w, bits, len, (len + w - 1) // w AS h FROM p),
+             |a AS (SELECT doc_id,
+             |    coalesce(list_max(list_transform(string_split(text, ''), c -> ascii(c))), 0) AS peak,
+             |    coalesce(list_sum(list_transform(string_split(text, ''), c -> ascii(c))), 0) AS sm,
+             |    coalesce(list_sum(list_transform(string_split(substring(text, 1, w), ''),
+             |      c -> ascii(c))), 0) AS toprow
+             |  FROM d WHERE len > 0)
+             |SELECT d.doc_id,
+             |  CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(bits AS BIGINT) AS bits_per_pixel,
+             |  CAST(w * h AS BIGINT) AS n_pixels,
+             |  CAST(coalesce(peak, 0) AS BIGINT) AS peak_px,
+             |  CAST(CASE WHEN h > 0 THEN coalesce(sm, 0) // (w * h) ELSE 0 END AS BIGINT) AS mean_px,
+             |  CAST(coalesce(toprow, 0) AS BIGINT) AS top_row_sum
+             |FROM d LEFT JOIN a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** DuckDB recomputation of [[graft.operators.PipelineOps.cleanCorpus]]:

@@ -6,63 +6,105 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, processed per-partition in batches.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic FAKE decoder — but everything around
-  * it is the real pipeline shape: binary column in, typed
-  * `Dataset[MediaFeatures]` out, per-partition batched processing via
-  * `mapPartitions` (the Scala analog of `mapInPandas` batches), and a
-  * schema the downstream relational operators can join on.
+  * Both modalities now decode REAL containers: images are round-
+  * tripped through [[BmpCodec]] (headered BMP, stride-padded
+  * bottom-up rows, palette indirection) and audio through
+  * [[WavCodec]] (chunked RIFF/WAVE, LE PCM). Everything around the
+  * codecs is the production pipeline shape: binary column in, typed
+  * `Dataset` out, per-partition batched processing via
+  * `mapPartitions` (the Scala analog of `mapInPandas` batches), and
+  * schemas the downstream relational operators can join on.
   *
-  * At 100 TB: the binary payloads dominate IO, so the scan projects
-  * only (doc_id, blob); feature extraction is map-only (no shuffle);
-  * a real decoder would slot into [[decodeStub]] unchanged.
+  * At 100 TB: the binary payloads dominate IO, so every stage
+  * projects only (doc_id, blob); feature extraction is map-only (no
+  * shuffle until the caller aggregates); corrupt blobs become
+  * quarantined ROWS, never failed jobs.
   */
 object MultimodalOps {
 
-  /** Typed record entering the decode stage. */
+  /** Typed record entering a decode stage. */
   case class MediaRecord(doc_id: Long, blob: Array[Byte])
 
-  /** Typed features leaving the decode stage. */
-  case class MediaFeatures(
-      doc_id: Long,
-      n_bytes: Long,
-      first_byte: Long,
-      checksum: Long,
-      n_frames: Long)
-
-  /** STUB "decoder": a real implementation would decode image/audio
-    * bytes here (libs unavailable in this container). The fake is
-    * deterministic pure-byte math so the DuckDB oracle can reproduce
-    * it: Adler-style checksum mod 65521, 256-byte "frames".
+  /** Per-doc image-encoding parameters, derived from doc_id so the
+    * oracle can predict them while the engine must recover them from
+    * the container bytes: widths 17/23/29/35 (row bytes never a
+    * multiple of 4 at either depth, so the stride pad rule is always
+    * live) and alternating 8-bit-paletted / 24-bit-BGR depth.
     */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.blob.length.toLong
-    var checksum = 0L
-    var i = 0
-    while (i < r.blob.length) {
-      checksum = (checksum + (r.blob(i) & 0xff)) % 65521L
-      i += 1
-    }
-    MediaFeatures(
-      doc_id = r.doc_id,
-      n_bytes = n,
-      first_byte = if (n > 0) (r.blob(0) & 0xff).toLong else -1L,
-      checksum = checksum,
-      n_frames = (n + 255L) / 256L)
+  def imgParams(docId: Long): (Int, Int) = {
+    val width = 17 + (math.floorMod(docId, 4) * 6).toInt
+    val bits = if (math.floorMod(docId, 2) == 0L) 8 else 24
+    (width, bits)
   }
 
-  /** The pipeline: project (doc_id, binary blob) — here the UTF-8
-    * bytes of `text` standing in for media bytes — then batch-decode
-    * per partition into typed features.
+  /** Typed features from the REAL image decoder ([[BmpCodec.decode]]). */
+  case class ImageFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      bits_per_pixel: Long,
+      n_pixels: Long,
+      peak_px: Long,
+      mean_px: Long,
+      top_row_sum: Long)
+
+  /** The genuine image pipeline stage: each document's bytes become
+    * grayscale pixels of a REAL BMP container ([[BmpCodec.encode]] —
+    * file + info headers, 8-bit palette or 24-bit BGR, bottom-up
+    * stride-padded rows) and the features come from actually PARSING
+    * that container ([[BmpCodec.decode]] reads LE header fields,
+    * resolves the palette, and walks the pixel grid through the
+    * vertical flip). Width and depth vary per doc_id; a decoder that
+    * misreads stride, flip, or palette diverges from the oracle,
+    * which recomputes every feature from the source text
+    * independently. `top_row_sum` pins the flip: the TOP image row is
+    * the LAST stored row.
     */
-  def mediaFeatures(docs: DataFrame): DataFrame = {
+  def imageFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val records: Dataset[MediaRecord] = docs
+    docs
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .as[MediaRecord]
-    records
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map { r =>
+        val (w, bits) = imgParams(r.doc_id)
+        val info = BmpCodec.decode(BmpCodec.encode(r.blob, w, bits))
+        ImageFeatures(r.doc_id, info.width, info.height, info.bitsPerPixel,
+          info.nPixels, info.peakPx, info.meanPx, info.topRowSum)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Per-blob decode verdict for the image quarantine path. */
+  case class BmpVerdict(
+      doc_id: Long, decoded_ok: Long, n_pixels: Long, err_class: String)
+
+  /** Image-side quarantine contract (sibling of [[wavQuarantine]]):
+    * a corrupt container must become a quarantined ROW, never a
+    * failed JOB. Corruption is injected deterministically (doc_id % 3
+    * == 2 gets its 'BM' magic flipped) and the decode is wrapped:
+    * parse failures emit `(decoded_ok = 0, err_class = rejected)`;
+    * successes carry the parsed pixel count. Map-only.
+    */
+  def bmpQuarantine(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (w, bits) = imgParams(r.doc_id)
+        val bmp = BmpCodec.encode(r.blob, w, bits)
+        if (math.floorMod(r.doc_id, 3) == 2L) bmp(0) = 'X'.toByte // injected corruption
+        try {
+          val info = BmpCodec.decode(bmp)
+          BmpVerdict(r.doc_id, 1L, info.nPixels, "")
+        } catch {
+          case _: IllegalArgumentException =>
+            BmpVerdict(r.doc_id, 0L, -1L, "rejected")
+        }
+      })
       .toDF()
       .orderBy("doc_id")
   }
@@ -181,67 +223,88 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  /** Result of the resize stage. */
-  case class Resized(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
+  /** Result of the image resize stage. */
+  case class Resized(doc_id: Long, width: Long, height: Long,
+                     new_w: Long, new_h: Long, kept_px: Long,
                      resized_checksum: Long)
 
-  /** Resize stub — nearest-neighbor downsample by `factor`: keep
-    * every `factor`-th byte (a real image resize would interpolate
-    * decoded pixels here; the map-only shape and the typed in/out
-    * schema are the production contract). Emits original size,
-    * resized size, and the checksum of the resized bytes.
+  /** Image resize over DECODED pixels: the blob is packed into a real
+    * BMP ([[imgParams]] geometry), the container is parsed back to a
+    * top-down luma grid ([[BmpCodec.decodePixels]] — so stride, flip
+    * and palette must all be resolved first), and a nearest-neighbor
+    * downsample keeps every `factor`-th row and column. Emits the
+    * original and resized geometry plus a checksum of the kept lumas
+    * in reading order. Map-only; no shuffle until the result sort.
     */
-  def resize(docs: DataFrame, factor: Int = 4): DataFrame = {
+  def resize(docs: DataFrame, factor: Int = 2): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .as[MediaRecord]
       .mapPartitions(_.map { r =>
+        val (w, bits) = imgParams(r.doc_id)
+        val px = BmpCodec.decodePixels(BmpCodec.encode(r.blob, w, bits))
         var cs = 0L
-        var n = 0L
-        var i = 0
-        while (i < r.blob.length) {
-          cs = (cs + (r.blob(i) & 0xff)) % 65521L
-          n += 1
-          i += factor
+        var kept = 0L
+        var row = 0
+        while (row < px.height) {
+          var c = 0
+          while (c < px.width) {
+            cs = (cs + px.lumas(row * px.width + c)) % 65521L
+            kept += 1
+            c += factor
+          }
+          row += factor
         }
-        Resized(r.doc_id, r.blob.length.toLong, n, cs)
+        Resized(r.doc_id, px.width.toLong, px.height.toLong,
+          ((px.width + factor - 1) / factor).toLong,
+          ((px.height + factor - 1) / factor).toLong, kept, cs)
       })
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** One sampled frame of a media blob. */
-  case class FrameSample(
-      doc_id: Long, frame_idx: Long, frame_len: Long, frame_checksum: Long)
-
-  /** Frame sampling — the video-ish stage of the pipeline: the blob
-    * splits into 256-byte "frames", every `every`-th frame is kept,
-    * and per-frame features come out typed. A real decoder would
-    * replace the byte-window arithmetic with actual frame extraction
-    * (and a resize would be one more map over the frame bytes); the
-    * fan-out shape (one blob row → sampled frame rows, map-only, no
-    * shuffle until the caller aggregates) is the production shape.
+  /** Rows per analysis band for [[frameSample]] and the sampling
+    * stride — shared with the generated oracle.
     */
-  def frameSample(docs: DataFrame, every: Int = 4): DataFrame = {
+  val BandRows = 8
+  val BandEvery = 2
+
+  /** One sampled row-band of a decoded image. */
+  case class BandSample(
+      doc_id: Long, band_idx: Long, n_rows: Long, band_sum: Long)
+
+  /** Band sampling — the frame-sampling stage of a visual pipeline,
+    * over REAL decoded pixels: the parsed image splits into
+    * [[BandRows]]-row horizontal bands (the last may be short), every
+    * [[BandEvery]]-th band is kept, and each kept band reports its
+    * row count and luma sum. Because bands are defined in TOP-DOWN
+    * image order while the container stores rows bottom-up, a decoder
+    * that skips the flip scrambles every band. One blob row fans out
+    * to its kept-band rows, map-only.
+    */
+  def frameSample(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .as[MediaRecord]
       .mapPartitions(_.flatMap { r =>
-        val nFrames = ((r.blob.length + 255) / 256)
-        (0 until nFrames).filter(_ % every == 0).map { f =>
-          val start = f * 256
-          val end = math.min(start + 256, r.blob.length)
-          var cs = 0L
-          var i = start
-          while (i < end) { cs = (cs + (r.blob(i) & 0xff)) % 65521L; i += 1 }
-          FrameSample(r.doc_id, f.toLong, (end - start).toLong, cs)
+        val (w, bits) = imgParams(r.doc_id)
+        val px = BmpCodec.decodePixels(BmpCodec.encode(r.blob, w, bits))
+        val nBands = (px.height + BandRows - 1) / BandRows
+        (0 until nBands).filter(_ % BandEvery == 0).map { b =>
+          val r0 = b * BandRows
+          val r1 = math.min(r0 + BandRows, px.height)
+          var sum = 0L
+          var i = r0 * px.width
+          val end = r1 * px.width
+          while (i < end) { sum = (sum + px.lumas(i)) % 65521L; i += 1 }
+          BandSample(r.doc_id, b.toLong, (r1 - r0).toLong, sum)
         }
       })
       .toDF()
-      .orderBy("doc_id", "frame_idx")
+      .orderBy("doc_id", "band_idx")
   }
 }

@@ -2,19 +2,80 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.MultimodalOps
-import graft.operators.MultimodalOps.{MediaFeatures, MediaRecord}
+import graft.operators.{BmpCodec, MultimodalOps}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("decodeStub byte math") {
-    val f = MultimodalOps.decodeStub(MediaRecord(7L, "abc".getBytes("UTF-8")))
-    assert(f === MediaFeatures(7L, 3L, 97L, (97 + 98 + 99) % 65521, 1L))
-    val empty = MultimodalOps.decodeStub(MediaRecord(1L, Array.emptyByteArray))
-    assert(empty.first_byte === -1L && empty.n_frames === 0L)
-    val big = MultimodalOps.decodeStub(MediaRecord(2L, Array.fill(513)('x'.toByte)))
-    assert(big.n_frames === 3L)
+  test("BmpCodec round-trips its own encoder output at both depths") {
+    val payload = "the quick brown fox jumps over the lazy dog".getBytes("US-ASCII") // 43 B
+    for (bits <- Seq(8, 24)) {
+      val info = BmpCodec.decode(BmpCodec.encode(payload, 17, bits))
+      assert(info.width === 17L && info.height === 3L, s"$bits-bit geometry")
+      assert(info.bitsPerPixel === bits.toLong)
+      assert(info.nPixels === 51L)
+      val lumas = payload.map(b => (b & 0xff).toLong)
+      assert(info.peakPx === lumas.max)
+      assert(info.meanPx === lumas.sum / 51L) // 8 zero pad pixels included
+      assert(info.topRowSum === lumas.take(17).sum) // top row == first 17 bytes
+    }
+    val empty = BmpCodec.decode(BmpCodec.encode(Array.emptyByteArray, 23, 8))
+    assert(empty.height === 0L && empty.nPixels === 0L && empty.meanPx === 0L)
+  }
+
+  test("BmpCodec.decodePixels returns the grid in top-down reading order") {
+    val payload = (0 until 50).map(i => (i * 5 % 251).toByte).toArray
+    for (bits <- Seq(8, 24)) {
+      val px = BmpCodec.decodePixels(BmpCodec.encode(payload, 17, bits))
+      assert(px.width === 17 && px.height === 3)
+      val expected = payload.map(_ & 0xff) ++ Array.fill(51 - 50)(0)
+      assert(px.lumas.toSeq === expected.toSeq, s"$bits-bit pixel order")
+    }
+  }
+
+  test("BmpCodec.decode is a general parser, not the encoder's inverse") {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    // hand-built TOP-DOWN (negative height) 32-bit BMP with a V4
+    // header — a layout this repo's encoder can never emit
+    val w = 3; val h = 2
+    val stride = w * 4 // 32-bit rows are always 4-byte aligned
+    val pixOff = 14 + 108
+    val rows = Array( // (B,G,R,X) per pixel, rows already top-down
+      Array[Int](10, 10, 10, 0, 20, 20, 20, 0, 30, 30, 30, 0),
+      Array[Int](40, 40, 40, 0, 50, 50, 50, 0, 60, 60, 60, 0))
+    val pix = rows.flatten.map(_.toByte)
+    val blob = Array('B'.toByte, 'M'.toByte) ++
+      le32(pixOff + stride * h) ++ le32(0) ++ le32(pixOff) ++
+      le32(108) ++ le32(w) ++ le32(-h) ++ le16(1) ++ le16(32) ++ le32(0) ++
+      le32(stride * h) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      Array.fill(108 - 40)(0.toByte) ++ pix
+    val info = BmpCodec.decode(blob)
+    assert(info.width === 3L && info.height === 2L && info.bitsPerPixel === 32L)
+    assert(info.peakPx === 60L)
+    assert(info.meanPx === (10L + 20 + 30 + 40 + 50 + 60) / 6)
+    assert(info.topRowSum === 10L + 20 + 30) // negative height => NO flip
+    // malformed containers fail loudly, not silently
+    val badMagic = blob.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](BmpCodec.decode(badMagic))
+    intercept[IllegalArgumentException](BmpCodec.decode(blob.take(40)))
+    val truncatedPix = blob.take(blob.length - 4) // declared rows overrun
+    intercept[IllegalArgumentException](BmpCodec.decode(truncatedPix))
+  }
+
+  test("BmpCodec resolves the palette instead of trusting raw indices") {
+    // same pixel bytes, but a REVERSED grayscale palette: a decoder
+    // that shortcuts palette lookup reports the raw index and diverges
+    val enc = BmpCodec.encode(Array[Byte](10, 20, 30), 3, 8)
+    val flipped = enc.clone()
+    for (i <- 0 until 256) {
+      val p = 54 + 4 * i
+      val v = (255 - i).toByte
+      flipped(p) = v; flipped(p + 1) = v; flipped(p + 2) = v
+    }
+    assert(BmpCodec.decode(enc).peakPx === 30L)
+    assert(BmpCodec.decode(flipped).peakPx === 245L) // 255 - 10
   }
 
   test("WavCodec round-trips its own encoder output") {
@@ -117,15 +178,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(verdicts.values.map(_._1).toSet === Set(0L, 1L))
   }
 
-  test("pipeline runs over the fixture with stable schema") {
-    val out = MultimodalOps.mediaFeatures(Tables.documents(spark, TestSpark.Sf0001))
-    assert(out.columns.toSeq ===
-      Seq("doc_id", "n_bytes", "first_byte", "checksum", "n_frames"))
+  test("imageFeatures derives features from parsed container structure") {
+    val out = MultimodalOps.imageFeatures(Tables.documents(spark, TestSpark.Sf0001))
+    assert(out.columns.toSeq === Seq("doc_id", "width", "height",
+      "bits_per_pixel", "n_pixels", "peak_px", "mean_px", "top_row_sum"))
     val rows = out.collect()
     assert(rows.length > 0)
     rows.foreach { r =>
-      assert(r.getLong(1) > 0)
-      assert(r.getLong(4) === (r.getLong(1) + 255L) / 256L)
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 17L + (id % 4) * 6L, s"doc $id width")
+      assert(r.getLong(2) > 0, s"doc $id height")
+      assert(r.getLong(3) === (if (id % 2 == 0) 8L else 24L), s"doc $id depth")
+      assert(r.getLong(4) === r.getLong(1) * r.getLong(2), s"doc $id pixels")
+      assert(r.getLong(5) >= r.getLong(6), s"doc $id peak >= mean")
+    }
+  }
+
+  test("image quarantine splits corrupt containers from decodable ones") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val verdicts = MultimodalOps.bmpQuarantine(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val pixels = MultimodalOps.imageFeatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(verdicts.nonEmpty)
+    verdicts.foreach { case (id, (ok, np, err)) =>
+      if (id % 3 == 2) assert(ok === 0L && np === -1L && err === "rejected", s"doc $id")
+      else assert(ok === 1L && np === pixels(id) && err === "", s"doc $id")
+    }
+    assert(verdicts.values.map(_._1).toSet === Set(0L, 1L))
+  }
+
+  test("resize and band sampling agree with the decoded pixel grid") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val rs = MultimodalOps.resize(docs).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.getLong(3) === (r.getLong(1) + 1) / 2, "new_w")
+      assert(r.getLong(4) === (r.getLong(2) + 1) / 2, "new_h")
+      assert(r.getLong(5) === r.getLong(3) * r.getLong(4), "kept_px = new grid")
+    }
+    val bands = MultimodalOps.frameSample(docs).collect()
+    assert(bands.nonEmpty)
+    // only even band indices survive; every band has 1..BandRows rows
+    bands.foreach { b =>
+      assert(b.getLong(1) % MultimodalOps.BandEvery === 0L)
+      assert(b.getLong(2) >= 1L && b.getLong(2) <= MultimodalOps.BandRows.toLong)
     }
   }
 }
