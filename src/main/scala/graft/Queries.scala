@@ -924,6 +924,34 @@ object Queries {
       (s, d) => DedupOps.simhashDup(Tables.documents(s, d)),
       Some(simhashDupOracleSql)),
 
+    // substring-level dedup: cross-document repeated token runs and
+    // per-doc excision coverage. Oracle generated from the SAME
+    // DedupOps constants (run length, doc-freq cap); the position
+    // arithmetic is 1-based in SQL vs 0-based in Spark, but coverage
+    // is a distinct-count so the offset cancels.
+    "substring_dedup" -> QueryDef(
+      (s, d) => DedupOps.substringDedup(Tables.documents(s, d)),
+      Some {
+        val L = DedupOps.SubstrRunLen
+        val cap = DedupOps.SubstrDocFreqCap
+        s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+           |s AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS i
+           |      FROM t WHERE len(ws) >= $L),
+           |occ AS (SELECT doc_id, i, array_to_string(ws[i:i+${L - 1}], ' ') AS sh FROM s),
+           |df AS (SELECT sh, count(DISTINCT doc_id) AS df, min(doc_id) AS owner
+           |       FROM occ GROUP BY sh HAVING count(DISTINCT doc_id) BETWEEN 2 AND $cap),
+           |rem AS (SELECT o.doc_id, o.i FROM occ o JOIN df ON o.sh = df.sh
+           |        WHERE o.doc_id <> df.owner),
+           |cov AS (SELECT doc_id, count(DISTINCT pos) AS dup_tokens FROM
+           |          (SELECT doc_id, unnest(generate_series(i, i + ${L - 1})) AS pos FROM rem)
+           |        GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           |  round((len(ws) - coalesce(cov.dup_tokens, 0))::DOUBLE / len(ws), 4) AS keep_ratio
+           |FROM t LEFT JOIN cov USING (doc_id) WHERE len(ws) > 0
+           |ORDER BY t.doc_id""".stripMargin
+      }),
+
     // ----- similarity search / embeddings ------------------------------
     "similarity_topk" -> QueryDef(
       (s, d) => { VectorFunctions.register(s); SimilarityOps.similarityTopK(Tables.embeddings(s, d)) },

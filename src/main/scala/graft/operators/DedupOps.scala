@@ -353,6 +353,74 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  // substringDedup shares these with its generated oracle: run length
+  // (tokens per repeated-substring shingle) and the doc-frequency cap
+  // that keeps boilerplate mega-shingles from going quadratic.
+  val SubstrRunLen = 8
+  val SubstrDocFreqCap = 1000
+
+  /** Substring-level exact dedup (Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" shape): find token runs of
+    * [[SubstrRunLen]] words repeated across documents and measure how
+    * much of each document those cross-document runs cover — the
+    * within-document excision stage doc-level dedup (exact / minhash /
+    * simhash) cannot express, because two documents can share a
+    * paragraph without being near-duplicates.
+    *
+    * Plan: every token position opens one positioned shingle (start,
+    * run text); shingles shuffle ONCE on their text to compute
+    * document frequency and the canonical owner (min doc_id); runs
+    * repeated in 2..cap distinct docs mark their NON-owner occurrences
+    * as removable (the owner keeps its copy — the survivors
+    * convention); coverage explodes each removable run into its
+    * [[SubstrRunLen]] positions and distinct-counts per doc, so
+    * overlapping runs never double-count a token.
+    *
+    * At 100 TB: all three shuffles are key-partitioned (shingle text,
+    * shingle text, doc_id) — never an all-pairs join; per-shingle
+    * fan-out is bounded by the doc-frequency cap (a run in more than
+    * `cap` documents is dropped the way winnow drops stop-fingerprints
+    * — dense identical clusters are exactDedup's job), and the
+    * coverage explode is a constant `runLen` factor on removable
+    * occurrences only. A suffix-array build would find arbitrary-
+    * length repeats; fixed-length token runs find the same ≥runLen
+    * repeats at a fraction of the coordination cost, fully in
+    * DataFrame operators.
+    */
+  def substringDedup(docs: DataFrame,
+                     runLen: Int = SubstrRunLen,
+                     cap: Int = SubstrDocFreqCap): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val toks = docs
+      .select(col("doc_id"), graft.functions.NativeText.tokens(col("text")).as("ws"))
+      .where(size(col("ws")) > 0)
+    val occ = toks
+      .where(size(col("ws")) >= runLen)
+      .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - runLen),
+          i => struct(i.as("start"),
+            array_join(slice(col("ws"), i + 1, lit(runLen)), " ").as("sh")))).as("o"))
+      .select(col("doc_id"), col("o.start").as("start"), col("o.sh").as("sh"))
+    val docFreq = occ.groupBy("sh")
+      .agg(countDistinct("doc_id").as("df"), min("doc_id").as("owner"))
+      .where(col("df") >= 2 && col("df") <= cap)
+    val removable = occ.join(docFreq, "sh")
+      .where(col("doc_id") =!= col("owner"))
+    val coverage = removable
+      .select(col("doc_id"), explode(sequence(col("start"),
+        col("start") + (runLen - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(countDistinct("p").as("dup_tokens"))
+    toks
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(coverage, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round((col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
+          .cast("double") / col("n_tokens"), 4).as("keep_ratio"))
+      .orderBy("doc_id")
+  }
+
   // dupComponents shares this with ComponentsSpec: the convergence
   // bound is the propagation diameter, and the spec's worst-case
   // chain fixture is sized against it.

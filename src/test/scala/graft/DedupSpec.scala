@@ -120,6 +120,44 @@ class DedupSpec extends AnyFunSuite {
     }, "no ±1 cap step changed the pair set — boundary never exercised")
   }
 
+  test("substring dedup: coverage math on a hand fixture") {
+    import spark.implicits._
+    // a 10-token run shared by docs 1/2/3 (owner = 1 keeps its copy);
+    // doc 4 shares nothing long enough; doc 5 is shorter than the run
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"alpha beta $run gamma"),
+      (2L, s"$run delta epsilon zeta"),
+      (3L, s"prefix one two three $run"),
+      (4L, "w1 w2 w3 w4 unrelated tail of words here now"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.substringDedup(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // the 10-token run opens 3 shingles of 8; owner doc 1 keeps all
+    assert(out(1L) === ((13L, 0L, 1.0)))
+    // docs 2 and 3: all 10 run tokens covered by the 3 overlapping shingles
+    assert(out(2L)._2 === 10L && out(3L)._2 === 10L)
+    assert(out(2L) === ((13L, 10L, math.rint((13.0 - 10) / 13 * 10000) / 10000)))
+    assert(out(4L)._2 === 0L)
+    assert(out(5L) === ((2L, 0L, 1.0)))
+  }
+
+  test("substring dedup: doc-frequency cap drops boilerplate mega-runs") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val fixture = (1L to 6L).map(id => (id, s"$boiler unique$id"))
+      .toDF("doc_id", "text")
+    // cap 5 < 6 docs: the boilerplate run is dropped, nothing is covered
+    val capped = DedupOps.substringDedup(fixture, cap = 5).collect()
+    assert(capped.forall(_.getLong(2) === 0L))
+    // cap 6: every non-owner doc has its 8 boilerplate tokens covered
+    val uncapped = DedupOps.substringDedup(fixture, cap = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uncapped(1L) === 0L)
+    (2L to 6L).foreach(id => assert(uncapped(id) === 8L, s"doc $id"))
+  }
+
   test("simhash is stable and near-dup pairs agree on most bits") {
     val sh = DedupOps.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
