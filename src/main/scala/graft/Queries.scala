@@ -1182,6 +1182,17 @@ object Queries {
              |FROM assign a LEFT JOIN comp cm ON cm.node = a.vec_id
              |ORDER BY a.vec_id""".stripMargin)),
 
+    // steady-state SemDeDup: the arriving (odd-id) batch probes the
+    // PERSISTED corpus centroid model — the corpus is never
+    // re-clustered or self-joined. The oracle recomputes the model
+    // from scratch (corpus-derived params, corpus-seeded centroids,
+    // full assignment, combined-population cap) and restricts to
+    // pairs with >= 1 batch endpoint.
+    "incremental_semantic_dedup" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.incrementalSemanticDedup(Tables.embeddings(s, d), d) },
+      Some(s"""$incrementalSemanticOracleBody
+             |SELECT a_id, b_id, score FROM pairs ORDER BY a_id, b_id""".stripMargin)),
+
     // ----- relational (the surface the reference lacks, SURVEY §2.2) ---
     "q1_pricing" -> QueryDef(
       (s, d) => RelationalOps.q1Pricing(Tables.lineitem(s, d)),
@@ -2606,6 +2617,40 @@ object Queries {
        |  SELECT s.u, k.label FROM walk k JOIN sym s ON s.v = k.node
        |  WHERE k.label < s.u),
        |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)""".stripMargin
+  }
+
+  /** The incremental-semantic-dedup oracle body: same structure as
+    * [[semanticOracleBody]] but the model derives from the CORPUS
+    * half only (params from the even-id count, centroids seeded from
+    * even ids) while assignment and the combined-population cap run
+    * over the full table — exactly the population the persisted index
+    * plus the arriving batch sees — and `pairs` keeps only pairs with
+    * at least one odd (batch) endpoint.
+    */
+  private lazy val incrementalSemanticOracleBody: String = {
+    import graft.operators.{SimilarityOps => S}
+    s"""WITH
+       |params AS (SELECT CAST(greatest(${S.SemMinK}, ceil(sqrt(count(*)))) AS BIGINT) AS k,
+       |                  count(*) AS n FROM embeddings WHERE vec_id % 2 = 0),
+       |p2 AS (SELECT k, greatest(1, n // k) AS stride FROM params),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings, p2
+       |      WHERE vec_id % 2 = 0
+       |        AND (vec_id + 7) % ${graft.functions.expressions.CmsHash.P} % stride = 0
+       |      QUALIFY row_number() OVER (ORDER BY vec_id) <= k),
+       |ps AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
+       |       FROM embeddings e CROSS JOIN c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM ps),
+       |assign AS (SELECT vec_id, centroid_id, embedding FROM r WHERE crank = 1),
+       |cap AS (SELECT * FROM assign
+       |        QUALIFY count(*) OVER (PARTITION BY centroid_id) <= ${S.SemMaxCluster}),
+       |pairs AS (SELECT * FROM (
+       |            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |              round(${cosSql("a.embedding", "b.embedding")}, 4) + 0 AS score
+       |            FROM cap a JOIN cap b
+       |              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |            WHERE a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
+       |          WHERE score >= ${S.SemThreshold})""".stripMargin
   }
 
   private lazy val componentsOracleBody: String =

@@ -556,6 +556,130 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Within-cluster pairs over EXPLICIT centroids — the full-rebuild
+    * reference for the incremental path: assignment, combined-
+    * population cap, and scoring all match [[semanticPairs]], but the
+    * centroid model is supplied instead of derived, so a spec can run
+    * the rebuild on the SAME model the persisted index holds and
+    * prove [[incrementalSemanticDedup]] equals it restricted to
+    * batch-endpoint pairs.
+    */
+  def semanticPairsWith(emb: DataFrame, centroids: DataFrame,
+                        threshold: Double = SemThreshold,
+                        maxCluster: Int = SemMaxCluster): DataFrame =
+    semanticPairsFrom(assignLabeled(emb, centroids), threshold, maxCluster)
+
+  /** Write-once semantic-dedup model of the already-ingested corpus
+    * (even vec_ids — the [[DedupOps.incrementalDedup]] parity
+    * convention): `centroids/` holds the K-row seed-centroid model
+    * (K, stride derived from the CORPUS count by
+    * [[semAdaptiveParams]]), `assign/` one (vec_id, centroid_id) row
+    * per corpus vector — labels only, embeddings stay in the source
+    * table — and `cluster_counts/` the per-cluster corpus population
+    * for the combined mega-cluster cap. This is the embedding-family
+    * sibling of [[DedupOps.lshIndexDir]]: per batch the corpus is
+    * never re-assigned and never self-joined; index size is linear in
+    * the corpus (one label row per vector + K centroids). Keyed by
+    * dataset fingerprint ([[graft.sources.Fixtures]]) so regenerated
+    * data can never hit a stale model.
+    */
+  def semIndexDir(emb: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("semidx", sfDir,
+      Seq(s"$sfDir/embeddings.parquet")) { dir =>
+      val spark = emb.sparkSession
+      val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val (k, stride) = semAdaptiveParams(corpus.count())
+      seedCentroidsStride(corpus, stride, k)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      // assignment reads the WRITTEN model so the persisted floats are
+      // the exact operands every later probe will use
+      assignToCentroids(corpus, spark.read.parquet(s"$dir/centroids"))
+        .select("vec_id", "centroid_id")
+        .write.mode("overwrite").parquet(s"$dir/assign")
+      spark.read.parquet(s"$dir/assign")
+        .groupBy("centroid_id").agg(count(lit(1)).as("corpus_n"))
+        .write.mode("overwrite").parquet(s"$dir/cluster_counts")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+      ()
+    }
+
+  /** Steady-state semantic dedup: the arriving batch (odd vec_ids)
+    * probes the PERSISTED centroid model instead of re-clustering the
+    * corpus — the [[DedupOps.incrementalNearDedup]] shape for the
+    * embedding family. Per batch the engine pays: one row-local
+    * broadcast-K assignment of the batch, a count aggregate over the
+    * batch's clusters, and pair scoring ONLY in clusters the batch
+    * occupies — batch×corpus via the stored labels (embeddings
+    * fetched by key join, so only member vectors of probed clusters
+    * are ever read) plus the batch's own within-cluster self-join.
+    * The mega-cluster cap is enforced on the combined population
+    * (stored `corpus_n` + the batch's own count) — exactly what the
+    * full rebuild's count window sees, so the output equals
+    * [[semanticPairsWith]] on the persisted model restricted to pairs
+    * with >= 1 batch endpoint (SemanticAdaptiveSpec proves that
+    * equality; the DuckDB oracle recomputes everything from scratch).
+    */
+  def incrementalSemanticDedup(emb: DataFrame, sfDir: String,
+                               threshold: Double = SemThreshold,
+                               maxCluster: Int = SemMaxCluster): DataFrame =
+    incrementalSemanticDedupFrom(
+      emb.where(pmod(col("vec_id"), lit(2)) === 1), emb, sfDir,
+      threshold, maxCluster)
+
+  /** The model-probe engine behind [[incrementalSemanticDedup]]:
+    * `arriving` is any frame of (vec_id, embedding) rows probed
+    * against `emb`'s persisted semantic model.
+    */
+  private[graft] def incrementalSemanticDedupFrom(arriving: DataFrame,
+                                                  emb: DataFrame,
+                                                  sfDir: String,
+                                                  threshold: Double,
+                                                  maxCluster: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val idx = semIndexDir(emb, sfDir)
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    // the batch assignment feeds the cluster counts AND both pair
+    // joins — materialize once (subtree-duplication discipline, as in
+    // incrementalNearDedupFrom)
+    val batchAssign = Checkpoints.truncate(
+      assignToCentroids(arriving, centroids))
+    val batchCounts = batchAssign.groupBy("centroid_id")
+      .agg(count(lit(1)).as("batch_n"))
+    val corpusCounts = spark.read.parquet(s"$idx/cluster_counts")
+    // combined-population cap over batch-occupied clusters only:
+    // clusters the batch never touches generate no new pairs
+    val kept = batchCounts
+      .join(corpusCounts, Seq("centroid_id"), "left")
+      .where(coalesce(col("corpus_n"), lit(0L)) + col("batch_n") <= maxCluster)
+      .select("centroid_id")
+    val a = batchAssign.join(kept, Seq("centroid_id"), "left_semi")
+      .select(col("centroid_id"), col("vec_id").as("bid"),
+        col("embedding").as("vb"))
+    // stored labels pruned to kept clusters BEFORE the embedding
+    // fetch, so only member vectors of probed clusters are read
+    val c = spark.read.parquet(s"$idx/assign")
+      .join(kept, Seq("centroid_id"), "left_semi")
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("centroid_id"), col("vec_id").as("cid"),
+        col("embedding").as("vc"))
+    // batch x corpus (disjoint parities — normalize endpoint order;
+    // cosine is operand-order exact, so the score is unaffected)
+    val pairsBC = a.join(c, Seq("centroid_id"))
+      .select(least(col("bid"), col("cid")).as("a_id"),
+        greatest(col("bid"), col("cid")).as("b_id"),
+        round(VectorFunctions.cosine(col("vb"), col("vc")), 4).as("score"))
+    // batch x batch within kept clusters
+    val pairsBB = a.as("x").join(a.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.bid") < col("y.bid"))
+      .select(col("x.bid").as("a_id"), col("y.bid").as("b_id"),
+        round(VectorFunctions.cosine(col("x.vb"), col("y.vb")), 4).as("score"))
+    pairsBC.unionByName(pairsBB)
+      .where(col("score") >= threshold)
+      .select("a_id", "b_id", "score")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Scalar-quantized (int8) ANN with exact rerank — the memory/IO
     * lever for brute-force search at 100 TB: per-dimension global
     * [lo, hi] bounds map each float32 to a code in [-127, 127], so

@@ -78,4 +78,24 @@ class SemanticAdaptiveSpec extends AnyFunSuite {
       s"pair work $pairWork exceeds 8 * n^1.5 = ${8.0 * target}")
     labeled.unpersist(); rep.unpersist()
   }
+
+  test("incremental semantic dedup equals full rebuild on the persisted model " +
+    "restricted to batch-endpoint pairs") {
+    VectorFunctions.register(spark)
+    val sfDir = TestSpark.Sf0001
+    val incr = SimilarityOps.incrementalSemanticDedup(emb, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full rebuild over the SAME centroid model the index persists:
+    // assignment + combined-population cap see the full table, exactly
+    // the population (stored corpus_n + batch_n) the probe enforces
+    val centroids = spark.read.parquet(
+      s"${SimilarityOps.semIndexDir(emb, sfDir)}/centroids")
+    val full = SimilarityOps.semanticPairsWith(emb, centroids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val restricted = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(incr.nonEmpty, "fixture should produce batch-endpoint semantic pairs")
+    assert(incr === restricted)
+    // and the restriction is strict: corpus-corpus pairs exist and are excluded
+    assert(full.exists(p => p._1 % 2 == 0 && p._2 % 2 == 0))
+  }
 }
