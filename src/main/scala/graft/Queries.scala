@@ -393,6 +393,14 @@ object Queries {
               |GROUP BY pair ORDER BY cnt DESC, pair
               |LIMIT ${TextAnalysisOps.BpeMergeTopK}""".stripMargin)),
 
+    // multi-round BPE training: the merge-list loop, oracle unrolled
+    // per round from the SAME round constant (ann_ivf_kmeans2
+    // precedent) — argmax pair then left-to-right non-overlapping
+    // delimited-string replace, both sides identical
+    "bpe_train_merges" -> QueryDef(
+      (s, d) => TextAnalysisOps.bpeTrainMerges(Tables.documents(s, d)),
+      Some(bpeTrainOracle)),
+
     "token_count_bpe" -> QueryDef(
       (s, d) => TextAnalysisOps.tokenCountBpe(Tables.documents(s, d)),
       Some("""SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]'))::BIGINT AS n_bpe_tokens
@@ -2651,6 +2659,37 @@ object Queries {
        |              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
        |            WHERE a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
        |          WHERE score >= ${S.SemThreshold})""".stripMargin
+  }
+
+  /** The multi-round BPE oracle: [[TextAnalysisOps.bpeTrainMerges]]
+    * unrolled round by round — each round's argmax pair (count desc,
+    * pair asc) feeds a delimited-string `replace` into the next
+    * round's word table. DuckDB's `replace` is left-to-right
+    * non-overlapping, same as Spark's, and the `(x)(y)` delimiters
+    * keep a pair pattern from matching across symbol boundaries.
+    */
+  private lazy val bpeTrainOracle: String = {
+    val R = graft.operators.TextAnalysisOps.BpeTrainRounds
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"tok AS (SELECT unnest($toksSql) AS word FROM documents)",
+      s"""wf AS (SELECT word, count(*) AS wf FROM tok
+         |      WHERE length(word) >= 2 AND regexp_matches(word, '^[a-z0-9]+$$')
+         |      GROUP BY word)""".stripMargin,
+      "s1 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS wstr, wf FROM wf)")
+    for (r <- 1 to R) {
+      ctes += s"""p$r AS (SELECT syms[i] AS x, syms[i+1] AS y, sum(wf) AS cnt
+         |  FROM (SELECT regexp_extract_all(wstr, '\\(([^)]*)\\)', 1) AS syms, wf FROM s$r),
+         |       LATERAL unnest(generate_series(1, len(syms) - 1)) t(i)
+         |  GROUP BY x, y)""".stripMargin
+      ctes += s"b$r AS (SELECT $r AS round, x, y, cnt FROM p$r ORDER BY cnt DESC, x, y LIMIT 1)"
+      if (r < R)
+        ctes += s"""s${r + 1} AS (SELECT replace(wstr, '(' || b.x || ')(' || b.y || ')',
+           |  '(' || b.x || b.y || ')') AS wstr, wf FROM s$r, b$r b)""".stripMargin
+    }
+    val union = (1 to R)
+      .map(r => s"SELECT CAST(round AS BIGINT) AS round, x AS left_sym, y AS right_sym, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${ctes.mkString(",\n")}\n$union\nORDER BY round"
   }
 
   private lazy val componentsOracleBody: String =

@@ -128,6 +128,72 @@ object TextAnalysisOps {
       .limit(k)
   }
 
+  /** Rounds of the multi-round BPE training loop — shared with the
+    * generated (per-round unrolled) oracle.
+    */
+  val BpeTrainRounds = 8
+
+  /** Multi-round BPE training (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", 2016): the actual
+    * merge-list learning loop, extending the single-round
+    * [[bpeMergePairs]] census into a usable tokenizer-training
+    * surface. Words are restricted to the alphanumeric class (the
+    * pre-tokenizer's letter/digit runs) and held as delimited symbol
+    * strings `(h)(e)(l)(l)(o)`; each round counts adjacent symbol
+    * pairs weighted by word frequency, picks the most frequent pair
+    * (count desc, then pair asc — a total order, so every round is
+    * deterministic), and merges its occurrences LEFT-TO-RIGHT
+    * NON-OVERLAPPING in every word via string `replace` — the
+    * delimiters make a pair pattern `(x)(y)` unable to match across
+    * symbol boundaries, and sequential replace gives exactly BPE's
+    * greedy merge semantics (`(a)(a)(a)` merges once, not twice).
+    *
+    * Scale shape: the corpus collapses to its word-frequency table
+    * ONCE (vocabulary-sized, not corpus-sized — materialized so the
+    * per-round aggregates never rescan the corpus); each round is one
+    * vocabulary-sized aggregate plus a ONE-ROW collect (the chosen
+    * merge — model-sized by construction, like the kmeans centroid
+    * collects) and a row-local replace. Output is the merge list
+    * itself: (round, left_sym, right_sym, cnt) — the artifact a
+    * tokenizer trainer ships.
+    */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
+      .where(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+      .select(regexp_replace(col("word"), "(.)", "($1)").as("wstr"), col("wf"))
+    var cur = Checkpoints.truncate(base)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = cur
+        .select(col("wf"),
+          regexp_extract_all(col("wstr"), lit("\\(([^)]*)\\)"), lit(1)).as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("wf"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("x"),
+            element_at(col("syms"), i + 1).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (x, y, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, x, y, cnt))
+        cur = cur.select(
+          call_function("replace", col("wstr"),
+            lit(s"($x)($y)"), lit(s"($x$y)")).as("wstr"),
+          col("wf"))
+      }
+    }
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "cnt").orderBy("round")
+  }
+
   /** BPE-ish subword token count: runs of letters, runs of digits, and
     * single non-alphanumeric marks (the classic pre-tokenizer regex).
     */

@@ -125,4 +125,39 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(math.abs(out(1)._4 - math.log(4)) < 5e-5)
     assert(math.abs(out(2)._4 - math.log(2)) < 5e-5)
   }
+
+  test("multi-round BPE training: merge order and greedy non-overlap on a hand fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaab aaab aaab ab"),  // wf: aaab=3, ab=1
+      (2L, "xy xy xy xy xy")      // wf: xy=5
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysisOps.bpeTrainMerges(df, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) counts TWICE per aaab (overlapping census) = 6,
+    //          beating (x,y)=5 and (a,b)=4
+    assert(out(0) === ((1L, "a", "a", 6L)))
+    // the merge itself is greedy non-overlapping: aaab -> [aa, a, b],
+    // NOT [aa, ab]; so round 2 sees (aa,a)=3, (a,b)=3+1=4, (x,y)=5
+    assert(out(1) === ((2L, "x", "y", 5L)))
+    assert(out(2) === ((3L, "a", "b", 4L)))
+    // round 4: ab merged everywhere -> (aa, ab) from aaab = 3
+    assert(out(3) === ((4L, "aa", "ab", 3L)))
+  }
+
+  test("multi-round BPE training: rounds and vocabulary growth on the fixture corpus") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val R = graft.operators.TextAnalysisOps.BpeTrainRounds
+    val merges = graft.operators.TextAnalysisOps.bpeTrainMerges(docs).collect()
+    assert(merges.length === R)
+    assert(merges.map(_.getLong(0)).toSeq === (1L to R).toSeq)
+    // each round mints exactly one new symbol: left || right
+    val vocab = merges.map(r => r.getString(1) + r.getString(2))
+    assert(vocab.distinct.length === R)
+    // merge counts are non-increasing ONLY per surviving pair — but the
+    // chosen max can never exceed the previous round's max
+    val cnts = merges.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a },
+      s"round maxima increased: ${cnts.toSeq}")
+  }
 }
