@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.functions.VectorFunctions
 import graft.operators._
@@ -877,6 +878,39 @@ object Queries {
     "incremental_near_dedup" -> QueryDef(
       (s, d) => DedupOps.incrementalNearDedup(Tables.documents(s, d), d),
       Some(incrementalJaccardOracle)),
+
+    // batch-agnosticism gate for the public batch APIs: a SECOND,
+    // different arriving split (doc_id % 4 = 1) through the same
+    // probe entry points the parity queries use. The pair universe is
+    // corpus (even) + batch (mod-4-1) docs; mod-4-3 docs are in
+    // neither and must not appear.
+    "incremental_near_dedup_batch2" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        DedupOps.nearDedupBatch(
+          docs.where(pmod(col("doc_id"), lit(4)) === 1), docs, d)
+      },
+      Some(s"""WITH $jaccardPairsBody
+             |SELECT a_id, b_id, jac FROM pairs
+             |WHERE (a_id % 4 = 1 OR b_id % 4 = 1)
+             |  AND (a_id % 2 = 0 OR a_id % 4 = 1)
+             |  AND (b_id % 2 = 0 OR b_id % 4 = 1)
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    "incremental_dedup_batch2" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        DedupOps.dedupBatch(
+          docs.where(pmod(col("doc_id"), lit(4)) === 1), docs)
+      },
+      Some("""WITH b AS (SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id,
+             |         count(*) AS n_copies
+             |       FROM documents WHERE doc_id % 4 = 1 GROUP BY fp)
+             |SELECT keep_id, n_copies, fp FROM b
+             |WHERE NOT EXISTS (SELECT 1 FROM documents c
+             |                  WHERE c.doc_id % 2 = 0
+             |                    AND md5(lower(c.text)) = b.fp)
+             |ORDER BY keep_id""".stripMargin)),
 
     // the STREAMING near-dedup path under the hash gate: the pairs
     // were landed by a real checkpointed micro-batch run (availableNow

@@ -73,10 +73,20 @@ object DedupOps {
     * Demonstrated on the fixture by parity-splitting `documents`:
     * even doc_ids = corpus, odd = incoming.
     */
-  def incrementalDedup(docs: DataFrame): DataFrame = {
+  def incrementalDedup(docs: DataFrame): DataFrame =
+    dedupBatch(docs.where(pmod(col("doc_id"), lit(2)) === 1), docs)
+
+  /** The user-facing batch form of the digest-index probe:
+    * `arriving` is ANY frame of (doc_id, text) rows deduped against
+    * the ingested corpus's digest set (even doc_ids — at scale, the
+    * stored fingerprint index). Same probe the parity-gated
+    * [[incrementalDedup]] runs; the registry gates a second split
+    * (`doc_id % 4 == 1`) through this entry point.
+    */
+  def dedupBatch(arriving: DataFrame, docs: DataFrame): DataFrame = {
     val corpusFps = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       .select(md5(lower(col("text"))).as("fp"))
-    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    arriving
       .select(md5(lower(col("text"))).as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
@@ -665,11 +675,25 @@ object DedupOps {
     */
   def incrementalNearDedup(docs: DataFrame, sfDir: String,
                            threshold: Double = 0.8,
-                           maxBucket: Int = 1000): DataFrame = {
-    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 1)
-    incrementalNearDedupFrom(batch, docs, sfDir, threshold, maxBucket,
+                           maxBucket: Int = 1000): DataFrame =
+    nearDedupBatch(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      docs, sfDir, threshold, maxBucket)
+
+  /** The user-facing batch form of [[incrementalNearDedup]]:
+    * `arriving` is ANY frame of (doc_id, text) rows — a day's crawl,
+    * a backfill slice, one micro-batch — probed against `docs`'s
+    * persisted band index; the odd/even doc_id convention of the
+    * gated fixture queries is just one instantiation. The registry
+    * gates a SECOND, different split (`doc_id % 4 == 1`) through this
+    * same entry point, so batch-agnosticism is hash-proven, not
+    * asserted. Arriving doc_ids must be disjoint from the ingested
+    * corpus (an id probing itself would pair with itself).
+    */
+  def nearDedupBatch(arriving: DataFrame, docs: DataFrame, sfDir: String,
+                     threshold: Double = 0.8,
+                     maxBucket: Int = 1000): DataFrame =
+    incrementalNearDedupFrom(arriving, docs, sfDir, threshold, maxBucket,
       includeBatchSelfPairs = true)
-  }
 
   /** The index-probe engine behind [[incrementalNearDedup]] and the
     * streaming ingest front door

@@ -626,6 +626,17 @@ object SimilarityOps {
       emb.where(pmod(col("vec_id"), lit(2)) === 1), emb, sfDir,
       threshold, maxCluster)
 
+  /** The user-facing batch form of [[incrementalSemanticDedup]]:
+    * `arriving` is ANY frame of (vec_id, embedding) rows probed
+    * against `emb`'s persisted centroid model — the odd/even parity
+    * of the gated fixture query is just one instantiation. Arriving
+    * vec_ids must be disjoint from the ingested corpus.
+    */
+  def semanticDedupBatch(arriving: DataFrame, emb: DataFrame, sfDir: String,
+                         threshold: Double = SemThreshold,
+                         maxCluster: Int = SemMaxCluster): DataFrame =
+    incrementalSemanticDedupFrom(arriving, emb, sfDir, threshold, maxCluster)
+
   /** The model-probe engine behind [[incrementalSemanticDedup]]:
     * `arriving` is any frame of (vec_id, embedding) rows probed
     * against `emb`'s persisted semantic model.
