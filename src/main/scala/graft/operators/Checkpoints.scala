@@ -37,7 +37,13 @@ object Checkpoints {
     spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // setCheckpointDir stores `<qualified dir>/<random uuid>`, so
+        // compare by substring — an equality check never matches and
+        // would mkdir a fresh UUID subdir on EVERY truncation. For
+        // long-running cluster jobs also set
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true, or
+        // checkpoint data accumulates for the app's lifetime.
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
         df.checkpoint() // eager + reliable: survives executor loss
       case None =>
         df.localCheckpoint() // eager, executor-local (fast, lossy)

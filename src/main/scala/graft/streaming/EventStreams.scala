@@ -44,10 +44,20 @@ object EventStreams {
     // An empty source directory has nothing to probe ("unable to infer
     // schema"); fall back to the nanos-long contract so a stream can
     // start before the first file arrives (files then conform or the
-    // first micro-batch fails loudly).
+    // first micro-batch fails loudly). The fallback is gated on the
+    // directory actually being empty/absent — a probe failure over a
+    // NON-empty directory (corrupt footer, mixed schemas, permissions)
+    // must fail loudly here, not surface confusingly mid-stream.
+    def isEmptyDir(p: String): Boolean = {
+      val f = new java.io.File(p)
+      !f.exists() || Option(f.listFiles()).forall(_.forall(_.getName.startsWith("_")))
+    }
     val physical =
       try spark.read.parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => eventsContractSchema }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (isEmptyDir(dir)) eventsContractSchema else throw e
+      }
     graft.Tables.normalizeEventsTs(
       spark.readStream
         .schema(physical)
