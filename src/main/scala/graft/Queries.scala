@@ -95,6 +95,51 @@ object Queries {
     sb.toString
   }
 
+  /** DuckDB oracle for [[SimilarityOps.annIvfUpsert]]: the
+    * [[kmeansOracleCtes]] chain with its TRAINING restricted to the
+    * even-id corpus — seeds from even multiples of the (even)
+    * centroidMod, one Lloyd assign→refine round over corpus rows only
+    * — and the FINAL assignment over all of `embeddings` under the
+    * frozen refined model. That final assignment is exactly what the
+    * engine's corpus-write + batch-append produces on disk, so the
+    * hash match proves append-maintenance == full index rebuild.
+    * Constants generated from the same values the registry passes to
+    * the engine ([[SimilarityOps.annIvfUpsert]] defaults: mod 98,
+    * K 16, 1 iteration, nprobe 3, 10 probes, k 10).
+    */
+  private lazy val ivfUpsertOracleSql: String = {
+    val mod = 98; val numC = 16
+    s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 2 = 0 AND vec_id % $mod = 0 AND vec_id < ${mod.toLong * numC}),
+       |s0 AS (SELECT e.vec_id, c.centroid_id, e.embedding,
+       |  ${cosSql("e.embedding", "c.cvec")} AS cscore
+       |  FROM embeddings e CROSS JOIN c0 c WHERE e.vec_id % 2 = 0),
+       |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |  ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM s0),
+       |a0 AS (SELECT vec_id, centroid_id, embedding FROM r0 WHERE crank = 1),
+       |e0 AS (SELECT centroid_id, embedding,
+       |  unnest(generate_series(1, len(embedding))) AS pos FROM a0),
+       |ref0 AS (SELECT centroid_id, pos, round(avg(embedding[pos]::DOUBLE), 4) AS m
+       |  FROM e0 GROUP BY centroid_id, pos),
+       |c1 AS (SELECT centroid_id, list(m::FLOAT ORDER BY pos) AS cvec
+       |  FROM ref0 GROUP BY centroid_id),
+       |sf AS (SELECT e.vec_id, c.centroid_id, e.embedding,
+       |  ${cosSql("e.embedding", "c.cvec")} AS cscore
+       |  FROM embeddings e CROSS JOIN c1 c),
+       |rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |  ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM sf),
+       |assign AS (SELECT vec_id, centroid_id, embedding FROM rf WHERE crank = 1),
+       |pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec
+       |  FROM rf WHERE vec_id < 10 AND crank <= 3),
+       |sc AS (SELECT pl.probe_id, a.vec_id,
+       |  ${cosSql("pl.probe_vec", "a.embedding")} AS score FROM pl
+       |  JOIN assign a ON pl.centroid_id = a.centroid_id WHERE a.vec_id <> pl.probe_id),
+       |r2 AS (SELECT probe_id, vec_id, score, row_number() OVER
+       |  (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM sc)
+       |SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score
+       |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  }
+
   /** DuckDB CTE `sigs(doc_id, simhash)` mirroring
     * [[DedupOps.simhash]] (`bits` = fingerprint width).
     */
@@ -1048,6 +1093,20 @@ object Queries {
           centroidMod = 97, numCentroids = 16, nprobe = 3, nProbes = 10,
           k = 10, iterations = 1, moveEps = 0.0) },
       Some(kmeansOracleSql(1))),
+
+    // steady-state IVF maintenance: the arriving (odd-id) batch is
+    // assigned under the FROZEN corpus-trained centroid model and
+    // APPENDED into the persisted inverted-list partitions — no
+    // retraining, no corpus re-assignment, no list rewrite. The probe
+    // searches the upserted layout; the oracle retrains + reassigns
+    // everything from scratch, so the hash match is the
+    // append-maintenance == full-rebuild proof (the vector-index
+    // member of the incremental family: LSH band index, digest index,
+    // centroid model, and now the IVF lists themselves).
+    "ann_ivf_upsert" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfUpsert(Tables.embeddings(s, d), d) },
+      Some(ivfUpsertOracleSql)),
 
     // ANN quality eval: recall@10 of the IVF index vs brute-force
     // ground truth as a 1-row metric; the oracle recomputes BOTH

@@ -282,6 +282,18 @@ object SimilarityOps {
       centroidMod, numCentroids, iterations, moveEps))
     val lists = spark.read.parquet(ivfListsDir(emb, sfDir, centroidMod,
       numCentroids, iterations, moveEps))
+    indexedSearch(emb, centroids, lists, nprobe, nProbes, k)
+  }
+
+  /** The warm probe body shared by every persisted inverted-list
+    * layout ([[annIvfIndexed]]'s one-shot build and
+    * [[annIvfUpsert]]'s corpus-build + batch-append): rank centroids
+    * per probe, scan only the probed list partitions (typed IN filter
+    * → partition pruning), exact-rerank within them.
+    */
+  private[graft] def indexedSearch(emb: DataFrame, centroids: DataFrame,
+                                   lists: DataFrame, nprobe: Int,
+                                   nProbes: Int, k: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("cscore"), 6).desc, col("centroid_id").asc)
     val probeLists = emb.where(col("vec_id") < nProbes)
@@ -316,6 +328,85 @@ object SimilarityOps {
       .select(col("probe_id"), col("rnk"), col("vec_id"),
         round(col("score"), 4).as("score"))
       .orderBy("probe_id", "rnk")
+  }
+
+  /** Centroid model trained on the steady-state CORPUS only (even
+    * vec_id) — the frozen model an upsert batch must NOT perturb.
+    * `centroidMod` should be EVEN so the deterministic seed rule
+    * (`vec_id % mod == 0 && vec_id < mod*k`) lands entirely inside
+    * the even-id corpus.
+    */
+  def upsertCentroidsDir(emb: DataFrame, sfDir: String, centroidMod: Int,
+                         numCentroids: Int, iterations: Int,
+                         moveEps: Double): String =
+    graft.sources.Fixtures.ensure("ivfupkm", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"m${centroidMod}k${numCentroids}i$iterations") { dir =>
+      val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val (centroids, _) =
+        lloydIterate(corpus, iterations, moveEps, centroidMod, numCentroids)
+      centroids.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+  /** Incremental IVF maintenance: assign an arriving batch to a FROZEN
+    * centroid model and APPEND each vector into its inverted-list
+    * partition — no retraining, no corpus re-assignment, no list
+    * rewrite. At 100 TB this is the only affordable way to keep a
+    * vector index current: the append touches `|batch|` rows spread
+    * over at most K partition directories while the corpus lists stay
+    * byte-identical on disk. (Standard IVF practice — the model is
+    * refreshed by an occasional offline rebuild, not per batch;
+    * `annIvfUpsert`'s oracle proves the append path gives exactly the
+    * rebuild's answer.)
+    */
+  def ivfAppendBatch(batch: DataFrame, centroids: DataFrame,
+                     listsDir: String): Unit =
+    assignToCentroids(batch, centroids)
+      .write.mode("append").partitionBy("centroid_id").parquet(listsDir)
+
+  /** Write-once UPSERTED inverted lists: the even-id corpus assigned
+    * and written partitioned by centroid under the corpus-trained
+    * model, then the odd-id "arriving" batch [[ivfAppendBatch]]-ed in
+    * place as a second, separate write job. `_UPSERTED` marks the
+    * append's completion — Spark's own `_SUCCESS` lands after the
+    * first job, so without the extra marker a crash between the two
+    * writes could leave a half-built fixture that looks finished.
+    */
+  def ivfUpsertListsDir(emb: DataFrame, sfDir: String, centroidMod: Int,
+                        numCentroids: Int, iterations: Int,
+                        moveEps: Double): String =
+    graft.sources.Fixtures.ensure("ivfuplists", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"m${centroidMod}k${numCentroids}i$iterations",
+      validate = d => new java.io.File(d, "_UPSERTED").exists()) { dir =>
+      val spark = emb.sparkSession
+      val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
+        centroidMod, numCentroids, iterations, moveEps))
+      assignToCentroids(emb.where(pmod(col("vec_id"), lit(2)) === 0), centroids)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      ivfAppendBatch(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        centroids, dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_UPSERTED"))
+      ()
+    }
+
+  /** Steady-state ANN over the upserted index: probe the
+    * corpus-built + batch-appended inverted lists with the frozen
+    * corpus-trained model. Identical output to retraining-free inline
+    * recomputation over corpus ∪ batch (the oracle's claim), because
+    * both sides apply the same deterministic max-cosine assignment
+    * under the same centroids — append == rebuild.
+    */
+  def annIvfUpsert(emb: DataFrame, sfDir: String, centroidMod: Int = 98,
+                   numCentroids: Int = 16, nprobe: Int = 3,
+                   nProbes: Int = 10, k: Int = 10, iterations: Int = 1,
+                   moveEps: Double = 0.0): DataFrame = {
+    val spark = emb.sparkSession
+    val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
+      centroidMod, numCentroids, iterations, moveEps))
+    val lists = spark.read.parquet(ivfUpsertListsDir(emb, sfDir,
+      centroidMod, numCentroids, iterations, moveEps))
+    indexedSearch(emb, centroids, lists, nprobe, nProbes, k)
   }
 
   /** ANN quality evaluation: recall@k of the IVF index against the

@@ -194,4 +194,45 @@ class SimilaritySpec extends AnyFunSuite {
       emb, iterations = 3, moveEps = 0.0, centroidMod = 97, numCentroids = 16)
     assert(ranAll === 3, s"expected all 3 rounds, ran $ranAll")
   }
+
+  test("IVF upsert: batch append onto frozen model equals one-shot rebuild, for an arbitrary split") {
+    VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // an arbitrary (non-parity) split: batch = every 3rd vector —
+    // proving the append path is batch-agnostic, not an artifact of
+    // the registry's odd/even convention
+    val batch = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+    val corpus = emb.where(pmod(col("vec_id"), lit(3)) =!= 0)
+    val (centroids, _) = SimilarityOps.lloydIterate(
+      corpus, iterations = 1, moveEps = 0.0, centroidMod = 97, numCentroids = 16)
+    val root = java.nio.file.Files.createTempDirectory("ivfup").toString
+    val dirA = s"$root/appended"   // corpus write, then batch APPEND
+    val dirB = s"$root/rebuilt"    // one write of corpus ∪ batch
+    SimilarityOps.ivfAppendBatch(corpus, centroids, dirA)
+    SimilarityOps.ivfAppendBatch(batch, centroids, dirA)
+    SimilarityOps.ivfAppendBatch(emb, centroids, dirB)
+
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("centroid_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(rows(dirA) === rows(dirB), "appended lists != rebuilt lists")
+
+    // the append really was a second job into the same partition
+    // layout: strictly more data files than the single-job rebuild
+    def files(dir: String) = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .count(p => p.getFileName.toString.endsWith(".parquet"))
+    }
+    assert(files(dirA) > files(dirB),
+      "append should add files to existing partitions, not rewrite them")
+
+    // and the probe over the upserted layout matches the rebuilt one
+    val a = SimilarityOps.indexedSearch(emb, centroids,
+      spark.read.parquet(dirA), nprobe = 3, nProbes = 10, k = 10).collect()
+    val b = SimilarityOps.indexedSearch(emb, centroids,
+      spark.read.parquet(dirB), nprobe = 3, nProbes = 10, k = 10).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
 }

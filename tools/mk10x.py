@@ -12,9 +12,21 @@ every document a `copies`-sized identical dup cluster and every
 vector a `copies`-sized cosine-1 cluster — the worst-case dense-
 duplicate workload the dedup caps are measured against.
 
-Skew model (/tmp/sfskew): same tables as /tmp/sf1 except events,
-where every 5th event (deterministic: event_id % 5 == 0) is rewritten
-onto one hot user — ~20% of the stream on a single key.
+Skew model (/tmp/sfskew): same tables as /tmp/sf1 except:
+
+- events: every 5th event (deterministic: event_id % 5 == 0) is
+  rewritten onto one hot user — ~20% of the stream on a single key.
+- documents (round 12, VERDICT r11 item 8): every 125th doc
+  (doc_id % 125 == 0 — OFFSET is a multiple of 125, so the rule is
+  copy-invariant and hits both parities) has its text replaced by ONE
+  fixed hot document — a single 400-doc identical cluster. That makes
+  one LSH band bucket, one fingerprint group, and one shingle family
+  ~400x hotter than the rest of the corpus while staying under every
+  engine cap (maxBucket / SimhashMaxBucket / SubstrDocFreqCap = 1000),
+  so the hot-key path is exercised WITHOUT the caps (mirrored in the
+  oracles) hiding it. The streamed ingest front door replays the odd
+  half of these docs through real micro-batches, putting hot-bucket
+  index probes under the hash gate (the reason this exists).
 
 pyarrow (not DuckDB) so the written schema is byte-faithful to the
 driver's — events.ts must stay parquet TIMESTAMP(NANOS) for
@@ -35,6 +47,13 @@ SKEW_DST = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfskew"
 COPIES = 10
 OFFSET = 1_000_000_000
 HOT_USER = 424242
+HOT_DOC_MOD = 125  # divides OFFSET; 0,125,250,… → both parities
+HOT_TEXT = ("breaking news wire syndicated boilerplate notice this "
+            "article is distributed by the consolidated feed network "
+            "and may not be reproduced rebroadcast or redistributed "
+            "without the express written consent of the originating "
+            "desk all rights reserved contact the syndication desk "
+            "for licensing terms and archival access")
 
 # table -> columns shifted by copy * OFFSET (key chains stay aligned)
 SHIFTS = {
@@ -80,6 +99,13 @@ def main():
                 mask, pa.scalar(HOT_USER, pa.int64()), table.column("user_id"))
             skewed = table.set_column(idx, table.schema.field(idx), hot)
             pq.write_table(skewed, f"{SKEW_DST}/{name}.parquet")
+        elif name == "documents":
+            idx = table.schema.get_field_index("text")
+            mask = pa.array(table.column("doc_id").to_numpy() % HOT_DOC_MOD == 0)
+            hot = pc.if_else(mask, pa.scalar(HOT_TEXT), table.column("text"))
+            skewed = table.set_column(idx, table.schema.field(idx), hot)
+            pq.write_table(skewed, f"{SKEW_DST}/{name}.parquet")
+            print(f"documents: {pc.sum(mask).as_py()} hot docs -> {SKEW_DST}")
         else:
             # non-event tables are shared between the two fixtures
             if os.path.lexists(f"{SKEW_DST}/{name}.parquet"):
