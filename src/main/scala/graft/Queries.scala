@@ -1294,6 +1294,22 @@ object Queries {
       Some(s"""$incrementalSemanticOracleBody
              |SELECT a_id, b_id, score FROM pairs ORDER BY a_id, b_id""".stripMargin)),
 
+    // the STREAMING semantic-dedup path under the hash gate: the
+    // pairs were landed by a real checkpointed micro-batch run
+    // (availableNow foreachBatch probing the persisted centroid
+    // model); the oracle recomputes the model and the batch-endpoint
+    // restriction from the ORIGINAL embeddings table, so a lost or
+    // duplicated micro-batch — or a drifted centroid model — reds
+    // the row. Embedding-family sibling of streamed_ingest_pairs.
+    "streamed_vector_pairs" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        val dir = graft.streaming.EventStreams.streamedSemanticLayout(s, d)
+        s.read.parquet(dir)
+          .select("a_id", "b_id", "score")
+          .orderBy("a_id", "b_id") },
+      Some(s"""$incrementalSemanticOracleBody
+             |SELECT a_id, b_id, score FROM pairs ORDER BY a_id, b_id""".stripMargin)),
+
     // ----- relational (the surface the reference lacks, SURVEY §2.2) ---
     "q1_pricing" -> QueryDef(
       (s, d) => RelationalOps.q1Pricing(Tables.lineitem(s, d)),

@@ -303,6 +303,71 @@ object EventStreams {
       ()
     }
 
+  /** STREAMED semantic (embedding) ingest: each micro-batch of
+    * arriving vectors probes the PERSISTED centroid model
+    * ([[graft.operators.SimilarityOps.semanticDedupBatch]] — frozen
+    * centroids, corpus cluster counts, combined-population cap)
+    * inside `foreachBatch`, landing dup pairs idempotently as
+    * `batch_id=` directories. The embedding-family analog of
+    * [[ingestNearDedupStream]]: the corpus is never re-clustered or
+    * self-joined; folding accepted batches into the model's
+    * assignment/counts is the ingest pipeline's index-maintenance
+    * step at scale.
+    */
+  def ingestSemanticDedupStream(vecStream: DataFrame, emb: DataFrame,
+                                sfDir: String, outDir: String,
+                                checkpointDir: String,
+                                availableNow: Boolean = false): StreamingQuery = {
+    val writer = vecStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.SimilarityOps
+          .semanticDedupBatch(batch, emb, sfDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
+      .start()
+  }
+
+  /** Write-once STREAMED semantic-dedup pair layout: replay the
+    * fixture's odd-id embeddings through [[ingestSemanticDedupStream]]
+    * to termination (availableNow trigger, real checkpointed
+    * micro-batch run). The registry's `streamed_vector_pairs` reads
+    * the landed pairs back while the oracle recomputes the whole
+    * model + restriction from the ORIGINAL embeddings table, so the
+    * streamed embedding front door (source → centroid-model probe →
+    * idempotent sink) joins the hash gate the way
+    * [[streamedNearDedupLayout]] put the LSH probe under it.
+    */
+  def streamedSemanticLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("streamsem", sfDir,
+      Seq(s"$sfDir/embeddings.parquet")) { path =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val srcDir = root.resolve("_src")
+      java.nio.file.Files.createDirectories(srcDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"),
+        srcDir.resolve("embeddings.parquet"))
+      val arriving = readDocumentsStream(spark, srcDir.toString)
+        .where(pmod(col("vec_id"), lit(2)) === 1)
+      val q = ingestSemanticDedupStream(arriving,
+        graft.Tables.embeddings(spark, sfDir), sfDir,
+        path, s"$path/_checkpoint", availableNow = true)
+      try q.awaitTermination() finally q.stop()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
+
   /** Stream-stream interval self-join: each purchase joined to the
     * same user's clicks within the preceding `intervalMinutes` — the
     * watermarked join whose state store holds only rows inside the

@@ -568,6 +568,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe must prune the list scan: read $selected of $total partitions")
   }
 
+  test("ann_ivf_upsert: the upserted-layout probe keeps partition pruning") {
+    // same mechanism pin as ann_ivf_indexed, over the corpus-write +
+    // batch-append layout: appending files into the list partitions
+    // must not cost the scan its partition filter
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    graft.functions.VectorFunctions.register(spark)
+    val df = graft.operators.SimilarityOps.annIvfUpsert(
+      Tables.embeddings(spark, TestSpark.Sf0001), TestSpark.Sf0001,
+      nprobe = 1, nProbes = 3)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfuplists")) => s
+    }
+    assert(scans.size === 1, "expected exactly one upserted-lists scan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the probed-centroid IN list must plan as a partition filter")
+    val selected = scan.selectedPartitions.partitionCount
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected < total,
+      s"probe must prune the upserted scan: read $selected of $total partitions")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows
