@@ -639,15 +639,63 @@ object DedupOps {
     * shingle inverted index ([[incrementalEdges]]) grows with total
     * text volume, the band index with document count x 32.
     */
+  /** Build an LSH band index — `bands` (doc_id, band) plus the
+    * `band_counts` the mega-bucket cap reads — for `corpus` under
+    * `dir`. The write path shared by the fixture-keyed
+    * [[lshIndexDir]] and any user-managed index location (the counts
+    * are re-read from the WRITTEN bands so they can never drift from
+    * what a later probe will scan).
+    */
+  def writeLshIndex(corpus: DataFrame, dir: String): Unit = {
+    bandsOf(docShingles(corpus))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    corpus.sparkSession.read.parquet(s"$dir/bands")
+      .groupBy("band").agg(count(lit(1)).as("corpus_n"))
+      .write.mode("overwrite").parquet(s"$dir/band_counts")
+  }
+
+  /** Fold an ACCEPTED batch into a persisted LSH band index — the
+    * index-maintenance step the streamed/batch ingest front doors
+    * leave to the pipeline: the batch's band rows are APPENDED to the
+    * stored bands and the band counts are advanced by a MERGE of the
+    * batch's per-band deltas (full-outer join — new bands appear,
+    * untouched bands pass through). Nothing re-bands or re-counts the
+    * corpus: the append touches |batch| band rows and the count merge
+    * joins two band-keyed tables, both shuffle-partitioned by band at
+    * scale. The new counts commit by directory rename after a
+    * complete write, the standard DFS publish step, so a crash
+    * mid-merge leaves the old counts in place rather than a torn
+    * table ([[IndexMaintenanceSpec]] proves fold == full rebuild for
+    * bands, counts, and a follow-up probe).
+    */
+  def foldBatchIntoLshIndex(batch: DataFrame, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    // the batch band table feeds the append AND the delta counts —
+    // materialize once (subtree-duplication discipline)
+    val batchBands = Checkpoints.truncate(bandsOf(docShingles(batch)))
+    batchBands.write.mode("append").parquet(s"$indexDir/bands")
+    val deltas = batchBands.groupBy("band").agg(count(lit(1)).as("delta_n"))
+    val merged = spark.read.parquet(s"$indexDir/band_counts")
+      .join(deltas, Seq("band"), "full_outer")
+      .select(col("band"),
+        (coalesce(col("corpus_n"), lit(0L)) +
+          coalesce(col("delta_n"), lit(0L))).as("corpus_n"))
+    val tmp = new java.io.File(indexDir, "band_counts_next")
+    merged.write.mode("overwrite").parquet(tmp.getPath)
+    val live = new java.io.File(indexDir, "band_counts")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(live)
+    java.nio.file.Files.move(tmp.toPath, live.toPath)
+    ()
+  }
+
   def lshIndexDir(docs: DataFrame, sfDir: String): String =
     graft.sources.Fixtures.ensure("lshidx", sfDir,
       Seq(s"$sfDir/documents.parquet")) { dir =>
-      val corpusBands =
-        bandsOf(docShingles(docs.where(pmod(col("doc_id"), lit(2)) === 0)))
-      corpusBands.write.mode("overwrite").parquet(s"$dir/bands")
-      docs.sparkSession.read.parquet(s"$dir/bands")
-        .groupBy("band").agg(count(lit(1)).as("corpus_n"))
-        .write.mode("overwrite").parquet(s"$dir/band_counts")
+      writeLshIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0), dir)
       // top-level marker: the parquet subdirs carry their own
       // _SUCCESS, Fixtures keys completion on the directory's
       java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
@@ -710,9 +758,25 @@ object DedupOps {
                                               docs: DataFrame, sfDir: String,
                                               threshold: Double,
                                               maxBucket: Int,
-                                              includeBatchSelfPairs: Boolean): DataFrame = {
-    val spark = docs.sparkSession
-    val idx = lshIndexDir(docs, sfDir)
+                                              includeBatchSelfPairs: Boolean): DataFrame =
+    nearDedupProbe(arriving,
+      docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      lshIndexDir(docs, sfDir), threshold, maxBucket,
+      includeBatchSelfPairs)
+
+  /** [[incrementalNearDedupFrom]] against an EXPLICIT index location
+    * and corpus frame — the probe half of the user-managed index
+    * lifecycle ([[writeLshIndex]] build → probe →
+    * [[foldBatchIntoLshIndex]] maintenance). `corpus` must be the
+    * docs the index at `idx` was built/folded from (it feeds only the
+    * exact-verify tail, endpoint-pruned before shingling).
+    */
+  def nearDedupProbe(arriving: DataFrame,
+                     corpus: DataFrame, idx: String,
+                     threshold: Double,
+                     maxBucket: Int,
+                     includeBatchSelfPairs: Boolean): DataFrame = {
+    val spark = corpus.sparkSession
     // the arriving frame's shingles feed banding AND the verify tail;
     // its band table feeds the count aggregate AND both candidate
     // joins — materialize each once (subtree-duplication discipline:
@@ -755,8 +819,7 @@ object DedupOps {
     // from. The endpoint semi-join inside verifyCandidates pushes
     // into BOTH union arms, so corpus docs are only ever shingled if
     // they are a candidate endpoint.
-    val vs = dsArriving.unionByName(
-      docShingles(docs.where(pmod(col("doc_id"), lit(2)) === 0)))
+    val vs = dsArriving.unionByName(docShingles(corpus))
     verifyCandidates(cand, vs, threshold)
   }
 

@@ -390,6 +390,34 @@ object SimilarityOps {
       ()
     }
 
+  /** Compact an appended inverted-list layout. Every
+    * [[ivfAppendBatch]] round leaves one more small file per touched
+    * list partition — the classic small-files tax: at 100 TB a year
+    * of hourly appends makes each probe open thousands of tiny
+    * footers instead of a few full ones. The rewrite shuffles rows to
+    * their partition key (`repartition(centroid_id)`) so each writer
+    * task owns whole partitions and emits ONE file per list, then
+    * commits by directory rename — readers see either the old layout
+    * or the new one, never a half-rewritten mix. Row content is
+    * untouched (proven in [[IndexMaintenanceSpec]] along with probe
+    * equality before/after).
+    */
+  def compactIvfLists(spark: org.apache.spark.sql.SparkSession,
+                      listsDir: String): Unit = {
+    val tmp = new java.io.File(listsDir + "_compacting")
+    spark.read.parquet(listsDir)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp.getPath)
+    val live = new java.io.File(listsDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(live)
+    java.nio.file.Files.move(tmp.toPath, live.toPath)
+    ()
+  }
+
   /** Steady-state ANN over the upserted index: probe the
     * corpus-built + batch-appended inverted lists with the frozen
     * corpus-trained model. Identical output to retraining-free inline

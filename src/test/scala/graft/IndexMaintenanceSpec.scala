@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** The user-managed index lifecycle: build → probe → fold/append →
+  * compact. Each maintenance step must be indistinguishable from a
+  * full rebuild to every later reader — these specs prove that
+  * equality for the LSH band index (fold-in) and the IVF inverted
+  * lists (append + compaction), on arbitrary non-parity splits.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = Tables.documents(spark, TestSpark.Sf0001).cache()
+  lazy val emb = Tables.embeddings(spark, TestSpark.Sf0001).cache()
+
+  test("LSH fold-in: appended bands + merged counts equal a full index rebuild") {
+    // arbitrary split: corpus = mod-3 nonzero, accepted batch = mod 3
+    val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val root = java.nio.file.Files.createTempDirectory("lshfold").toString
+    val folded = s"$root/folded"
+    val rebuilt = s"$root/rebuilt"
+    DedupOps.writeLshIndex(corpus, folded)
+    DedupOps.foldBatchIntoLshIndex(batch, folded)
+    DedupOps.writeLshIndex(docs, rebuilt)
+
+    def bands(dir: String) = spark.read.parquet(s"$dir/bands")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toSeq
+    def counts(dir: String) = spark.read.parquet(s"$dir/band_counts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(bands(folded) === bands(rebuilt), "folded bands != rebuilt bands")
+    assert(counts(folded) === counts(rebuilt), "merged counts != recounted")
+
+    // a later arriving batch probes both indexes identically
+    val probe = docs.where(pmod(col("doc_id"), lit(7)) === 1)
+    def pairs(dir: String) = DedupOps.nearDedupProbe(probe, docs, dir,
+        threshold = 0.8, maxBucket = 1000, includeBatchSelfPairs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val a = pairs(folded)
+    assert(a === pairs(rebuilt))
+    assert(a.nonEmpty, "fixture must exercise the probe path")
+  }
+
+  test("LSH fold-in: count merge advances in place and a crash-safe rename publishes it") {
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val dir = java.nio.file.Files.createTempDirectory("lshcnt").toString
+    DedupOps.writeLshIndex(corpus, dir)
+    val before = spark.read.parquet(s"$dir/band_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    DedupOps.foldBatchIntoLshIndex(batch, dir)
+    val after = spark.read.parquet(s"$dir/band_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every pre-existing band's count is >= its old value (appends
+    // never shrink a bucket), and the staging dir is gone
+    before.foreach { case (b, n) =>
+      assert(after.getOrElse(b, 0L) >= n, s"band $b count shrank")
+    }
+    assert(after.values.sum > before.values.sum)
+    assert(!new java.io.File(dir, "band_counts_next").exists(),
+      "staging dir must be renamed away after the merge commits")
+  }
+
+  test("IVF compaction: one file per list partition, identical rows, identical probe") {
+    VectorFunctions.register(spark)
+    val (centroids, _) = SimilarityOps.lloydIterate(
+      emb, iterations = 1, moveEps = 0.0, centroidMod = 97, numCentroids = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfcomp")
+      .resolve("lists").toString
+    // three append rounds -> >= 2 files in every touched partition
+    SimilarityOps.ivfAppendBatch(
+      emb.where(pmod(col("vec_id"), lit(3)) === 0), centroids, dir)
+    SimilarityOps.ivfAppendBatch(
+      emb.where(pmod(col("vec_id"), lit(3)) === 1), centroids, dir)
+    SimilarityOps.ivfAppendBatch(
+      emb.where(pmod(col("vec_id"), lit(3)) === 2), centroids, dir)
+
+    def rows(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("centroid_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    def partFiles(d: String): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent.getFileName.toString)
+        .map { case (k, v) => k -> v.size }
+    }
+    val beforeRows = rows(dir)
+    val beforeProbe = SimilarityOps.indexedSearch(emb, centroids,
+      spark.read.parquet(dir), nprobe = 3, nProbes = 10, k = 10).collect().toSeq
+    assert(partFiles(dir).values.max >= 2, "appends should have split files")
+
+    SimilarityOps.compactIvfLists(spark, dir)
+    assert(rows(dir) === beforeRows, "compaction changed the row set")
+    assert(partFiles(dir).values.max === 1,
+      s"each list must be one file after compaction: ${partFiles(dir)}")
+    assert(!new java.io.File(dir + "_compacting").exists())
+    val afterProbe = SimilarityOps.indexedSearch(emb, centroids,
+      spark.read.parquet(dir), nprobe = 3, nProbes = 10, k = 10).collect().toSeq
+    assert(afterProbe === beforeProbe)
+  }
+}
