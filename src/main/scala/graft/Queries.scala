@@ -1039,6 +1039,42 @@ object Queries {
            |ORDER BY t.doc_id""".stripMargin
       }),
 
+    // the cleaned corpus itself: repeated runs excised, survivors
+    // reassembled in token order (empty clean_text rows survive —
+    // exact duplicates excise to nothing, and that must be visible).
+    // Oracle rebuilds from 1-based positions, engine from 0-based;
+    // both join on the SAME single-space rule, so the offset cancels
+    // and the reassembled strings must match byte-for-byte.
+    "substring_excise" -> QueryDef(
+      (s, d) => DedupOps.substringExcise(Tables.documents(s, d)),
+      Some {
+        val L = DedupOps.SubstrRunLen
+        val cap = DedupOps.SubstrDocFreqCap
+        s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
+           |s AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS i
+           |      FROM t WHERE len(ws) >= $L),
+           |occ AS (SELECT doc_id, i, array_to_string(ws[i:i+${L - 1}], ' ') AS sh FROM s),
+           |df AS (SELECT sh, count(DISTINCT doc_id) AS df, min(doc_id) AS owner
+           |       FROM occ GROUP BY sh HAVING count(DISTINCT doc_id) BETWEEN 2 AND $cap),
+           |rem AS (SELECT o.doc_id, o.i FROM occ o JOIN df ON o.sh = df.sh
+           |        WHERE o.doc_id <> df.owner),
+           |posd AS (SELECT DISTINCT doc_id, p FROM
+           |           (SELECT doc_id, unnest(generate_series(i, i + ${L - 1})) AS p FROM rem)),
+           |wsx AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws
+           |        FROM t WHERE len(ws) > 0),
+           |kept AS (SELECT w.doc_id, w.p, w.ws[w.p] AS tok
+           |         FROM wsx w LEFT JOIN posd d ON w.doc_id = d.doc_id AND w.p = d.p
+           |         WHERE d.doc_id IS NULL),
+           |reb AS (SELECT doc_id, count(*) AS kept_tokens,
+           |          string_agg(tok, ' ' ORDER BY p) AS clean_text
+           |        FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           |  coalesce(reb.clean_text, '') AS clean_text
+           |FROM t LEFT JOIN reb USING (doc_id) WHERE len(ws) > 0
+           |ORDER BY t.doc_id""".stripMargin
+      }),
+
     // ----- similarity search / embeddings ------------------------------
     "similarity_topk" -> QueryDef(
       (s, d) => { VectorFunctions.register(s); SimilarityOps.similarityTopK(Tables.embeddings(s, d)) },

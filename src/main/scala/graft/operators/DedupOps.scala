@@ -397,25 +397,41 @@ object DedupOps {
     * repeats at a fraction of the coordination cost, fully in
     * DataFrame operators.
     */
-  def substringDedup(docs: DataFrame,
-                     runLen: Int = SubstrRunLen,
-                     cap: Int = SubstrDocFreqCap): DataFrame = {
+  /** (doc_id, ws) token arrays of non-empty docs — the shared head of
+    * the substring family. */
+  private def substrToks(docs: DataFrame): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
-    val toks = docs
+    docs
       .select(col("doc_id"), graft.functions.NativeText.tokens(col("text")).as("ws"))
       .where(size(col("ws")) > 0)
-    val occ = toks
+  }
+
+  /** Every `runLen`-token run occurrence as (doc_id, start, sh) —
+    * 0-based starts, space-joined run text. */
+  private def substrOcc(toks: DataFrame, runLen: Int): DataFrame =
+    toks
       .where(size(col("ws")) >= runLen)
       .select(col("doc_id"), explode(transform(
           sequence(lit(0), size(col("ws")) - runLen),
           i => struct(i.as("start"),
             array_join(slice(col("ws"), i + 1, lit(runLen)), " ").as("sh")))).as("o"))
       .select(col("doc_id"), col("o.start").as("start"), col("o.sh").as("sh"))
+
+  /** Run occurrences that excision removes: every occurrence of a
+    * cross-document repeated run (doc-freq in [2, cap]) outside its
+    * min-doc_id owner. */
+  private def substrRemovable(occ: DataFrame, cap: Int): DataFrame = {
     val docFreq = occ.groupBy("sh")
       .agg(countDistinct("doc_id").as("df"), min("doc_id").as("owner"))
       .where(col("df") >= 2 && col("df") <= cap)
-    val removable = occ.join(docFreq, "sh")
-      .where(col("doc_id") =!= col("owner"))
+    occ.join(docFreq, "sh").where(col("doc_id") =!= col("owner"))
+  }
+
+  def substringDedup(docs: DataFrame,
+                     runLen: Int = SubstrRunLen,
+                     cap: Int = SubstrDocFreqCap): DataFrame = {
+    val toks = substrToks(docs)
+    val removable = substrRemovable(substrOcc(toks, runLen), cap)
     val coverage = removable
       .select(col("doc_id"), explode(sequence(col("start"),
         col("start") + (runLen - 1))).as("p"))
@@ -428,6 +444,48 @@ object DedupOps {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round((col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
           .cast("double") / col("n_tokens"), 4).as("keep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Substring-level EXCISION — the cleaned corpus itself, where
+    * [[substringDedup]] only measures coverage. Every occurrence of a
+    * cross-document repeated `runLen`-token run outside its owner doc
+    * is removed and the surviving tokens are reassembled in order
+    * (single-space joined — the tokenizer's inverse, same rule the
+    * oracle applies). A doc whose every token is covered (an exact
+    * duplicate of an earlier doc, e.g.) survives as an empty
+    * `clean_text` row rather than vanishing — downstream stages
+    * decide what to do with empties.
+    *
+    * Shuffle shape: run doc-frequency aggregate (by run text), the
+    * (doc, position) anti join and the per-doc reassembly — all
+    * key-partitioned; position fan-out is one row per token, linear
+    * in corpus size, and the doc-freq cap bounds the removable
+    * fan-out exactly as in [[substringDedup]].
+    */
+  def substringExcise(docs: DataFrame, runLen: Int = SubstrRunLen,
+                      cap: Int = SubstrDocFreqCap): DataFrame = {
+    val toks = substrToks(docs)
+    val removable = substrRemovable(substrOcc(toks, runLen), cap)
+    val removedPos = removable
+      .select(col("doc_id"), explode(sequence(col("start"),
+        col("start") + (runLen - 1))).as("p"))
+      .distinct()
+    val positions = toks
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "tok")))
+    val rebuilt = positions
+      .join(removedPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    toks
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
   }
 

@@ -158,6 +158,39 @@ class DedupSpec extends AnyFunSuite {
     (2L to 6L).foreach(id => assert(uncapped(id) === 8L, s"doc $id"))
   }
 
+  test("substring excise: cleaned text drops exactly the covered tokens") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"alpha beta $run gamma"),
+      (2L, s"$run delta epsilon zeta"),
+      (3L, s"prefix one two three $run"),
+      (4L, "w1 w2 w3 w4 unrelated tail of words here now"),
+      (5L, s"$run exactdup"), // whole doc minus 1 token is the run
+      (6L, s"$run exactdup")  // exact dup of 5 -> excises to NOTHING
+    ).toDF("doc_id", "text")
+    val out = DedupOps.substringExcise(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // owner keeps everything, non-owners lose the run but keep their
+    // own words in original order
+    assert(out(1L) === ((13L, 13L, s"alpha beta $run gamma")))
+    assert(out(2L) === ((13L, 3L, "delta epsilon zeta")))
+    assert(out(3L) === ((14L, 4L, "prefix one two three")))
+    assert(out(4L)._3 === "w1 w2 w3 w4 unrelated tail of words here now")
+    // doc 5's w1..w10 tokens are owned by doc 1's family, but the
+    // run crossing into "exactdup" is owned by 5 — so 5 keeps exactly
+    // that token; 6 (exact dup of 5) excises to the empty row, which
+    // must still be present
+    assert(out(5L) === ((11L, 1L, "exactdup")))
+    assert(out(6L) === ((11L, 0L, "")))
+    // consistency with the coverage metric: kept == n_tokens - dup
+    val cov = DedupOps.substringDedup(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    out.foreach { case (id, (_, kept, _)) =>
+      assert(cov(id) === kept, s"doc $id kept/coverage mismatch")
+    }
+  }
+
   test("simhash is stable and near-dup pairs agree on most bits") {
     val sh = DedupOps.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
