@@ -2732,6 +2732,12 @@ object Queries {
     * min(label) per node is exactly the component id the engine's
     * propagation loop converges to. The WHERE prune keeps the walk
     * relation near pair-count-sized instead of full reachability.
+    * `sym AS MATERIALIZED`: DuckDB inlines CTEs referenced from
+    * inside a recursive member, which re-evaluates the entire
+    * shingle-join pair chain on EVERY fixpoint iteration — ~linear
+    * cost at gate SFs but ruinous at the 100x replica (one chain
+    * evaluation is ~7 min there). Materializing the edge list pins
+    * the chain to exactly one evaluation with identical results.
     */
   /** Shared CTE body for the SemDeDup oracles: the nearest-centroid
     * assignment (identical to the ann_ivf oracle's `assign`), the
@@ -2762,7 +2768,7 @@ object Queries {
        |            FROM cap a JOIN cap b
        |              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
        |          WHERE score >= ${S.SemThreshold}),
-       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |sym AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM pairs
        |        UNION ALL SELECT b_id, a_id FROM pairs),
        |walk(node, label) AS (
        |  SELECT DISTINCT u, u FROM sym
@@ -2839,7 +2845,7 @@ object Queries {
 
   private lazy val componentsOracleBody: String =
     s"""WITH RECURSIVE $jaccardPairsBody,
-       |sym AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |sym AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM pairs
        |        UNION ALL SELECT b_id, a_id FROM pairs),
        |walk(node, label) AS (
        |  SELECT DISTINCT u, u FROM sym
