@@ -728,6 +728,24 @@ object Queries {
               |SELECT corpus_id, probe_id, overlap FROM j
               |WHERE overlap >= 3 ORDER BY corpus_id, probe_id""".stripMargin)),
 
+    // the decontaminated corpus itself: contamination_check's hit
+    // list turned into the surviving doc set (drop any corpus doc
+    // overlapping >= 3 shingles with any probe doc)
+    "decontaminate" -> QueryDef(
+      (s, d) => PipelineOps.decontaminate(Tables.documents(s, d)),
+      Some(s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+              |t AS (SELECT doc_id, ${shinglesSql(8)} AS sh FROM w),
+              |inv AS (SELECT doc_id, unnest(sh) AS s FROM t WHERE len(sh) > 0),
+              |j AS (SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id, count(*) AS overlap
+              |      FROM inv c JOIN inv p ON c.s = p.s
+              |      WHERE p.doc_id < ${PipelineOps.ProbeMaxId} AND c.doc_id >= ${PipelineOps.ProbeMaxId}
+              |      GROUP BY 1, 2),
+              |bad AS (SELECT DISTINCT corpus_id FROM j WHERE overlap >= 3)
+              |SELECT doc_id, lang, source FROM documents
+              |WHERE doc_id >= ${PipelineOps.ProbeMaxId}
+              |  AND doc_id NOT IN (SELECT corpus_id FROM bad)
+              |ORDER BY doc_id""".stripMargin)),
+
     // unigram-LM log-probability per document (perplexity proxy)
     "unigram_logprob" -> QueryDef(
       (s, d) => PipelineOps.unigramLogprob(Tables.documents(s, d)),

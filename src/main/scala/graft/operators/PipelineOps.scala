@@ -97,6 +97,25 @@ object PipelineOps {
       .orderBy("corpus_id", "probe_id")
   }
 
+  /** The decontaminated corpus itself — [[contaminationCheck]] only
+    * reports hits. Every corpus doc sharing >= `minOverlap` distinct
+    * 8-gram shingles with ANY probe (benchmark) doc is dropped; the
+    * survivors keep their identifying columns, ready to feed the next
+    * pipeline stage. Same broadcast-probe shape as the check (the
+    * probe side is the bounded benchmark set, never the corpus), plus
+    * one left-anti join on doc_id — both corpus-partitioned, no new
+    * scale hazard.
+    */
+  def decontaminate(docs: DataFrame, probeMaxId: Long = ProbeMaxId,
+                    n: Int = 8, minOverlap: Long = 3): DataFrame = {
+    val flagged = contaminationCheck(docs, probeMaxId, n, minOverlap)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    docs.where(col("doc_id") >= probeMaxId)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** [[dsirWeights]] parameters, shared with the generated oracle:
     * the hashed-feature bucket count and the additive-smoothing mass.
     * B = 64 keeps the feature model a broadcastable 64-row table at
