@@ -707,6 +707,56 @@ object Queries {
       (s, d) => PipelineOps.cleanCorpus(Tables.documents(s, d)),
       Some(cleanPipelineOracle)),
 
+    // the composed cleaning run v2 — decontamination, substring
+    // excision over the survivors, a surviving-length gate and exact
+    // dedup on the CLEANED text, all one plan. Oracle chains the
+    // decontaminate and excise CTE bodies (contamination CTEs
+    // c-prefixed to keep the two chains' names apart); docs that
+    // become identical only after excision must collapse in the final
+    // group-by on both engines.
+    "corpus_clean_pipeline2" -> QueryDef(
+      (s, d) => PipelineOps.cleanCorpus2(Tables.documents(s, d)),
+      Some {
+        val L = DedupOps.SubstrRunLen
+        val cap = DedupOps.SubstrDocFreqCap
+        val P = PipelineOps.ProbeMaxId
+        s"""WITH cw AS (SELECT doc_id, $toksSql AS ws FROM documents),
+           |ct AS (SELECT doc_id, ${shinglesSql(8)} AS sh FROM cw),
+           |cinv AS (SELECT doc_id, unnest(sh) AS s FROM ct WHERE len(sh) > 0),
+           |cj AS (SELECT c.doc_id AS corpus_id, count(*) AS overlap
+           |       FROM cinv c JOIN cinv p ON c.s = p.s
+           |       WHERE p.doc_id < $P AND c.doc_id >= $P
+           |       GROUP BY c.doc_id, p.doc_id),
+           |bad AS (SELECT DISTINCT corpus_id FROM cj WHERE overlap >= 3),
+           |surv AS (SELECT * FROM documents WHERE doc_id >= $P
+           |         AND doc_id NOT IN (SELECT corpus_id FROM bad)),
+           |t AS (SELECT doc_id, $toksSql AS ws FROM surv),
+           |s AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS i
+           |      FROM t WHERE len(ws) >= $L),
+           |occ AS (SELECT doc_id, i, array_to_string(ws[i:i+${L - 1}], ' ') AS sh FROM s),
+           |df AS (SELECT sh, count(DISTINCT doc_id) AS df, min(doc_id) AS owner
+           |       FROM occ GROUP BY sh HAVING count(DISTINCT doc_id) BETWEEN 2 AND $cap),
+           |rem AS (SELECT o.doc_id, o.i FROM occ o JOIN df ON o.sh = df.sh
+           |        WHERE o.doc_id <> df.owner),
+           |posd AS (SELECT DISTINCT doc_id, p FROM
+           |           (SELECT doc_id, unnest(generate_series(i, i + ${L - 1})) AS p FROM rem)),
+           |wsx AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws
+           |        FROM t WHERE len(ws) > 0),
+           |kept AS (SELECT w.doc_id, w.p, w.ws[w.p] AS tok
+           |         FROM wsx w LEFT JOIN posd d ON w.doc_id = d.doc_id AND w.p = d.p
+           |         WHERE d.doc_id IS NULL),
+           |reb AS (SELECT doc_id, count(*) AS kept_tokens,
+           |          string_agg(tok, ' ' ORDER BY p) AS clean_text
+           |        FROM kept GROUP BY doc_id),
+           |ex AS (SELECT t.doc_id,
+           |         CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           |         coalesce(reb.clean_text, '') AS clean_text
+           |       FROM t LEFT JOIN reb USING (doc_id) WHERE len(ws) > 0),
+           |g AS (SELECT doc_id, md5(clean_text) AS fp FROM ex WHERE kept_tokens >= 5)
+           |SELECT min(doc_id) AS keep_id, count(*) AS n_copies, fp
+           |FROM g GROUP BY fp ORDER BY keep_id""".stripMargin
+      }),
+
     // filter-cascade observability: per-rule first-failure drop
     // counts, one projection + one 6-counter aggregate; oracle
     // generated from the same PipelineOps.Funnel* constants

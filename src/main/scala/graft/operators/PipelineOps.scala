@@ -81,7 +81,17 @@ object PipelineOps {
     * train/test-overlap sweep at 100 TB.
     */
   def contaminationCheck(docs: DataFrame, probeMaxId: Long = ProbeMaxId,
-                         n: Int = 8, minOverlap: Long = 3): DataFrame = {
+                         n: Int = 8, minOverlap: Long = 3): DataFrame =
+    contaminationHits(docs, probeMaxId, n, minOverlap)
+      .orderBy("corpus_id", "probe_id")
+
+  /** The unsorted (corpus_id, probe_id, overlap) hit set behind
+    * [[contaminationCheck]] — composition-friendly: downstream
+    * consumers ([[decontaminate]], [[cleanCorpus2]]) shouldn't carry
+    * the report query's presentation sort into their plans.
+    */
+  private def contaminationHits(docs: DataFrame, probeMaxId: Long,
+                                n: Int, minOverlap: Long): DataFrame = {
     graft.functions.NativeText.register(docs.sparkSession)
     def shingled(df: DataFrame) = df.select(col("doc_id"),
       explode(array_distinct(graft.functions.NativeText.wordNgrams(
@@ -94,7 +104,16 @@ object PipelineOps {
       .groupBy("corpus_id", "probe_id")
       .agg(count(lit(1)).as("overlap"))
       .where(col("overlap") >= minOverlap)
-      .orderBy("corpus_id", "probe_id")
+  }
+
+  /** Corpus docs surviving the benchmark-overlap drop, full columns —
+    * the shared head of [[decontaminate]] and [[cleanCorpus2]]. */
+  private def decontaminatedDocs(docs: DataFrame, probeMaxId: Long,
+                                 n: Int, minOverlap: Long): DataFrame = {
+    val flagged = contaminationHits(docs, probeMaxId, n, minOverlap)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    docs.where(col("doc_id") >= probeMaxId)
+      .join(flagged, Seq("doc_id"), "left_anti")
   }
 
   /** The decontaminated corpus itself — [[contaminationCheck]] only
@@ -107,14 +126,31 @@ object PipelineOps {
     * scale hazard.
     */
   def decontaminate(docs: DataFrame, probeMaxId: Long = ProbeMaxId,
-                    n: Int = 8, minOverlap: Long = 3): DataFrame = {
-    val flagged = contaminationCheck(docs, probeMaxId, n, minOverlap)
-      .select(col("corpus_id").as("doc_id")).distinct()
-    docs.where(col("doc_id") >= probeMaxId)
-      .join(flagged, Seq("doc_id"), "left_anti")
+                    n: Int = 8, minOverlap: Long = 3): DataFrame =
+    decontaminatedDocs(docs, probeMaxId, n, minOverlap)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
-  }
+
+  /** The composed cleaning run, round-12 edition — the new stages
+    * fused into ONE plan the optimizer sees whole: benchmark
+    * decontamination (drop corpus docs overlapping the probe set),
+    * substring EXCISION over the survivors (run ownership and doc
+    * frequency computed post-drop, on the corpus that actually
+    * ships), a minimum surviving-length gate, and exact dedup on the
+    * CLEANED text — docs that become identical only after excision
+    * collapse here, which per-stage materialization would need an
+    * extra pass to notice. Output: one row per surviving distinct
+    * cleaned text (min-id keeper, copy count, fingerprint).
+    */
+  def cleanCorpus2(docs: DataFrame, minKept: Long = 5,
+                   probeMaxId: Long = ProbeMaxId): DataFrame =
+    DedupOps.substringExcise(decontaminatedDocs(docs, probeMaxId, 8, 3))
+      .where(col("kept_tokens") >= minKept)
+      .select(col("doc_id"), md5(col("clean_text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("fp"))
+      .orderBy("keep_id")
 
   /** [[dsirWeights]] parameters, shared with the generated oracle:
     * the hashed-feature bucket count and the additive-smoothing mass.
