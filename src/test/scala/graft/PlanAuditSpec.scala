@@ -121,6 +121,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "the |langs|-row count table must broadcast")
   }
 
+  test("corpus_clean_pipeline2: probe side broadcasts, corpus scans stay bounded") {
+    val df = q("corpus_clean_pipeline2")
+    // the benchmark probe set is the bounded side of the overlap
+    // join — at 100 TB the corpus must never shuffle FOR the
+    // contamination stage, only probe against the broadcast
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "the probe shingle set must broadcast")
+    // composed-pipeline discipline: the inner stages' presentation
+    // sorts must not survive into the fused plan — the only Sort is
+    // the result ordering
+    val sorts = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    // (0 when AQE elides the tiny result sort at spec scale)
+    assert(sorts.size <= 1, s"expected only the result sort, got ${sorts.size}")
+  }
+
   test("price_histogram: row-local bucketing, one bounded aggregate") {
     // bucket agg + result sort; anything more means the bucketing
     // stopped being a pure projection
