@@ -13,11 +13,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Count-min sketch hashing, shared by the aggregate and the probe:
   * row j's bucket for 60-bit key hash x is
-  * `((2j+1)·(x mod P) + j² + 7) mod P mod w` — the same affine hash
-  * family as [[MinHashSignature]]/KMV (proven cross-engine), with
-  * every intermediate fitting a signed 64-bit integer (x mod P <
-  * 2³⁰, 2j+1 small), so DuckDB reproduces each bucket — and
-  * therefore every counter and every probe — bit-for-bit.
+  * `((2j+1)·(x mod P) + j² + 7) mod P mod w`, with every intermediate
+  * fitting a signed 64-bit integer (x mod P < 2³⁰, 2j+1 small), so
+  * DuckDB reproduces each bucket — and therefore every counter and
+  * every probe — bit-for-bit. The rows of this family are correlated
+  * in the tail (a tiny x gives small values in every row) — harmless
+  * here, where row correlation only nudges collision RATES and the
+  * oracle mirrors the exact buckets; [[MinHashSignature]] had to
+  * abandon the shared family because minhash-LSH recall depends on
+  * min-wise independent rows (see its scaladoc).
   */
 object CmsHash {
   val P = 1000000007L

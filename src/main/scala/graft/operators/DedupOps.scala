@@ -751,8 +751,11 @@ object DedupOps {
   }
 
   def lshIndexDir(docs: DataFrame, sfDir: String): String =
+    // params "h2": band keys bake the MinHashSignature hash family —
+    // the affine-per-row revision must never read an index built by
+    // the old correlated family (fixture names ignore code versions)
     graft.sources.Fixtures.ensure("lshidx", sfDir,
-      Seq(s"$sfDir/documents.parquet")) { dir =>
+      Seq(s"$sfDir/documents.parquet"), params = "h2") { dir =>
       writeLshIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0), dir)
       // top-level marker: the parquet subdirs carry their own
       // _SUCCESS, Fixtures keys completion on the directory's

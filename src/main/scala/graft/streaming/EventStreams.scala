@@ -278,8 +278,10 @@ object EventStreams {
     * under it.
     */
   def streamedNearDedupLayout(spark: SparkSession, sfDir: String): String =
+    // params "h2": the landed pairs came from probing the versioned
+    // LSH index (see DedupOps.lshIndexDir) — keep the layouts in step
     graft.sources.Fixtures.ensure("streamdedup", sfDir,
-      Seq(s"$sfDir/documents.parquet")) { path =>
+      Seq(s"$sfDir/documents.parquet"), params = "h2") { path =>
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val root = java.nio.file.Paths.get(path)
       if (java.nio.file.Files.exists(root)) {

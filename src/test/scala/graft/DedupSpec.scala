@@ -158,6 +158,45 @@ class DedupSpec extends AnyFunSuite {
     (2L to 6L).foreach(id => assert(uncapped(id) === 8L, s"doc $id"))
   }
 
+  test("minhash rows stay independent under a tiny-hash shingle (100x regression)") {
+    // the old (2j+1)x + j^2 + 7 family is monotone in x per row, so a
+    // shingle whose base hash lands near zero wins EVERY row's
+    // minimum at once: a J=0.9 pair differing by exactly that shingle
+    // had zero band collisions on the 100x gate (odds ~1e-23 under
+    // min-wise independent rows). Reconstruct the pathology and
+    // assert per-row agreement tracks J.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = graft.operators.DedupOps.P
+    def xm(s: String): Long = {
+      val u = UTF8String.fromString(s)
+      val x = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      ((x % P) + P) % P
+    }
+    // deterministic search for an adversarial shingle: base hash
+    // within 50k of zero (~1 in 20k strings)
+    val tiny = Iterator.from(0).map(i => s"tiny$i").find(xm(_) < 50000L).get
+    val base = (0 until 30).map(i => s"shingle body number $i")
+    def sig(xs: Seq[String]): Seq[Long] = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      graft.functions.expressions.MinHashSignature(
+        Literal.create(new GenericArrayData(xs.map(UTF8String.fromString).toArray),
+          ArrayType(StringType)),
+        graft.operators.DedupOps.NumHashes, P)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    }
+    val withTiny = sig(base :+ tiny)
+    val without = sig(base)
+    val agree = withTiny.zip(without).count { case (a, b) => a == b }
+    // E[agreement] = J * rows = (30/31) * 64 ≈ 62; the old family
+    // scored ~0 here. 40 is a >10-sigma floor.
+    assert(agree >= 40,
+      s"tiny-hash shingle '$tiny' collapsed row independence: $agree/64 rows agree")
+  }
+
   test("substring excise: cleaned text drops exactly the covered tokens") {
     import spark.implicits._
     val run = (1 to 10).map(i => s"w$i").mkString(" ")
