@@ -58,7 +58,9 @@ object Bench {
       "substring_dedup", "semantic_dedup", "incremental_semantic_dedup",
       "ann_ivf_indexed", "ann_pq", "tfidf_topk", "lang_id",
       "dataset_shuffle", "mixture_schedule", "bpe_train_merges",
-      "multimodal_features", "multimodal_wav_segments", "streamed_day_counts")
+      "multimodal_features", "multimodal_wav_segments", "streamed_day_counts",
+      "ann_ivf_upsert", "substring_excise", "corpus_clean_pipeline2",
+      "decontaminate", "streamed_vector_pairs")
     val perQ = math.round(total / math.max(1, results.count(_._2 >= 0)) * 1000) / 1000.0
     println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"full":"BENCH_FULL.json","queries":${qjson(results.filter(r => headline(r._1)))},"sf":"$sfDir"}""")
     spark.stop()
