@@ -27,6 +27,11 @@ final case class QueryDef(
   */
 object Queries {
 
+  /** Watermark delay (ms) of the streamed watermark layout — the
+    * oracle must apply the same horizon the stream ran with.
+    */
+  private val wmDelayMs = graft.streaming.EventStreams.WatermarkDelayMs
+
   /** DuckDB: lower-cased whitespace tokens, empties dropped. */
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), w -> w <> '')"""
@@ -1675,6 +1680,35 @@ object Queries {
              |    value FROM events)
              |SELECT day, count(*) AS n, round(sum(value), 4) AS sum_value
              |FROM e GROUP BY day ORDER BY day""".stripMargin)),
+
+    // WATERMARK semantics under the hash gate: the layout was landed
+    // by two checkpointed availableNow runs (on-time bulk, then a
+    // straggler slice resuming from the same checkpoint), so append-
+    // mode window finalization, late-row dropping at the CHECKPOINTED
+    // watermark, and watermark persistence across restart are all
+    // facts the oracle recomputes from the original events table —
+    // see EventStreams.streamedWatermarkLayout for the exact function
+    "streamed_watermark_counts" -> QueryDef(
+      (s, d) => {
+        val dir = graft.streaming.EventStreams.streamedWatermarkLayout(s, d)
+        s.read.parquet(dir)
+          .select("hour", "event_type", "n")
+          .orderBy("hour", "event_type")
+      },
+      Some(s"""WITH e AS (SELECT event_id, epoch_ms(ts) AS ms, event_type FROM events),
+             |wm1 AS (SELECT max(ms) - $wmDelayMs AS w FROM e WHERE event_id % 5 != 0),
+             |wm2 AS (SELECT max(ms) - $wmDelayMs AS w FROM e),
+             |contrib AS (
+             |  SELECT ms, event_type FROM e WHERE event_id % 5 != 0
+             |  UNION ALL
+             |  SELECT ms, event_type FROM e
+             |  WHERE event_id % 5 = 0
+             |    AND ms - ms % 3600000 + 3600000 > (SELECT w FROM wm1)),
+             |agg AS (SELECT ms - ms % 3600000 AS hs, event_type, count(*) AS n
+             |        FROM contrib GROUP BY 1, 2)
+             |SELECT make_timestamp(hs * 1000) AS hour, event_type, CAST(n AS BIGINT) AS n
+             |FROM agg WHERE hs + 3600000 <= (SELECT w FROM wm2)
+             |ORDER BY hour, event_type""".stripMargin)),
 
     // dynamic partition pruning: the day set comes from a runtime
     // dim aggregate (days with a high-value purchase), so the fact

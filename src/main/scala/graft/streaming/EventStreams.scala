@@ -583,4 +583,121 @@ object EventStreams {
           .parquet(s"$outDir/batch_id=$id")
       }
       .start()
+
+  /** Watermark delay of the gated late-data layout
+    * ([[streamedWatermarkLayout]]) — shared with the generated oracle
+    * (ms constant) and the boundary-semantics spec.
+    */
+  val WatermarkDelay = "6 hours"
+  val WatermarkDelayMs: Long = 6L * 3600 * 1000
+
+  /** Tumbling hourly counts per event type in APPEND mode: a window's
+    * row is emitted exactly once, when the watermark passes its end —
+    * the finalize-and-forget contract a downstream consumer of a
+    * *closed* hour wants (vs [[windowedCounts]]'s update-mode running
+    * counts). Rows arriving after their window closed are DROPPED by
+    * the watermark, which is what bounds state at 100 TB: state holds
+    * only the (watermark horizon / window) open groups per type, no
+    * matter how many hours the stream has ever seen.
+    */
+  def watermarkedHourlyCounts(events: DataFrame,
+                              watermark: String = WatermarkDelay): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"))
+
+  /** [[watermarkedHourlyCounts]] into an append-mode parquet sink. */
+  def writeWatermarkedHourly(events: DataFrame, outDir: String,
+                             checkpointDir: String): StreamingQuery =
+    watermarkedHourlyCounts(events)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Land `df` as exactly ONE parquet file at `dest` — the staging
+    * step that makes a file-source run deterministic: with
+    * `maxFilesPerTrigger=1` ([[readEventsStream]]), one staged file
+    * is one micro-batch, so the watermark sequence across a staged
+    * ingest replay is a function of the data alone.
+    */
+  private[graft] def stageSingleParquet(df: DataFrame,
+                                        dest: java.nio.file.Path): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file staged under $tmp"))
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.move(part.toPath, dest)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp)
+      .sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+  }
+
+  /** Write-once WATERMARK-GATED hourly-count layout: a two-phase
+    * staged ingest that makes Structured Streaming's late-data
+    * semantics an oracle-checkable fact rather than a spec claim.
+    *
+    * Phase 1 stages the on-time bulk (`event_id % 5 != 0`) as one
+    * file and runs [[writeWatermarkedHourly]] to termination: the
+    * run's data batch aggregates it, the watermark advances to
+    * `max(ts₁) − delay` (= WM₁), and the closing no-data batch emits
+    * every window with `end ≤ WM₁`. Phase 2 stages the straggler
+    * slice (`event_id % 5 = 0` — same ts distribution, so much of it
+    * is now LATE) and resumes from the same checkpoint: the batch
+    * runs under the CHECKPOINTED WM₁, so straggler rows whose window
+    * end is `≤ WM₁` are dropped while the rest merge into open
+    * state; the watermark then advances to `max(ts) − delay` (= WM₂)
+    * and the closing batch emits windows with end in (WM₁, WM₂].
+    *
+    * The final sink is therefore a pure function of the data and the
+    * two-phase split: windows ending ≤ WM₁ carry phase-1-only
+    * counts, windows ending in (WM₁, WM₂] carry both phases, windows
+    * ending after WM₂ are still open and absent. The registry's
+    * `streamed_watermark_counts` reads this back against a DuckDB
+    * oracle computing exactly that function from the original events
+    * table — a dropped-when-it-shouldn't or kept-when-late row, a
+    * lost micro-batch, or a watermark that failed to persist across
+    * the restart all red the hash. (Boundary rule pinned in
+    * [[StreamingWatermarkSpec]]: a window whose end equals the
+    * watermark exactly is CLOSED — emitted by the closing batch and
+    * late for arriving rows.)
+    */
+  def streamedWatermarkLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("wmsink", sfDir,
+      Seq(s"$sfDir/events.parquet")) { path =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val srcDir = root.resolve("_src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = graft.Tables.events(spark, sfDir)
+      def run(): Unit = {
+        val q = writeWatermarkedHourly(
+          readEventsStream(spark, srcDir.toString),
+          path, s"$path/_checkpoint")
+        try q.awaitTermination() finally q.stop()
+      }
+      stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) =!= 0),
+        srcDir.resolve("phase1.parquet"))
+      run()
+      stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) === 0),
+        srcDir.resolve("phase2.parquet"))
+      run()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
 }
