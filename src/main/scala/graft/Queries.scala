@@ -452,6 +452,14 @@ object Queries {
       (s, d) => TextAnalysisOps.bpeTrainMerges(Tables.documents(s, d)),
       Some(bpeTrainOracle)),
 
+    // train -> ENCODE round trip: the corpus tokenized by the trained
+    // merge list, reported as the subword vocabulary census; the
+    // oracle replays the unrolled rounds AND the final-symbol census,
+    // so a merge list that doesn't reproduce under application reds
+    "bpe_vocab" -> QueryDef(
+      (s, d) => TextAnalysisOps.bpeVocab(Tables.documents(s, d)),
+      Some(bpeVocabOracle)),
+
     "token_count_bpe" -> QueryDef(
       (s, d) => TextAnalysisOps.tokenCountBpe(Tables.documents(s, d)),
       Some("""SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]'))::BIGINT AS n_bpe_tokens
@@ -2921,8 +2929,11 @@ object Queries {
     * non-overlapping, same as Spark's, and the `(x)(y)` delimiters
     * keep a pair pattern from matching across symbol boundaries.
     */
-  private lazy val bpeTrainOracle: String = {
-    val R = graft.operators.TextAnalysisOps.BpeTrainRounds
+  /** The per-round unrolled BPE CTE chain, shared by the train and
+    * vocab oracles: s1..s{R+1} word tables (s{r+1} = s{r} rewritten by
+    * round r's argmax merge b{r}).
+    */
+  private def bpeRoundCtes(R: Int): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"tok AS (SELECT unnest($toksSql) AS word FROM documents)",
       s"""wf AS (SELECT word, count(*) AS wf FROM tok
@@ -2935,14 +2946,32 @@ object Queries {
          |       LATERAL unnest(generate_series(1, len(syms) - 1)) t(i)
          |  GROUP BY x, y)""".stripMargin
       ctes += s"b$r AS (SELECT $r AS round, x, y, cnt FROM p$r ORDER BY cnt DESC, x, y LIMIT 1)"
-      if (r < R)
-        ctes += s"""s${r + 1} AS (SELECT replace(wstr, '(' || b.x || ')(' || b.y || ')',
-           |  '(' || b.x || b.y || ')') AS wstr, wf FROM s$r, b$r b)""".stripMargin
+      ctes += s"""s${r + 1} AS (SELECT replace(wstr, '(' || b.x || ')(' || b.y || ')',
+         |  '(' || b.x || b.y || ')') AS wstr, wf FROM s$r, b$r b)""".stripMargin
     }
+    ctes.toSeq
+  }
+
+  private lazy val bpeTrainOracle: String = {
+    val R = graft.operators.TextAnalysisOps.BpeTrainRounds
     val union = (1 to R)
       .map(r => s"SELECT CAST(round AS BIGINT) AS round, x AS left_sym, y AS right_sym, CAST(cnt AS BIGINT) AS cnt FROM b$r")
       .mkString("\nUNION ALL\n")
-    s"WITH ${ctes.mkString(",\n")}\n$union\nORDER BY round"
+    s"WITH ${bpeRoundCtes(R).mkString(",\n")}\n$union\nORDER BY round"
+  }
+
+  /** [[graft.operators.TextAnalysisOps.bpeVocab]]'s oracle: replay the
+    * unrolled rounds, then census the FINAL word table's symbols.
+    */
+  private lazy val bpeVocabOracle: String = {
+    val R = graft.operators.TextAnalysisOps.BpeTrainRounds
+    val K = graft.operators.TextAnalysisOps.BpeVocabTopK
+    s"""WITH ${bpeRoundCtes(R).mkString(",\n")},
+       |census AS (SELECT sym, CAST(sum(wf) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(wstr, '\\(([^)]*)\\)', 1)) AS sym, wf
+       |        FROM s${R + 1})
+       |  GROUP BY sym)
+       |SELECT sym, cnt FROM census ORDER BY cnt DESC, sym LIMIT $K""".stripMargin
   }
 
   private lazy val componentsOracleBody: String =

@@ -158,9 +158,19 @@ object TextAnalysisOps {
     * tokenizer trainer ships.
     */
   def bpeTrainMerges(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
-    graft.functions.NativeText.register(docs.sparkSession)
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, _) = bpeTrainLoop(docs, rounds)
+    merges.toDF("round", "left_sym", "right_sym", "cnt").orderBy("round")
+  }
+
+  /** The shared BPE training loop: returns the learned merge list AND
+    * the final symbolized word-frequency table (every word rewritten
+    * by all `rounds` merges) — the artifact [[bpeVocab]] censuses.
+    */
+  private def bpeTrainLoop(docs: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    graft.functions.NativeText.register(docs.sparkSession)
     val base = docs
       .select(explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
       .where(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
@@ -191,7 +201,39 @@ object TextAnalysisOps {
           col("wf"))
       }
     }
-    merges.toSeq.toDF("round", "left_sym", "right_sym", "cnt").orderBy("round")
+    (merges.toSeq, cur)
+  }
+
+  /** Top-K of the BPE vocabulary census — shared with the oracle. */
+  val BpeVocabTopK = 40
+
+  /** Tokenizer APPLICATION: encode the corpus with the merge list
+    * [[bpeTrainMerges]] learns and report the resulting subword
+    * vocabulary census — each (alphanumeric, len ≥ 2) word rewritten
+    * by all trained merges, its final symbols exploded and weighted
+    * by corpus word frequency, top-K by total occurrences. This is
+    * the train → encode round trip a tokenizer surface owes: the
+    * merge list is only correct if APPLYING it reproduces the
+    * training fixpoint, which the census's independent oracle (the
+    * same unrolled rounds, replayed in SQL) re-proves end to end.
+    *
+    * Scale shape: everything after the corpus's one word-frequency
+    * aggregate is vocabulary-sized — the merge rewrites are row-local
+    * `replace` calls on distinct words, the census explodes ≤
+    * |word| symbols per DISTINCT word, and the top-K cut is a total
+    * order (cnt desc, sym asc). Encoding the corpus at 100 TB costs
+    * one groupBy(word) — the same rollup every other text-analysis
+    * query starts from — never a per-occurrence merge scan.
+    */
+  def bpeVocab(docs: DataFrame, rounds: Int = BpeTrainRounds,
+               k: Int = BpeVocabTopK): DataFrame = {
+    val (_, finalWords) = bpeTrainLoop(docs, rounds)
+    finalWords
+      .select(col("wf"),
+        explode(regexp_extract_all(col("wstr"), lit("\\(([^)]*)\\)"), lit(1))).as("sym"))
+      .groupBy("sym").agg(sum(col("wf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym").asc)
+      .limit(k)
   }
 
   /** BPE-ish subword token count: runs of letters, runs of digits, and
