@@ -1099,26 +1099,18 @@ object Queries {
     // is a distinct-count so the offset cancels.
     "substring_dedup" -> QueryDef(
       (s, d) => DedupOps.substringDedup(Tables.documents(s, d)),
-      Some {
-        val L = DedupOps.SubstrRunLen
-        val cap = DedupOps.SubstrDocFreqCap
-        s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents),
-           |s AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS i
-           |      FROM t WHERE len(ws) >= $L),
-           |occ AS (SELECT doc_id, i, array_to_string(ws[i:i+${L - 1}], ' ') AS sh FROM s),
-           |df AS (SELECT sh, count(DISTINCT doc_id) AS df, min(doc_id) AS owner
-           |       FROM occ GROUP BY sh HAVING count(DISTINCT doc_id) BETWEEN 2 AND $cap),
-           |rem AS (SELECT o.doc_id, o.i FROM occ o JOIN df ON o.sh = df.sh
-           |        WHERE o.doc_id <> df.owner),
-           |cov AS (SELECT doc_id, count(DISTINCT pos) AS dup_tokens FROM
-           |          (SELECT doc_id, unnest(generate_series(i, i + ${L - 1})) AS pos FROM rem)
-           |        GROUP BY doc_id)
-           |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-           |  CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-           |  round((len(ws) - coalesce(cov.dup_tokens, 0))::DOUBLE / len(ws), 4) AS keep_ratio
-           |FROM t LEFT JOIN cov USING (doc_id) WHERE len(ws) > 0
-           |ORDER BY t.doc_id""".stripMargin
-      }),
+      Some(substrCoverageOracle(docFilter = "", rowFilter = ""))),
+
+    // steady-state substring dedup: the arriving (odd-id) batch
+    // probes the PERSISTED corpus run index — the corpus is never
+    // re-shingled. The oracle recomputes df/owner over corpus+batch
+    // from scratch and restricts to batch rows, so the hash match is
+    // the probe == full-rebuild proof (the run universe excludes
+    // neither parity: combined df must count both sides).
+    "incremental_substring_dedup" -> QueryDef(
+      (s, d) => DedupOps.incrementalSubstringDedup(Tables.documents(s, d), d),
+      Some(substrCoverageOracle(docFilter = "",
+        rowFilter = "AND t.doc_id % 2 = 1"))),
 
     // the cleaned corpus itself: repeated runs excised, survivors
     // reassembled in token order (empty clean_text rows survive —
@@ -2929,6 +2921,35 @@ object Queries {
     * non-overlapping, same as Spark's, and the `(x)(y)` delimiters
     * keep a pair pattern from matching across symbol boundaries.
     */
+  /** Substring-dedup coverage oracle, generated from the DedupOps
+    * constants. `docFilter` restricts the run UNIVERSE (which docs
+    * participate in df/owner at all); `rowFilter` restricts only the
+    * OUTPUT rows (the full df/owner stats still see every universe
+    * doc) — the incremental probe's contract. Position arithmetic is
+    * 1-based here vs 0-based in Spark; coverage is a distinct count,
+    * so the offset cancels.
+    */
+  private def substrCoverageOracle(docFilter: String, rowFilter: String): String = {
+    val L = graft.operators.DedupOps.SubstrRunLen
+    val cap = graft.operators.DedupOps.SubstrDocFreqCap
+    s"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents $docFilter),
+       |s AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${L - 1})) AS i
+       |      FROM t WHERE len(ws) >= $L),
+       |occ AS (SELECT doc_id, i, array_to_string(ws[i:i+${L - 1}], ' ') AS sh FROM s),
+       |df AS (SELECT sh, count(DISTINCT doc_id) AS df, min(doc_id) AS owner
+       |       FROM occ GROUP BY sh HAVING count(DISTINCT doc_id) BETWEEN 2 AND $cap),
+       |rem AS (SELECT o.doc_id, o.i FROM occ o JOIN df ON o.sh = df.sh
+       |        WHERE o.doc_id <> df.owner),
+       |cov AS (SELECT doc_id, count(DISTINCT pos) AS dup_tokens FROM
+       |          (SELECT doc_id, unnest(generate_series(i, i + ${L - 1})) AS pos FROM rem)
+       |        GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  round((len(ws) - coalesce(cov.dup_tokens, 0))::DOUBLE / len(ws), 4) AS keep_ratio
+       |FROM t LEFT JOIN cov USING (doc_id) WHERE len(ws) > 0 $rowFilter
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** The per-round unrolled BPE CTE chain, shared by the train and
     * vocab oracles: s1..s{R+1} word tables (s{r+1} = s{r} rewritten by
     * round r's argmax merge b{r}).

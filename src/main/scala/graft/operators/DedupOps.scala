@@ -489,6 +489,93 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Write-once substring RUN INDEX of the already-ingested corpus
+    * (even doc_ids — the parity convention of the other persisted
+    * indexes): one row per DISTINCT corpus run text with its corpus
+    * document frequency and canonical owner (min doc_id). This is the
+    * substring family's steady-state backbone, completing the story
+    * the LSH band index ([[lshIndexDir]]), the digest index, and the
+    * IVF lists tell for their families: an arriving batch probes the
+    * stored per-run stats instead of re-shingling the corpus. All
+    * runs are stored (df ≥ 1, not just repeated ones) because a batch
+    * doc sharing a run with ONE corpus doc makes the combined df 2 —
+    * the index must answer "how many corpus docs held this run", not
+    * "was it already a duplicate". Unlike the band index (32
+    * rows/doc), a run index is inherently text-volume-sized — the
+    * same bound as Lee et al.'s suffix array, which indexes every
+    * corpus position; at 100 TB it lives bucketed by run key so the
+    * probe join co-locates without shuffling the index.
+    */
+  def substrIndexDir(docs: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("substridx", sfDir,
+      Seq(s"$sfDir/documents.parquet")) { dir =>
+      substrOcc(substrToks(docs.where(pmod(col("doc_id"), lit(2)) === 0)),
+        SubstrRunLen)
+        .groupBy("sh")
+        .agg(countDistinct("doc_id").as("corpus_df"),
+          min("doc_id").as("corpus_owner"))
+        .write.mode("overwrite").parquet(s"$dir/runs")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+      ()
+    }
+
+  /** Steady-state [[substringDedup]]: coverage for the parity-split
+    * arriving batch (odd doc_ids) via the persisted corpus run index.
+    */
+  def incrementalSubstringDedup(docs: DataFrame, sfDir: String,
+                                runLen: Int = SubstrRunLen,
+                                cap: Int = SubstrDocFreqCap): DataFrame =
+    substringDedupBatch(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      docs, sfDir, runLen, cap)
+
+  /** Substring-dedup coverage for an ARBITRARY arriving batch against
+    * the persisted corpus run index ([[substrIndexDir]]) — the public
+    * batch-parameterized probe, mirroring [[nearDedupBatch]]. The
+    * combined per-run document frequency is corpus df (stored) +
+    * batch df (computed over the batch alone — parities are disjoint,
+    * so the sum IS the union's distinct count), the combined owner the
+    * min of the two owners; removability of a batch occurrence
+    * depends only on that (df, owner) pair, which is why probe ==
+    * full rebuild restricted to batch docs, bit for bit (the oracle's
+    * claim, and [[DedupSpec]]'s for an arbitrary second split). The
+    * corpus is never re-shingled: the probe shuffles batch-sized
+    * tables against the run-keyed index.
+    */
+  def substringDedupBatch(batch: DataFrame, docs: DataFrame, sfDir: String,
+                          runLen: Int = SubstrRunLen,
+                          cap: Int = SubstrDocFreqCap): DataFrame = {
+    val spark = docs.sparkSession
+    val idx = spark.read.parquet(s"${substrIndexDir(docs, sfDir)}/runs")
+    val toksB = substrToks(batch)
+    // the batch occurrence table feeds the stats aggregate AND the
+    // removability join — materialize once (subtree discipline)
+    val occ = Checkpoints.truncate(substrOcc(toksB, runLen))
+    val batchStats = occ.groupBy("sh")
+      .agg(countDistinct("doc_id").as("batch_df"),
+        min("doc_id").as("batch_owner"))
+    val combined = batchStats.join(idx, Seq("sh"), "left")
+      .select(col("sh"),
+        (col("batch_df") + coalesce(col("corpus_df"), lit(0L))).as("df"),
+        least(col("batch_owner"),
+          coalesce(col("corpus_owner"), col("batch_owner"))).as("owner"))
+      .where(col("df") >= 2 && col("df") <= cap)
+    val removable = occ.join(combined, "sh")
+      .where(col("doc_id") =!= col("owner"))
+    val coverage = removable
+      .select(col("doc_id"), explode(sequence(col("start"),
+        col("start") + (runLen - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(countDistinct("p").as("dup_tokens"))
+    toksB
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(coverage, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round((col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
+          .cast("double") / col("n_tokens"), 4).as("keep_ratio"))
+      .orderBy("doc_id")
+  }
+
   // dupComponents shares this with ComponentsSpec: the convergence
   // bound is the propagation diameter, and the spec's worst-case
   // chain fixture is sized against it.

@@ -158,6 +158,24 @@ class DedupSpec extends AnyFunSuite {
     (2L to 6L).foreach(id => assert(uncapped(id) === 8L, s"doc $id"))
   }
 
+  test("substring batch probe equals full rebuild restricted to the batch, for an arbitrary split") {
+    import org.apache.spark.sql.functions._
+    // universe = even corpus + a mod-4 arriving batch (NOT the parity
+    // split the gated query uses): the probe's combined df/owner math
+    // must reproduce the from-scratch computation on that universe
+    val batch = docs.where(pmod(col("doc_id"), lit(4)) === 1)
+    val universe = docs.where(
+      pmod(col("doc_id"), lit(2)) === 0 || pmod(col("doc_id"), lit(4)) === 1)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val full = DedupOps.substringDedup(universe).collect()
+      .filter(_.getLong(0) % 4 == 1).map(key).toSeq
+    val probed = DedupOps.substringDedupBatch(batch, docs, TestSpark.Sf0001)
+      .collect().map(key).toSeq
+    assert(full.exists(_._3 > 0), "fixture should contain cross-document runs")
+    assert(probed === full)
+  }
+
   test("minhash rows stay independent under a tiny-hash shingle (100x regression)") {
     // the old (2j+1)x + j^2 + 7 family is monotone in x per row, so a
     // shingle whose base hash lands near zero wins EVERY row's
