@@ -112,7 +112,14 @@ object Queries {
     * the engine ([[SimilarityOps.annIvfUpsert]] defaults: mod 98,
     * K 16, 1 iteration, nprobe 3, 10 probes, k 10).
     */
-  private lazy val ivfUpsertOracleSql: String = {
+  private lazy val ivfUpsertOracleSql: String = ivfUpsertOracle("")
+
+  /** [[graft.operators.SimilarityOps.annIvfUpsert]]'s from-scratch
+    * replay; `neighborFilter` additionally restricts the searchable
+    * corpus (the delete query's tombstone contract — probes still
+    * query, deleted ids just can't be returned).
+    */
+  private def ivfUpsertOracle(neighborFilter: String): String = {
     val mod = 98; val numC = 16
     s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
        |  WHERE vec_id % 2 = 0 AND vec_id % $mod = 0 AND vec_id < ${mod.toLong * numC}),
@@ -138,7 +145,8 @@ object Queries {
        |  FROM rf WHERE vec_id < 10 AND crank <= 3),
        |sc AS (SELECT pl.probe_id, a.vec_id,
        |  ${cosSql("pl.probe_vec", "a.embedding")} AS score FROM pl
-       |  JOIN assign a ON pl.centroid_id = a.centroid_id WHERE a.vec_id <> pl.probe_id),
+       |  JOIN assign a ON pl.centroid_id = a.centroid_id
+       |  WHERE a.vec_id <> pl.probe_id $neighborFilter),
        |r2 AS (SELECT probe_id, vec_id, score, row_number() OVER
        |  (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM sc)
        |SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score
@@ -1216,6 +1224,18 @@ object Queries {
       (s, d) => { VectorFunctions.register(s)
         SimilarityOps.annIvfUpsert(Tables.embeddings(s, d), d) },
       Some(ivfUpsertOracleSql)),
+
+    // the index lifecycle's DELETE leg: tombstones appended next to
+    // the lists (never a rewrite), subtracted from the probe by a
+    // broadcast anti join, applied physically at the next compaction
+    // (IndexMaintenanceSpec). The oracle searches (corpus ∪ batch)
+    // minus the delete slice from scratch under the same frozen
+    // model, so a leaked tombstone — returned neighbor that should
+    // be dead, or a live one dropped — reds the hash.
+    "ann_ivf_delete" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfDelete(Tables.embeddings(s, d), d) },
+      Some(ivfUpsertOracle(s"AND a.vec_id % ${SimilarityOps.IvfDeleteMod} != ${SimilarityOps.IvfDeleteRes}"))),
 
     // ANN quality eval: recall@10 of the IVF index vs brute-force
     // ground truth as a 1-row metric; the oracle recomputes BOTH

@@ -390,6 +390,77 @@ object SimilarityOps {
       ()
     }
 
+  // the deterministic delete slice of the gated delete query, shared
+  // with the generated oracle: vec_id % IvfDeleteMod == IvfDeleteRes
+  val IvfDeleteMod = 9
+  val IvfDeleteRes = 4
+
+  /** DELETE from a persisted inverted-list layout — as a TOMBSTONE
+    * APPEND, never a list rewrite: the deleted ids land under
+    * `_tombstones/` (underscore-prefixed, so every list scan skips it
+    * as metadata), costing |deletes| rows regardless of corpus size.
+    * Probes subtract the log with a broadcast anti join
+    * ([[annIvfDelete]]); the physical removal is deferred to the next
+    * compaction ([[compactIvfLists]], which applies and truncates the
+    * log) — the standard LSM-shaped delete story, completing the
+    * index lifecycle: build → probe → append → DELETE → compact.
+    */
+  def ivfDeleteBatch(deletes: DataFrame, listsDir: String): Unit =
+    deletes.select(col("vec_id"))
+      .write.mode("append").parquet(s"$listsDir/_tombstones")
+
+  /** Write-once tombstoned inverted lists: the upsert layout's build
+    * (even-id corpus under the frozen corpus model, odd-id batch
+    * appended) plus a [[ivfDeleteBatch]] of the deterministic delete
+    * slice. `_DELETED` marks the three-step build complete (Spark's
+    * `_SUCCESS` lands after step one).
+    */
+  def ivfDeleteIndexDir(emb: DataFrame, sfDir: String, centroidMod: Int,
+                        numCentroids: Int, iterations: Int,
+                        moveEps: Double): String =
+    graft.sources.Fixtures.ensure("ivfdellists", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"m${centroidMod}k${numCentroids}i$iterations",
+      validate = d => new java.io.File(d, "_DELETED").exists()) { dir =>
+      val spark = emb.sparkSession
+      val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
+        centroidMod, numCentroids, iterations, moveEps))
+      assignToCentroids(emb.where(pmod(col("vec_id"), lit(2)) === 0), centroids)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      ivfAppendBatch(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        centroids, dir)
+      ivfDeleteBatch(emb.where(
+        pmod(col("vec_id"), lit(IvfDeleteMod)) === IvfDeleteRes), dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_DELETED"))
+      ()
+    }
+
+  /** Steady-state ANN over the tombstoned index: the shared warm
+    * probe, with the tombstone log subtracted from the scanned lists
+    * by a broadcast anti join BEFORE scoring — a deleted vector can
+    * never be returned as a neighbor, while the lists on disk stay
+    * untouched. The list-side partition pruning survives (the probe's
+    * IN filter pushes through the anti join's preserved side); a
+    * deleted id can still be a QUERY — deletion removes a vector from
+    * the searchable corpus, not from the world. Output equals a
+    * from-scratch search over (corpus ∪ batch) \ deleted under the
+    * same frozen model — the oracle's claim.
+    */
+  def annIvfDelete(emb: DataFrame, sfDir: String, centroidMod: Int = 98,
+                   numCentroids: Int = 16, nprobe: Int = 3,
+                   nProbes: Int = 10, k: Int = 10, iterations: Int = 1,
+                   moveEps: Double = 0.0): DataFrame = {
+    val spark = emb.sparkSession
+    val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
+      centroidMod, numCentroids, iterations, moveEps))
+    val dir = ivfDeleteIndexDir(emb, sfDir, centroidMod, numCentroids,
+      iterations, moveEps)
+    val lists = spark.read.parquet(dir)
+    val tombstones = spark.read.parquet(s"$dir/_tombstones")
+    val live = lists.join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+    indexedSearch(emb, centroids, live, nprobe, nProbes, k)
+  }
+
   /** Compact an appended inverted-list layout. Every
     * [[ivfAppendBatch]] round leaves one more small file per touched
     * list partition — the classic small-files tax: at 100 TB a year
@@ -405,7 +476,19 @@ object SimilarityOps {
   def compactIvfLists(spark: org.apache.spark.sql.SparkSession,
                       listsDir: String): Unit = {
     val tmp = new java.io.File(listsDir + "_compacting")
-    spark.read.parquet(listsDir)
+    // apply any tombstone log while rewriting: compaction is where
+    // deferred deletes become physical, and the rename that publishes
+    // the rewrite also truncates the log (the new layout has none) —
+    // a compaction that dropped the log WITHOUT applying it would
+    // silently resurrect every deleted vector
+    val tomb = new java.io.File(listsDir, "_tombstones")
+    val rows = spark.read.parquet(listsDir)
+    val kept =
+      if (tomb.exists())
+        rows.join(broadcast(spark.read.parquet(tomb.getPath)),
+          Seq("vec_id"), "left_anti")
+      else rows
+    kept
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp.getPath)
     val live = new java.io.File(listsDir)

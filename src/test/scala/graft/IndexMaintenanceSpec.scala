@@ -103,4 +103,52 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       spark.read.parquet(dir), nprobe = 3, nProbes = 10, k = 10).collect().toSeq
     assert(afterProbe === beforeProbe)
   }
+
+  test("IVF delete: tombstoned probe equals a from-scratch search minus the deleted set") {
+    import org.apache.spark.sql.functions.broadcast
+    VectorFunctions.register(spark)
+    val (centroids, _) = SimilarityOps.lloydIterate(
+      emb, iterations = 1, moveEps = 0.0, centroidMod = 97, numCentroids = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel")
+      .resolve("lists").toString
+    SimilarityOps.ivfAppendBatch(emb, centroids, dir)
+    // arbitrary delete slice (NOT the gated query's mod-9 one)
+    val deletes = emb.where(pmod(col("vec_id"), lit(5)) === 2).select("vec_id")
+    SimilarityOps.ivfDeleteBatch(deletes, dir)
+
+    val lists = spark.read.parquet(dir)
+    val tomb = spark.read.parquet(s"$dir/_tombstones")
+    val probed = SimilarityOps.indexedSearch(emb, centroids,
+      lists.join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+      nprobe = 3, nProbes = 10, k = 10).collect().toSeq
+    val scratch = SimilarityOps.indexedSearch(emb, centroids,
+      lists.where(pmod(col("vec_id"), lit(5)) =!= 2),
+      nprobe = 3, nProbes = 10, k = 10).collect().toSeq
+    assert(probed === scratch)
+    // the deleted slice changed the answer (the fixture must bite)
+    val undeleted = SimilarityOps.indexedSearch(emb, centroids, lists,
+      nprobe = 3, nProbes = 10, k = 10).collect().toSeq
+    assert(probed !== undeleted, "delete slice should perturb some top-k")
+  }
+
+  test("IVF compaction applies and truncates the tombstone log") {
+    VectorFunctions.register(spark)
+    val (centroids, _) = SimilarityOps.lloydIterate(
+      emb, iterations = 1, moveEps = 0.0, centroidMod = 97, numCentroids = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfdelcomp")
+      .resolve("lists").toString
+    SimilarityOps.ivfAppendBatch(emb, centroids, dir)
+    SimilarityOps.ivfDeleteBatch(
+      emb.where(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"), dir)
+    val deletedIds = emb.where(pmod(col("vec_id"), lit(5)) === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val beforeLive = spark.read.parquet(dir).collect().map(_.getLong(0))
+      .filterNot(deletedIds.contains).sorted.toSeq
+
+    SimilarityOps.compactIvfLists(spark, dir)
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === beforeLive, "compaction must drop exactly the tombstoned rows")
+    assert(!new java.io.File(dir, "_tombstones").exists(),
+      "the applied tombstone log must be truncated by the publish rename")
+  }
 }
