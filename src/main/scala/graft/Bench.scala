@@ -60,7 +60,10 @@ object Bench {
       "dataset_shuffle", "mixture_schedule", "bpe_train_merges",
       "multimodal_features", "multimodal_wav_segments", "streamed_day_counts",
       "ann_ivf_upsert", "substring_excise", "corpus_clean_pipeline2",
-      "decontaminate", "streamed_vector_pairs")
+      "decontaminate", "streamed_vector_pairs",
+      "streamed_watermark_counts", "bpe_vocab",
+      "incremental_substring_dedup", "ann_ivf_delete",
+      "near_dedup_after_delete")
     val perQ = math.round(total / math.max(1, results.count(_._2 >= 0)) * 1000) / 1000.0
     println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"full":"BENCH_FULL.json","queries":${qjson(results.filter(r => headline(r._1)))},"sf":"$sfDir"}""")
     spark.stop()

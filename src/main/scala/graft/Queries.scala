@@ -1031,6 +1031,16 @@ object Queries {
              |  AND (b_id % 2 = 0 OR b_id % 4 = 1)
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // the dedup family's take-down leg: the probe after a
+    // deleteFromLshIndex — tombstoned corpus docs can't pair, live
+    // ones pair as before, and the cap math sees the LIVE population
+    // (counts advanced at delete time). The oracle re-pairs the
+    // post-delete universe from scratch, so a resurrected deleted doc
+    // or a lost live one reds the hash.
+    "near_dedup_after_delete" -> QueryDef(
+      (s, d) => DedupOps.nearDedupAfterDelete(Tables.documents(s, d), d),
+      Some(lshDeleteOracle)),
+
     "incremental_dedup_batch2" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -2819,8 +2829,14 @@ object Queries {
     * recursive CTE walks is definitionally the graph the pair query
     * returns).
     */
-  private lazy val jaccardPairsBody: String =
-    s"""w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+  private lazy val jaccardPairsBody: String = jaccardPairsBodyWhere("")
+
+  /** The exact-Jaccard pair CTE chain over a filtered doc universe
+    * (`docFilter` e.g. "WHERE doc_id % 10 != 6" — the take-down
+    * oracle's live corpus).
+    */
+  private def jaccardPairsBodyWhere(docFilter: String): String =
+    s"""w AS (SELECT doc_id, $toksSql AS ws FROM documents $docFilter),
        |t AS (SELECT doc_id, ${shinglesSql(DedupOps.ShingleN)} AS sh FROM w),
        |t2 AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
        |inv AS (SELECT doc_id, unnest(sh) AS s FROM t2),
@@ -2845,6 +2861,17 @@ object Queries {
        |SELECT a_id, b_id, jac FROM pairs
        |WHERE a_id % 2 = 1 OR b_id % 2 = 1
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** [[incrementalJaccardOracle]] over the post-take-down universe:
+    * the deleted corpus slice is excluded from pairing entirely.
+    */
+  private lazy val lshDeleteOracle: String = {
+    val m = DedupOps.LshDeleteMod; val r = DedupOps.LshDeleteRes
+    s"""WITH ${jaccardPairsBodyWhere(s"WHERE doc_id % $m != $r")}
+       |SELECT a_id, b_id, jac FROM pairs
+       |WHERE a_id % 2 = 1 OR b_id % 2 = 1
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** Min-label fixpoint of the pair graph as a recursive CTE: `walk`
     * accumulates every (node, smaller-id label) pair reachable by

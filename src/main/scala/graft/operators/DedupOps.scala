@@ -820,21 +820,13 @@ object DedupOps {
     val batchBands = Checkpoints.truncate(bandsOf(docShingles(batch)))
     batchBands.write.mode("append").parquet(s"$indexDir/bands")
     val deltas = batchBands.groupBy("band").agg(count(lit(1)).as("delta_n"))
-    val merged = spark.read.parquet(s"$indexDir/band_counts")
-      .join(deltas, Seq("band"), "full_outer")
-      .select(col("band"),
-        (coalesce(col("corpus_n"), lit(0L)) +
-          coalesce(col("delta_n"), lit(0L))).as("corpus_n"))
-    val tmp = new java.io.File(indexDir, "band_counts_next")
-    merged.write.mode("overwrite").parquet(tmp.getPath)
-    val live = new java.io.File(indexDir, "band_counts")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(live)
-    java.nio.file.Files.move(tmp.toPath, live.toPath)
-    ()
+    publishTable(
+      spark.read.parquet(s"$indexDir/band_counts")
+        .join(deltas, Seq("band"), "full_outer")
+        .select(col("band"),
+          (coalesce(col("corpus_n"), lit(0L)) +
+            coalesce(col("delta_n"), lit(0L))).as("corpus_n")),
+      indexDir, "band_counts")
   }
 
   def lshIndexDir(docs: DataFrame, sfDir: String): String =
@@ -849,6 +841,120 @@ object DedupOps {
       java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
       ()
     }
+
+  /** Atomically replace `indexDir/<name>` with a freshly-written
+    * table — the rename-publish step shared by the count merges and
+    * the band compaction: a crash mid-write leaves the live table
+    * untouched, never a torn one.
+    */
+  private def publishTable(df: DataFrame, indexDir: String,
+                           name: String): Unit = {
+    val tmp = new java.io.File(indexDir, s"${name}_next")
+    df.write.mode("overwrite").parquet(tmp.getPath)
+    val live = new java.io.File(indexDir, name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(live)
+    java.nio.file.Files.move(tmp.toPath, live.toPath)
+    ()
+  }
+
+  /** DELETE documents from a persisted LSH band index — the dedup
+    * family's take-down/right-to-erasure step, mirroring the IVF
+    * tombstone leg ([[graft.operators.SimilarityOps.ivfDeleteBatch]]):
+    * the ids land under `_tombstones/` (underscore-prefixed — every
+    * bands scan skips it), probes subtract the log with an anti join,
+    * and [[compactLshIndex]] later removes the band rows physically.
+    * The band COUNTS are advanced eagerly by a negative per-band
+    * delta merge (the [[foldBatchIntoLshIndex]] machinery run in
+    * reverse, same rename publish), because the mega-bucket cap must
+    * see the LIVE population immediately — a bucket the deletes
+    * vacated below the cap is searchable again on the very next
+    * probe. Deltas come from the STORED band rows of the deleted ids
+    * (a semi join — the deleted documents' text is never re-shingled,
+    * and ids absent from the index are no-ops). A delete batch must
+    * not repeat already-tombstoned ids (the counts would
+    * double-decrement) — the same once-only contract as the fold.
+    */
+  def deleteFromLshIndex(deletes: DataFrame, indexDir: String): Unit = {
+    val spark = deletes.sparkSession
+    val ids = Checkpoints.truncate(deletes.select(col("doc_id")).distinct())
+    ids.write.mode("append").parquet(s"$indexDir/_tombstones")
+    val delBands = spark.read.parquet(s"$indexDir/bands")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("band").agg(count(lit(1)).as("delta_n"))
+    publishTable(
+      spark.read.parquet(s"$indexDir/band_counts")
+        .join(delBands, Seq("band"), "full_outer")
+        .select(col("band"),
+          (coalesce(col("corpus_n"), lit(0L)) -
+            coalesce(col("delta_n"), lit(0L))).as("corpus_n"))
+        .where(col("corpus_n") > 0),
+      indexDir, "band_counts")
+  }
+
+  /** Compact a tombstoned band index: rewrite `bands/` minus the
+    * logged ids (rename-published) and truncate the log. Counts were
+    * already advanced at delete time, so they pass through untouched.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): Unit = {
+    val tomb = new java.io.File(indexDir, "_tombstones")
+    if (tomb.exists()) {
+      publishTable(
+        spark.read.parquet(s"$indexDir/bands")
+          .join(broadcast(spark.read.parquet(tomb.getPath)),
+            Seq("doc_id"), "left_anti"),
+        indexDir, "bands")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(tomb)
+    }
+  }
+
+  // the gated delete query's deterministic take-down slice, shared
+  // with the generated oracle: corpus docs with doc_id % 10 == 6
+  // (an even residue — the slice lives inside the even-id corpus)
+  val LshDeleteMod = 10
+  val LshDeleteRes = 6
+
+  /** Write-once TOMBSTONED band index: the even-id corpus indexed,
+    * then the take-down slice deleted through [[deleteFromLshIndex]].
+    * `_DELETED` marks the two-step build complete.
+    */
+  def lshDeleteIndexDir(docs: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("lshdelidx", sfDir,
+      Seq(s"$sfDir/documents.parquet"), params = "h2",
+      validate = d => new java.io.File(d, "_DELETED").exists()) { dir =>
+      writeLshIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0), dir)
+      deleteFromLshIndex(
+        docs.where(pmod(col("doc_id"), lit(LshDeleteMod)) === LshDeleteRes)
+          .select("doc_id"), dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_DELETED"))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+      ()
+    }
+
+  /** The incremental near-dedup probe AFTER a take-down: the arriving
+    * (odd-id) batch probes the tombstoned index — deleted corpus
+    * documents can no longer pair with anything, while the live
+    * corpus pairs exactly as before. Equals the full rebuild over the
+    * live universe restricted to batch-endpoint pairs (the oracle's
+    * claim — a resurrected deleted doc or a lost live one reds it).
+    */
+  def nearDedupAfterDelete(docs: DataFrame, sfDir: String,
+                           threshold: Double = 0.8,
+                           maxBucket: Int = 1000): DataFrame = {
+    val live = docs.where(pmod(col("doc_id"), lit(2)) === 0 &&
+      pmod(col("doc_id"), lit(LshDeleteMod)) =!= LshDeleteRes)
+    nearDedupProbe(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      live, lshDeleteIndexDir(docs, sfDir), threshold, maxBucket,
+      includeBatchSelfPairs = true)
+  }
 
   /** Near-dup pairs of an arriving batch (odd doc_ids) against
     * corpus+batch via the PERSISTED LSH band index — the steady-state
@@ -943,8 +1049,19 @@ object DedupOps {
       .select("band")
     val batchBounded = batchBands.join(keptBands, Seq("band"), "left_semi")
     // index probe: stored corpus rows in exactly the bands the batch
-    // occupies (left_semi prunes before the pair fan-out)
-    val corpusBounded = spark.read.parquet(s"$idx/bands")
+    // occupies (left_semi prunes before the pair fan-out); a
+    // tombstone log, if one exists, is subtracted here — deleted
+    // documents must not pair (deleteFromLshIndex already advanced
+    // the counts, so the cap math above saw the live population)
+    val storedBands = {
+      val raw = spark.read.parquet(s"$idx/bands")
+      val tomb = new java.io.File(idx, "_tombstones")
+      if (tomb.exists())
+        raw.join(broadcast(spark.read.parquet(tomb.getPath)),
+          Seq("doc_id"), "left_anti")
+      else raw
+    }
+    val corpusBounded = storedBands
       .join(keptBands, Seq("band"), "left_semi")
     val candBC = batchBounded.as("a").join(corpusBounded.as("b"),
         col("a.band") === col("b.band"))

@@ -16,6 +16,8 @@ class IndexMaintenanceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   lazy val docs = Tables.documents(spark, TestSpark.Sf0001).cache()
   lazy val emb = Tables.embeddings(spark, TestSpark.Sf0001).cache()
+  lazy val tmpRoot =
+    java.nio.file.Files.createTempDirectory("lshdel").toString
 
   test("LSH fold-in: appended bands + merged counts equal a full index rebuild") {
     // arbitrary split: corpus = mod-3 nonzero, accepted batch = mod 3
@@ -102,6 +104,47 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val afterProbe = SimilarityOps.indexedSearch(emb, centroids,
       spark.read.parquet(dir), nprobe = 3, nProbes = 10, k = 10).collect().toSeq
     assert(afterProbe === beforeProbe)
+  }
+
+  test("LSH delete: tombstoned probe equals a rebuild on the live corpus, and compaction truncates the log") {
+    // arbitrary take-down slice (NOT the gated query's mod-10 one):
+    // corpus = mod-3 nonzero docs, deletes = the corpus's mod-7 == 1
+    val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val deletes = corpus.where(pmod(col("doc_id"), lit(7)) === 1)
+    val live = corpus.where(pmod(col("doc_id"), lit(7)) =!= 1)
+    val batch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val deleted = s"$tmpRoot/deleted"
+    val rebuilt = s"$tmpRoot/rebuilt"
+    DedupOps.writeLshIndex(corpus, deleted)
+    DedupOps.deleteFromLshIndex(deletes.select("doc_id"), deleted)
+    DedupOps.writeLshIndex(live, rebuilt)
+
+    def counts(dir: String) = spark.read.parquet(s"$dir/band_counts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(counts(deleted) === counts(rebuilt),
+      "decremented counts must equal a live-corpus recount")
+    def pairs(dir: String, c: org.apache.spark.sql.DataFrame) =
+      DedupOps.nearDedupProbe(batch, c, dir,
+          threshold = 0.8, maxBucket = 1000, includeBatchSelfPairs = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val probed = pairs(deleted, live)
+    assert(probed === pairs(rebuilt, live),
+      "tombstoned probe must equal the live-corpus rebuild's probe")
+    // the slice must bite: the undeleted index pairs more
+    val before = pairs(s"$tmpRoot/before", { DedupOps.writeLshIndex(corpus, s"$tmpRoot/before"); corpus })
+    assert(probed !== before, "take-down slice should remove some pairs")
+
+    DedupOps.compactLshIndex(spark, deleted)
+    assert(!new java.io.File(deleted, "_tombstones").exists(),
+      "compaction must truncate the applied log")
+    val bandRows = spark.read.parquet(s"$deleted/bands")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toSeq
+    val rebuiltRows = spark.read.parquet(s"$rebuilt/bands")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toSeq
+    assert(bandRows === rebuiltRows,
+      "compacted bands must equal the live-corpus rebuild's bands")
+    assert(pairs(deleted, live) === probed,
+      "the probe must not change across compaction")
   }
 
   test("IVF delete: tombstoned probe equals a from-scratch search minus the deleted set") {

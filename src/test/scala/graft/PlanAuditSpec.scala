@@ -608,6 +608,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe must prune the upserted scan: read $selected of $total partitions")
   }
 
+  test("ann_ivf_delete: the tombstone anti join costs neither pruning nor the broadcast") {
+    // the delete-leg read-path claim: subtracting the tombstone log
+    // must not turn the probe into a full-index scan — the probed-
+    // centroid IN filter pushes through the anti join's preserved
+    // side, and the log itself joins as a broadcast (model-sized)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    graft.functions.VectorFunctions.register(spark)
+    val df = graft.operators.SimilarityOps.annIvfDelete(
+      Tables.embeddings(spark, TestSpark.Sf0001), TestSpark.Sf0001,
+      nprobe = 1, nProbes = 3)
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfdellists")) &&
+          !s.relation.location.rootPaths.exists(_.toString.contains("_tombstones")) => s
+    }
+    assert(scans.size === 1, "expected exactly one tombstoned-lists scan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the probed-centroid IN list must survive the anti join as a partition filter")
+    val selected = scan.selectedPartitions.partitionCount
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected < total,
+      s"probe must prune the tombstoned scan: read $selected of $total partitions")
+    val antis = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(antis.nonEmpty, "the tombstone subtraction must be a broadcast anti join")
+  }
+
   test("events_partition_pruned: the day range prunes the scan to 7 of 30 partitions") {
     // the 100 TB read-path claim: a partition-column predicate must
     // resolve against directory names at plan time, not filter rows
