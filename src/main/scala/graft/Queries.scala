@@ -468,6 +468,14 @@ object Queries {
       (s, d) => TextAnalysisOps.bpeVocab(Tables.documents(s, d)),
       Some(bpeVocabOracle)),
 
+    // the per-document leg of the same encode: subword budget per doc
+    // under the trained merges (docs with no encodable word keep a
+    // zero row) — the token-count accounting a pipeline runs before
+    // packing; oracle replays rounds + the per-doc join from scratch
+    "bpe_encode_docs" -> QueryDef(
+      (s, d) => TextAnalysisOps.bpeEncodeDocs(Tables.documents(s, d)),
+      Some(bpeEncodeDocsOracle)),
+
     "token_count_bpe" -> QueryDef(
       (s, d) => TextAnalysisOps.tokenCountBpe(Tables.documents(s, d)),
       Some("""SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]'))::BIGINT AS n_bpe_tokens
@@ -3040,6 +3048,28 @@ object Queries {
        |        FROM s${R + 1})
        |  GROUP BY sym)
        |SELECT sym, cnt FROM census ORDER BY cnt DESC, sym LIMIT $K""".stripMargin
+  }
+
+  /** [[graft.operators.TextAnalysisOps.bpeEncodeDocs]]'s oracle:
+    * replay the unrolled rounds, reconstruct each word from its final
+    * symbol string, and sum subword counts over every doc's encodable
+    * word occurrences.
+    */
+  private lazy val bpeEncodeDocsOracle: String = {
+    val R = graft.operators.TextAnalysisOps.BpeTrainRounds
+    s"""WITH ${bpeRoundCtes(R).mkString(",\n")},
+       |ws AS (SELECT regexp_replace(wstr, '\\(([^)]*)\\)', '\\1', 'g') AS word,
+       |         len(regexp_extract_all(wstr, '\\(([^)]*)\\)', 1)) AS n_syms
+       |       FROM s${R + 1}),
+       |occ AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+       |f AS (SELECT doc_id, word FROM occ
+       |      WHERE length(word) >= 2 AND regexp_matches(word, '^[a-z0-9]+$$')),
+       |pd AS (SELECT doc_id, count(*) AS n_enc_words, sum(n_syms) AS n_subwords
+       |       FROM f JOIN ws USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_enc_words, 0)::BIGINT AS n_enc_words,
+       |  coalesce(n_subwords, 0)::BIGINT AS n_subwords
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   private lazy val componentsOracleBody: String =

@@ -236,6 +236,42 @@ object TextAnalysisOps {
       .limit(k)
   }
 
+  /** Per-document ENCODE under the trained merges: each document's
+    * (alphanumeric, len ≥ 2) word occurrences are looked up in the
+    * final symbolized word table and their subword counts summed —
+    * the per-doc token-budget accounting a training-data pipeline
+    * runs after tokenizer training ([[bpeVocab]] is the corpus-grain
+    * census of the same encode). The merge rewrites stay
+    * vocabulary-sized; the per-doc leg is one explode over the corpus
+    * joined to the word table on its natural key — at 100 TB both
+    * sides hash-partition on the word, and the word table is small
+    * enough that AQE broadcasts it. Output: encodable word
+    * occurrences and the subword total per doc (docs with no
+    * encodable word keep a zero row — budget accounting must not
+    * drop them).
+    */
+  def bpeEncodeDocs(docs: DataFrame, rounds: Int = BpeTrainRounds): DataFrame = {
+    val (_, finalWords) = bpeTrainLoop(docs, rounds)
+    val wordSyms = finalWords
+      .select(
+        regexp_replace(col("wstr"), "\\(([^)]*)\\)", "$1").as("word"),
+        (size(regexp_extract_all(col("wstr"), lit("\\(([^)]*)\\)"), lit(1))))
+          .cast("long").as("n_syms"))
+    val occ = docs
+      .select(col("doc_id"),
+        explode(graft.functions.NativeText.tokens(col("text"))).as("word"))
+      .where(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+    val perDoc = occ.join(wordSyms, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_enc_words"), sum(col("n_syms")).as("n_subwords"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_enc_words"), lit(0L)).as("n_enc_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
   /** BPE-ish subword token count: runs of letters, runs of digits, and
     * single non-alphanumeric marks (the classic pre-tokenizer regex).
     */
