@@ -847,8 +847,8 @@ object DedupOps {
     * the band compaction: a crash mid-write leaves the live table
     * untouched, never a torn one.
     */
-  private def publishTable(df: DataFrame, indexDir: String,
-                           name: String): Unit = {
+  private[operators] def publishTable(df: DataFrame, indexDir: String,
+                                      name: String): Unit = {
     val tmp = new java.io.File(indexDir, s"${name}_next")
     df.write.mode("overwrite").parquet(tmp.getPath)
     val live = new java.io.File(indexDir, name)

@@ -788,22 +788,68 @@ object SimilarityOps {
   def semIndexDir(emb: DataFrame, sfDir: String): String =
     graft.sources.Fixtures.ensure("semidx", sfDir,
       Seq(s"$sfDir/embeddings.parquet")) { dir =>
-      val spark = emb.sparkSession
-      val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
-      val (k, stride) = semAdaptiveParams(corpus.count())
-      seedCentroidsStride(corpus, stride, k)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-      // assignment reads the WRITTEN model so the persisted floats are
-      // the exact operands every later probe will use
-      assignToCentroids(corpus, spark.read.parquet(s"$dir/centroids"))
-        .select("vec_id", "centroid_id")
-        .write.mode("overwrite").parquet(s"$dir/assign")
-      spark.read.parquet(s"$dir/assign")
-        .groupBy("centroid_id").agg(count(lit(1)).as("corpus_n"))
-        .write.mode("overwrite").parquet(s"$dir/cluster_counts")
+      writeSemIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0), dir)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
       ()
     }
+
+  /** Build a semantic model index — seed centroids derived from the
+    * corpus, label assignment, cluster counts — at a user-managed
+    * location (the write path shared with the fixture-keyed
+    * [[semIndexDir]]).
+    */
+  def writeSemIndex(corpus: DataFrame, dir: String): Unit = {
+    val (k, stride) = semAdaptiveParams(corpus.count())
+    seedCentroidsStride(corpus, stride, k)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    writeSemIndexUnder(corpus, dir)
+  }
+
+  /** Assignment + counts under the centroid model ALREADY at `dir` —
+    * the model-frozen half of [[writeSemIndex]], also the reference
+    * rebuild a fold is compared against. The assignment reads the
+    * WRITTEN model so the persisted floats are the exact operands
+    * every later probe will use.
+    */
+  def writeSemIndexUnder(corpus: DataFrame, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    assignToCentroids(corpus, spark.read.parquet(s"$dir/centroids"))
+      .select("vec_id", "centroid_id")
+      .write.mode("overwrite").parquet(s"$dir/assign")
+    spark.read.parquet(s"$dir/assign")
+      .groupBy("centroid_id").agg(count(lit(1)).as("corpus_n"))
+      .write.mode("overwrite").parquet(s"$dir/cluster_counts")
+  }
+
+  /** Fold an ACCEPTED batch into a persisted semantic model index —
+    * the embedding-family sibling of
+    * [[graft.operators.DedupOps.foldBatchIntoLshIndex]]: the batch is
+    * assigned under the FROZEN stored centroids, its label rows are
+    * APPENDED to `assign/`, and `cluster_counts/` advances by a
+    * per-cluster delta merge (full-outer join, rename-published).
+    * Nothing re-assigns or re-counts the corpus; the model itself is
+    * refreshed only by an offline rebuild, exactly like the IVF
+    * centroids. [[IndexMaintenanceSpec]] proves fold == rebuild for
+    * labels, counts, and a follow-up probe.
+    */
+  def foldBatchIntoSemIndex(batch: DataFrame, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    // the batch assignment feeds the append AND the delta counts —
+    // materialize once (subtree-duplication discipline)
+    val batchAssign = graft.operators.Checkpoints.truncate(
+      assignToCentroids(batch, centroids).select("vec_id", "centroid_id"))
+    batchAssign.write.mode("append").parquet(s"$indexDir/assign")
+    val deltas = batchAssign.groupBy("centroid_id")
+      .agg(count(lit(1)).as("delta_n"))
+    DedupOps.publishTable(
+      spark.read.parquet(s"$indexDir/cluster_counts")
+        .join(deltas, Seq("centroid_id"), "full_outer")
+        .select(col("centroid_id"),
+          (coalesce(col("corpus_n"), lit(0L)) +
+            coalesce(col("delta_n"), lit(0L))).as("corpus_n")),
+      indexDir, "cluster_counts")
+  }
 
   /** Steady-state semantic dedup: the arriving batch (odd vec_ids)
     * probes the PERSISTED centroid model instead of re-clustering the
@@ -847,9 +893,19 @@ object SimilarityOps {
                                                   emb: DataFrame,
                                                   sfDir: String,
                                                   threshold: Double,
-                                                  maxCluster: Int): DataFrame = {
+                                                  maxCluster: Int): DataFrame =
+    semanticProbe(arriving, emb, semIndexDir(emb, sfDir), threshold, maxCluster)
+
+  /** [[incrementalSemanticDedupFrom]] against an EXPLICIT index
+    * location — the probe half of the user-managed semantic-index
+    * lifecycle ([[writeSemIndex]] build → probe →
+    * [[foldBatchIntoSemIndex]] maintenance). `emb` supplies the
+    * embeddings of stored labels (fetched by key join — the index
+    * holds labels, not vectors).
+    */
+  def semanticProbe(arriving: DataFrame, emb: DataFrame, idx: String,
+                    threshold: Double, maxCluster: Int): DataFrame = {
     val spark = emb.sparkSession
-    val idx = semIndexDir(emb, sfDir)
     val centroids = spark.read.parquet(s"$idx/centroids")
     // the batch assignment feeds the cluster counts AND both pair
     // joins — materialize once (subtree-duplication discipline, as in

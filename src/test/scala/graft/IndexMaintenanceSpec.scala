@@ -147,6 +147,40 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "the probe must not change across compaction")
   }
 
+  test("semantic fold-in: appended labels + merged counts equal a frozen-model rebuild") {
+    VectorFunctions.register(spark)
+    // arbitrary split: corpus = mod-3 nonzero, accepted batch = mod 3;
+    // a later mod-7 batch probes both indexes
+    val corpus = emb.where(pmod(col("vec_id"), lit(3)) =!= 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+    val root = java.nio.file.Files.createTempDirectory("semfold").toString
+    val folded = s"$root/folded"
+    val rebuilt = s"$root/rebuilt"
+    SimilarityOps.writeSemIndex(corpus, folded)
+    SimilarityOps.foldBatchIntoSemIndex(batch, folded)
+    // rebuild: the SAME frozen centroids, assignment over the union
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(rebuilt))
+    spark.read.parquet(s"$folded/centroids")
+      .coalesce(1).write.parquet(s"$rebuilt/centroids")
+    SimilarityOps.writeSemIndexUnder(emb, rebuilt)
+
+    def labels(dir: String) = spark.read.parquet(s"$dir/assign")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    def counts(dir: String) = spark.read.parquet(s"$dir/cluster_counts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(labels(folded) === labels(rebuilt), "folded labels != rebuilt labels")
+    assert(counts(folded) === counts(rebuilt), "merged counts != recounted")
+
+    val probeBatch = emb.where(pmod(col("vec_id"), lit(1000)) === 7)
+    def pairs(dir: String) = SimilarityOps.semanticProbe(probeBatch, emb, dir,
+        threshold = 0.2, maxCluster = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(identity).toSeq
+    val p = pairs(folded)
+    assert(p === pairs(rebuilt))
+    assert(p.nonEmpty, "fixture must exercise the probe path")
+  }
+
   test("IVF delete: tombstoned probe equals a from-scratch search minus the deleted set") {
     import org.apache.spark.sql.functions.broadcast
     VectorFunctions.register(spark)
