@@ -1748,6 +1748,30 @@ object Queries {
              |FROM agg WHERE hs + 3600000 <= (SELECT w FROM wm2)
              |ORDER BY hour, event_type""".stripMargin)),
 
+    // EXACTLY-ONCE dedup under the hash gate: the layout was landed
+    // by a two-phase replay whose second phase deliberately RE-SENDS
+    // already-delivered rows (at-least-once upstream) — a re-send can
+    // only land if dedup state was lost across the restart, a
+    // straggler only if the late filter failed; the oracle recomputes
+    // the keep rule (phase-1 rows + on-time first deliveries) from
+    // the original events table. StreamingDedupSpec pins the corner
+    // where only the late filter stands between an expired-state
+    // re-send and a double delivery.
+    "streamed_dedup_events" -> QueryDef(
+      (s, d) => {
+        val dir = graft.streaming.EventStreams.streamedDedupLayout(s, d)
+        s.read.parquet(dir)
+          .select("event_id", "ms")
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, epoch_ms(ts) AS ms FROM events),
+             |wm1 AS (SELECT max(ms) - $wmDelayMs AS w FROM e WHERE event_id % 5 != 0)
+             |SELECT event_id, ms FROM e WHERE event_id % 5 != 0
+             |UNION ALL
+             |SELECT event_id, ms FROM e
+             |WHERE event_id % 5 = 0 AND ms >= (SELECT w FROM wm1)
+             |ORDER BY event_id""".stripMargin)),
+
     // dynamic partition pruning: the day set comes from a runtime
     // dim aggregate (days with a high-value purchase), so the fact
     // scan prunes via a dynamicpruning subquery instead of a literal

@@ -642,6 +642,72 @@ object EventStreams {
       .iterator().asScala.foreach(java.nio.file.Files.delete)
   }
 
+  /** [[dedupEventsWithinWatermark]] into an append-mode parquet sink
+    * (kept rows are emitted in the batch they arrive — dedup needs no
+    * window flush).
+    */
+  def writeDedupedEvents(events: DataFrame, outDir: String,
+                         checkpointDir: String,
+                         watermark: String = WatermarkDelay): StreamingQuery =
+    dedupEventsWithinWatermark(events, watermark)
+      .select(col("event_id"), unix_millis(col("event_time")).as("ms"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Write-once DEDUP-GATED event layout: the exactly-once front door
+    * for an at-least-once upstream, under the same two-phase staged
+    * replay as [[streamedWatermarkLayout]]. Phase 1 streams the
+    * on-time bulk (`event_id % 5 != 0`); phase 2 resumes from the
+    * checkpoint with the straggler slice (`event_id % 5 = 0`) UNION a
+    * deliberate RE-SEND of already-delivered rows (`event_id % 5 != 0
+    * && event_id % 7 == 3`, byte-identical replicas) — the duplicate
+    * delivery a crashed producer actually produces. The final sink is
+    * a pure function of the data and the split: phase-1 rows all land;
+    * a phase-2 row lands iff it is on time (`ms ≥ WM₁`) and its id is
+    * not already in live dedup state — so a re-send can only land if
+    * the engine LOST state across the restart, and a straggler can
+    * only land if the late filter failed (the oracle recomputes both
+    * rules; `StreamingDedupSpec` pins them on a constructed fixture,
+    * including the expired-state-but-late corner).
+    */
+  def streamedDedupLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("dedupsink", sfDir,
+      Seq(s"$sfDir/events.parquet")) { path =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val srcDir = root.resolve("_src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = graft.Tables.events(spark, sfDir)
+      def run(): Unit = {
+        val q = writeDedupedEvents(
+          readEventsStream(spark, srcDir.toString),
+          path, s"$path/_checkpoint")
+        try q.awaitTermination() finally q.stop()
+      }
+      stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) =!= 0),
+        srcDir.resolve("phase1.parquet"))
+      run()
+      stageSingleParquet(
+        ev.where(pmod(col("event_id"), lit(5)) === 0)
+          .unionByName(ev.where(pmod(col("event_id"), lit(5)) =!= 0 &&
+            pmod(col("event_id"), lit(7)) === 3)),
+        srcDir.resolve("phase2.parquet"))
+      run()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
+
   /** Write-once WATERMARK-GATED hourly-count layout: a two-phase
     * staged ingest that makes Structured Streaming's late-data
     * semantics an oracle-checkable fact rather than a spec claim.
