@@ -1769,8 +1769,29 @@ object Queries {
              |SELECT event_id, ms FROM e WHERE event_id % 5 != 0
              |UNION ALL
              |SELECT event_id, ms FROM e
-             |WHERE event_id % 5 = 0 AND ms >= (SELECT w FROM wm1)
+             |WHERE event_id % 5 = 0 AND ms > (SELECT w FROM wm1)
              |ORDER BY event_id""".stripMargin)),
+
+    // KEYED STATE under the hash gate: flatMapGroupsWithState
+    // sessionization with event-time timeouts, landed by the same
+    // two-phase replay — the sink holds exactly the sessions closed
+    // by an observed gap or by the watermark timeout, and the oracle
+    // recomputes that set from the original events table (phase-1
+    // islands, both timeout cuts at WM1/WM2, and the junction
+    // merge/break of surviving phase-2 rows into each user's open
+    // tail). A lost state row, a timeout that failed to fire, a late
+    // row reaching the state machine, or an open session leaking into
+    // the sink all red the hash. Boundary rules pinned in
+    // StreamingSessionSpec: both the late filter and the timeout
+    // comparison are `<=`.
+    "streamed_sessions" -> QueryDef(
+      (s, d) => {
+        val dir = graft.streaming.EventStreams.streamedSessionLayout(s, d)
+        s.read.parquet(dir)
+          .select("user_id", "session_start_ms", "n_events", "span_ms")
+          .orderBy("user_id", "session_start_ms")
+      },
+      Some(streamedSessionsOracle)),
 
     // dynamic partition pruning: the day set comes from a runtime
     // dim aggregate (days with a high-value purchase), so the fact
@@ -3000,6 +3021,87 @@ object Queries {
     * non-overlapping, same as Spark's, and the `(x)(y)` delimiters
     * keep a pair pattern from matching across symbol boundaries.
     */
+  /** `streamed_sessions`' oracle: replay the two-phase
+    * event-time-timeout session state machine as a pure function of
+    * the data and the split. Rules (StreamingSessionSpec): phase-1
+    * rows form gap islands; every non-tail island closed in batch;
+    * the tail closes at WM1 if `last + gap <= WM1`, else stays open;
+    * phase-2 rows survive iff `ms > WM1`; a surviving user's first
+    * row MERGES into the open tail iff within the gap (else the tail
+    * closes as-is); post-merge islands close in batch except each
+    * user's new tail, which closes at WM2 under the same `<=` rule —
+    * still-open sessions are withheld. The merged tail's last-event
+    * ms is the island's max batch ms (the engine overwrites lastMs
+    * with each processed row), which the `rlast` column mirrors.
+    */
+  private lazy val streamedSessionsOracle: String = {
+    val G = 1800000L // 30-min gap, the events_sessionize convention
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+       |p1 AS (SELECT user_id, ms FROM e WHERE event_id % 5 != 0),
+       |wm1 AS (SELECT max(ms) - $wmDelayMs AS w FROM p1),
+       |wm2 AS (SELECT max(ms) - $wmDelayMs AS w FROM e),
+       |b1 AS (SELECT user_id, ms,
+       |        CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+       |              OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > $G
+       |             THEN 1 ELSE 0 END AS brk
+       |       FROM p1),
+       |s1 AS (SELECT user_id, ms, sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b1),
+       |g1 AS (SELECT user_id, sid, min(ms) AS start, max(ms) AS last,
+       |         count(*) AS n FROM s1 GROUP BY user_id, sid),
+       |last1 AS (SELECT user_id, max(sid) AS sid FROM g1 GROUP BY user_id),
+       |closed1 AS (
+       |  SELECT g.user_id, g.start, g.n, g.last FROM g1 g
+       |  LEFT JOIN last1 l ON g.user_id = l.user_id AND g.sid = l.sid
+       |  WHERE l.user_id IS NULL
+       |  UNION ALL
+       |  SELECT g.user_id, g.start, g.n, g.last FROM g1 g JOIN last1 l
+       |    ON g.user_id = l.user_id AND g.sid = l.sid
+       |  WHERE g.last + $G <= (SELECT w FROM wm1)),
+       |open1 AS (SELECT g.user_id, g.start, g.n, g.last FROM g1 g JOIN last1 l
+       |    ON g.user_id = l.user_id AND g.sid = l.sid
+       |  WHERE g.last + $G > (SELECT w FROM wm1)),
+       |p2 AS (SELECT user_id, ms FROM e
+       |       WHERE event_id % 5 = 0 AND ms > (SELECT w FROM wm1)),
+       |b2 AS (SELECT p.user_id, p.ms,
+       |        CASE WHEN lag(p.ms) OVER (PARTITION BY p.user_id ORDER BY p.ms) IS NULL
+       |             THEN CASE WHEN o.last IS NOT NULL AND p.ms - o.last <= $G
+       |                       THEN 0 ELSE 1 END
+       |             ELSE CASE WHEN p.ms - lag(p.ms) OVER (PARTITION BY p.user_id ORDER BY p.ms) > $G
+       |                       THEN 1 ELSE 0 END END AS brk
+       |       FROM p2 p LEFT JOIN open1 o USING (user_id)),
+       |s2 AS (SELECT user_id, ms, sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b2),
+       |g2 AS (SELECT user_id, sid, min(ms) AS rstart, max(ms) AS rlast,
+       |         count(*) AS rn FROM s2 GROUP BY user_id, sid),
+       |g2m AS (SELECT g.user_id, g.sid,
+       |          CASE WHEN g.sid = 0 THEN o.start ELSE g.rstart END AS start,
+       |          g.rlast AS last,
+       |          CASE WHEN g.sid = 0 THEN o.n + g.rn ELSE g.rn END AS n
+       |        FROM g2 g LEFT JOIN open1 o USING (user_id)),
+       |users2 AS (SELECT DISTINCT user_id FROM p2),
+       |jclosed AS (SELECT o.user_id, o.start, o.n, o.last FROM open1 o
+       |            JOIN users2 USING (user_id)
+       |            WHERE NOT EXISTS (SELECT 1 FROM g2
+       |                              WHERE g2.user_id = o.user_id AND g2.sid = 0)),
+       |last2 AS (SELECT user_id, max(sid) AS sid FROM g2m GROUP BY user_id),
+       |closed2 AS (SELECT g.user_id, g.start, g.n, g.last FROM g2m g
+       |            LEFT JOIN last2 l ON g.user_id = l.user_id AND g.sid = l.sid
+       |            WHERE l.user_id IS NULL),
+       |hold AS (SELECT g.user_id, g.start, g.n, g.last FROM g2m g JOIN last2 l
+       |           ON g.user_id = l.user_id AND g.sid = l.sid
+       |         UNION ALL
+       |         SELECT o.user_id, o.start, o.n, o.last FROM open1 o
+       |         WHERE o.user_id NOT IN (SELECT user_id FROM users2)),
+       |timed2 AS (SELECT user_id, start, n, last FROM hold
+       |           WHERE last + $G <= (SELECT w FROM wm2)),
+       |fin AS (SELECT * FROM closed1 UNION ALL SELECT * FROM jclosed
+       |        UNION ALL SELECT * FROM closed2 UNION ALL SELECT * FROM timed2)
+       |SELECT user_id, CAST(start AS BIGINT) AS session_start_ms,
+       |  CAST(n AS BIGINT) AS n_events, CAST(last - start AS BIGINT) AS span_ms
+       |FROM fin ORDER BY user_id, session_start_ms""".stripMargin
+  }
+
   /** Substring-dedup coverage oracle, generated from the DedupOps
     * constants. `docFilter` restricts the run UNIVERSE (which docs
     * participate in df/owner at all); `rowFilter` restricts only the

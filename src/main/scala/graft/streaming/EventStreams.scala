@@ -493,6 +493,130 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(fn)
   }
 
+  case class SessionInputEt(user_id: Long, ms: Long,
+                            event_time: java.sql.Timestamp)
+
+  /** [[sessionize]] with EVENT-TIME timeouts: sessions also close
+    * when the WATERMARK passes their last event + gap — the correct
+    * idle-flush for a replayable stream (processing-time timeouts
+    * depend on wall clock; event-time ones are a function of the
+    * data). The watermark column rides into the keyed input so the
+    * engine's late filter drops rows older than the checkpointed
+    * watermark before they reach the state machine, and every state
+    * update re-arms `setTimeoutTimestamp(last + gap)` — state is
+    * bounded by the watermark horizon, the 100 TB requirement for
+    * keyed state. Closed-session content is deterministic under a
+    * staged replay even though emission TIMING is not: a session past
+    * its gap is emitted either by its timeout firing or by the gap
+    * rule breaking at the next arrival — same record either way
+    * ([[StreamingSessionSpec]] pins the semantics,
+    * `streamed_sessions` hash-gates them).
+    */
+  def sessionizeEventTime(events: DataFrame, gapMinutes: Int = 30,
+                          watermark: String = WatermarkDelay): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def fn(userId: Long, rows: Iterator[SessionInputEt],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = Seq.newBuilder[SessionOut]
+      if (state.hasTimedOut) {
+        // timeout invocations carry no rows: flush and drop the state
+        val st = state.get
+        out += SessionOut(userId, st.sessionStartMs, st.nEvents,
+          st.lastMs - st.sessionStartMs)
+        state.remove()
+      } else {
+        var st = state.getOption.orNull
+        for (r <- rows.toSeq.sortBy(_.ms)) {
+          if (st == null) {
+            st = SessionState(r.ms, r.ms, 1L)
+          } else if (r.ms - st.lastMs > gapMs) {
+            out += SessionOut(userId, st.sessionStartMs, st.nEvents,
+              st.lastMs - st.sessionStartMs)
+            st = SessionState(r.ms, r.ms, 1L)
+          } else {
+            st = SessionState(st.sessionStartMs, r.ms, st.nEvents + 1L)
+          }
+        }
+        if (st != null) {
+          state.update(st)
+          // processed rows are >= the watermark, so last + gap is
+          // strictly ahead of it — always a legal timeout timestamp
+          state.setTimeoutTimestamp(st.lastMs + gapMs)
+        }
+      }
+      out.result().iterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("event_time", watermark)
+      .withColumn("ms", expr("ts div 1000000"))
+      .select(col("user_id"), col("ms"), col("event_time"))
+      .as[SessionInputEt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** [[sessionizeEventTime]] into an append-mode parquet sink. */
+  def writeSessionized(events: DataFrame, outDir: String,
+                       checkpointDir: String,
+                       gapMinutes: Int = 30): StreamingQuery =
+    sessionizeEventTime(events, gapMinutes)
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Write-once SESSION-GATED layout: [[sessionizeEventTime]] run
+    * through the same two-phase staged replay as
+    * [[streamedWatermarkLayout]] (on-time bulk, then the straggler
+    * slice from the same checkpoint). The sink holds exactly the
+    * sessions CLOSED by the end of run 2 — by an observed gap or by
+    * the watermark timeout — while sessions still inside the horizon
+    * are withheld; the oracle recomputes that set from the original
+    * events table: phase-1 islands, the junction merge of surviving
+    * phase-2 rows into each user's open tail session, and both
+    * timeout cuts. Keyed state under checkpoint restart is thereby
+    * hash-gated end to end.
+    */
+  def streamedSessionLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("sessionsink", sfDir,
+      Seq(s"$sfDir/events.parquet")) { path =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val srcDir = root.resolve("_src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = graft.Tables.events(spark, sfDir)
+      def run(): Unit = {
+        val q = writeSessionized(
+          readEventsStream(spark, srcDir.toString),
+          path, s"$path/_checkpoint")
+        try q.awaitTermination() finally q.stop()
+      }
+      stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) =!= 0),
+        srcDir.resolve("phase1.parquet"))
+      run()
+      stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) === 0),
+        srcDir.resolve("phase2.parquet"))
+      run()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
+
   /** Continuous ingestion into the date-partitioned layout: append
     * each micro-batch under `day=YYYY-MM-DD/` directories — the
     * EXACT layout [[graft.sources.Partitioning]]'s batch readers
