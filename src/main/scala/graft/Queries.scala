@@ -2768,6 +2768,48 @@ object Queries {
     // full-feature image decode: geometry + luma stats parsed out of
     // the real container; top_row_sum pins the bottom-up→top-down flip
     // (the top image row is the LAST stored row)
+    // the COMPRESSED-image leg: features decoded through a real PNG
+    // round trip (BE chunk framing, CRC-32 per chunk, full filter
+    // suite, zlib inflate, split IDATs); the oracle recomputes every
+    // feature from the source text and the doc_id-derived geometry
+    "multimodal_png_features" -> QueryDef(
+      (s, d) => MultimodalOps.pngFeatures(Tables.documents(s, d)),
+      Some("""WITH p AS (SELECT doc_id, text, 19 + (doc_id % 4) * 8 AS w,
+             |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS colour,
+             |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
+             |d AS (SELECT doc_id, text, w, colour, len, (len + w - 1) // w AS h FROM p),
+             |a AS (SELECT doc_id,
+             |    coalesce(list_max(list_transform(string_split(text, ''), c -> ascii(c))), 0) AS peak,
+             |    coalesce(list_sum(list_transform(string_split(text, ''), c -> ascii(c))), 0) AS sm,
+             |    coalesce(list_sum(list_transform(string_split(substring(text, 1, w), ''),
+             |      c -> ascii(c))), 0) AS toprow
+             |  FROM d WHERE len > 0)
+             |SELECT d.doc_id,
+             |  CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(colour AS BIGINT) AS colour_type,
+             |  CAST(w * h AS BIGINT) AS n_pixels,
+             |  CAST(coalesce(peak, 0) AS BIGINT) AS peak_px,
+             |  CAST(CASE WHEN h > 0 THEN coalesce(sm, 0) // (w * h) ELSE 0 END AS BIGINT) AS mean_px,
+             |  CAST(coalesce(toprow, 0) AS BIGINT) AS top_row_sum
+             |FROM d LEFT JOIN a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // PNG quarantine: the corruption is INSIDE the compressed stream,
+    // so only a decoder that verifies chunk CRCs rejects it — magic
+    // checks can't see it, and skipping the check would decode
+    // garbage pixels instead of quarantining the row
+    "multimodal_png_quarantine" -> QueryDef(
+      (s, d) => MultimodalOps.pngQuarantine(Tables.documents(s, d)),
+      Some("""WITH p AS (SELECT doc_id, 19 + (doc_id % 4) * 8 AS w,
+             |    octet_length(CAST(text AS BLOB)) AS len FROM documents)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS BIGINT) AS decoded_ok,
+             |  CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+             |       ELSE w * ((len + w - 1) // w) END AS BIGINT) AS n_pixels,
+             |  CASE WHEN doc_id % 3 = 2 THEN 'rejected' ELSE '' END AS err_class
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     "multimodal_features" -> QueryDef(
       (s, d) => MultimodalOps.imageFeatures(Tables.documents(s, d)),
       Some("""WITH p AS (SELECT doc_id, text, 17 + (doc_id % 4) * 6 AS w,

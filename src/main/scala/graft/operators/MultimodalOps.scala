@@ -223,6 +223,95 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc PNG-encoding parameters (doc_id-derived like
+    * [[imgParams]], but PNG's own rule so the two image legs never
+    * share geometry): widths 19/27/35/43 and alternating greyscale
+    * (colour 0) / truecolour (colour 2).
+    */
+  def pngParams(docId: Long): (Int, Int) = {
+    val width = 19 + (math.floorMod(docId, 4) * 8).toInt
+    val colour = if (math.floorMod(docId, 2) == 0L) 0 else 2
+    (width, colour)
+  }
+
+  /** Typed features from the REAL PNG decoder ([[PngCodec.decode]]). */
+  case class PngFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      colour_type: Long,
+      n_pixels: Long,
+      peak_px: Long,
+      mean_px: Long,
+      top_row_sum: Long)
+
+  /** The COMPRESSED-image pipeline stage: each document's bytes
+    * become the pixels of a real PNG ([[PngCodec.encode]] — BE chunk
+    * framing, per-chunk CRC-32, per-row filters cycling the full
+    * None/Sub/Up/Average/Paeth suite, the zlib stream split across
+    * two IDAT chunks) and every feature comes from actually PARSING
+    * that container — chunk walk, CRC verification, `Inflater`
+    * decompression, byte-wise filter inversion. Width and colour
+    * type vary per doc_id; the oracle recomputes every feature from
+    * the source text, so a misparse anywhere in that chain — wrong
+    * endianness, a filter inverted against the wrong predecessor, a
+    * mis-concatenated IDAT split — reds the hash. `top_row_sum` pins
+    * PNG's TOP-DOWN row order (the opposite of BMP's default).
+    */
+  def pngFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (w, colour) = pngParams(r.doc_id)
+        val info = PngCodec.decode(PngCodec.encode(r.blob, w, colour))
+        PngFeatures(r.doc_id, info.width, info.height, info.colourType,
+          info.nPixels, info.peakPx, info.meanPx, info.topRowSum)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Per-blob decode verdict for the PNG quarantine path. */
+  case class PngVerdict(
+      doc_id: Long, decoded_ok: Long, n_pixels: Long, err_class: String)
+
+  /** PNG quarantine: corruption is injected INSIDE the compressed
+    * pixel stream (doc_id % 3 == 2 gets its first IDAT data byte
+    * flipped) — invisible to any magic-number check, caught only
+    * because the decoder verifies every chunk's CRC-32. The
+    * integrity-checking container is exactly where the quarantine
+    * contract earns its keep at 100 TB: bit rot inside compressed
+    * payloads is the common corruption, and it must become a
+    * quarantined ROW, never a failed job or silent garbage pixels.
+    */
+  def pngQuarantine(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (w, colour) = pngParams(r.doc_id)
+        val png = PngCodec.encode(r.blob, w, colour)
+        if (math.floorMod(r.doc_id, 3) == 2L) {
+          val off = PngCodec.firstIdatDataOffset(png)
+          png(off) = (png(off) ^ 0x5a).toByte // bit rot inside the stream
+        }
+        try {
+          val info = PngCodec.decode(png)
+          PngVerdict(r.doc_id, 1L, info.nPixels, "")
+        } catch {
+          case _: IllegalArgumentException =>
+            PngVerdict(r.doc_id, 0L, -1L, "rejected")
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Result of the image resize stage. */
   case class Resized(doc_id: Long, width: Long, height: Long,
                      new_w: Long, new_h: Long, kept_px: Long,
