@@ -728,6 +728,75 @@ object Queries {
               |      FROM tf JOIN df USING (word) CROSS JOIN n)
               |SELECT doc_id, rnk, word, tf, score FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
+    // Okapi BM25 against the deterministic mid-frequency query (df
+    // ranks 6-10): tf/dl/df are the tfidf-family one-pass aggregates,
+    // the query is selected in-plan by a distributed top-k and
+    // broadcast to the postings, and the result cut is orderBy+limit.
+    // The oracle mirrors the scoring expression token-for-token so
+    // both engines run the identical IEEE operation sequence
+    "bm25_topk" -> QueryDef(
+      (s, d) => RetrievalOps.bm25TopK(Tables.documents(s, d)),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+              |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |tfd AS (SELECT doc_id, word, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+              |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+              |q AS (SELECT word, df FROM (
+              |        SELECT word, df, row_number() OVER (ORDER BY df DESC, word) AS qrank FROM df)
+              |      WHERE qrank > 5 AND qrank <= 10),
+              |stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n_docs,
+              |        (SELECT sum(tf)::DOUBLE / count(DISTINCT doc_id) FROM tf) AS avgdl),
+              |sc AS (SELECT t.doc_id,
+              |        ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+              |          * (t.tf * (1.2 + 1.0))
+              |          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / avgdl)) AS contrib
+              |      FROM tfd t JOIN q USING (word) CROSS JOIN stats),
+              |agg AS (SELECT doc_id, sum(contrib) AS score_raw, count(*) AS n_hits FROM sc GROUP BY doc_id),
+              |r AS (SELECT doc_id, n_hits, score_raw,
+              |        row_number() OVER (ORDER BY round(score_raw, 6) DESC, doc_id) AS rnk FROM agg)
+              |SELECT doc_id, rnk, n_hits, round(score_raw, 4) + 0 AS score
+              |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin)),
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and a
+    // cosine leg against the designated probe vector (vec_id 0).
+    // Each leg is a 50-row top-k cut; fusion is a full outer join of
+    // the two K-row lists with a fixed two-term RRF expression (so
+    // the float sum order is deterministic on both engines)
+    "hybrid_rrf" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        RetrievalOps.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)) },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+              |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |tfd AS (SELECT doc_id, word, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+              |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+              |q AS (SELECT word, df FROM (
+              |        SELECT word, df, row_number() OVER (ORDER BY df DESC, word) AS qrank FROM df)
+              |      WHERE qrank > 5 AND qrank <= 10),
+              |stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n_docs,
+              |        (SELECT sum(tf)::DOUBLE / count(DISTINCT doc_id) FROM tf) AS avgdl),
+              |sc AS (SELECT t.doc_id,
+              |        ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+              |          * (t.tf * (1.2 + 1.0))
+              |          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / avgdl)) AS contrib
+              |      FROM tfd t JOIN q USING (word) CROSS JOIN stats),
+              |lexagg AS (SELECT doc_id, sum(contrib) AS lex_score FROM sc GROUP BY doc_id),
+              |lex AS (SELECT doc_id, lex_rank FROM (
+              |        SELECT doc_id, row_number() OVER (ORDER BY round(lex_score, 6) DESC, doc_id) AS lex_rank
+              |        FROM lexagg) WHERE lex_rank <= 50),
+              |p AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0),
+              |vsc AS (SELECT vec_id AS doc_id, ${cosSql("embedding", "probe_vec")} AS vec_score
+              |      FROM embeddings CROSS JOIN p WHERE vec_id <> 0),
+              |vec AS (SELECT doc_id, vec_rank FROM (
+              |        SELECT doc_id, row_number() OVER (ORDER BY round(vec_score, 6) DESC, doc_id) AS vec_rank
+              |        FROM vsc) WHERE vec_rank <= 50),
+              |f AS (SELECT doc_id, lex_rank, vec_rank,
+              |        coalesce(1.0 / (60 + lex_rank), 0.0) + coalesce(1.0 / (60 + vec_rank), 0.0) AS rrf_raw
+              |      FROM lex FULL OUTER JOIN vec USING (doc_id)),
+              |r AS (SELECT doc_id, lex_rank, vec_rank, rrf_raw,
+              |        row_number() OVER (ORDER BY round(rrf_raw, 6) DESC, doc_id) AS rnk FROM f)
+              |SELECT doc_id, rnk, coalesce(lex_rank, 0) AS lex_rank,
+              |  coalesce(vec_rank, 0) AS vec_rank, round(rrf_raw, 4) + 0 AS rrf_score
+              |FROM r WHERE rnk <= 15 ORDER BY rnk""".stripMargin)),
+
     // ----- corpus pipelines --------------------------------------------
     // the composed cleaning run: quality gate + language consistency
     // + exact dedup as ONE plan (filters fuse ahead of the only
@@ -2809,6 +2878,78 @@ object Queries {
              |       ELSE w * ((len + w - 1) // w) END AS BIGINT) AS n_pixels,
              |  CASE WHEN doc_id % 3 = 2 THEN 'rejected' ELSE '' END AS err_class
              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // the VIDEO leg of the multimodal seam: text bytes split into
+    // w×h grayscale frames of a real AVI container (nested RIFF
+    // lists, avih/strh/strf headers, odd-length strn exercising the
+    // pad rule, bottom-up stride-padded paletted DIB frames, idx1
+    // index with movi-relative offsets) and the summary is parsed
+    // back out of those bytes — geometry/timing from LE header
+    // fields, frame count cross-checked against three declarations
+    "multimodal_avi_decode" -> QueryDef(
+      (s, d) => MultimodalOps.aviDecode(Tables.documents(s, d)),
+      Some("""WITH p AS (SELECT doc_id,
+             |    9 + (doc_id % 3) * 5 AS w, 6 + (doc_id % 4) * 3 AS h,
+             |    10 + (doc_id % 3) * 5 AS fps,
+             |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
+             |f AS (SELECT doc_id, w, h, fps,
+             |    (len + w * h - 1) // (w * h) AS nf FROM p)
+             |SELECT doc_id,
+             |  CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(fps AS BIGINT) AS fps,
+             |  CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(nf * w * h AS BIGINT) AS total_px
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // video frame sampling over the SAME parsed containers: every
+    // 3rd decoded frame reports its luma sum and peak; the lumas
+    // come out of bottom-up stride-padded paletted DIB chunks, so a
+    // skipped flip/stride/palette scrambles every statistic. The
+    // last frame's zero padding is invisible to both sides (adds 0
+    // to the sum, never raises the peak)
+    "multimodal_avi_frames" -> QueryDef(
+      (s, d) => MultimodalOps.aviFrames(Tables.documents(s, d)),
+      Some {
+        val E = MultimodalOps.FrameEvery
+        s"""WITH p AS (SELECT doc_id, text,
+           |    9 + (doc_id % 3) * 5 AS w, 6 + (doc_id % 4) * 3 AS h,
+           |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
+           |f AS (SELECT doc_id, text, w * h AS fb,
+           |    (len + w * h - 1) // (w * h) AS nf FROM p),
+           |e AS (SELECT doc_id, fb, text,
+           |    unnest(generate_series(0, nf - 1)) AS fi
+           |  FROM f WHERE nf > 0),
+           |k AS (SELECT doc_id, fi,
+           |    substring(text, fi * fb + 1, fb) AS chunk
+           |  FROM e WHERE fi % $E = 0)
+           |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+           |  CAST(coalesce(list_sum(list_transform(string_split(chunk, ''),
+           |    c -> ascii(c))), 0) % 65521 AS BIGINT) AS frame_sum,
+           |  CAST(coalesce(list_max(list_transform(string_split(chunk, ''),
+           |    c -> ascii(c))), 0) AS BIGINT) AS frame_peak
+           |FROM k ORDER BY doc_id, frame_idx""".stripMargin
+      }),
+
+    // video quarantine: the corruption flips the MIDDLE frame's
+    // chunk size field — invisible to magic sniffs, caught only by
+    // the movi walk's structural checks (size overruns the list or
+    // misses the declared frame size). A frameless container (empty
+    // text) has nothing to corrupt and stays decodable
+    "multimodal_avi_quarantine" -> QueryDef(
+      (s, d) => MultimodalOps.aviQuarantine(Tables.documents(s, d)),
+      Some("""WITH p AS (SELECT doc_id,
+             |    9 + (doc_id % 3) * 5 AS w, 6 + (doc_id % 4) * 3 AS h,
+             |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
+             |f AS (SELECT doc_id,
+             |    (len + w * h - 1) // (w * h) AS nf FROM p),
+             |v AS (SELECT doc_id, nf,
+             |    (doc_id % 5 = 3 AND nf > 0) AS corrupt FROM f)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS BIGINT) AS decoded_ok,
+             |  CAST(CASE WHEN corrupt THEN -1 ELSE nf END AS BIGINT) AS n_frames,
+             |  CASE WHEN corrupt THEN 'rejected' ELSE '' END AS err_class
+             |FROM v ORDER BY doc_id""".stripMargin)),
 
     "multimodal_features" -> QueryDef(
       (s, d) => MultimodalOps.imageFeatures(Tables.documents(s, d)),

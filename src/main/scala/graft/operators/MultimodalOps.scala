@@ -396,4 +396,131 @@ object MultimodalOps {
       .toDF()
       .orderBy("doc_id", "band_idx")
   }
+
+  /** Per-doc video-encoding parameters, derived from doc_id so the
+    * oracle can predict them while the engine must recover them from
+    * the container bytes: frame widths 9/14/19 (mod 4 = 1/2/3, so the
+    * DIB stride pad rule is always live), heights 6..15, and frame
+    * rates 10/15/20 fps (whose µs-per-frame values include the
+    * non-divisible 1000000/15 case, pinning the integer-division
+    * timing convention on both sides of the codec).
+    */
+  def aviParams(docId: Long): (Int, Int, Int) = {
+    val width = 9 + (math.floorMod(docId, 3) * 5).toInt
+    val height = 6 + (math.floorMod(docId, 4) * 3).toInt
+    val fps = 10 + (math.floorMod(docId, 3) * 5).toInt
+    (width, height, fps)
+  }
+
+  /** Header-level summary from the REAL video decoder. */
+  case class AviSummary(
+      doc_id: Long, width: Long, height: Long, fps: Long,
+      n_frames: Long, total_px: Long)
+
+  /** The genuine VIDEO pipeline stage: each document's bytes split
+    * into `width×height` grayscale frames of a REAL AVI container
+    * ([[AviCodec.encode]] — nested RIFF lists, avih/strh/strf
+    * headers, odd-length strn, bottom-up stride-padded paletted DIB
+    * frames, idx1 index) and the summary comes from actually PARSING
+    * that container: [[AviCodec.decode]] walks the chunk tree,
+    * cross-checks the three frame-count declarations, and recovers
+    * geometry + timing from LE header fields. Width, height and fps
+    * vary per doc_id; the oracle predicts every field from the source
+    * text length alone, so any header-layout or chunk-walk slip reds
+    * the row. Map-only; no shuffle until the result sort.
+    */
+  def aviDecode(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (w, h, fps) = aviParams(r.doc_id)
+        val v = AviCodec.decode(AviCodec.encode(r.blob, w, h, fps))
+        AviSummary(r.doc_id, v.width.toLong, v.height.toLong, v.fps.toLong,
+          v.frames.length.toLong,
+          v.frames.length.toLong * v.width * v.height)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Keep every [[FrameEvery]]-th frame — shared with the oracle. */
+  val FrameEvery = 3
+
+  /** One sampled decoded video frame. */
+  case class AviFrameStat(
+      doc_id: Long, frame_idx: Long, frame_sum: Long, frame_peak: Long)
+
+  /** Frame sampling over REAL decoded video: every [[FrameEvery]]-th
+    * frame of the parsed AVI reports its luma sum and peak. The lumas
+    * come out of bottom-up stride-padded paletted DIB chunks, so a
+    * decoder that skips the flip, the stride, or the palette
+    * scrambles every frame statistic. One blob row fans out to its
+    * kept-frame rows, map-only — the video analog of the image-band
+    * [[frameSample]] and the audio-window [[wavSegments]].
+    */
+  def aviFrames(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val (w, h, fps) = aviParams(r.doc_id)
+        val v = AviCodec.decode(AviCodec.encode(r.blob, w, h, fps))
+        v.frames.indices.filter(_ % FrameEvery == 0).map { fi =>
+          val lumas = v.frames(fi)
+          var sum = 0L
+          var peak = 0L
+          var i = 0
+          while (i < lumas.length) {
+            sum = (sum + lumas(i)) % 65521L
+            if (lumas(i) > peak) peak = lumas(i).toLong
+            i += 1
+          }
+          AviFrameStat(r.doc_id, fi.toLong, sum, peak)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Per-blob decode verdict for the video quarantine path. */
+  case class AviVerdict(
+      doc_id: Long, decoded_ok: Long, n_frames: Long, err_class: String)
+
+  /** Video-side quarantine contract (sibling of [[wavQuarantine]] /
+    * [[bmpQuarantine]] / [[pngQuarantine]]): corruption is injected
+    * INSIDE the chunk framing — [[AviCodec.corruptMidFrame]] flips
+    * the middle frame's size field, invisible to any magic-bytes
+    * sniff and caught only by the movi walk's structural checks — and
+    * the decode is wrapped so parse failures emit quarantined ROWS,
+    * never failed jobs. A frameless container (empty text) has no
+    * frame to corrupt and stays decodable, which the oracle predicts.
+    */
+  def aviQuarantine(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (w, h, fps) = aviParams(r.doc_id)
+        val avi = AviCodec.encode(r.blob, w, h, fps)
+        val blob =
+          if (math.floorMod(r.doc_id, 5) == 3L) AviCodec.corruptMidFrame(avi)
+          else avi
+        try {
+          val v = AviCodec.decode(blob)
+          AviVerdict(r.doc_id, 1L, v.frames.length.toLong, "")
+        } catch {
+          case _: IllegalArgumentException =>
+            AviVerdict(r.doc_id, 0L, -1L, "rejected")
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
 }

@@ -225,4 +225,71 @@ class MultimodalSpec extends AnyFunSuite {
       assert(b.getLong(2) >= 1L && b.getLong(2) <= MultimodalOps.BandRows.toLong)
     }
   }
+
+  test("AviCodec.decode is a general parser, not the encoder's inverse") {
+    import graft.operators.AviCodec
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    // hand-built AVI this repo's encoder can never emit: 24-bit BGR
+    // TOP-DOWN frames (negative biHeight, no palette), a '00dc'
+    // fourcc, JUNK chunks at two nesting levels, and NO idx1
+    val w = 3; val h = 2
+    val stride = (w * 3 + 3) & ~3 // 12
+    // two top-down rows; luma = channel mean
+    val rows = Array(
+      Array((10, 20, 30), (40, 50, 60), (70, 80, 90)), // lumas 20 50 80
+      Array((5, 5, 5), (200, 100, 0), (255, 255, 255))) // lumas 5 100 255
+    val frame = rows.flatMap { r =>
+      val px = r.flatMap { case (b, g, rr) => Array(b.toByte, g.toByte, rr.toByte) }
+      px ++ Array.fill(stride - w * 3)(0.toByte)
+    }
+    val avih = cc("avih") ++ le32(56) ++ le32(1000000 / 25) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(1) ++ le32(stride * h) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc("strh") ++ le32(56) ++ cc("vids") ++ cc("DIB ") ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++
+      le32(1) ++ le32(stride * h) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = cc("strf") ++ le32(40) ++ le32(40) ++ le32(w) ++ le32(-h) ++
+      le16(1) ++ le16(24) ++ le32(0) ++ le32(stride * h) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(0)
+    val junkIn = cc("JUNK") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // odd + pad
+    val strlBody = cc("strl") ++ strh ++ junkIn ++ strf
+    val strl = cc("LIST") ++ le32(strlBody.length) ++ strlBody
+    val hdrlBody = cc("hdrl") ++ avih ++ strl
+    val hdrl = cc("LIST") ++ le32(hdrlBody.length) ++ hdrlBody
+    val moviBody = cc("movi") ++ cc("00dc") ++ le32(frame.length) ++ frame
+    val movi = cc("LIST") ++ le32(moviBody.length) ++ moviBody
+    val junkTop = cc("JUNK") ++ le32(5) ++ Array[Byte](9, 9, 9, 9, 9, 0)
+    val body = cc("AVI ") ++ junkTop ++ hdrl ++ movi
+    val avi = cc("RIFF") ++ le32(body.length) ++ body
+    val v = AviCodec.decode(avi)
+    assert(v.width === 3 && v.height === 2 && v.fps === 25)
+    assert(v.frames.length === 1)
+    assert(v.frames(0).toSeq === Seq(20, 50, 80, 5, 100, 255))
+    // malformed containers fail loudly, not silently
+    intercept[IllegalArgumentException](AviCodec.decode(cc("RIFX") ++ avi.drop(4)))
+    intercept[IllegalArgumentException](AviCodec.decode(avi.take(40)))
+  }
+
+  test("AVI quarantine splits corrupt containers from decodable ones") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val rs = MultimodalOps.aviQuarantine(docs).collect()
+    assert(rs.nonEmpty)
+    val textLen = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    rs.foreach { r =>
+      val id = r.getLong(0)
+      // empty text → frameless container, nothing to corrupt
+      val hasFrames = textLen(id) > 0
+      if (id % 5 == 3 && hasFrames) {
+        assert(r.getLong(1) === 0L && r.getLong(2) === -1L &&
+          r.getString(3) === "rejected")
+      } else {
+        assert(r.getLong(1) === 1L && r.getLong(2) >= 0L && r.getString(3) === "")
+      }
+    }
+  }
 }
