@@ -5,8 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Plan auditor: prints `explain("formatted")` for the named queries
   * (or a default set of representative ones) so scan pruning, pushed
   * filters, exchange placement, and codegen coverage can be reviewed.
+  * A name prefixed `run:` EXECUTES the query first and prints the
+  * final adaptive plan instead — the only way to see what AQE
+  * actually did at runtime (ReusedExchange insertion, skew splits,
+  * broadcast demotions).
   *
-  * Usage: Explain [sfDir [queryName...]]
+  * Usage: Explain [sfDir [queryName | run:queryName ...]]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -23,10 +27,18 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
+      val (name, runFirst) =
+        if (n.startsWith("run:")) (n.stripPrefix("run:"), true) else (n, false)
       println(s"\n========== $n ==========")
-      SparkEntry.queries.get(n) match {
-        case Some(fn) => fn(spark, sfDir).explain("formatted")
-        case None     => println(s"unknown query: $n")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          val df = fn(spark, sfDir)
+          if (runFirst) {
+            df.collect() // force THIS plan's execution (count() would
+            // wrap it in a new agg plan and leave this one untouched)
+            println(df.queryExecution.executedPlan.toString)
+          } else df.explain("formatted")
+        case None => println(s"unknown query: $name")
       }
     }
     spark.stop()

@@ -728,10 +728,12 @@ object Queries {
               |      FROM tf JOIN df USING (word) CROSS JOIN n)
               |SELECT doc_id, rnk, word, tf, score FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
-    // Okapi BM25 against the deterministic mid-frequency query (df
-    // ranks 6-10): tf/dl/df are the tfidf-family one-pass aggregates,
-    // the query is selected in-plan by a distributed top-k and
-    // broadcast to the postings, and the result cut is orderBy+limit.
+    // Okapi BM25 against the deterministic mid-frequency query
+    // (collection-frequency ranks 6-10): tf/dl/df are the
+    // tfidf-family one-pass aggregates, the query is selected
+    // in-plan by a distributed top-k over the SAME tf exchange the
+    // postings use (AQE ReusedExchange — the corpus is tokenized
+    // once), and the result cut is orderBy+limit.
     // The oracle mirrors the scoring expression token-for-token so
     // both engines run the identical IEEE operation sequence
     "bm25_topk" -> QueryDef(
@@ -739,9 +741,9 @@ object Queries {
       Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
               |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
               |tfd AS (SELECT doc_id, word, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
-              |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+              |ws AS (SELECT word, sum(tf) AS ctf, count(*) AS df FROM tf GROUP BY word),
               |q AS (SELECT word, df FROM (
-              |        SELECT word, df, row_number() OVER (ORDER BY df DESC, word) AS qrank FROM df)
+              |        SELECT word, df, row_number() OVER (ORDER BY ctf DESC, word) AS qrank FROM ws)
               |      WHERE qrank > 5 AND qrank <= 10),
               |stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n_docs,
               |        (SELECT sum(tf)::DOUBLE / count(DISTINCT doc_id) FROM tf) AS avgdl),
@@ -767,9 +769,9 @@ object Queries {
       Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
               |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
               |tfd AS (SELECT doc_id, word, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
-              |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+              |ws AS (SELECT word, sum(tf) AS ctf, count(*) AS df FROM tf GROUP BY word),
               |q AS (SELECT word, df FROM (
-              |        SELECT word, df, row_number() OVER (ORDER BY df DESC, word) AS qrank FROM df)
+              |        SELECT word, df, row_number() OVER (ORDER BY ctf DESC, word) AS qrank FROM ws)
               |      WHERE qrank > 5 AND qrank <= 10),
               |stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n_docs,
               |        (SELECT sum(tf)::DOUBLE / count(DISTINCT doc_id) FROM tf) AS avgdl),

@@ -32,9 +32,10 @@ object RetrievalOps {
   val B = 0.75
 
   /** The deterministic query: corpus words ranked [[QuerySkip]]+1 ..
-    * [[QuerySkip]]+[[QueryTerms]] by document frequency (df desc,
-    * word asc) — mid-frequency terms, past the stopword head, that
-    * are guaranteed to exist at every scale. Shared with the oracle.
+    * [[QuerySkip]]+[[QueryTerms]] by collection frequency (total
+    * occurrences desc, word asc) — mid-frequency terms, past the
+    * stopword head, that are guaranteed to exist at every scale.
+    * Shared with the oracle.
     */
   val QuerySkip = 5
   val QueryTerms = 5
@@ -61,12 +62,24 @@ object RetrievalOps {
       .select(col("doc_id"), explode(NativeText.tokens(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-    val wordDf = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // ranking terms by COLLECTION frequency (sum of tf) rather than
+    // bare document frequency is deliberate plan engineering: sum(tf)
+    // CONSUMES the tf column, which keeps the upstream aggregate's
+    // count function alive, so this branch's shuffle canonicalizes
+    // identically to the postings' tf exchange and AQE inserts a
+    // ReusedExchange — the corpus is tokenized ONCE. Ranking by
+    // count(*) (or count(tf): NullPropagation folds it back to
+    // count(1)) lets column pruning rewrite the aggregate to a
+    // keys-only distinct, the canonical forms diverge, and the whole
+    // scan+tokenize runs twice — verified in the executed plan
+    // (Explain run:bm25_topk). df still rides along for the idf.
+    val wordStats = tf.groupBy("word")
+      .agg(sum(col("tf")).as("ctf"), count(lit(1)).as("df"))
     // distributed top-k, then a (QuerySkip+QueryTerms)-row window
-    val qcand = wordDf
-      .orderBy(col("df").desc, col("word").asc)
+    val qcand = wordStats
+      .orderBy(col("ctf").desc, col("word").asc)
       .limit(QuerySkip + QueryTerms)
-    val qrankW = Window.orderBy(col("df").desc, col("word").asc)
+    val qrankW = Window.orderBy(col("ctf").desc, col("word").asc)
     val query = qcand
       .withColumn("qrank", row_number().over(qrankW))
       .where(col("qrank") > QuerySkip)
