@@ -33,6 +33,35 @@ object Queries {
   private val wmDelayMs = graft.streaming.EventStreams.WatermarkDelayMs
 
   /** DuckDB: lower-cased whitespace tokens, empties dropped. */
+  /** Okapi BM25 oracle — shared verbatim by `bm25_topk` (inline
+    * aggregation) and `bm25_indexed` (persisted postings probe): the
+    * two engine paths must produce identical rows, so one SQL text
+    * gates both. The scoring expression mirrors
+    * [[graft.operators.RetrievalOps]] token-for-token (same literal
+    * folding, same left-associative op sequence) so the hash gate
+    * pins the exact IEEE arithmetic.
+    */
+  private lazy val bm25Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |tfd AS (SELECT doc_id, word, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+       |ws AS (SELECT word, sum(tf) AS ctf, count(*) AS df FROM tf GROUP BY word),
+       |q AS (SELECT word, df FROM (
+       |        SELECT word, df, row_number() OVER (ORDER BY ctf DESC, word) AS qrank FROM ws)
+       |      WHERE qrank > 5 AND qrank <= 10),
+       |stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n_docs,
+       |        (SELECT sum(tf)::DOUBLE / count(DISTINCT doc_id) FROM tf) AS avgdl),
+       |sc AS (SELECT t.doc_id,
+       |        ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+       |          * (t.tf * (1.2 + 1.0))
+       |          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / avgdl)) AS contrib
+       |      FROM tfd t JOIN q USING (word) CROSS JOIN stats),
+       |agg AS (SELECT doc_id, sum(contrib) AS score_raw, count(*) AS n_hits FROM sc GROUP BY doc_id),
+       |r AS (SELECT doc_id, n_hits, score_raw,
+       |        row_number() OVER (ORDER BY round(score_raw, 6) DESC, doc_id) AS rnk FROM agg)
+       |SELECT doc_id, rnk, n_hits, round(score_raw, 4) + 0 AS score
+       |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), w -> w <> '')"""
 
@@ -738,25 +767,26 @@ object Queries {
     // both engines run the identical IEEE operation sequence
     "bm25_topk" -> QueryDef(
       (s, d) => RetrievalOps.bm25TopK(Tables.documents(s, d)),
-      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
-              |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
-              |tfd AS (SELECT doc_id, word, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
-              |ws AS (SELECT word, sum(tf) AS ctf, count(*) AS df FROM tf GROUP BY word),
-              |q AS (SELECT word, df FROM (
-              |        SELECT word, df, row_number() OVER (ORDER BY ctf DESC, word) AS qrank FROM ws)
-              |      WHERE qrank > 5 AND qrank <= 10),
-              |stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n_docs,
-              |        (SELECT sum(tf)::DOUBLE / count(DISTINCT doc_id) FROM tf) AS avgdl),
-              |sc AS (SELECT t.doc_id,
-              |        ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
-              |          * (t.tf * (1.2 + 1.0))
-              |          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / avgdl)) AS contrib
-              |      FROM tfd t JOIN q USING (word) CROSS JOIN stats),
-              |agg AS (SELECT doc_id, sum(contrib) AS score_raw, count(*) AS n_hits FROM sc GROUP BY doc_id),
-              |r AS (SELECT doc_id, n_hits, score_raw,
-              |        row_number() OVER (ORDER BY round(score_raw, 6) DESC, doc_id) AS rnk FROM agg)
-              |SELECT doc_id, rnk, n_hits, round(score_raw, 4) + 0 AS score
-              |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin)),
+      Some(bm25Sql)),
+
+    // the STEADY-STATE retrieval path: the same BM25 ranking served
+    // from the persisted postings index — query planning reads the
+    // vocab-sized lexicon, the probe scans only its terms' bucket
+    // partitions (PartitionFilters, pinned in PlanAuditSpec), and no
+    // tokenize pass or corpus aggregate runs at query time. Same
+    // oracle as bm25_topk: the stored statistics are the same
+    // one-pass aggregates, so the results must be identical
+    "bm25_indexed" -> QueryDef(
+      (s, d) => RetrievalOps.bm25Indexed(Tables.documents(s, d), d),
+      Some(bm25Sql)),
+
+    // the MAINTAINED index: built from the even-doc half, the odd
+    // half folded in (postings append, lexicon delta merge, exact
+    // long stats advance). Gated against the same full-corpus
+    // oracle, so the gate proves fold == rebuild through the probe
+    "incremental_bm25" -> QueryDef(
+      (s, d) => RetrievalOps.incrementalBm25(Tables.documents(s, d), d),
+      Some(bm25Sql)),
 
     // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and a
     // cosine leg against the designated probe vector (vec_id 0).

@@ -131,6 +131,206 @@ object RetrievalOps {
       .select(col("doc_id"), col(rankName))
   }
 
+  /** Hash-mod bucket count for the persisted postings layout: the
+    * partition key is `pmod(xxhash64(word), WordBuckets)`, so a
+    * probe for any fixed query-term set reads at most |terms|
+    * bucket partitions however large the corpus grows.
+    */
+  val WordBuckets = 64
+
+  /** Build the persisted postings index for `corpus` under `dir` —
+    * the steady-state retrieval layout, sibling of the LSH band
+    * index ([[DedupOps.writeLshIndex]]) and the IVF inverted lists
+    * ([[SimilarityOps.ivfListsDir]]):
+    *
+    *  - `postings/` — (word, doc_id, tf, dl) partitioned by
+    *    `word_bucket`, so a query's scan prunes to its terms'
+    *    buckets (PartitionFilters, pinned in PlanAuditSpec);
+    *  - `lexicon/` — (word, ctf, df, word_bucket), vocab-sized, the
+    *    table query planning reads INSTEAD of the corpus;
+    *  - `stats/` — one row (n_docs, avgdl).
+    *
+    * The lexicon and stats are re-derived FROM the written postings
+    * so they can never drift from what a probe will scan.
+    */
+  def writePostingsIndex(corpus: DataFrame, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val nDocs = corpus.count() // one long to the driver, stats row input
+    postingsOf(corpus)
+      .write.mode("overwrite").partitionBy("word_bucket")
+      .parquet(s"$dir/postings")
+    val written = spark.read.parquet(s"$dir/postings")
+    written
+      .groupBy("word")
+      .agg(sum(col("tf")).as("ctf"), count(lit(1)).as("df"),
+        // partition discovery reads the bucket back as int — store
+        // the lexicon's copy as long so probes collect one fixed type
+        first(col("word_bucket")).cast("long").as("word_bucket"))
+      .write.mode("overwrite").parquet(s"$dir/lexicon")
+    written
+      // total_tf and n_token_docs are stored as EXACT longs so a
+      // fold-in can advance them by addition and re-derive avgdl
+      // bit-identically to a rebuild
+      .agg(sum(col("tf")).as("total_tf"),
+        countDistinct(col("doc_id")).as("n_token_docs"))
+      .select(
+        lit(nDocs).cast("double").as("n_docs"),
+        coalesce(col("total_tf"), lit(0L)).as("total_tf"),
+        col("n_token_docs"),
+        (coalesce(col("total_tf"), lit(0L)).cast("double") /
+          col("n_token_docs")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The per-batch postings a build or fold derives from a document
+    * frame: (doc_id, word, tf, dl, word_bucket). dl is the batch
+    * doc's own length — correct under fold because batches are
+    * disjoint document sets, so no stored dl ever needs updating.
+    */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    NativeText.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(NativeText.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("word_bucket", pmod(xxhash64(col("word")), lit(WordBuckets)))
+  }
+
+  /** Fold an arriving document batch into a persisted postings index
+    * — the retrieval family's index-maintenance step, mirroring the
+    * LSH/IVF/semantic fold-ins: the batch's postings are APPENDED
+    * into their bucket partitions (never a rewrite), the lexicon
+    * advances by a full-outer merge of the batch's per-word deltas
+    * (new words appear, untouched words pass through), and the stats
+    * row advances by exact long addition (total tf + token-doc
+    * counts are stored precisely so the re-derived avgdl is
+    * bit-identical to a full rebuild's). Lexicon and stats commit by
+    * directory rename after a complete write
+    * ([[DedupOps.publishTable]]) — a crash mid-fold leaves the old
+    * tables live, never torn ones. Touches |batch| postings plus two
+    * model/vocab-sized merges; the corpus is never re-tokenized.
+    */
+  def foldBatchIntoPostings(batch: DataFrame, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val nNew = batch.count()
+    // the batch postings feed the append AND the lexicon deltas AND
+    // the stats delta — materialize once (subtree duplication
+    // discipline, the foldBatchIntoLshIndex precedent)
+    val bp = Checkpoints.truncate(postingsOf(batch))
+    bp.write.mode("append").partitionBy("word_bucket")
+      .parquet(s"$indexDir/postings")
+    val deltas = bp.groupBy("word")
+      .agg(sum(col("tf")).as("d_ctf"), count(lit(1)).as("d_df"),
+        first(col("word_bucket")).cast("long").as("d_bucket"))
+    val lex = spark.read.parquet(s"$indexDir/lexicon")
+    DedupOps.publishTable(
+      lex.join(deltas, Seq("word"), "full_outer")
+        .select(col("word"),
+          (coalesce(col("ctf"), lit(0L)) + coalesce(col("d_ctf"), lit(0L))).as("ctf"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("d_df"), lit(0L))).as("df"),
+          coalesce(col("word_bucket"), col("d_bucket")).as("word_bucket")),
+      indexDir, "lexicon")
+    val bStats = bp.agg(sum(col("tf")).as("d_tf"),
+      countDistinct(col("doc_id")).as("d_token_docs"))
+    DedupOps.publishTable(
+      spark.read.parquet(s"$indexDir/stats").crossJoin(bStats)
+        .select(
+          (col("n_docs") + nNew.toDouble).as("n_docs"),
+          (col("total_tf") + coalesce(col("d_tf"), lit(0L))).as("total_tf"),
+          (col("n_token_docs") + col("d_token_docs")).as("n_token_docs"))
+        .withColumn("avgdl",
+          col("total_tf").cast("double") / col("n_token_docs")),
+      indexDir, "stats")
+  }
+
+  /** Fixture-keyed location of the postings index (dataset basename +
+    * source fingerprint, [[graft.sources.Fixtures]] — regenerated
+    * data can never hit a stale index), built on first use.
+    */
+  def postingsIndexDir(docs: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("postings", sfDir,
+      Seq(s"$sfDir/documents.parquet"), params = s"b$WordBuckets") { dir =>
+      writePostingsIndex(docs, dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+      ()
+    }
+
+  /** The steady-state fixture for [[incrementalBm25]]: the index is
+    * BUILT from the even-doc_id corpus half and the odd half arrives
+    * as a fold-in batch — the whole folded index is the fixture, so
+    * repeated runs probe identical state. Batch-agnosticism (any
+    * split folds to the same index) is spec-proven in
+    * IndexMaintenanceSpec.
+    */
+  def postingsIncDir(docs: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("postings_inc", sfDir,
+      Seq(s"$sfDir/documents.parquet"), params = s"b$WordBuckets") { dir =>
+      writePostingsIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0), dir)
+      foldBatchIntoPostings(docs.where(pmod(col("doc_id"), lit(2)) === 1), dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+      ()
+    }
+
+  /** [[bm25TopK]] over the persisted postings layout — the
+    * steady-state path: query planning reads the VOCAB-sized lexicon
+    * (the same ctf-ranked top-k, never the corpus), the probe
+    * collects its terms' bucket ids (MODEL-sized driver traffic — at
+    * most [[QueryTerms]] longs, the [[SimilarityOps.annIvfIndexed]]
+    * convention) and scans ONLY those postings partitions via an IN
+    * filter on the partition column. No tokenize pass, no
+    * corpus-wide aggregate — identical output to [[bm25TopK]]
+    * because the stored tf/dl/df/avgdl are the same one-pass
+    * aggregates the inline path computes.
+    */
+  def bm25Indexed(docs: DataFrame, sfDir: String, k: Int = 10): DataFrame =
+    probePostings(docs.sparkSession, postingsIndexDir(docs, sfDir), k)
+
+  /** [[bm25Indexed]] over the INCREMENTALLY-maintained layout
+    * ([[postingsIncDir]]: built from half the corpus, the other half
+    * folded in) — gated against the same full-corpus oracle as the
+    * inline and rebuilt-index paths, so the gate itself proves
+    * fold == rebuild end-to-end through the probe.
+    */
+  def incrementalBm25(docs: DataFrame, sfDir: String, k: Int = 10): DataFrame =
+    probePostings(docs.sparkSession, postingsIncDir(docs, sfDir), k)
+
+  /** The shared probe: BM25 top-k served from a postings layout. */
+  def probePostings(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val lex = spark.read.parquet(s"$dir/lexicon")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val qcand = lex
+      .orderBy(col("ctf").desc, col("word").asc)
+      .limit(QuerySkip + QueryTerms)
+    val qrankW = Window.orderBy(col("ctf").desc, col("word").asc)
+    val query = qcand
+      .withColumn("qrank", row_number().over(qrankW))
+      .where(col("qrank") > QuerySkip)
+      .select(col("word"), col("df"), col("word_bucket"))
+    val probedBuckets = query.select("word_bucket").distinct()
+      .collect().map(_.getLong(0)) // ≤ QueryTerms values — model-sized
+    val postings = spark.read.parquet(s"$dir/postings")
+      .where(col("word_bucket").isin(probedBuckets: _*))
+    val scored = postings
+      .join(broadcast(query.drop("word_bucket")), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("score_raw"), count(lit(1)).as("n_hits"))
+    val rnkW = Window.orderBy(round(col("score_raw"), 6).desc, col("doc_id").asc)
+    scored
+      .orderBy(round(col("score_raw"), 6).desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(rnkW).cast("long"))
+      .select(col("doc_id"), col("rnk"), col("n_hits"),
+        round(col("score_raw"), 4).as("score"))
+      .orderBy("rnk")
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion: the lexical leg is
     * the BM25 ranking against the deterministic term query; the
     * vector leg ranks documents by embedding cosine against the

@@ -228,4 +228,45 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(!new java.io.File(dir, "_tombstones").exists(),
       "the applied tombstone log must be truncated by the publish rename")
   }
+
+  test("postings fold-in: appended postings + merged lexicon/stats equal a rebuild") {
+    // arbitrary NON-parity split (the registered incremental_bm25
+    // query uses odd/even — a different split here proves the fold
+    // is batch-agnostic, not tuned to one fixture convention)
+    import graft.operators.RetrievalOps
+    val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val root = java.nio.file.Files.createTempDirectory("postfold").toString
+    val folded = s"$root/folded"
+    val rebuilt = s"$root/rebuilt"
+    RetrievalOps.writePostingsIndex(corpus, folded)
+    RetrievalOps.foldBatchIntoPostings(batch, folded)
+    RetrievalOps.writePostingsIndex(docs, rebuilt)
+
+    def postings(dir: String) = spark.read.parquet(s"$dir/postings")
+      .select("doc_id", "word", "tf", "dl").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    def lexicon(dir: String) = spark.read.parquet(s"$dir/lexicon")
+      .collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("ctf"),
+        r.getAs[Long]("df"), r.getAs[Long]("word_bucket")))
+      .sortBy(identity).toSeq
+    def stats(dir: String) = spark.read.parquet(s"$dir/stats")
+      .select("n_docs", "total_tf", "n_token_docs", "avgdl")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(postings(folded) === postings(rebuilt), "folded postings != rebuilt")
+    assert(lexicon(folded) === lexicon(rebuilt), "merged lexicon != recounted")
+    // exact equality including the re-derived double avgdl — the
+    // long-addition stats design makes this bit-identical
+    assert(stats(folded) === stats(rebuilt), "advanced stats != recomputed")
+
+    // and the probe can't tell the difference
+    def top(dir: String) = RetrievalOps.probePostings(spark, dir, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = top(folded)
+    assert(a === top(rebuilt))
+    assert(a.nonEmpty, "fixture must exercise the probe path")
+  }
 }

@@ -695,4 +695,50 @@ class PlanAuditSpec extends AnyFunSuite {
     // re-derived per consumer and the count grew past ten.
     assert(leafScans(df) <= 7, s"corpus re-derivation crept back: ${leafScans(df)} file scans")
   }
+
+  test("bm25_topk: the corpus is tokenized once (AQE reuses the tf exchange)") {
+    // the round-12 retrieval pin: the query-term selection and the
+    // avgdl statistic both rank/aggregate over the SAME (doc, word)
+    // tf exchange the postings use. Ranking terms by collection
+    // frequency keeps the three subtrees canonically identical
+    // (count(*) would prune the branch to a keys-only distinct and
+    // re-tokenize). Runtime reuse is an AQE decision, so this pin
+    // executes the plan and reads the FINAL form.
+    val df = q("bm25_topk")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val tokenizes = finalPlan.linesIterator
+      .count(_.contains("Generate explode(tokenize"))
+    assert(tokenizes === 1,
+      s"expected one tokenize pass in the final plan, saw $tokenizes")
+    assert(finalPlan.contains("ReusedExchange"),
+      "expected the query/stats branches to reuse the tf exchange")
+  }
+
+  test("bm25_indexed: the probe reads only its query terms' bucket partitions") {
+    // the postings-index read-path claim: the query's bucket set is
+    // an IN filter on the partition column, so the scan touches at
+    // most |terms| of the WordBuckets partitions however large the
+    // corpus grows — plus no tokenize pass at query time
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = q("bm25_indexed")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_postings")) &&
+          s.relation.location.rootPaths.exists(_.toString.contains("/postings")) => s
+    }
+    assert(scans.size === 1, "expected exactly one postings scan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the query-bucket IN list must plan as a partition filter")
+    val selected = scan.selectedPartitions.partitionCount
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected <= graft.operators.RetrievalOps.QueryTerms,
+      s"probe must read at most one bucket per term: read $selected")
+    assert(selected < total,
+      s"probe must prune the postings scan: read $selected of $total partitions")
+    assert(!df.queryExecution.sparkPlan.toString.contains("tokenize"),
+      "the indexed path must not tokenize at query time")
+  }
 }
