@@ -41,7 +41,14 @@ object Queries {
     * folding, same left-associative op sequence) so the hash gate
     * pins the exact IEEE arithmetic.
     */
-  private lazy val bm25Sql =
+  private lazy val bm25Sql = bm25SqlRanking("")
+
+  /** [[bm25Sql]] with an optional WHERE on the ranked set — the
+    * delete-leg oracle ranks only LIVE documents while keeping the
+    * full-corpus statistics (the stale-stats deferred-delete
+    * semantics the tombstoned index implements).
+    */
+  private def bm25SqlRanking(rankWhere: String): String =
     s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
        |tfd AS (SELECT doc_id, word, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
@@ -58,7 +65,8 @@ object Queries {
        |      FROM tfd t JOIN q USING (word) CROSS JOIN stats),
        |agg AS (SELECT doc_id, sum(contrib) AS score_raw, count(*) AS n_hits FROM sc GROUP BY doc_id),
        |r AS (SELECT doc_id, n_hits, score_raw,
-       |        row_number() OVER (ORDER BY round(score_raw, 6) DESC, doc_id) AS rnk FROM agg)
+       |        row_number() OVER (ORDER BY round(score_raw, 6) DESC, doc_id) AS rnk
+       |      FROM agg $rankWhere)
        |SELECT doc_id, rnk, n_hits, round(score_raw, 4) + 0 AS score
        |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 
@@ -787,6 +795,16 @@ object Queries {
     "incremental_bm25" -> QueryDef(
       (s, d) => RetrievalOps.incrementalBm25(Tables.documents(s, d), d),
       Some(bm25Sql)),
+
+    // the DELETE leg: probes subtract the tombstone log, so a
+    // deleted doc can never be returned, while scores keep the
+    // index-wide STALE statistics until compaction (the deferred-
+    // delete posture of every production engine) — the oracle keeps
+    // full-corpus df/avgdl and ranks live docs only
+    "bm25_after_delete" -> QueryDef(
+      (s, d) => RetrievalOps.bm25AfterDelete(Tables.documents(s, d), d),
+      Some(bm25SqlRanking(
+        s"WHERE doc_id % ${RetrievalOps.DeleteMod} <> ${RetrievalOps.DeleteRes}"))),
 
     // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and a
     // cosine leg against the designated probe vector (vec_id 0).

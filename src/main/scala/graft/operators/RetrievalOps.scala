@@ -294,9 +294,125 @@ object RetrievalOps {
   def incrementalBm25(docs: DataFrame, sfDir: String, k: Int = 10): DataFrame =
     probePostings(docs.sparkSession, postingsIncDir(docs, sfDir), k)
 
-  /** The shared probe: BM25 top-k served from a postings layout. */
+  /** Deterministic delete slice for the registered
+    * `bm25_after_delete` query — shared with its oracle.
+    */
+  val DeleteMod = 7
+  val DeleteRes = 2
+
+  /** DELETE documents from a persisted postings index — the
+    * retrieval family's take-down/right-to-erasure step, mirroring
+    * the IVF/LSH tombstone legs: the ids land under `_tombstones`
+    * (an append, never a rewrite), probes subtract the log with a
+    * broadcast anti join, and [[compactPostings]] later removes the
+    * posting rows physically. Until compaction the collection
+    * statistics (df, avgdl, n_docs) deliberately stay STALE — the
+    * standard deferred-delete posture of every production search
+    * engine: a deleted doc can no longer be RETURNED, while scores
+    * continue to use index-wide statistics until the next compaction
+    * refreshes them.
+    */
+  def deleteDocsFromPostings(deletes: DataFrame, indexDir: String): Unit =
+    deletes.select(col("doc_id"))
+      .write.mode("append").parquet(s"$indexDir/_tombstones")
+
+  /** Apply the tombstone log physically: rewrite the bucket
+    * partitions minus the deleted docs, RECOMPUTE the lexicon and
+    * stats from the surviving postings (this is the moment deferred
+    * deletes reach the scoring statistics), and publish by directory
+    * rename — the same crash-safe protocol as the IVF compaction,
+    * and the same invariant: a compaction that dropped the log
+    * without applying it would resurrect every deleted doc, so the
+    * rewrite applies the log and the publish truncates it. After
+    * compaction the index is indistinguishable from a fresh build on
+    * the live corpus (spec-pinned, n_docs included — the advance
+    * subtracts the distinct tombstone count, so it is exact whenever
+    * tombstoned ids reference indexed documents, the contract every
+    * delete path in this engine upholds).
+    */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val tomb = new java.io.File(indexDir, "_tombstones")
+    val rows = spark.read.parquet(s"$indexDir/postings")
+    val nDeleted =
+      if (tomb.exists())
+        spark.read.parquet(tomb.getPath).distinct().count()
+      else 0L
+    val kept =
+      if (tomb.exists())
+        rows.join(broadcast(spark.read.parquet(tomb.getPath)),
+          Seq("doc_id"), "left_anti")
+      else rows
+    val tmp = new java.io.File(indexDir, "postings_compacting")
+    kept
+      .repartition(col("word_bucket"))
+      .write.mode("overwrite").partitionBy("word_bucket").parquet(tmp.getPath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val live = new java.io.File(indexDir, "postings")
+    rm(live)
+    java.nio.file.Files.move(tmp.toPath, live.toPath)
+    val written = spark.read.parquet(s"$indexDir/postings")
+    val oldNDocs = spark.read.parquet(s"$indexDir/stats")
+      .select("n_docs").head.getDouble(0)
+    DedupOps.publishTable(
+      written.groupBy("word")
+        .agg(sum(col("tf")).as("ctf"), count(lit(1)).as("df"),
+          first(col("word_bucket")).cast("long").as("word_bucket")),
+      indexDir, "lexicon")
+    DedupOps.publishTable(
+      written
+        .agg(sum(col("tf")).as("total_tf"),
+          countDistinct(col("doc_id")).as("n_token_docs"))
+        .select(
+          lit(oldNDocs - nDeleted).as("n_docs"),
+          coalesce(col("total_tf"), lit(0L)).as("total_tf"),
+          col("n_token_docs"),
+          (coalesce(col("total_tf"), lit(0L)).cast("double") /
+            col("n_token_docs")).as("avgdl")),
+      indexDir, "stats")
+    if (tomb.exists()) { rm(tomb) }
+  }
+
+  /** Write-once tombstoned postings fixture for the registered
+    * query: full-corpus build plus a [[deleteDocsFromPostings]] of
+    * the deterministic delete slice. `_DELETED` marks the two-step
+    * build complete (the IVF delete-leg convention).
+    */
+  def postingsDelDir(docs: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("postings_del", sfDir,
+      Seq(s"$sfDir/documents.parquet"), params = s"b$WordBuckets",
+      validate = d => new java.io.File(d, "_DELETED").exists()) { dir =>
+      writePostingsIndex(docs, dir)
+      deleteDocsFromPostings(
+        docs.where(pmod(col("doc_id"), lit(DeleteMod)) === DeleteRes), dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_DELETED"))
+      ()
+    }
+
+  /** BM25 over the tombstoned index: the shared probe with the
+    * tombstone log subtracted from the scanned postings by a
+    * broadcast anti join BEFORE scoring — a deleted document can
+    * never be returned, while the postings on disk stay untouched
+    * and the bucket partition pruning survives (the IN filter pushes
+    * through the anti join's preserved side; pinned in
+    * PlanAuditSpec). Scores keep the index-wide stale statistics
+    * until compaction — exactly what the oracle computes (full-
+    * corpus df/avgdl, ranking restricted to live docs).
+    */
+  def bm25AfterDelete(docs: DataFrame, sfDir: String, k: Int = 10): DataFrame =
+    probePostings(docs.sparkSession, postingsDelDir(docs, sfDir), k,
+      subtractTombstones = true)
+
+  /** The shared probe: BM25 top-k served from a postings layout.
+    * With `subtractTombstones` the `_tombstones` log is anti-joined
+    * out of the pruned postings scan (broadcast — the log is
+    * model-sized relative to the corpus).
+    */
   def probePostings(spark: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int): DataFrame = {
+      k: Int, subtractTombstones: Boolean = false): DataFrame = {
     val lex = spark.read.parquet(s"$dir/lexicon")
     val stats = spark.read.parquet(s"$dir/stats")
     val qcand = lex
@@ -309,8 +425,14 @@ object RetrievalOps {
       .select(col("word"), col("df"), col("word_bucket"))
     val probedBuckets = query.select("word_bucket").distinct()
       .collect().map(_.getLong(0)) // ≤ QueryTerms values — model-sized
-    val postings = spark.read.parquet(s"$dir/postings")
+    val pruned = spark.read.parquet(s"$dir/postings")
       .where(col("word_bucket").isin(probedBuckets: _*))
+    val postings =
+      if (subtractTombstones)
+        pruned.join(
+          broadcast(spark.read.parquet(s"$dir/_tombstones")),
+          Seq("doc_id"), "left_anti")
+      else pruned
     val scored = postings
       .join(broadcast(query.drop("word_bucket")), "word")
       .crossJoin(broadcast(stats))

@@ -269,4 +269,56 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(a === top(rebuilt))
     assert(a.nonEmpty, "fixture must exercise the probe path")
   }
+
+  test("postings delete + compaction: tombstoned probe goes stale-stats, compaction goes fresh") {
+    import graft.operators.RetrievalOps
+    val root = java.nio.file.Files.createTempDirectory("postdel").toString
+    val dir = s"$root/idx"
+    RetrievalOps.writePostingsIndex(docs, dir)
+    val deleted = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+    RetrievalOps.deleteDocsFromPostings(deleted, dir)
+    val deadIds = deleted.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // pre-compaction: no deleted doc can be returned, and the stats
+    // tables on disk are untouched (stale by design)
+    val probed = RetrievalOps.probePostings(spark, dir, 50,
+      subtractTombstones = true).collect().map(_.getLong(0)).toSeq
+    assert(probed.nonEmpty && !probed.exists(deadIds), "a tombstoned doc was returned")
+    val staleStats = spark.read.parquet(s"$dir/stats")
+      .select("n_docs", "total_tf").head
+    val fullStats = {
+      val d2 = s"$root/full"
+      RetrievalOps.writePostingsIndex(docs, d2)
+      spark.read.parquet(s"$d2/stats").select("n_docs", "total_tf").head
+    }
+    assert(staleStats === fullStats, "delete must not touch the stats tables")
+
+    // compaction applies the log, truncates it, and the result is
+    // indistinguishable from a fresh build on the live corpus
+    RetrievalOps.compactPostings(spark, dir)
+    assert(!new java.io.File(dir, "_tombstones").exists(),
+      "the applied tombstone log must be truncated")
+    val rebuilt = s"$root/live"
+    RetrievalOps.writePostingsIndex(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 4), rebuilt)
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .select("doc_id", "word", "tf", "dl").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity).toSeq
+    def lexicon(d: String) = spark.read.parquet(s"$d/lexicon")
+      .collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("ctf"),
+        r.getAs[Long]("df"), r.getAs[Long]("word_bucket")))
+      .sortBy(identity).toSeq
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .select("n_docs", "total_tf", "n_token_docs", "avgdl")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(postings(dir) === postings(rebuilt), "compacted postings != live rebuild")
+    assert(lexicon(dir) === lexicon(rebuilt), "compacted lexicon != live rebuild")
+    assert(stats(dir) === stats(rebuilt), "compacted stats != live rebuild")
+    def top(d: String) = RetrievalOps.probePostings(spark, d, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(dir) === top(rebuilt))
+  }
 }

@@ -741,4 +741,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!df.queryExecution.sparkPlan.toString.contains("tokenize"),
       "the indexed path must not tokenize at query time")
   }
+
+  test("bm25_after_delete: the tombstone anti join costs neither pruning nor the broadcast") {
+    // the delete-leg read-path claim, retrieval edition: subtracting
+    // the tombstone log must not turn the probe into a full-index
+    // scan — the bucket IN filter pushes through the anti join's
+    // preserved side, and the log joins as a broadcast (model-sized)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = q("bm25_after_delete")
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(p =>
+          p.toString.contains("graft_postings_del") &&
+            p.toString.contains("/postings")) => s
+    }
+    assert(scans.size === 1, "expected exactly one postings scan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "bucket pruning must survive the tombstone anti join")
+    val antiBroadcasts = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(antiBroadcasts.nonEmpty,
+      "the tombstone log must subtract as a broadcast anti join")
+  }
 }
