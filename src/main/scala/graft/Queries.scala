@@ -806,6 +806,19 @@ object Queries {
       Some(bm25SqlRanking(
         s"WHERE doc_id % ${RetrievalOps.DeleteMod} <> ${RetrievalOps.DeleteRes}"))),
 
+    // the STREAM-MAINTAINED index: the odd half arrives as a real
+    // checkpointed micro-batch stream (two source files -> at least
+    // two folds), each batch folding into the persisted postings
+    // inside foreachBatch. Probing the result against the full-
+    // corpus oracle proves per-micro-batch folds compose to exactly
+    // the batch rebuild, whatever the micro-batch boundaries
+    "streamed_bm25_fold" -> QueryDef(
+      (s, d) => {
+        val dir = graft.streaming.EventStreams.streamedPostingsLayout(s, d)
+        RetrievalOps.probePostings(s, s"$dir/index", 10)
+      },
+      Some(bm25Sql)),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and a
     // cosine leg against the designated probe vector (vec_id 0).
     // Each leg is a 50-row top-k cut; fusion is a full outer join of

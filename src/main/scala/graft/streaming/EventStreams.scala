@@ -370,6 +370,75 @@ object EventStreams {
       ()
     }
 
+  /** STREAMED index MAINTENANCE for the retrieval family: each
+    * micro-batch of arriving documents folds into the persisted
+    * postings index
+    * ([[graft.operators.RetrievalOps.foldBatchIntoPostings]] —
+    * postings append, lexicon delta merge, exact-long stats advance)
+    * inside `foreachBatch`. Where the other streamed front doors
+    * PROBE a frozen index, this one MUTATES it — the claim under the
+    * gate is that per-micro-batch folds compose: fold(fold(I, b1),
+    * b2) equals one fold of b1 ∪ b2 equals a rebuild, whatever the
+    * micro-batch boundaries. Delivery note: the fold is an
+    * at-least-once sink (a retried batch would double-append); the
+    * fixture replay is a single-attempt AvailableNow run, and a
+    * production deployment stages each batch under a batch_id
+    * manifest before folding — the standard two-phase pattern this
+    * repo's idempotent `batch_id=` sinks already demonstrate.
+    */
+  def ingestPostingsFoldStream(docsStream: DataFrame, indexDir: String,
+                               checkpointDir: String,
+                               availableNow: Boolean = false): StreamingQuery = {
+    val writer = docsStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.RetrievalOps.foldBatchIntoPostings(batch.toDF(), indexDir)
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
+      .start()
+  }
+
+  /** Write-once STREAMED postings-fold layout: the index is built
+    * from the even-doc half, then the odd half arrives as a REAL
+    * checkpointed micro-batch stream — deliberately written as TWO
+    * source files with maxFilesPerTrigger=1, so the fold runs at
+    * least twice and the gate covers multi-batch composition, not
+    * one lucky batch. The registry's `streamed_bm25_fold` probes the
+    * folded index against the same full-corpus oracle as the inline
+    * BM25, so stream-maintained state == batch rebuild is checked by
+    * hash.
+    */
+  def streamedPostingsLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("streampost", sfDir,
+      Seq(s"$sfDir/documents.parquet"),
+      params = s"b${graft.operators.RetrievalOps.WordBuckets}") { path =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val srcDir = root.resolve("_src")
+      val docs = graft.Tables.documents(spark, sfDir)
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .repartition(2) // two files -> two micro-batches
+        .write.parquet(srcDir.toString)
+      val idx = root.resolve("index").toString
+      graft.operators.RetrievalOps.writePostingsIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), idx)
+      val arriving = readDocumentsStream(spark, srcDir.toString)
+      val q = ingestPostingsFoldStream(arriving, idx,
+        s"$path/_checkpoint", availableNow = true)
+      try q.awaitTermination() finally q.stop()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
+
   /** Stream-stream interval self-join: each purchase joined to the
     * same user's clicks within the preceding `intervalMinutes` — the
     * watermarked join whose state store holds only rows inside the

@@ -476,4 +476,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getLong(3) >= 0L)   // span_ms
     }
   }
+
+  test("streamed postings fold runs over multiple micro-batches and equals a rebuild") {
+    import graft.operators.RetrievalOps
+    val dir = graft.streaming.EventStreams
+      .streamedPostingsLayout(spark, TestSpark.Sf0001)
+    // the composition claim needs >= 2 real micro-batches — pinned
+    // on the source layout the stream actually consumed
+    val srcParts = new java.io.File(s"$dir/_src").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(srcParts >= 2, s"fixture must split the arriving half: $srcParts files")
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("postreb").toString + "/idx"
+    RetrievalOps.writePostingsIndex(
+      Tables.documents(spark, TestSpark.Sf0001), rebuilt)
+    def lexicon(d: String) = spark.read.parquet(s"$d/lexicon")
+      .collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("ctf"),
+        r.getAs[Long]("df"), r.getAs[Long]("word_bucket")))
+      .sortBy(identity).toSeq
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .select("n_docs", "total_tf", "n_token_docs", "avgdl")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(lexicon(s"$dir/index") === lexicon(rebuilt),
+      "stream-folded lexicon != batch rebuild")
+    assert(stats(s"$dir/index") === stats(rebuilt),
+      "stream-folded stats != batch rebuild")
+  }
 }
