@@ -247,12 +247,33 @@ object RetrievalOps {
     * source fingerprint, [[graft.sources.Fixtures]] — regenerated
     * data can never hit a stale index), built on first use.
     */
+  /** Clean-slate rebuild helper for the fixture dirs: the layouts
+    * write into SUBdirectories, so Spark's own `_SUCCESS` never
+    * lands at the top level — each builder wipes any partial state,
+    * runs `build`, then writes the top-level marker itself (the
+    * missing-marker form rebuilt on EVERY call and crashed re-marking
+    * `_DELETED` — caught by the repeated-gate run).
+    */
+  private def buildMarked(dir: String, markers: Seq[String])(build: => Unit): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(root)
+    build
+    markers.foreach(m =>
+      java.nio.file.Files.createFile(root.resolve(m)))
+  }
+
   def postingsIndexDir(docs: DataFrame, sfDir: String): String =
     graft.sources.Fixtures.ensure("postings", sfDir,
       Seq(s"$sfDir/documents.parquet"), params = s"b$WordBuckets") { dir =>
-      writePostingsIndex(docs, dir)
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
-      ()
+      buildMarked(dir, Seq("_SUCCESS")) {
+        writePostingsIndex(docs, dir)
+      }
     }
 
   /** The steady-state fixture for [[incrementalBm25]]: the index is
@@ -265,10 +286,10 @@ object RetrievalOps {
   def postingsIncDir(docs: DataFrame, sfDir: String): String =
     graft.sources.Fixtures.ensure("postings_inc", sfDir,
       Seq(s"$sfDir/documents.parquet"), params = s"b$WordBuckets") { dir =>
-      writePostingsIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0), dir)
-      foldBatchIntoPostings(docs.where(pmod(col("doc_id"), lit(2)) === 1), dir)
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
-      ()
+      buildMarked(dir, Seq("_SUCCESS")) {
+        writePostingsIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0), dir)
+        foldBatchIntoPostings(docs.where(pmod(col("doc_id"), lit(2)) === 1), dir)
+      }
     }
 
   /** [[bm25TopK]] over the persisted postings layout — the
@@ -385,11 +406,11 @@ object RetrievalOps {
     graft.sources.Fixtures.ensure("postings_del", sfDir,
       Seq(s"$sfDir/documents.parquet"), params = s"b$WordBuckets",
       validate = d => new java.io.File(d, "_DELETED").exists()) { dir =>
-      writePostingsIndex(docs, dir)
-      deleteDocsFromPostings(
-        docs.where(pmod(col("doc_id"), lit(DeleteMod)) === DeleteRes), dir)
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_DELETED"))
-      ()
+      buildMarked(dir, Seq("_SUCCESS", "_DELETED")) {
+        writePostingsIndex(docs, dir)
+        deleteDocsFromPostings(
+          docs.where(pmod(col("doc_id"), lit(DeleteMod)) === DeleteRes), dir)
+      }
     }
 
   /** BM25 over the tombstoned index: the shared probe with the
