@@ -1,0 +1,29 @@
+#!/bin/bash
+# Full scale-gate chain (run inside tmux — takes ~1h). Refreshes the
+# standing CORRECTNESS_* artifacts at the current registry and logs
+# one line per stage to /tmp/gates.log.
+set -e
+cd /root/repo
+log=/tmp/gates.log
+: > "$log"
+stage() { echo "=== $1 ===" | tee -a "$log"; }
+
+stage "sf0.01 cold"
+SPARK_GRAFT_CPUS=32 tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/v_001 2>/dev/null | tail -1 | tee -a "$log"
+python3 tools/check.py /root/testdata/sf0.01 /tmp/v_001 2>&1 | tail -1 | tee -a "$log"
+stage "sf0.01 warm"
+SPARK_GRAFT_CPUS=32 tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/v_001 2>/dev/null | tail -1 | tee -a "$log"
+python3 tools/check.py /root/testdata/sf0.01 /tmp/v_001 2>&1 | tail -1 | tee -a "$log"
+stage "sf0.1"
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g tools/run.sh graft.Verify /root/testdata/sf0.1 /tmp/v_01 2>/dev/null | tail -1 | tee -a "$log"
+python3 tools/check.py /root/testdata/sf0.1 /tmp/v_01 CORRECTNESS_sf0.1.json 2>&1 | tail -1 | tee -a "$log"
+stage "local4"
+SPARK_GRAFT_CPUS=4 SPARK_DRIVER_MEM=16g tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/v_l4 2>/dev/null | tail -1 | tee -a "$log"
+python3 tools/check.py /root/testdata/sf0.01 /tmp/v_l4 CORRECTNESS_local4.json 2>&1 | tail -1 | tee -a "$log"
+stage "10x"
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g tools/run.sh graft.Verify /tmp/sf1 /tmp/v_10x 2>/dev/null | tail -1 | tee -a "$log"
+python3 tools/check.py /tmp/sf1 /tmp/v_10x CORRECTNESS_10x.json 2>&1 | tail -1 | tee -a "$log"
+stage "skew"
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g tools/run.sh graft.Verify /tmp/sfskew /tmp/v_skew 2>/dev/null | tail -1 | tee -a "$log"
+python3 tools/check.py /tmp/sfskew /tmp/v_skew CORRECTNESS_skew.json 2>&1 | tail -1 | tee -a "$log"
+echo "=== ALL GATES DONE ===" | tee -a "$log"
