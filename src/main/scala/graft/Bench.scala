@@ -66,7 +66,9 @@ object Bench {
       "near_dedup_after_delete", "bpe_encode_docs",
       "streamed_dedup_events", "streamed_sessions",
       "multimodal_png_features",
-      "multimodal_avi_frames", "bm25_topk", "hybrid_rrf")
+      "multimodal_avi_frames", "bm25_topk", "hybrid_rrf",
+      "bm25_indexed", "incremental_bm25", "streamed_bm25_fold",
+      "semantic_after_delete")
     val perQ = math.round(total / math.max(1, results.count(_._2 >= 0)) * 1000) / 1000.0
     println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"full":"BENCH_FULL.json","queries":${qjson(results.filter(r => headline(r._1)))},"sf":"$sfDir"}""")
     spark.stop()

@@ -1573,6 +1573,22 @@ object Queries {
       Some(s"""$incrementalSemanticOracleBody
              |SELECT a_id, b_id, score FROM pairs ORDER BY a_id, b_id""".stripMargin)),
 
+    // the semantic family's DELETE leg, completing the take-down
+    // vocabulary across all five index families: tombstoned corpus
+    // labels are anti-joined out of the probe, cluster counts were
+    // advanced eagerly (the cap sees the LIVE population — a vacated
+    // cluster reopens immediately), and the frozen centroid model is
+    // untouched. Oracle: same frozen model, assignment rows minus
+    // the deleted slice, pairs with >= 1 batch endpoint
+    "semantic_after_delete" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.semanticAfterDelete(Tables.embeddings(s, d), d) },
+      Some {
+        import graft.operators.{SimilarityOps => S}
+        s"""${incrementalSemanticOracle(
+            s" AND NOT (vec_id % 2 = 0 AND vec_id % ${S.SemDeleteMod} = ${S.SemDeleteRes})")}
+           |SELECT a_id, b_id, score FROM pairs ORDER BY a_id, b_id""".stripMargin
+      }),
+
     // the STREAMING semantic-dedup path under the hash gate: the
     // pairs were landed by a real checkpointed micro-batch run
     // (availableNow foreachBatch probing the persisted centroid
@@ -3234,7 +3250,17 @@ object Queries {
     * plus the arriving batch sees — and `pairs` keeps only pairs with
     * at least one odd (batch) endpoint.
     */
-  private lazy val incrementalSemanticOracleBody: String = {
+  private lazy val incrementalSemanticOracleBody: String =
+    incrementalSemanticOracle("")
+
+  /** [[incrementalSemanticOracleBody]] with an optional extra
+    * predicate on the assignment rows — the delete-leg oracle drops
+    * the tombstoned corpus vectors BEFORE the mega-cluster cap (the
+    * engine advances its stored counts eagerly on delete, so the cap
+    * sees the live population) while the centroid MODEL stays the
+    * frozen pre-delete one (deletion never retrains).
+    */
+  private def incrementalSemanticOracle(liveAnd: String): String = {
     import graft.operators.{SimilarityOps => S}
     s"""WITH
        |params AS (SELECT CAST(greatest(${S.SemMinK}, ceil(sqrt(count(*)))) AS BIGINT) AS k,
@@ -3248,7 +3274,7 @@ object Queries {
        |       FROM embeddings e CROSS JOIN c),
        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |        ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM ps),
-       |assign AS (SELECT vec_id, centroid_id, embedding FROM r WHERE crank = 1),
+       |assign AS (SELECT vec_id, centroid_id, embedding FROM r WHERE crank = 1$liveAnd),
        |cap AS (SELECT * FROM assign
        |        QUALIFY count(*) OVER (PARTITION BY centroid_id) <= ${S.SemMaxCluster}),
        |pairs AS (SELECT * FROM (

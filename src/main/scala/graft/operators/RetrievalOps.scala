@@ -247,26 +247,13 @@ object RetrievalOps {
     * source fingerprint, [[graft.sources.Fixtures]] — regenerated
     * data can never hit a stale index), built on first use.
     */
-  /** Clean-slate rebuild helper for the fixture dirs: the layouts
-    * write into SUBdirectories, so Spark's own `_SUCCESS` never
-    * lands at the top level — each builder wipes any partial state,
-    * runs `build`, then writes the top-level marker itself (the
-    * missing-marker form rebuilt on EVERY call and crashed re-marking
-    * `_DELETED` — caught by the repeated-gate run).
-    */
-  private def buildMarked(dir: String, markers: Seq[String])(build: => Unit): Unit = {
-    val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root)
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
-    java.nio.file.Files.createDirectories(root)
-    build
-    markers.foreach(m =>
-      java.nio.file.Files.createFile(root.resolve(m)))
-  }
+  // fixture layouts here write into SUBdirectories, so Spark's own
+  // _SUCCESS never lands at the top level — Fixtures.cleanBuild
+  // wipes partial state, builds, and writes the markers itself (the
+  // missing-marker form rebuilt on EVERY call and crashed re-marking
+  // _DELETED — caught by the repeated-gate run)
+  private def buildMarked(dir: String, markers: Seq[String])(build: => Unit): Unit =
+    graft.sources.Fixtures.cleanBuild(dir, markers)(build)
 
   def postingsIndexDir(docs: DataFrame, sfDir: String): String =
     graft.sources.Fixtures.ensure("postings", sfDir,

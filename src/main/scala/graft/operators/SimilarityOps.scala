@@ -851,6 +851,105 @@ object SimilarityOps {
       indexDir, "cluster_counts")
   }
 
+  /** Deterministic delete slice for the registered
+    * `semantic_after_delete` query — even (ingested-corpus) ids only,
+    * shared with its oracle.
+    */
+  val SemDeleteMod = 10
+  val SemDeleteRes = 4
+
+  /** DELETE vectors from a persisted semantic model index — the
+    * embedding family's take-down/right-to-erasure step, completing
+    * the maintenance vocabulary across all five index families: the
+    * ids land under `_tombstones` (an append, never a rewrite),
+    * probes subtract the log with a broadcast anti join, and —
+    * the LSH take-down convention — `cluster_counts` advances
+    * EAGERLY by a negative per-cluster delta merge, because the
+    * combined-population mega-cluster cap must see the LIVE
+    * population: a vacated cluster must reopen on the very next
+    * probe, not after compaction.
+    */
+  def semDeleteBatch(deletes: DataFrame, indexDir: String): Unit = {
+    val spark = deletes.sparkSession
+    val del = deletes.select(col("vec_id"))
+    del.write.mode("append").parquet(s"$indexDir/_tombstones")
+    val deltas = spark.read.parquet(s"$indexDir/assign")
+      .join(broadcast(del), Seq("vec_id"), "left_semi")
+      .groupBy("centroid_id").agg(count(lit(1)).as("delta_n"))
+    DedupOps.publishTable(
+      spark.read.parquet(s"$indexDir/cluster_counts")
+        .join(deltas, Seq("centroid_id"), "full_outer")
+        .select(col("centroid_id"),
+          (coalesce(col("corpus_n"), lit(0L)) -
+            coalesce(col("delta_n"), lit(0L))).as("corpus_n")),
+      indexDir, "cluster_counts")
+  }
+
+  /** Apply the semantic tombstone log physically: rewrite `assign/`
+    * minus the deleted labels, RECOUNT `cluster_counts` from the
+    * surviving labels (which must equal the eagerly-advanced counts
+    * — spec-pinned, so a drift between the delta math and reality
+    * cannot survive a compaction unnoticed), and truncate the log.
+    * The centroid MODEL is untouched — deletion never retrains, the
+    * same frozen-model contract as the IVF family.
+    */
+  def compactSemIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): Unit = {
+    val tomb = new java.io.File(indexDir, "_tombstones")
+    val labels = spark.read.parquet(s"$indexDir/assign")
+    val kept =
+      if (tomb.exists())
+        labels.join(broadcast(spark.read.parquet(tomb.getPath)),
+          Seq("vec_id"), "left_anti")
+      else labels
+    DedupOps.publishTable(kept, indexDir, "assign")
+    DedupOps.publishTable(
+      spark.read.parquet(s"$indexDir/assign")
+        .groupBy("centroid_id").agg(count(lit(1)).as("corpus_n")),
+      indexDir, "cluster_counts")
+    if (tomb.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(tomb)
+    }
+  }
+
+  /** Write-once tombstoned semantic index for the registered query:
+    * the [[semIndexDir]] build (even-id corpus) plus a
+    * [[semDeleteBatch]] of the deterministic delete slice.
+    * Clean-slate build ([[graft.sources.Fixtures.cleanBuild]]) —
+    * the delete step APPENDS, so a rebuild on top of a partial
+    * attempt would double-apply it.
+    */
+  def semDelIndexDir(emb: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("semdelidx", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      validate = d => new java.io.File(d, "_DELETED").exists()) { dir =>
+      graft.sources.Fixtures.cleanBuild(dir, Seq("_SUCCESS", "_DELETED")) {
+        writeSemIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0), dir)
+        semDeleteBatch(emb.where(pmod(col("vec_id"), lit(2)) === 0 &&
+          pmod(col("vec_id"), lit(SemDeleteMod)) === SemDeleteRes), dir)
+      }
+    }
+
+  /** Steady-state semantic dedup over the TOMBSTONED index: the
+    * arriving odd-id batch probes the frozen model with the deleted
+    * corpus labels anti-joined out and the cluster counts already
+    * advanced to the live population — so a deleted vector can never
+    * be a pair endpoint, and a cluster the deletions shrank back
+    * under the cap reopens immediately. Output equals the full
+    * frozen-model rebuild restricted to pairs with >= 1 batch
+    * endpoint and both endpoints live — the oracle's claim.
+    */
+  def semanticAfterDelete(emb: DataFrame, sfDir: String,
+                          threshold: Double = SemThreshold,
+                          maxCluster: Int = SemMaxCluster): DataFrame =
+    semanticProbe(emb.where(pmod(col("vec_id"), lit(2)) === 1), emb,
+      semDelIndexDir(emb, sfDir), threshold, maxCluster,
+      subtractTombstones = true)
+
   /** Steady-state semantic dedup: the arriving batch (odd vec_ids)
     * probes the PERSISTED centroid model instead of re-clustering the
     * corpus — the [[DedupOps.incrementalNearDedup]] shape for the
@@ -904,7 +1003,8 @@ object SimilarityOps {
     * holds labels, not vectors).
     */
   def semanticProbe(arriving: DataFrame, emb: DataFrame, idx: String,
-                    threshold: Double, maxCluster: Int): DataFrame = {
+                    threshold: Double, maxCluster: Int,
+                    subtractTombstones: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     val centroids = spark.read.parquet(s"$idx/centroids")
     // the batch assignment feeds the cluster counts AND both pair
@@ -925,8 +1025,18 @@ object SimilarityOps {
       .select(col("centroid_id"), col("vec_id").as("bid"),
         col("embedding").as("vb"))
     // stored labels pruned to kept clusters BEFORE the embedding
-    // fetch, so only member vectors of probed clusters are read
-    val c = spark.read.parquet(s"$idx/assign")
+    // fetch, so only member vectors of probed clusters are read; on
+    // a tombstoned index the log is anti-joined FIRST (broadcast —
+    // model-sized), so a deleted vector can never appear as a pair
+    // endpoint while the labels on disk stay untouched
+    val storedLabels = {
+      val labels = spark.read.parquet(s"$idx/assign")
+      if (subtractTombstones)
+        labels.join(broadcast(spark.read.parquet(s"$idx/_tombstones")),
+          Seq("vec_id"), "left_anti")
+      else labels
+    }
+    val c = storedLabels
       .join(kept, Seq("centroid_id"), "left_semi")
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id").as("cid"),

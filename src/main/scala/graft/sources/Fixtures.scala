@@ -38,6 +38,27 @@ object Fixtures {
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Clean-slate rebuild for fixture layouts that write into
+    * SUBdirectories (so Spark's own `_SUCCESS` never lands at the
+    * fixture root): wipe any partial state, run `build`, then write
+    * the top-level markers. Multi-step builds whose later steps
+    * APPEND (fold-ins, tombstone logs) need this — a rebuild on top
+    * of a partial previous attempt would double-apply the appends.
+    */
+  def cleanBuild(dir: String, markers: Seq[String])(build: => Unit): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(root)
+    build
+    markers.foreach(m =>
+      java.nio.file.Files.createFile(root.resolve(m)))
+  }
+
   /** Path for (`tag`, dataset, `params`, source files); `write` runs at
     * most once per distinct content — later calls (including from a
     * fresh session, via the on-disk `_SUCCESS` marker) reuse the files.

@@ -270,6 +270,56 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(a.nonEmpty, "fixture must exercise the probe path")
   }
 
+  test("semantic delete: eager count advance, live probe, compaction recount agrees") {
+    import graft.operators.SimilarityOps
+    VectorFunctions.register(spark)
+    val corpus = emb.where(pmod(col("vec_id"), lit(3)) =!= 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+    val root = java.nio.file.Files.createTempDirectory("semdel").toString
+    val dir = s"$root/idx"
+    SimilarityOps.writeSemIndex(corpus, dir)
+    val deleted = corpus.where(pmod(col("vec_id"), lit(7)) === 1)
+    SimilarityOps.semDeleteBatch(deleted, dir)
+    val deadIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deadIds.nonEmpty, "fixture must delete something")
+
+    // eager advance: stored counts == a recount of the live labels
+    def counts(d: String) = spark.read.parquet(s"$d/cluster_counts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0).sortBy(_._1).toSeq
+    val liveRecount = spark.read.parquet(s"$dir/assign")
+      .where(!col("vec_id").isin(deadIds.toSeq: _*))
+      .groupBy("centroid_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(counts(dir) === liveRecount,
+      "delete must advance cluster counts to the live population")
+
+    // the tombstoned probe never returns a deleted endpoint
+    val pairs = SimilarityOps.semanticProbe(batch, emb, dir,
+      SimilarityOps.SemThreshold, SimilarityOps.SemMaxCluster,
+      subtractTombstones = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(!pairs.exists(p => deadIds(p._1) || deadIds(p._2)),
+      "a deleted vector appeared as a pair endpoint")
+
+    // compaction: labels shrink, counts unchanged (already live),
+    // log truncated, probe identical
+    SimilarityOps.compactSemIndex(spark, dir)
+    assert(!new java.io.File(dir, "_tombstones").exists(),
+      "the applied tombstone log must be truncated")
+    val labelIds = spark.read.parquet(s"$dir/assign")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(labelIds.intersect(deadIds).isEmpty,
+      "compaction must remove the deleted labels")
+    assert(counts(dir) === liveRecount,
+      "compaction recount must equal the eagerly-advanced counts")
+    val pairsAfter = SimilarityOps.semanticProbe(batch, emb, dir,
+      SimilarityOps.SemThreshold, SimilarityOps.SemMaxCluster).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairsAfter === pairs, "probe must not change across compaction")
+  }
+
   test("postings delete + compaction: tombstoned probe goes stale-stats, compaction goes fresh") {
     import graft.operators.RetrievalOps
     val root = java.nio.file.Files.createTempDirectory("postdel").toString
