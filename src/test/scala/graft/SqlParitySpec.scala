@@ -669,6 +669,33 @@ class SqlParitySpec extends AnyFunSuite {
         |ORDER BY t.event_type, s.day""".stripMargin)
   }
 
+  test("bm25_topk via SQL (retrieval family, double-literal discipline)") {
+    // the D suffixes matter: Spark SQL parses bare `1.2` as
+    // DECIMAL(2,1) and the whole scoring expression silently flips
+    // to decimal semantics, diverging from the DataFrame entry's
+    // double math
+    assertParity("bm25_topk",
+      """WITH toks AS (SELECT doc_id, explode(graft_tokenize(text)) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+        |tfd AS (SELECT doc_id, word, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+        |ws AS (SELECT word, sum(tf) AS ctf, count(*) AS df FROM tf GROUP BY word),
+        |q AS (SELECT word, df FROM (
+        |        SELECT word, df, row_number() OVER (ORDER BY ctf DESC, word) AS qrank FROM ws)
+        |      WHERE qrank > 5 AND qrank <= 10),
+        |stats AS (SELECT cast(count(*) AS double) AS n_docs FROM documents),
+        |avg AS (SELECT cast(sum(tf) AS double) / count(DISTINCT doc_id) AS avgdl FROM tf),
+        |sc AS (SELECT t.doc_id,
+        |        ln((n_docs - q.df + 0.5D) / (q.df + 0.5D) + 1.0D)
+        |          * (t.tf * (1.2D + 1.0D))
+        |          / (t.tf + 1.2D * (1.0D - 0.75D + 0.75D * t.dl / avgdl)) AS contrib
+        |      FROM tfd t JOIN q USING (word) CROSS JOIN stats CROSS JOIN avg),
+        |agg AS (SELECT doc_id, sum(contrib) AS score_raw, count(*) AS n_hits FROM sc GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_hits, score_raw,
+        |        row_number() OVER (ORDER BY round(score_raw, 6) DESC, doc_id) AS rnk FROM agg)
+        |SELECT doc_id, cast(rnk AS bigint) AS rnk, n_hits, round(score_raw, 4) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin)
+  }
+
   test("q13_custdist keeps zero-order customers (the outer-join point)") {
     import spark.implicits._
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))
