@@ -70,6 +70,44 @@ object Queries {
        |SELECT doc_id, rnk, n_hits, round(score_raw, 4) + 0 AS score
        |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 
+  /** Hybrid RRF oracle — shared verbatim by `hybrid_rrf` (inline
+    * lexical leg) and `hybrid_rrf_indexed` (postings-index lexical
+    * leg): the two engine paths must produce identical rows.
+    */
+  private lazy val hybridRrfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+              |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+              |tfd AS (SELECT doc_id, word, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+              |ws AS (SELECT word, sum(tf) AS ctf, count(*) AS df FROM tf GROUP BY word),
+              |q AS (SELECT word, df FROM (
+              |        SELECT word, df, row_number() OVER (ORDER BY ctf DESC, word) AS qrank FROM ws)
+              |      WHERE qrank > 5 AND qrank <= 10),
+              |stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n_docs,
+              |        (SELECT sum(tf)::DOUBLE / count(DISTINCT doc_id) FROM tf) AS avgdl),
+              |sc AS (SELECT t.doc_id,
+              |        ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+              |          * (t.tf * (1.2 + 1.0))
+              |          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / avgdl)) AS contrib
+              |      FROM tfd t JOIN q USING (word) CROSS JOIN stats),
+              |lexagg AS (SELECT doc_id, sum(contrib) AS lex_score FROM sc GROUP BY doc_id),
+              |lex AS (SELECT doc_id, lex_rank FROM (
+              |        SELECT doc_id, row_number() OVER (ORDER BY round(lex_score, 6) DESC, doc_id) AS lex_rank
+              |        FROM lexagg) WHERE lex_rank <= 50),
+              |p AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0),
+              |vsc AS (SELECT vec_id AS doc_id, ${cosSql("embedding", "probe_vec")} AS vec_score
+              |      FROM embeddings CROSS JOIN p WHERE vec_id <> 0),
+              |vec AS (SELECT doc_id, vec_rank FROM (
+              |        SELECT doc_id, row_number() OVER (ORDER BY round(vec_score, 6) DESC, doc_id) AS vec_rank
+              |        FROM vsc) WHERE vec_rank <= 50),
+              |f AS (SELECT doc_id, lex_rank, vec_rank,
+              |        coalesce(1.0 / (60 + lex_rank), 0.0) + coalesce(1.0 / (60 + vec_rank), 0.0) AS rrf_raw
+              |      FROM lex FULL OUTER JOIN vec USING (doc_id)),
+              |r AS (SELECT doc_id, lex_rank, vec_rank, rrf_raw,
+              |        row_number() OVER (ORDER BY round(rrf_raw, 6) DESC, doc_id) AS rnk FROM f)
+              |SELECT doc_id, rnk, coalesce(lex_rank, 0) AS lex_rank,
+              |  coalesce(vec_rank, 0) AS vec_rank, round(rrf_raw, 4) + 0 AS rrf_score
+              |FROM r WHERE rnk <= 15 ORDER BY rnk""".stripMargin
+
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), w -> w <> '')"""
 
@@ -819,6 +857,16 @@ object Queries {
       },
       Some(bm25Sql)),
 
+    // the STEADY-STATE hybrid: the lexical leg served from the
+    // persisted postings index (no query-time tokenize, |terms|
+    // bucket partitions read), fused with the exact vector leg by
+    // the same K-row RRF. Same oracle as hybrid_rrf — the indexed
+    // lexical scores must be identical to the inline ones
+    "hybrid_rrf_indexed" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        RetrievalOps.hybridRrfIndexed(Tables.documents(s, d), Tables.embeddings(s, d), d) },
+      Some(hybridRrfSql)),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 leg and a
     // cosine leg against the designated probe vector (vec_id 0).
     // Each leg is a 50-row top-k cut; fusion is a full outer join of
@@ -827,38 +875,7 @@ object Queries {
     "hybrid_rrf" -> QueryDef(
       (s, d) => { VectorFunctions.register(s)
         RetrievalOps.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)) },
-      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
-              |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
-              |tfd AS (SELECT doc_id, word, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
-              |ws AS (SELECT word, sum(tf) AS ctf, count(*) AS df FROM tf GROUP BY word),
-              |q AS (SELECT word, df FROM (
-              |        SELECT word, df, row_number() OVER (ORDER BY ctf DESC, word) AS qrank FROM ws)
-              |      WHERE qrank > 5 AND qrank <= 10),
-              |stats AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n_docs,
-              |        (SELECT sum(tf)::DOUBLE / count(DISTINCT doc_id) FROM tf) AS avgdl),
-              |sc AS (SELECT t.doc_id,
-              |        ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
-              |          * (t.tf * (1.2 + 1.0))
-              |          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / avgdl)) AS contrib
-              |      FROM tfd t JOIN q USING (word) CROSS JOIN stats),
-              |lexagg AS (SELECT doc_id, sum(contrib) AS lex_score FROM sc GROUP BY doc_id),
-              |lex AS (SELECT doc_id, lex_rank FROM (
-              |        SELECT doc_id, row_number() OVER (ORDER BY round(lex_score, 6) DESC, doc_id) AS lex_rank
-              |        FROM lexagg) WHERE lex_rank <= 50),
-              |p AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0),
-              |vsc AS (SELECT vec_id AS doc_id, ${cosSql("embedding", "probe_vec")} AS vec_score
-              |      FROM embeddings CROSS JOIN p WHERE vec_id <> 0),
-              |vec AS (SELECT doc_id, vec_rank FROM (
-              |        SELECT doc_id, row_number() OVER (ORDER BY round(vec_score, 6) DESC, doc_id) AS vec_rank
-              |        FROM vsc) WHERE vec_rank <= 50),
-              |f AS (SELECT doc_id, lex_rank, vec_rank,
-              |        coalesce(1.0 / (60 + lex_rank), 0.0) + coalesce(1.0 / (60 + vec_rank), 0.0) AS rrf_raw
-              |      FROM lex FULL OUTER JOIN vec USING (doc_id)),
-              |r AS (SELECT doc_id, lex_rank, vec_rank, rrf_raw,
-              |        row_number() OVER (ORDER BY round(rrf_raw, 6) DESC, doc_id) AS rnk FROM f)
-              |SELECT doc_id, rnk, coalesce(lex_rank, 0) AS lex_rank,
-              |  coalesce(vec_rank, 0) AS vec_rank, round(rrf_raw, 4) + 0 AS rrf_score
-              |FROM r WHERE rnk <= 15 ORDER BY rnk""".stripMargin)),
+      Some(hybridRrfSql)),
 
     // ----- corpus pipelines --------------------------------------------
     // the composed cleaning run: quality gate + language consistency

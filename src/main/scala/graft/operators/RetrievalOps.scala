@@ -421,6 +421,23 @@ object RetrievalOps {
     */
   def probePostings(spark: org.apache.spark.sql.SparkSession, dir: String,
       k: Int, subtractTombstones: Boolean = false): DataFrame = {
+    val scored = postingsScores(spark, dir, subtractTombstones)
+    val rnkW = Window.orderBy(round(col("score_raw"), 6).desc, col("doc_id").asc)
+    scored
+      .orderBy(round(col("score_raw"), 6).desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(rnkW).cast("long"))
+      .select(col("doc_id"), col("rnk"), col("n_hits"),
+        round(col("score_raw"), 4).as("score"))
+      .orderBy("rnk")
+  }
+
+  /** The scoring half of the probe: per-document BM25 scores served
+    * from a postings layout (no ranking cut) — shared by
+    * [[probePostings]] and the indexed hybrid's lexical leg.
+    */
+  def postingsScores(spark: org.apache.spark.sql.SparkSession, dir: String,
+      subtractTombstones: Boolean = false): DataFrame = {
     val lex = spark.read.parquet(s"$dir/lexicon")
     val stats = spark.read.parquet(s"$dir/stats")
     val qcand = lex
@@ -441,7 +458,7 @@ object RetrievalOps {
           broadcast(spark.read.parquet(s"$dir/_tombstones")),
           Seq("doc_id"), "left_anti")
       else pruned
-    val scored = postings
+    postings
       .join(broadcast(query.drop("word_bucket")), "word")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -451,14 +468,6 @@ object RetrievalOps {
           (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(sum(col("contrib")).as("score_raw"), count(lit(1)).as("n_hits"))
-    val rnkW = Window.orderBy(round(col("score_raw"), 6).desc, col("doc_id").asc)
-    scored
-      .orderBy(round(col("score_raw"), 6).desc, col("doc_id").asc)
-      .limit(k)
-      .withColumn("rnk", row_number().over(rnkW).cast("long"))
-      .select(col("doc_id"), col("rnk"), col("n_hits"),
-        round(col("score_raw"), 4).as("score"))
-      .orderBy("rnk")
   }
 
   /** Hybrid retrieval by reciprocal-rank fusion: the lexical leg is
@@ -476,8 +485,29 @@ object RetrievalOps {
     VectorFunctions.register(docs.sparkSession)
     val lexScores = bm25Scored(docs)
       .groupBy("doc_id").agg(sum(col("contrib")).as("lex_score"))
-    val lex = leg(lexScores, "lex_score", "lex_rank")
+    fuseLegs(leg(lexScores, "lex_score", "lex_rank"), emb, k, probeId)
+  }
 
+  /** [[hybridRrf]] with the lexical leg served from the PERSISTED
+    * postings index — the steady-state hybrid: no query-time
+    * tokenize, the lexical side reads |terms| bucket partitions, and
+    * the fusion is the same K-row full-outer RRF. Gated against the
+    * same oracle as the inline hybrid: the indexed leg's scores are
+    * the same one-pass aggregates (the bm25_indexed gate's claim),
+    * so the fused ranking must be identical.
+    */
+  def hybridRrfIndexed(docs: DataFrame, emb: DataFrame, sfDir: String,
+      k: Int = 15, probeId: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    VectorFunctions.register(spark)
+    val lexScores = postingsScores(spark, postingsIndexDir(docs, sfDir))
+      .select(col("doc_id"), col("score_raw").as("lex_score"))
+    fuseLegs(leg(lexScores, "lex_score", "lex_rank"), emb, k, probeId)
+  }
+
+  /** The shared vector leg + RRF fusion half of the hybrids. */
+  private def fuseLegs(lex: DataFrame, emb: DataFrame, k: Int,
+      probeId: Long): DataFrame = {
     val probe = emb.where(col("vec_id") === probeId)
       .select(col("embedding").as("probe_vec"))
     val vecScores = emb.where(col("vec_id") =!= probeId)
