@@ -704,6 +704,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // (count(*) would prune the branch to a keys-only distinct and
     // re-tokenize). Runtime reuse is an AQE decision, so this pin
     // executes the plan and reads the FINAL form.
+    //
+    // Hermeticity: a CACHED documents table (another suite's lazy
+    // .cache() on the shared session) wraps each branch in its own
+    // TableCacheQueryStage, the exchanges stop canonicalizing equal,
+    // and AQE reuse silently dies — a Spark wrinkle worth knowing (a
+    // user who caches the corpus pays three tokenizes of the cached
+    // rows), but this pin is about the uncached production shape.
+    spark.catalog.clearCache()
     val df = q("bm25_topk")
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
