@@ -1244,6 +1244,80 @@ object Queries {
       Some(s"""$componentsOracleBody
               |SELECT node AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin)),
 
+    // integer-scaled PageRank over the customer–supplier trade graph:
+    // ranks are longs in units of 1/1e15, every step exact integer
+    // arithmetic (`div` / `//`), so the hash match needs no float
+    // tolerance despite three rounds of damped summation. The oracle
+    // unrolls PagerankIters=3 rounds as chained CTEs (the
+    // ann_ivf_kmeans2 bounded-loop convention).
+    "pagerank_trade" -> QueryDef(
+      (s, d) => GraphOps.pagerankTrade(Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some {
+        val scale = GraphOps.PagerankScale // 1e15
+        val baseNum = GraphOps.PagerankScale *
+          (GraphOps.DampDen - GraphOps.DampNum) / GraphOps.DampDen // 1.5e14
+        def round(k: Int) =
+          s"""r$k AS (
+             |  SELECT a.dst AS node,
+             |    $baseNum // (SELECT nn FROM n)
+             |      + (${GraphOps.DampNum} * sum(p.rank // a.outdeg)) // ${GraphOps.DampDen} AS rank
+             |  FROM arcs a JOIN r${k - 1} p ON a.src = p.node
+             |  GROUP BY a.dst)""".stripMargin
+        s"""WITH trade AS (
+           |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS (
+           |  SELECT c AS src, s AS dst FROM trade
+           |  UNION ALL SELECT s AS src, c AS dst FROM trade),
+           |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+           |arcs AS (SELECT e.src, e.dst, d.outdeg
+           |         FROM edges e JOIN deg d ON e.src = d.src),
+           |n AS (SELECT count(*) AS nn FROM deg),
+           |r0 AS (SELECT src AS node, $scale // (SELECT nn FROM n) AS rank FROM deg),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+           |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS entity,
+           |  CAST(rank AS BIGINT) AS rank_val
+           |FROM r3
+           |ORDER BY rank_val DESC, entity LIMIT ${GraphOps.PagerankTopK}""".stripMargin
+      }),
+
+    // degree-ordered triangle counting on the part co-order graph:
+    // all-integer, so exact; the oracle mirrors the orientation with
+    // row-value (tuple) comparisons — DuckDB's `(a,b) < (c,d)` is the
+    // same lexicographic order as Spark's struct comparison. Every
+    // CTE is MATERIALIZED: `oriented` is referenced three times and
+    // plain-CTE re-inlining expands its whole upstream join tree per
+    // reference — at 10x the optimizer spilled >77 GB of temp on the
+    // exploded tree before erroring, where the materialized chain
+    // runs in seconds (the mmr_rerank lesson, repeated)
+    "coorder_triangles" -> QueryDef(
+      (s, d) => GraphOps.coorderTriangles(Tables.lineitem(s, d)),
+      Some(s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |edges AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+             |          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+             |deg AS MATERIALIZED (SELECT p, count(*) AS deg FROM (
+             |          SELECT u AS p FROM edges UNION ALL SELECT v FROM edges)
+             |        GROUP BY p),
+             |oriented AS MATERIALIZED (
+             |  SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+             |         CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+             |         CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS ddeg
+             |  FROM (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+             |        FROM edges e JOIN deg du ON e.u = du.p JOIN deg dv ON e.v = dv.p)),
+             |tri AS MATERIALIZED (
+             |  SELECT w.tu, w.tv, w.tw FROM (
+             |    SELECT e1.src AS tu, e1.dst AS tv, e2.dst AS tw
+             |    FROM oriented e1 JOIN oriented e2
+             |    ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)) w
+             |  JOIN oriented o ON w.tv = o.src AND w.tw = o.dst),
+             |nodes AS (SELECT tu AS p FROM tri UNION ALL
+             |          SELECT tv FROM tri UNION ALL SELECT tw FROM tri)
+             |SELECT p AS l_partkey, count(*) AS n_tri FROM nodes GROUP BY p
+             |ORDER BY n_tri DESC, l_partkey LIMIT ${GraphOps.TriangleTopK}""".stripMargin)),
+
     // the deduplicated corpus itself: cluster minima + untouched docs
     "dedup_survivors" -> QueryDef(
       (s, d) => DedupOps.dedupSurvivors(Tables.documents(s, d), d),
@@ -1324,6 +1398,46 @@ object Queries {
       }),
 
     // ----- similarity search / embeddings ------------------------------
+    // MMR diversity rerank of the probe's top-50 cosine candidates:
+    // the oracle unrolls all 10 greedy picks as chained CTEs (the
+    // pagerank_trade / ann_ivf_kmeans2 bounded-loop convention); every
+    // score is det6-locked so the greedy argmax sequence is the exact
+    // same double arithmetic in both engines
+    "mmr_rerank" -> QueryDef(
+      (s, d) => SimilarityOps.mmrRerank(Tables.embeddings(s, d)),
+      Some {
+        import graft.operators.TextAnalysisOps.det6Sql
+        // every chained CTE is MATERIALIZED: DuckDB inlines plain
+        // CTEs per reference, and sel{t} referencing sel{t-1} twice
+        // makes naive inlining EXPONENTIAL in the round count (the
+        // non-materialized form spun for minutes on 500 rows)
+        val rounds = (2 to SimilarityOps.MmrK).map { t =>
+          s"""m$t AS MATERIALIZED (
+             |  SELECT c.vec_id, c.r6,
+             |    0.5 * c.r6 - 0.5 * (
+             |      SELECT max(${det6Sql(cosSql("c.embedding", "s.embedding"))})
+             |      FROM cand s WHERE s.vec_id IN (SELECT vec_id FROM sel${t - 1})) AS mmr
+             |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})),
+             |p$t AS MATERIALIZED (SELECT $t AS rnk, vec_id, mmr AS mmr_val FROM m$t
+             |        ORDER BY mmr DESC, vec_id LIMIT 1),
+             |sel$t AS MATERIALIZED (SELECT vec_id FROM sel${t - 1} UNION ALL SELECT vec_id FROM p$t)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH pr AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0),
+           |cand AS MATERIALIZED (
+           |  SELECT vec_id, embedding, ${det6Sql(cosSql("embedding", "probe_vec"))} AS r6
+           |  FROM embeddings CROSS JOIN pr WHERE vec_id <> 0
+           |  ORDER BY r6 DESC, vec_id LIMIT ${SimilarityOps.MmrCandK}),
+           |p1 AS MATERIALIZED (SELECT 1 AS rnk, vec_id, 0.5 * r6 AS mmr_val FROM cand
+           |       ORDER BY r6 DESC, vec_id LIMIT 1),
+           |sel1 AS MATERIALIZED (SELECT vec_id FROM p1),
+           |$rounds
+           |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, mmr_val FROM (
+           |  SELECT * FROM p1
+           |  ${(2 to SimilarityOps.MmrK).map(t => s"UNION ALL SELECT * FROM p$t").mkString("\n  ")})
+           |ORDER BY rnk""".stripMargin
+      }),
+
     "similarity_topk" -> QueryDef(
       (s, d) => { VectorFunctions.register(s); SimilarityOps.similarityTopK(Tables.embeddings(s, d)) },
       Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings WHERE vec_id < 10),

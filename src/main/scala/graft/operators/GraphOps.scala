@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking over relationship graphs derived from the
+  * relational tables. The reference engine has no graph surface
+  * (reference `WordCount.java` is a single map/reduce pass); this is
+  * part of the beyond-reference analytics family, alongside the
+  * connected-components closure in [[DedupOps]].
+  *
+  * == Determinism discipline ==
+  * PageRank is a repeated floating-point sum, and a float sum's value
+  * depends on association order — unfixable across engines. So ranks
+  * here are SCALED LONGS: rank(node) is an integer in units of
+  * 1/[[GraphOps.PagerankScale]], every per-edge contribution is an
+  * integer division `rank div outdeg`, and the damping step is
+  * `base + (85 * sum) div 100` — all order-independent exact integer
+  * arithmetic, bit-identical in any engine (DuckDB mirrors it with
+  * `//`; all operands are non-negative so truncating and floor
+  * division coincide). The truncated remainders are mass the surfer
+  * "loses" — well-defined semantics, same loss in both engines.
+  *
+  * == Scale shape ==
+  * Per iteration: one shuffled equi-join (ranks ⋈ edges on the source
+  * node) plus one hash aggregate by destination — the canonical
+  * distributed PageRank step. The arcs-with-degree subtree appears
+  * once per iteration but every copy canonicalizes identically, so
+  * AQE collapses them to ONE computed exchange plus ReusedExchange
+  * nodes (the engine's standing preference over `.cache()`, which
+  * breaks cross-branch reuse — see PLANS.md, bm25 wrinkle); on a
+  * cluster the same role is played by a write-once edges table
+  * bucketed by `src`, making every iteration's join co-located and
+  * shuffle-free on the edge side. Node count N is a one-scalar driver
+  * aggregate (PageRank's standard init). Nothing data-sized is ever
+  * collected.
+  */
+object GraphOps {
+
+  /** Rank unit: ranks are longs in units of 1/PagerankScale. */
+  val PagerankScale: Long = 1000000000000000L // 1e15
+
+  /** Damping d = DampNum/DampDen = 0.85, applied in integer space. */
+  val DampNum: Long = 85L
+  val DampDen: Long = 100L
+
+  val PagerankIters: Int = 3
+  val PagerankTopK: Int = 20
+
+  val TriangleTopK: Int = 20
+
+  /** Local triangle counts on the part CO-ORDER graph (parts that
+    * appear in the same order are adjacent): the top-[[TriangleTopK]]
+    * parts by number of triangles they participate in.
+    *
+    * == Scale shape ==
+    * The co-order projection fans out C(items, 2) pairs per order —
+    * items-per-order is a small data constant (≤13 here; ≤7 in
+    * TPC-H), so the edge list is LINEAR in orders, never quadratic in
+    * parts. Triangles are counted with the DEGREE-ORDERED ORIENTATION
+    * algorithm: each undirected edge is directed from its lower
+    * (degree, id) endpoint to the higher, which caps every
+    * out-neighborhood at O(√E), so the wedge join (two-paths from a
+    * common source) generates O(E^1.5) candidates worst-case — the
+    * arboricity bound — instead of Σ deg² of the naive formulation
+    * that dies on the first hub vertex. Every step is an equi-join or
+    * hash aggregate on vertex keys; counts are exact integers (no
+    * float anywhere).
+    */
+  def coorderTriangles(lineitem: DataFrame,
+                       topK: Int = TriangleTopK): DataFrame = {
+    val op = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    val edges = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("p")).union(edges.select(col("v").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+    // orient low (deg, id) → high (deg, id); carry the destination's
+    // key so wedges can order their two endpoints without a global
+    // vertex ranking (struct comparison = lexicographic)
+    val withDegs = edges
+      .join(deg.withColumnRenamed("p", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("p", "v").withColumnRenamed("deg", "dv"), "v")
+    val ku = struct(col("du").as("d"), col("u").as("id"))
+    val kv = struct(col("dv").as("d"), col("v").as("id"))
+    val oriented = withDegs.select(
+      when(ku < kv, col("u")).otherwise(col("v")).as("src"),
+      when(ku < kv, kv).otherwise(ku).as("dstKey"))
+      .select(col("src"), col("dstKey.id").as("dst"), col("dstKey"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          col("e1.dstKey") < col("e2.dstKey"))
+      .select(col("e1.src").as("tu"), col("e1.dst").as("tv"),
+        col("e2.dst").as("tw"))
+    val triangles = wedges.join(oriented,
+      col("tv") === col("src") && col("tw") === col("dst"))
+      .select(col("tu"), col("tv"), col("tw"))
+    triangles
+      .select(explode(array(col("tu"), col("tv"), col("tw"))).as("l_partkey"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("l_partkey"))
+      .limit(topK)
+  }
+
+  /** Customer–supplier trade graph: an undirected edge per DISTINCT
+    * (customer, supplier) pair that ever traded (orders ⋈ lineitem).
+    * Node ids are namespaced into one long space — customers at
+    * `2*custkey`, suppliers at `2*suppkey+1` — and each undirected
+    * edge is stored as both directed arcs, so every node has in- and
+    * out-degree ≥ 1 (no dangling-mass term needed).
+    */
+  private def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val trade = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
+      .distinct()
+    // both arcs exploded from ONE row (not a self-union): a union's
+    // two legs pick up asymmetric null-guard filters and stop
+    // canonicalizing equal, so every consumer would recompute the
+    // trade distinct; the explode keeps one subtree that AQE's
+    // exchange reuse dedups across all three iterations
+    trade
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** Integer-scaled PageRank over the customer–supplier trade graph:
+    * `iters` damped power-iteration rounds from the uniform start
+    * `PagerankScale div N`, then the top-`topK` entities by final
+    * rank (ties broken by entity id). Output: `entity` ("c<custkey>"
+    * or "s<suppkey>"), `rank_val` (scaled-long rank).
+    */
+  def pagerankTrade(orders: DataFrame, lineitem: DataFrame,
+                    iters: Int = PagerankIters,
+                    topK: Int = PagerankTopK): DataFrame = {
+    val edges = tradeEdges(orders, lineitem)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // one arc row carrying its source's out-degree — the subtree each
+    // iteration joins against (deduped to one exchange by AQE reuse)
+    val arcs = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+    val n = deg.count() // N: one scalar, the standard PageRank init
+    val r0 = PagerankScale / n
+    val base = (PagerankScale * (DampDen - DampNum) / DampDen) / n
+    var ranks = deg.select(col("src").as("node"), lit(r0).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = arcs
+        .join(ranks, arcs("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("csum"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr(s"($DampNum * csum) div $DampDen")).as("rank"))
+    }
+    ranks
+      .select(
+        when(pmod(col("node"), lit(2L)) === 0L,
+          concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+          .as("entity"),
+        col("rank").as("rank_val"))
+      .orderBy(col("rank_val").desc, col("entity"))
+      .limit(topK)
+  }
+}

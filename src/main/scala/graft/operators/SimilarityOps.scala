@@ -31,6 +31,82 @@ import graft.functions.VectorFunctions
   */
 object SimilarityOps {
 
+  /** MMR candidate-pool size (constant, corpus-size independent). */
+  val MmrCandK = 50
+  /** MMR result size and relevance/diversity balance (exact 0.5 —
+    * binary halving, no float-literal representation error). */
+  val MmrK = 10
+  val MmrLambda = 0.5
+
+  /** Maximal-Marginal-Relevance diversity rerank of the probe's
+    * brute-force top-[[MmrCandK]] cosine candidates: greedily pick
+    * `k` results maximizing `λ·rel − (1−λ)·max_{s∈S} sim(·, s)`.
+    *
+    * Scale shape: the data-sized work is the distributed top-candK
+    * scoring pass (broadcast probe, one corpus scan, per-partition
+    * heaps — same shape as [[similarityTopK]]); the greedy selection
+    * is inherently sequential and runs on the DRIVER over the
+    * candK-row candidate set — a CONSTANT, corpus-size-independent
+    * collect (the probed-centroid convention of [[annIvfIndexed]]).
+    * At 100 TB the candidate pass composes with the IVF index probe
+    * instead of brute force; the greedy tail is unchanged.
+    *
+    * Determinism: relevance and pairwise similarities are det6-locked
+    * ([[TextAnalysisOps.det6]] — floor, not round, so both engines
+    * quantize the same IEEE double identically), and the MMR score is
+    * `0.5·r6 − 0.5·maxsim6` — products/differences of exact quantized
+    * doubles, bit-identical in any engine; `max` is order-free. The
+    * first pick's diversity term is 0 (empty selected set).
+    */
+  def mmrRerank(emb: DataFrame, probeId: Long = 0L, candK: Int = MmrCandK,
+                k: Int = MmrK): DataFrame = {
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    val probe = emb.where(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_vec"))
+    val cand = emb.crossJoin(broadcast(probe))
+      .where(col("vec_id") =!= probeId)
+      .select(col("vec_id"), col("embedding"),
+        TextAnalysisOps.det6(
+          VectorFunctions.cosine(col("embedding"), col("probe_vec"))).as("r6"))
+      .orderBy(col("r6").desc, col("vec_id").asc)
+      .limit(candK)
+      .collect() // candK rows — constant-bounded, never data-sized
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    // driver-side mirrors of the native expression / det6 (same IEEE
+    // op sequence: ascending-index accumulation, floor quantization)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def det6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val embById = cand.map(c => c._1 -> c._2).toMap
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.map(c => c._1 -> c._3): _*) // id -> r6
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.iterator.map { case (id, r6) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator
+            .map(s => det6(cos(embById(id), embById(s._1)))).max
+        (id, MmrLambda * r6 - (1.0 - MmrLambda) * maxSim)
+      }.minBy { case (id, m) => (-m, id) }
+      selected += best
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, m), i) => ((i + 1).toLong, id, m) }
+      .toSeq.toDF("rnk", "vec_id", "mmr_val")
+  }
+
   /** Brute-force cosine top-k for probe vectors (vec_id < nProbes). */
   def similarityTopK(emb: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame = {
     val probes = emb.where(col("vec_id") < nProbes)

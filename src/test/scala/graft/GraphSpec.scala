@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+/** Semantics of the integer-scaled PageRank: exact expected ranks on
+  * a hand-computed fixture graph (every truncating division worked by
+  * hand), plus the mass-conservation invariant on real data — the
+  * scaled-long discipline means expectations are EXACT equalities,
+  * no float tolerance anywhere.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pagerank_trade: exact ranks on the hand-computed fixture graph") {
+    // c1 trades with s10 and s20, c2 with s10 (one duplicated trade
+    // row proves the DISTINCT) — N=4, degrees c1:2 c2:1 s10:2 s20:1.
+    // Three damped rounds worked by hand in 1/1e15 units.
+    val orders = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 10L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = GraphOps.pagerankTrade(orders, lineitem)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = Seq(
+      "c1" -> 330285156250000L,
+      "s10" -> 330285156250000L, // ties c1; entity order breaks it
+      "c2" -> 169714843750000L,
+      "s20" -> 169714843750000L)
+    assert(got === expected)
+  }
+
+  test("pagerank_trade: rank mass is conserved up to truncation loss") {
+    val orders = Tables.orders(spark, TestSpark.Sf0001)
+    val lineitem = Tables.lineitem(spark, TestSpark.Sf0001)
+    val all = GraphOps.pagerankTrade(orders, lineitem, topK = Int.MaxValue)
+      .collect().map(_.getLong(1))
+    assert(all.forall(_ > 0L))
+    val mass = all.sum
+    // each round loses < 1 unit per arc (contrib truncation) plus
+    // < 2 per node (damp + base truncation) — invisible at 1e15 scale
+    assert(mass <= GraphOps.PagerankScale)
+    assert(mass >= GraphOps.PagerankScale / 100L * 99L,
+      s"excessive mass loss: $mass")
+  }
+
+  test("coorder_triangles: exact counts on overlapping triangles and a K4") {
+    // order 1 = {1,2,3} and order 2 = {2,3,4}: triangles {1,2,3} and
+    // {2,3,4} sharing edge 2-3. order 3 = {10,11,12,13}: a K4 — four
+    // triangles, every vertex in three, ALL degrees tied (the
+    // orientation's id tie-break carries the whole ordering). One
+    // duplicated row proves the (order, part) distinct.
+    val li = (Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L),
+      (2L, 4L), (2L, 4L)) ++
+      Seq(10L, 11L, 12L, 13L).map(p => (3L, p)))
+      .toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.coorderTriangles(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = Seq(10L -> 3L, 11L -> 3L, 12L -> 3L, 13L -> 3L,
+      2L -> 2L, 3L -> 2L, 1L -> 1L, 4L -> 1L)
+    assert(got === expected)
+  }
+
+  test("coorder_triangles: a triangle-free bipartite-ish order set is empty") {
+    // two-part orders only → the co-order graph is a matching/paths,
+    // no order contributes a closing edge
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    assert(GraphOps.coorderTriangles(li).count() === 0L)
+  }
+
+  test("pagerank_trade: higher-degree hubs outrank leaves") {
+    // on the fixture above the degree-2 nodes strictly outrank the
+    // degree-1 nodes; sanity that damping didn't invert the ordering
+    val orders = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 10L), (1L, 20L), (2L, 10L))
+      .toDF("l_orderkey", "l_suppkey")
+    val m = GraphOps.pagerankTrade(orders, lineitem)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m("c1") > m("c2") && m("s10") > m("s20"))
+  }
+}

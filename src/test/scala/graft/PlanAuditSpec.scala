@@ -724,6 +724,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the query/stats branches to reuse the tf exchange")
   }
 
+  test("pagerank_trade: base tables scanned once across all iterations") {
+    // the iterative-join reuse pin: every damped round joins the SAME
+    // arcs-with-degree subtree, and the single-explode edge derivation
+    // (not a self-union, whose legs stop canonicalizing equal) keeps
+    // the trade-distinct exchange canonical across rounds, so AQE
+    // computes orders ⋈ lineitem once and ReusedExchange feeds the
+    // other rounds. Runtime reuse is an AQE decision → execute first.
+    spark.catalog.clearCache()
+    val df = q("pagerank_trade")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 2,
+      s"expected orders+lineitem scanned once, saw $scans file scans")
+    assert(finalPlan.contains("ReusedExchange"),
+      "expected the iterations to reuse the trade/degree exchanges")
+  }
+
   test("bm25_indexed: the probe reads only its query terms' bucket partitions") {
     // the postings-index read-path claim: the query's bucket set is
     // an IN filter on the partition column, so the scan touches at

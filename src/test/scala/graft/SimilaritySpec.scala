@@ -235,4 +235,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
     assert(a.nonEmpty)
   }
+
+  test("mmr: diversity penalty promotes the distinct candidate") {
+    import spark.implicits._
+    // probe [1,0,0]; ids 1,2 near-duplicates with top relevance; id 3
+    // slightly less relevant but ANTI-correlated with pick 1 in the
+    // off-probe dimension (sim(3,1) < rel(3), so its penalty is
+    // smaller than the near-dup's). Pure relevance ranks (1,2,3);
+    // MMR must rank the distinct id 3 second:
+    //   m(2) ≈ 0.5·(0.99875 − 1.0)      ≈ −0.0006
+    //   m(3) ≈ 0.5·(0.95783 − 0.94237)  ≈ +0.0077
+    val fixture = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(1f, 0.05f, 0f), 0),
+      (2L, Array(1f, 0.05f, 0.001f), 0),
+      (3L, Array(1f, -0.3f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.mmrRerank(fixture, candK = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).toSeq === Seq(1L, 3L, 2L))
+  }
+
+  test("mmr: rank 1 equals the pure-relevance best; picks are distinct") {
+    val got = SimilarityOps.mmrRerank(emb).collect()
+    assert(got.length === SimilarityOps.MmrK)
+    assert(got.map(_.getLong(1)).distinct.length === got.length)
+    val topRel = SimilarityOps.similarityTopK(emb, nProbes = 1, k = 1)
+      .collect().head.getLong(2)
+    assert(got.head.getLong(1) === topRel,
+      "the first MMR pick must be the max-relevance candidate")
+    // (no monotonicity claim on the scores: a candidate with NEGATIVE
+    // cosine to everything selected turns the penalty into a bonus,
+    // so later picks can legitimately out-score rank 1)
+  }
 }
