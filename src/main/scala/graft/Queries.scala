@@ -1318,6 +1318,30 @@ object Queries {
              |SELECT p AS l_partkey, count(*) AS n_tri FROM nodes GROUP BY p
              |ORDER BY n_tri DESC, l_partkey LIMIT ${GraphOps.TriangleTopK}""".stripMargin)),
 
+    // 2-D box aggregate over the write-once Z-ORDERED lineitem layout
+    // (cells = low 16 bits of partkey/suppkey, rows range-partitioned
+    // by the Morton interleave): the hash match proves the layout
+    // write+read round trip AND pins the 32-term interleave
+    // arithmetic cross-engine (min/max zval inside the box); the
+    // file-skipping benefit is measured in ZOrderSpec
+    "zorder_box_scan" -> QueryDef(
+      (s, d) => LayoutOps.zorderBoxScan(Tables.lineitem(s, d), d),
+      Some {
+        import LayoutOps._
+        s"""WITH c AS (SELECT (l_partkey & $CellMask) AS cx,
+           |                  (l_suppkey & $CellMask) AS cy, l_quantity
+           |           FROM lineitem),
+           |z AS (SELECT cx, cy, l_quantity,
+           |        ${zValueSql("cx", "cy")} AS zval FROM c)
+           |SELECT count(*) AS n_rows,
+           |  CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_qty,
+           |  coalesce(min(zval), -1) AS min_zval,
+           |  coalesce(max(zval), -1) AS max_zval
+           |FROM z
+           |WHERE cx BETWEEN $BoxXLo AND $BoxXHi
+           |  AND cy BETWEEN $BoxYLo AND $BoxYHi""".stripMargin
+      }),
+
     // the deduplicated corpus itself: cluster minima + untouched docs
     "dedup_survivors" -> QueryDef(
       (s, d) => DedupOps.dedupSurvivors(Tables.documents(s, d), d),
