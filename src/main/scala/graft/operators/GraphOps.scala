@@ -138,8 +138,13 @@ object GraphOps {
     */
   def pagerankTrade(orders: DataFrame, lineitem: DataFrame,
                     iters: Int = PagerankIters,
-                    topK: Int = PagerankTopK): DataFrame = {
-    val edges = tradeEdges(orders, lineitem)
+                    topK: Int = PagerankTopK): DataFrame =
+    rankTopK(pagerankRanks(tradeEdges(orders, lineitem), iters), topK)
+
+  /** `iters` damped rounds from the uniform start over `edges`;
+    * returns the full (node, rank) table. */
+  private[operators] def pagerankRanks(edges: DataFrame,
+                                       iters: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // one arc row carrying its source's out-degree — the subtree each
     // iteration joins against (deduped to one exchange by AQE reuse)
@@ -147,8 +152,15 @@ object GraphOps {
       .select(col("src"), col("dst"), col("outdeg"))
     val n = deg.count() // N: one scalar, the standard PageRank init
     val r0 = PagerankScale / n
+    val seeds = deg.select(col("src").as("node"), lit(r0).as("rank"))
+    dampedRounds(arcs, seeds, n, iters)
+  }
+
+  /** `iters` damped rounds from the given seed ranks. */
+  private def dampedRounds(arcs: DataFrame, seeds: DataFrame, n: Long,
+                           iters: Int): DataFrame = {
     val base = (PagerankScale * (DampDen - DampNum) / DampDen) / n
-    var ranks = deg.select(col("src").as("node"), lit(r0).as("rank"))
+    var ranks = seeds
     for (_ <- 1 to iters) {
       ranks = arcs
         .join(ranks, arcs("src") === ranks("node"))
@@ -159,6 +171,10 @@ object GraphOps {
           (lit(base) + expr(s"($DampNum * csum) div $DampDen")).as("rank"))
     }
     ranks
+  }
+
+  private def rankTopK(ranks: DataFrame, topK: Int): DataFrame =
+    ranks
       .select(
         when(pmod(col("node"), lit(2L)) === 0L,
           concat(lit("c"), expr("node div 2")))
@@ -167,5 +183,56 @@ object GraphOps {
         col("rank").as("rank_val"))
       .orderBy(col("rank_val").desc, col("entity"))
       .limit(topK)
+
+  /** Warm-start rounds the incremental form runs over the updated
+    * graph (vs [[PagerankIters]] cold rounds on a rebuild). */
+  val PagerankWarmRounds: Int = 1
+
+  /** Write-once rank index of the already-ingested base graph (even
+    * o_orderkey orders — the parity convention of the other persisted
+    * indexes): the full (node, rank) table after [[PagerankIters]]
+    * cold rounds.
+    */
+  def pagerankRankDir(orders: DataFrame, lineitem: DataFrame,
+                      sfDir: String): String =
+    graft.sources.Fixtures.ensure("prank", sfDir,
+      Seq(s"$sfDir/orders.parquet", s"$sfDir/lineitem.parquet")) { dir =>
+      pagerankRanks(
+        tradeEdges(orders.where(pmod(col("o_orderkey"), lit(2L)) === 0L),
+          lineitem), PagerankIters)
+        .write.mode("overwrite").parquet(dir)
+      ()
+    }
+
+  /** STEADY-STATE PageRank: the arriving batch (odd-o_orderkey
+    * orders) extends the trade graph, and instead of re-running the
+    * full cold iteration the engine runs [[PagerankWarmRounds]]
+    * damped round(s) over the UPDATED graph seeded from the persisted
+    * base ranks — nodes the batch introduces start at the uniform
+    * `PagerankScale div N` of the new node count. This is the
+    * standard warm-start posture of production rank maintenance
+    * (ranks drift slowly; a round per batch tracks them without the
+    * full-graph recompute); the semantics are exactly defined — same
+    * integer arithmetic, seeded instead of uniform — so the oracle
+    * replays base-cold-rounds + warm round and the gate hash-matches
+    * bit-for-bit. Scale shape: identical to one cold round (join +
+    * aggregate) plus a node-keyed left join against the stored ranks.
+    */
+  def incrementalPagerank(orders: DataFrame, lineitem: DataFrame,
+                          sfDir: String,
+                          topK: Int = PagerankTopK): DataFrame = {
+    val spark = orders.sparkSession
+    val stored = spark.read.parquet(pagerankRankDir(orders, lineitem, sfDir))
+      .select(col("node").as("snode"), col("rank").as("srank"))
+    val edges = tradeEdges(orders, lineitem) // the updated (full) graph
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val arcs = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+    val n = deg.count()
+    val r0 = PagerankScale / n
+    val seeds = deg.select(col("src").as("node"))
+      .join(stored, col("node") === col("snode"), "left")
+      .select(col("node"), coalesce(col("srank"), lit(r0)).as("rank"))
+    rankTopK(dampedRounds(arcs, seeds, n, PagerankWarmRounds), topK)
   }
 }

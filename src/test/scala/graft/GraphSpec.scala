@@ -45,6 +45,49 @@ class GraphSpec extends AnyFunSuite {
       s"excessive mass loss: $mass")
   }
 
+  private def writeSf(orders: org.apache.spark.sql.DataFrame,
+                      lineitem: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graphspec").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lineitem.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("incremental_pagerank: empty batch == one extra cold round, exactly") {
+    // all orderkeys even → the base graph IS the full graph, so the
+    // warm round seeded from stored r3 must equal cold r4 bit-for-bit
+    val orders = Seq((2L, 1L), (4L, 2L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((2L, 10L), (2L, 20L), (4L, 10L))
+      .toDF("l_orderkey", "l_suppkey")
+    val dir = writeSf(orders, lineitem)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val inc = GraphOps.incrementalPagerank(o, l, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cold4 = GraphOps.pagerankTrade(o, l, iters = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(inc === cold4)
+  }
+
+  test("incremental_pagerank: batch-introduced node seeds uniform, exact ranks") {
+    // base (even order 2): c1–s10, a symmetric 2-cycle whose ranks are
+    // the 5e14 fixed point; batch (odd order 1) adds c3–s10. Warm
+    // round worked by hand: s10 sums the stored c1 seed and c3's
+    // uniform 1e15//3 seed.
+    val orders = Seq((2L, 1L), (1L, 3L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((2L, 10L), (1L, 10L)).toDF("l_orderkey", "l_suppkey")
+    val dir = writeSf(orders, lineitem)
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val got = GraphOps.incrementalPagerank(o, l, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = Seq(
+      "s10" -> 758333333333333L,
+      "c1" -> 262500000000000L,
+      "c3" -> 262500000000000L)
+    assert(got === expected)
+  }
+
   test("coorder_triangles: exact counts on overlapping triangles and a K4") {
     // order 1 = {1,2,3} and order 2 = {2,3,4}: triangles {1,2,3} and
     // {2,3,4} sharing edge 2-3. order 3 = {10,11,12,13}: a K4 — four
