@@ -1284,6 +1284,46 @@ object Queries {
            |ORDER BY rank_val DESC, entity LIMIT ${GraphOps.PagerankTopK}""".stripMargin
       }),
 
+    // personalized PageRank from customer 1: restart mass at the
+    // seed only, so ranks decay with graph distance — same integer
+    // discipline, oracle unrolls the rounds with the seed-cased
+    // restart term
+    "ppr_trade" -> QueryDef(
+      (s, d) => GraphOps.pprTrade(Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some {
+        val scale = GraphOps.PagerankScale
+        val restart = GraphOps.PagerankScale *
+          (GraphOps.DampDen - GraphOps.DampNum) / GraphOps.DampDen
+        val seed = GraphOps.PprSeedNode
+        def round(k: Int) =
+          s"""r$k AS MATERIALIZED (
+             |  SELECT a.dst AS node,
+             |    CASE WHEN a.dst = $seed THEN $restart ELSE 0 END
+             |      + (${GraphOps.DampNum} * sum(p.rank // a.outdeg)) // ${GraphOps.DampDen} AS rank
+             |  FROM arcs a JOIN r${k - 1} p ON a.src = p.node
+             |  GROUP BY a.dst)""".stripMargin
+        s"""WITH trade AS MATERIALIZED (
+           |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS MATERIALIZED (
+           |  SELECT c AS src, s AS dst FROM trade
+           |  UNION ALL SELECT s AS src, c AS dst FROM trade),
+           |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+           |arcs AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg
+           |  FROM edges e JOIN deg d ON e.src = d.src),
+           |r0 AS MATERIALIZED (
+           |  SELECT src AS node,
+           |    CASE WHEN src = $seed THEN $scale ELSE 0 END AS rank FROM deg),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+           |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS entity,
+           |  CAST(rank AS BIGINT) AS rank_val
+           |FROM r3 WHERE rank > 0
+           |ORDER BY rank_val DESC, entity LIMIT ${GraphOps.PagerankTopK}""".stripMargin
+      }),
+
     // steady-state PageRank: persisted base-graph ranks (even
     // o_orderkey orders — the house parity convention) warm-started
     // with ONE damped round over the updated graph; the oracle

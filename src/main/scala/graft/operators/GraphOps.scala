@@ -188,6 +188,44 @@ object GraphOps {
     * graph (vs [[PagerankIters]] cold rounds on a rebuild). */
   val PagerankWarmRounds: Int = 1
 
+  /** PPR restart entity: customer 1 (node id 2). */
+  val PprSeedNode: Long = 2L
+
+  /** PERSONALIZED PageRank: the restart mass concentrates on one
+    * seed node instead of spreading uniformly — the result ranks
+    * entities by proximity to the seed ("suppliers related to this
+    * customer"), decaying with graph distance. Same scaled-long
+    * integer discipline as [[pagerankTrade]]: r0 = full scale at the
+    * seed, 0 elsewhere; each round adds the 15% restart only at the
+    * seed. Zero ranks flow through the same join+aggregate rounds
+    * (their contributions are exact zeros), so the plan shape is
+    * identical to the global form.
+    */
+  def pprTrade(orders: DataFrame, lineitem: DataFrame,
+               seed: Long = PprSeedNode,
+               iters: Int = PagerankIters,
+               topK: Int = PagerankTopK): DataFrame = {
+    val edges = tradeEdges(orders, lineitem)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val arcs = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+    val restart = PagerankScale * (DampDen - DampNum) / DampDen
+    var ranks = deg.select(col("src").as("node"),
+      when(col("src") === seed, lit(PagerankScale)).otherwise(lit(0L))
+        .as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = arcs
+        .join(ranks, arcs("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("csum"))
+        .select(col("dst").as("node"),
+          (when(col("dst") === seed, lit(restart)).otherwise(lit(0L)) +
+            expr(s"($DampNum * csum) div $DampDen")).as("rank"))
+    }
+    rankTopK(ranks.where(col("rank") > 0L), topK)
+  }
+
   /** Write-once rank index of the already-ingested base graph (even
     * o_orderkey orders — the parity convention of the other persisted
     * indexes): the full (node, rank) table after [[PagerankIters]]

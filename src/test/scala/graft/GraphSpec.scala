@@ -88,6 +88,24 @@ class GraphSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("ppr_trade: exact distance-decayed ranks; unreachable components drop") {
+    // seed = c1 (node 2). c1 trades s10,s20; c2 trades s10 — three
+    // rounds worked by hand. The isolated pair c5–s50 never receives
+    // mass and the rank>0 cut must exclude it.
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 5L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 50L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = GraphOps.pprTrade(orders, lineitem)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = Seq(
+      "s10" -> 447578125000000L,
+      "s20" -> 294046875000000L,
+      "c1" -> 231281250000000L,
+      "c2" -> 27093750000000L)
+    assert(got === expected)
+  }
+
   test("coorder_triangles: exact counts on overlapping triangles and a K4") {
     // order 1 = {1,2,3} and order 2 = {2,3,4}: triangles {1,2,3} and
     // {2,3,4} sharing edge 2-3. order 3 = {10,11,12,13}: a K4 — four
