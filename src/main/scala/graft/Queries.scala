@@ -287,6 +287,18 @@ object Queries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Shared by the Spark run and the DuckDB oracle of
+    * `sql_lateral_topn` — both engines execute this exact text.
+    * Ties are broken by custkey so the LIMIT cut is deterministic.
+    */
+  private val lateralTopNSql: String =
+    """SELECT n_name, t.c_custkey, t.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
+
   val registry: Seq[(String, QueryDef)] = Seq(
 
     // ----- reference parity: the wordcount family ---------------------
@@ -2251,6 +2263,33 @@ object Queries {
              |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
              |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // the inverse surface: unpivot/melt back to long form — a
+    // row-local Expand over the |years|-row rollup (DuckDB runs its
+    // native UNPIVOT over the identical pivot CTE)
+    "orders_unpivot" -> QueryDef(
+      (s, d) => RelationalOps.ordersUnpivot(Tables.orders(s, d)),
+      Some("""WITH p AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+             |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+             |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+             |FROM orders GROUP BY 1)
+             |SELECT yr, status, n_orders
+             |FROM (UNPIVOT p ON "F", "O", "P" INTO NAME status VALUE n_orders)
+             |ORDER BY yr, status""".stripMargin)),
+
+    // correlated LATERAL subquery with ORDER BY + LIMIT through the
+    // SQL layer: per-nation top-2 customers by balance. Catalyst
+    // decorrelates the limited subquery into a rank window over the
+    // customer side (no per-nation re-scan); DuckDB executes the
+    // identical text natively — the hash match proves the
+    // decorrelation preserves LATERAL semantics
+    "sql_lateral_topn" -> QueryDef(
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.sql(lateralTopNSql)
+      },
+      Some(lateralTopNSql)),
 
     // distribution-rank windows, filtered on the ROUNDED cume_dist so
     // a boundary order cannot flip between engines

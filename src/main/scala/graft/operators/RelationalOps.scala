@@ -349,6 +349,19 @@ object RelationalOps {
         coalesce(col("P"), lit(0L)).as("P"))
       .orderBy("yr")
 
+  /** Unpivot (melt): the inverse relational surface of [[ordersPivot]]
+    * — the wide (yr, F, O, P) year table back to long (yr, status,
+    * n_orders) rows. `Dataset.unpivot` plans as a row-local Expand
+    * (one output row per value column, no shuffle of its own), so the
+    * whole query costs exactly the pivot's aggregate: at 100 TB the
+    * Expand multiplies the |years|-row rollup, never the fact table.
+    */
+  def ordersUnpivot(orders: DataFrame): DataFrame =
+    ordersPivot(orders)
+      .unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
+        "status", "n_orders")
+      .orderBy("yr", "status")
+
   /** Range (band) join via bin bucketing: lineitems whose extended
     * price falls within ±10% of a part's retail price. A naive
     * theta-join is O(parts × lineitems); instead both sides are
