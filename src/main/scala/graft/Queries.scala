@@ -784,6 +784,35 @@ object Queries {
               |SELECT ngram, count(*) AS cnt FROM n
               |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 30""".stripMargin)),
 
+    // PMI collocations: over-represented word pairs from exact
+    // corpus counts — vocabulary-grain joins only, min-count cut
+    // before the joins, identical IEEE ln() sequence in both engines
+    "pmi_collocations" -> QueryDef(
+      (s, d) => TextAnalysisOps.pmiCollocations(Tables.documents(s, d)),
+      Some {
+        import TextAnalysisOps.{PmiMinCount, PmiTopK}
+        s"""WITH t AS (SELECT $toksSql AS ws FROM documents),
+           |toks AS (SELECT unnest(ws) AS word FROM t),
+           |uni AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+           |bgs AS (SELECT array_to_string(ws[i:i+1], ' ') AS bigram
+           |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+           |big AS (SELECT bigram, count(*) AS cb FROM bgs GROUP BY bigram
+           |        HAVING count(*) >= $PmiMinCount),
+           |tot AS (SELECT sum(len(ws))::DOUBLE AS total_tokens,
+           |               sum(greatest(len(ws) - 1, 0))::DOUBLE AS total_bigrams FROM t),
+           |j AS (SELECT bigram, cb, string_split(bigram, ' ')[1] AS w1,
+           |             string_split(bigram, ' ')[2] AS w2 FROM big),
+           |sc AS (SELECT bigram, cb,
+           |         ln(cb::DOUBLE * total_tokens * total_tokens /
+           |            (total_bigrams * u1.c * u2.c)) AS pmi_raw
+           |       FROM j JOIN uni u1 ON j.w1 = u1.word
+           |              JOIN uni u2 ON j.w2 = u2.word CROSS JOIN tot),
+           |r AS (SELECT bigram, cb, pmi_raw,
+           |        row_number() OVER (ORDER BY round(pmi_raw, 6) DESC, bigram) AS rnk FROM sc)
+           |SELECT CAST(rnk AS BIGINT) AS rnk, bigram, cb, round(pmi_raw, 4) + 0 AS pmi
+           |FROM r WHERE rnk <= $PmiTopK ORDER BY rnk""".stripMargin
+      }),
+
     // bigram LM: P(w2|w1) with the head total and the rank as windows
     // over the one bigram aggregate (no self-join, no re-tokenize)
     "bigram_lm" -> QueryDef(
@@ -1576,6 +1605,27 @@ object Queries {
               |      FROM s)
               |SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score
               |FROM r WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+
+    // k-NN classification: odd-id probes labeled by majority vote of
+    // their 5 nearest even-id (labeled) reference vectors — the
+    // similarity_topk scan-once/WindowGroupLimit shape plus a
+    // probes×k-row vote aggregate; ties to the smallest label
+    "knn_classify" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s); SimilarityOps.knnClassify(Tables.embeddings(s, d)) },
+      Some {
+        import SimilarityOps.{KnnProbes, KnnK}
+        s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings
+           |           WHERE vec_id % 2 = 1 AND vec_id < ${2 * KnnProbes}),
+           |s AS (SELECT probe_id, vec_id, label, ${cosSql("probe_vec", "embedding")} AS score
+           |      FROM embeddings CROSS JOIN p WHERE vec_id % 2 = 0),
+           |r AS (SELECT probe_id, vec_id, label,
+           |        row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
+           |      FROM s),
+           |v AS (SELECT probe_id, label, count(*) AS votes FROM r WHERE rnk <= $KnnK GROUP BY probe_id, label),
+           |b AS (SELECT probe_id, label, votes,
+           |        row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label ASC) AS vr FROM v)
+           |SELECT probe_id, label AS pred_label, votes FROM b WHERE vr = 1 ORDER BY probe_id""".stripMargin
+      }),
 
     "ann_ivf" -> QueryDef(
       (s, d) => { VectorFunctions.register(s); SimilarityOps.annIvf(Tables.embeddings(s, d)) },

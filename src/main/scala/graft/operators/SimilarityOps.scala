@@ -125,6 +125,43 @@ object SimilarityOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** k-NN classification by majority vote: odd-id probe vectors are
+    * labeled from the `label` column of their k nearest EVEN-id
+    * reference vectors (the labeled half). Same scale shape as
+    * [[similarityTopK]]: the bounded probe set broadcasts, the
+    * reference corpus is scanned once in place, and the rank window
+    * rewrites to a partial `WindowGroupLimit` — each task forwards
+    * only its local top-k per probe, so shuffle volume is
+    * O(probes × partitions × k), independent of corpus size. The
+    * vote is a probes×k-row aggregate; ties break to the SMALLEST
+    * label via a max_by struct key (lexicographic, negated label).
+    */
+  val KnnProbes = 20
+  val KnnK = 5
+
+  def knnClassify(emb: DataFrame, nProbes: Int = KnnProbes,
+                  k: Int = KnnK): DataFrame = {
+    val probes = emb.where(col("vec_id") % 2 === 1 && col("vec_id") < 2L * nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val refs = emb.where(col("vec_id") % 2 === 0)
+    val scored = refs.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        VectorFunctions.cosine(col("probe_vec"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .groupBy("probe_id", "label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("probe_id")
+      .agg(max_by(struct(col("label"), col("votes")),
+        struct(col("votes"), (col("label") * -1).as("neg"))).as("best"))
+      .select(col("probe_id"), col("best.label").as("pred_label"),
+        col("best.votes").as("votes"))
+      .orderBy("probe_id")
+  }
+
   /** Deterministic seed centroids: `vec_id % centroidMod == 0 AND
     * vec_id < centroidMod * numCentroids` — at most `numCentroids`
     * rows, a CONSTANT independent of corpus size, so the centroid

@@ -535,6 +535,60 @@ object TextAnalysisOps {
       .limit(k)
   }
 
+  /** Minimum corpus count for a bigram to be PMI-scored, and the
+    * result-set size — shared with the DuckDB oracle.
+    */
+  val PmiMinCount = 5L
+  val PmiTopK = 30
+
+  /** Pointwise-mutual-information collocations: the corpus's most
+    * over-represented word pairs, `pmi = ln(P(w1w2) / (P(w1)P(w2)))`
+    * with probabilities estimated from exact corpus counts. All
+    * statistics are VOCABULARY-grain: the bigram and unigram counts
+    * are partial/final aggregates of two Generate branches over the
+    * same pruned scan (map-side combine collapses the token streams
+    * before either exchange), the two token totals are 1-row
+    * aggregates of row-local `size()` (no third explode), and the
+    * unigram joins attach to the bigram table at bigram-vocabulary
+    * grain — the corpus itself is never joined or shuffled. The
+    * min-count filter cuts the long tail BEFORE the joins, and the
+    * top-k is orderBy+limit (TakeOrderedAndProject heaps). The PMI
+    * expression is written token-for-token identically in the oracle
+    * so both engines run the same IEEE sequence; ranking compares the
+    * det6-rounded value (ties to the bigram string).
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = PmiMinCount,
+                      k: Int = PmiTopK): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
+    val uni = docs.select(explode(ws).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val big = docs
+      .select(explode(graft.functions.NativeText.wordNgrams(ws, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val totals = docs.agg(
+      sum(size(ws).cast("long")).cast("double").as("total_tokens"),
+      sum(greatest(size(ws) - 1, lit(0)).cast("long")).cast("double")
+        .as("total_bigrams"))
+    big
+      .where(col("cb") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .join(uni.select(col("word").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(totals)
+      .withColumn("pmi_raw",
+        log(col("cb").cast("double") * col("total_tokens") * col("total_tokens") /
+          (col("total_bigrams") * col("c1") * col("c2"))))
+      .orderBy(round(col("pmi_raw"), 6).desc, col("bigram").asc)
+      .limit(k)
+      .select(
+        row_number().over(Window.orderBy(
+          round(col("pmi_raw"), 6).desc, col("bigram").asc)).cast("long").as("rnk"),
+        col("bigram"), col("cb"), round(col("pmi_raw"), 4).as("pmi"))
+      .orderBy("rnk")
+  }
+
   // ----- count-min heavy hitters -----
 
   /** CMS grid shape + probe count, shared with the generated DuckDB
