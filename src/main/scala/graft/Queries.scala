@@ -1365,6 +1365,37 @@ object Queries {
            |ORDER BY rank_val DESC, entity LIMIT ${GraphOps.PagerankTopK}""".stripMargin
       }),
 
+    // BFS shortest hop distances from customer 1 over the trade
+    // graph, bounded rounds, exact integer distances (zero-tolerance
+    // hash). Every dk CTE references d(k-1) twice (union + join), so
+    // each round is MATERIALIZED — the exponential-inlining lesson
+    "bfs_hops" -> QueryDef(
+      (s, d) => GraphOps.bfsHops(Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some {
+        def round(k: Int) =
+          s"""d$k AS MATERIALIZED (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS node, p.dist + 1 AS dist
+             |    FROM edges e JOIN d${k - 1} p ON e.src = p.node)
+             |  GROUP BY node)""".stripMargin
+        s"""WITH trade AS MATERIALIZED (
+           |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS MATERIALIZED (
+           |  SELECT c AS src, s AS dst FROM trade
+           |  UNION ALL SELECT s AS src, c AS dst FROM trade),
+           |d0 AS (SELECT CAST(${GraphOps.PprSeedNode} AS BIGINT) AS node,
+           |              CAST(0 AS BIGINT) AS dist),
+           |${(1 to GraphOps.BfsMaxHops).map(round).mkString(",\n")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+           |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS entity,
+           |  dist
+           |FROM d${GraphOps.BfsMaxHops}
+           |ORDER BY dist, entity""".stripMargin
+      }),
+
     // steady-state PageRank: persisted base-graph ranks (even
     // o_orderkey orders — the house parity convention) warm-started
     // with ONE damped round over the updated graph; the oracle

@@ -173,16 +173,58 @@ object GraphOps {
     ranks
   }
 
+  /** Render a trade-graph node id back to its entity name
+    * ("c<custkey>" / "s<suppkey>") — shared by every trade-graph
+    * result surface.
+    */
+  private def entityCol: org.apache.spark.sql.Column =
+    when(pmod(col("node"), lit(2L)) === 0L,
+      concat(lit("c"), expr("node div 2")))
+      .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+      .as("entity")
+
   private def rankTopK(ranks: DataFrame, topK: Int): DataFrame =
     ranks
-      .select(
-        when(pmod(col("node"), lit(2L)) === 0L,
-          concat(lit("c"), expr("node div 2")))
-          .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
-          .as("entity"),
-        col("rank").as("rank_val"))
+      .select(entityCol, col("rank").as("rank_val"))
       .orderBy(col("rank_val").desc, col("entity"))
       .limit(topK)
+
+  /** Hop bound for [[bfsHops]] — shared with the unrolled oracle. */
+  val BfsMaxHops = 4
+
+  /** Single-source shortest HOP distances (BFS) from the
+    * [[PprSeedNode]] seed over the trade graph, bounded to
+    * [[BfsMaxHops]] rounds: every entity reachable within the bound,
+    * with its exact hop distance. Distances are exact integers — no
+    * float anywhere — so the gate is a zero-tolerance hash match.
+    *
+    * == Scale shape ==
+    * Label relaxation, the [[DedupOps.connectedComponents]] shape:
+    * each round is one edges⋈dist equi-join plus one min-aggregate,
+    * both hash-partitioned on the node id, with the round ending in
+    * an eager [[Checkpoints.truncate]] because the dist table feeds
+    * the next round twice (join probe + union arm) — unchecked, the
+    * lineage doubles per round. The arcs subtree canonicalizes
+    * identically across rounds (AQE ReusedExchange, the pagerank
+    * discipline). Rounds = the hop bound, a declared constant; a
+    * diameter-scale BFS at 100 TB would switch to a delta-frontier
+    * (join only nodes discovered last round) — same per-round plan,
+    * strictly smaller join input.
+    */
+  def bfsHops(orders: DataFrame, lineitem: DataFrame,
+              seed: Long = PprSeedNode, maxHops: Int = BfsMaxHops): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val edges = tradeEdges(orders, lineitem)
+    var dist = Checkpoints.truncate(Seq((seed, 0L)).toDF("node", "dist"))
+    for (_ <- 1 to maxHops) {
+      val next = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = Checkpoints.truncate(
+        dist.unionByName(next).groupBy("node").agg(min("dist").as("dist")))
+    }
+    dist.select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
+  }
 
   /** Warm-start rounds the incremental form runs over the updated
     * graph (vs [[PagerankIters]] cold rounds on a rebuild). */
