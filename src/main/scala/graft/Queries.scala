@@ -2372,6 +2372,41 @@ object Queries {
       },
       Some(lateralTopNSql)),
 
+    // SCD Type-2 dimension merge: one full-outer join on the dim key
+    // + row-local version fan-out; changed rows close v1 and open v2,
+    // byte-identical batch rows are no-ops, new keys insert as v1
+    "scd2_customer_merge" -> QueryDef(
+      (s, d) => RelationalOps.scd2CustomerMerge(Tables.customer(s, d)),
+      Some {
+        val off = RelationalOps.Scd2InsertOffset
+        s"""WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+           |batch AS (
+           |  SELECT c_custkey, 'SEG_' || (c_custkey % 5) AS u_seg,
+           |         round(c_acctbal + 100.0, 2) AS u_bal
+           |  FROM customer WHERE c_custkey % 7 = 3
+           |  UNION ALL
+           |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 7 = 2
+           |  UNION ALL
+           |  SELECT c_custkey + $off, 'SEG_' || ((c_custkey + $off) % 5), c_acctbal
+           |  FROM customer WHERE c_custkey % 13 = 6),
+           |j AS (SELECT coalesce(d.c_custkey, b.c_custkey) AS c_custkey,
+           |        d.c_mktsegment, d.c_acctbal, b.u_seg, b.u_bal,
+           |        (b.u_seg IS NOT NULL AND d.c_mktsegment IS NOT NULL AND
+           |         (b.u_seg <> d.c_mktsegment OR b.u_bal <> d.c_acctbal)) AS changed
+           |      FROM dim d FULL OUTER JOIN batch b ON d.c_custkey = b.c_custkey)
+           |SELECT * FROM (
+           |  SELECT c_custkey, CAST(1 AS BIGINT) AS version, c_mktsegment AS seg,
+           |    c_acctbal AS bal, CAST(0 AS BIGINT) AS valid_from,
+           |    CAST(CASE WHEN changed THEN 1 END AS BIGINT) AS valid_to,
+           |    CAST(CASE WHEN changed THEN 0 ELSE 1 END AS BIGINT) AS is_current
+           |  FROM j WHERE c_mktsegment IS NOT NULL
+           |  UNION ALL
+           |  SELECT c_custkey, 2, u_seg, u_bal, 1, NULL, 1 FROM j WHERE changed
+           |  UNION ALL
+           |  SELECT c_custkey, 1, u_seg, u_bal, 1, NULL, 1 FROM j WHERE c_mktsegment IS NULL)
+           |ORDER BY c_custkey, version""".stripMargin
+      }),
+
     // distribution-rank windows, filtered on the ROUNDED cume_dist so
     // a boundary order cannot flip between engines
     "orders_pricerank" -> QueryDef(

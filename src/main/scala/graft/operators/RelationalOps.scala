@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -361,6 +361,72 @@ object RelationalOps {
       .unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
         "status", "n_orders")
       .orderBy("yr", "status")
+
+  /** Offset added to source custkeys to synthesize brand-new
+    * dimension keys in [[scd2CustomerMerge]]'s change batch — far
+    * above any fixture key range (shared with the oracle).
+    */
+  val Scd2InsertOffset = 1000000000L
+
+  /** SCD Type-2 dimension merge (the warehouse MERGE surface): apply
+    * a change batch to the customer dimension, producing the
+    * versioned history — matched-and-changed rows close their
+    * current version (valid_to = batch day) and open a new one,
+    * matched-but-identical rows are NO-OPS (no new version — the
+    * update is idempotent), and unmatched batch rows insert as
+    * version 1. The batch is derived deterministically from the
+    * fixture: custkey%7==3 rows change segment+balance, custkey%7==2
+    * rows arrive byte-identical (the no-op leg), custkey%13==6 rows
+    * re-key by [[Scd2InsertOffset]] as brand-new customers.
+    *
+    * == Scale shape ==
+    * ONE full-outer equi-join on the dimension key decides every
+    * row's fate; version fan-out is a row-local `explode` of a
+    * per-key CASE array (0, 1, or 2 output versions), so the cost is
+    * the join — AQE broadcasts the batch side when it is small, and
+    * a 100 TB dimension merge shuffles each side once on the key. In
+    * a production layout the snapshot would be written partitioned
+    * by key range so the merge rewrites only partitions the batch
+    * touches (the write-once derived-layout convention); the merge
+    * PLAN here is identical either way.
+    */
+  def scd2CustomerMerge(customer: DataFrame): DataFrame = {
+    val dim = customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val upd = customer.where(col("c_custkey") % 7 === 3)
+      .select(col("c_custkey"),
+        concat(lit("SEG_"), col("c_custkey") % 5).as("u_seg"),
+        round(col("c_acctbal") + 100.0, 2).as("u_bal"))
+    val noop = customer.where(col("c_custkey") % 7 === 2)
+      .select(col("c_custkey"), col("c_mktsegment").as("u_seg"),
+        col("c_acctbal").as("u_bal"))
+    val ins = customer.where(col("c_custkey") % 13 === 6)
+      .withColumn("new_key", col("c_custkey") + Scd2InsertOffset)
+      .select(col("new_key").as("c_custkey"),
+        concat(lit("SEG_"), col("new_key") % 5).as("u_seg"),
+        col("c_acctbal").as("u_bal"))
+    val batch = upd.unionByName(noop).unionByName(ins)
+
+    val changed = col("u_seg").isNotNull && col("c_mktsegment").isNotNull &&
+      (col("u_seg") =!= col("c_mktsegment") || col("u_bal") =!= col("c_acctbal"))
+    def ver(version: Long, seg: Column, bal: Column, from: Long,
+            to: Column, current: Long): Column =
+      struct(lit(version).as("version"), seg.as("seg"), bal.as("bal"),
+        lit(from).as("valid_from"), to.cast("long").as("valid_to"),
+        lit(current).as("is_current"))
+    val openOld   = ver(1L, col("c_mktsegment"), col("c_acctbal"), 0L, lit(null), 1L)
+    val closedOld = ver(1L, col("c_mktsegment"), col("c_acctbal"), 0L, lit(1L), 0L)
+    val openNew   = ver(2L, col("u_seg"), col("u_bal"), 1L, lit(null), 1L)
+    val inserted  = ver(1L, col("u_seg"), col("u_bal"), 1L, lit(null), 1L)
+
+    dim.join(batch, Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey"), explode(
+        when(col("c_mktsegment").isNull, array(inserted))
+          .when(changed, array(closedOld, openNew))
+          .otherwise(array(openOld))).as("r"))
+      .select(col("c_custkey"), col("r.version"), col("r.seg"), col("r.bal"),
+        col("r.valid_from"), col("r.valid_to"), col("r.is_current"))
+      .orderBy("c_custkey", "version")
+  }
 
   /** Range (band) join via bin bucketing: lineitems whose extended
     * price falls within ±10% of a part's retail price. A naive
