@@ -2260,6 +2260,37 @@ object Queries {
              |WHERE event_id % 5 = 0 AND ms > (SELECT w FROM wm1)
              |ORDER BY event_id""".stripMargin)),
 
+    // STREAM-STREAM JOIN under the hash gate: the watermarked
+    // interval join replayed across a two-phase restart — the sink
+    // is all predicate pairs minus those touching a late phase-2 row
+    // (below WM1 = least of the two sides' column watermarks); a
+    // pair lost across the restart or a late row that joined anyway
+    // reds the hash
+    "streamed_join_pairs" -> QueryDef(
+      (s, d) => {
+        val dir = graft.streaming.EventStreams.streamedJoinLayout(s, d)
+        s.read.parquet(dir)
+          .select("purchase_id", "user_id", "p_ms", "click_id", "c_ms")
+          .orderBy("purchase_id", "click_id")
+      },
+      Some {
+        import graft.streaming.EventStreams.{JoinIntervalMinutes, JoinWatermarkMs, JoinPurchaseMod}
+        val intMs = JoinIntervalMinutes * 60000L
+        s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+           |p AS (SELECT event_id AS purchase_id, user_id, ms FROM e
+           |      WHERE event_type = 'purchase' AND event_id % $JoinPurchaseMod = 1),
+           |c AS (SELECT event_id AS click_id, user_id, ms FROM e WHERE event_type = 'click'),
+           |wm1 AS (SELECT least(
+           |    (SELECT max(ms) FROM p WHERE purchase_id % 5 != 0),
+           |    (SELECT max(ms) FROM c WHERE click_id % 5 != 0)) - $JoinWatermarkMs AS w)
+           |SELECT p.purchase_id, p.user_id, p.ms AS p_ms, c.click_id, c.ms AS c_ms
+           |FROM p JOIN c ON p.user_id = c.user_id
+           |  AND c.ms BETWEEN p.ms - $intMs AND p.ms
+           |WHERE NOT (p.purchase_id % 5 = 0 AND p.ms < (SELECT w FROM wm1))
+           |  AND NOT (c.click_id % 5 = 0 AND c.ms < (SELECT w FROM wm1))
+           |ORDER BY purchase_id, click_id""".stripMargin
+      }),
+
     // KEYED STATE under the hash gate: flatMapGroupsWithState
     // sessionization with event-time timeouts, landed by the same
     // two-phase replay — the sink holds exactly the sessions closed

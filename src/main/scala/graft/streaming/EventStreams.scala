@@ -468,6 +468,87 @@ object EventStreams {
         col("purchase_time"), col("click_id"), col("click_time"))
   }
 
+  /** Contract for the HASH-GATED stream-stream join replay
+    * (`streamed_join_pairs`), shared with the DuckDB oracle: join
+    * interval, watermark delay, and the purchase-side sample that
+    * keeps the pair fan-out bounded on skewed fixtures. The delay is
+    * deliberately mid-span (15 days against the fixture's ~30-day
+    * spread) so the two-phase replay exercises BOTH verdicts: part
+    * of phase 2 is late (dropped on input), part is on time and
+    * must match phase-1 state buffered across the restart.
+    */
+  val JoinIntervalMinutes = 60
+  val JoinWatermark = "360 hours"
+  val JoinWatermarkMs: Long = 360L * 3600L * 1000L
+  val JoinPurchaseMod = 4L
+
+  /** [[clickPurchaseIntervalJoin]] under the gate contract, into an
+    * append-mode parquet sink (an inner join emits each match in the
+    * batch where its second side arrives — no window flush).
+    */
+  def writeJoinedPairs(events: DataFrame, outDir: String,
+                       checkpointDir: String): StreamingQuery =
+    clickPurchaseIntervalJoin(
+      events.where(!(col("event_type") === "purchase" &&
+        pmod(col("event_id"), lit(JoinPurchaseMod)) =!= 1L)),
+      JoinIntervalMinutes, JoinWatermark)
+      .select(col("purchase_id"), col("user_id"),
+        unix_millis(col("purchase_time")).as("p_ms"),
+        col("click_id"), unix_millis(col("click_time")).as("c_ms"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Write-once STREAM-STREAM-JOIN sink: the two-phase staged replay
+    * ([[streamedDedupLayout]] convention — phase 1 = `event_id%5!=0`,
+    * restart, phase 2 = the rest) through the watermarked interval
+    * join. The final sink is a pure function of the data and the
+    * split: every predicate-satisfying (purchase, click) pair lands
+    * EXCEPT those involving a phase-2 row whose event time is below
+    * the phase-1 watermark (late, filtered on input). State eviction
+    * never costs a pair beyond that rule: an admitted phase-2 row's
+    * match window lies entirely above the thresholds Spark derives
+    * from the join condition (clicks ≥ WM−interval, purchases ≥ WM
+    * are retained — the predicate implies any partner is, too). A
+    * pair lost across the restart (join state not persisted), a late
+    * row that joined anyway, or a double-emitted match all red the
+    * hash. WM₁ is the MIN of the two sides' per-column watermarks
+    * (Spark's default multiple-watermark policy), which the oracle
+    * mirrors with `least()`.
+    */
+  def streamedJoinLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("joinsink", sfDir,
+      Seq(s"$sfDir/events.parquet")) { path =>
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val srcDir = root.resolve("_src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = graft.Tables.events(spark, sfDir)
+      def run(): Unit = {
+        val q = writeJoinedPairs(
+          readEventsStream(spark, srcDir.toString),
+          path, s"$path/_checkpoint")
+        try q.awaitTermination() finally q.stop()
+      }
+      stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) =!= 0),
+        srcDir.resolve("phase1.parquet"))
+      run()
+      stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) === 0),
+        srcDir.resolve("phase2.parquet"))
+      run()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
+
   /** LEFT OUTER stream-stream interval join: EVERY purchase emits —
     * attributed to a preceding click within the interval when one
     * exists, null-padded otherwise. The null-padded rows exercise the
