@@ -2403,6 +2403,45 @@ object Queries {
       },
       Some(lateralTopNSql)),
 
+    // RANGE-frame window: value-based frame (orders within $100
+    // below, same year+priority) over exact integer cents — the
+    // frame-semantics counterpart of the positional ROWS ma7
+    "orders_price_band" -> QueryDef(
+      (s, d) => RelationalOps.ordersPriceBand(Tables.orders(s, d)),
+      Some("""WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |    o_orderpriority, o_orderkey,
+             |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT yr, o_orderpriority, o_orderkey, cents,
+             |  count(*) OVER (PARTITION BY yr, o_orderpriority ORDER BY cents
+             |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_band
+             |FROM o ORDER BY yr, o_orderpriority, cents, o_orderkey""".stripMargin)),
+
+    // data-quality audit: per-table rules fused into single-scan
+    // conditional aggregates + an FK anti join; exact-long verdicts,
+    // zero = a passing (still recomputed) check
+    "dq_audit" -> QueryDef(
+      (s, d) => RelationalOps.dqAudit(Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.customer(s, d)),
+      Some("""SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+             |  SELECT 'orders_null_custkey' AS rule,
+             |    count(*) FILTER (WHERE o_custkey IS NULL) AS n_violations FROM orders
+             |  UNION ALL SELECT 'orders_nonpositive_price',
+             |    count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+             |  UNION ALL SELECT 'orders_price_outlier',
+             |    count(*) FILTER (WHERE o_totalprice > 400000) FROM orders
+             |  UNION ALL SELECT 'lineitem_nonpositive_qty',
+             |    count(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+             |  UNION ALL SELECT 'lineitem_discount_range',
+             |    count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) FROM lineitem
+             |  UNION ALL SELECT 'lineitem_late_shipdate',
+             |    count(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-10-01 00:00:00') FROM lineitem
+             |  UNION ALL SELECT 'orders_orphan_custkey', count(*) FROM orders o
+             |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |  UNION ALL SELECT 'orders_duplicate_pk', coalesce(sum(k - 1), 0)
+             |    FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey))
+             |ORDER BY rule""".stripMargin)),
+
     // SCD Type-2 dimension merge: one full-outer join on the dim key
     // + row-local version fan-out; changed rows close v1 and open v2,
     // byte-identical batch rows are no-ops, new keys insert as v1

@@ -362,6 +362,74 @@ object RelationalOps {
         "status", "n_orders")
       .orderBy("yr", "status")
 
+  /** RANGE-frame window (value-based, vs [[graft.operators.EventsOps
+    * .movingAvgDaily]]'s positional ROWS frame): for every order, how
+    * many same-year/same-priority orders are priced within $100
+    * BELOW it — a local-density shape where the frame is defined by
+    * the ORDER VALUE, so ties and gaps behave differently from any
+    * ROWS formulation. Prices are quantized to exact integer cents
+    * first (floor(x·100+0.5)) so the frame bounds compare longs, not
+    * doubles — both engines resolve identical frames. A RANGE frame
+    * needs its partition totally ordered; the (year, priority)
+    * partitioning gives |years|×|priorities| independent sorts, and
+    * the banded-percentile family (orders_ntile_banded) documents
+    * the sampled escape if a partition ever outgrows one task.
+    */
+  def ordersPriceBand(orders: DataFrame, bandCents: Long = 10000L): DataFrame = {
+    val w = Window
+      .partitionBy(col("yr"), col("o_orderpriority"))
+      .orderBy(col("cents"))
+      .rangeBetween(-bandCents, 0)
+    orders
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("n_band", count(lit(1)).over(w))
+      .orderBy("yr", "o_orderpriority", "cents", "o_orderkey")
+  }
+
+  /** Data-quality audit — the constraint-checking surface a pipeline
+    * runs before promoting a batch: null keys, FK orphans, duplicate
+    * primary keys, domain-range violations, timeliness outliers.
+    * Output is one (check, n_violations) row per rule, exact longs.
+    *
+    * == Scale shape ==
+    * Per-table rules fuse into ONE conditional aggregate over that
+    * table (`count_if` columns share a single scan and collapse
+    * map-side to a 1-row partial); the FK orphan check is a left-anti
+    * join onto the customer KEY column (AQE broadcasts the dim side);
+    * the duplicate-key check aggregates on the key then counts
+    * overflow — partial-agg discipline throughout. Each leg's result
+    * is a single row, so the union is free. A zero count is a PASSING
+    * check, not a vacuous one — the oracle recomputes every rule.
+    */
+  def dqAudit(orders: DataFrame, lineitem: DataFrame,
+              customer: DataFrame): DataFrame = {
+    val o = orders.agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("orders_null_custkey"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("orders_nonpositive_price"),
+      sum(when(col("o_totalprice") > 400000.0, 1L).otherwise(0L)).as("orders_price_outlier"))
+    val l = lineitem.agg(
+      sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("lineitem_nonpositive_qty"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L))
+        .as("lineitem_discount_range"),
+      sum(when(col("l_shipdate") >= lit("1998-10-01").cast("timestamp"), 1L).otherwise(0L))
+        .as("lineitem_late_shipdate"))
+    val orphans = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orders_orphan_custkey"))
+    val dupes = orders.groupBy("o_orderkey").agg(count(lit(1)).as("k"))
+      .agg(sum(col("k") - 1L).as("orders_duplicate_pk"))
+    def melt(df: DataFrame): DataFrame = {
+      val cols = df.columns.map(c => struct(lit(c).as("rule"),
+        col(c).cast("long").as("n_violations")))
+      df.select(explode(array(cols.toIndexedSeq: _*)).as("r"))
+        .select(col("r.rule"), col("r.n_violations"))
+    }
+    melt(o).unionByName(melt(l)).unionByName(melt(orphans)).unionByName(melt(dupes))
+      .orderBy("rule")
+  }
+
   /** Offset added to source custkeys to synthesize brand-new
     * dimension keys in [[scd2CustomerMerge]]'s change batch — far
     * above any fixture key range (shared with the oracle).
