@@ -2291,6 +2291,44 @@ object Queries {
            |ORDER BY purchase_id, click_id""".stripMargin
       }),
 
+    // LEFT-OUTER stream-stream join under the hash gate: matched
+    // rows = the inner set; a null-padded row lands iff its admitted
+    // purchase found no non-late click AND its match window closed
+    // under the final watermark (p_ms < WM2) — state eviction as an
+    // oracle-checkable fact. Open purchases (p_ms >= WM2) are absent
+    "streamed_join_unmatched" -> QueryDef(
+      (s, d) => {
+        val dir = graft.streaming.EventStreams.streamedOuterJoinLayout(s, d)
+        s.read.parquet(dir)
+          .select("purchase_id", "user_id", "p_ms", "click_id", "c_ms")
+          .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+      },
+      Some {
+        import graft.streaming.EventStreams.{JoinIntervalMinutes, JoinWatermarkMs, JoinPurchaseMod}
+        val intMs = JoinIntervalMinutes * 60000L
+        s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+           |p AS (SELECT event_id AS purchase_id, user_id, ms FROM e
+           |      WHERE event_type = 'purchase' AND event_id % $JoinPurchaseMod = 1),
+           |c AS (SELECT event_id AS click_id, user_id, ms FROM e WHERE event_type = 'click'),
+           |wm1 AS (SELECT least(
+           |    (SELECT max(ms) FROM p WHERE purchase_id % 5 != 0),
+           |    (SELECT max(ms) FROM c WHERE click_id % 5 != 0)) - $JoinWatermarkMs AS w),
+           |wm2 AS (SELECT least((SELECT max(ms) FROM p), (SELECT max(ms) FROM c))
+           |          - $JoinWatermarkMs AS w),
+           |adm AS (SELECT * FROM p
+           |        WHERE NOT (purchase_id % 5 = 0 AND ms < (SELECT w FROM wm1))),
+           |m AS (SELECT adm.purchase_id, adm.user_id, adm.ms AS p_ms, c.click_id, c.ms AS c_ms
+           |      FROM adm JOIN c ON adm.user_id = c.user_id
+           |        AND c.ms BETWEEN adm.ms - $intMs AND adm.ms
+           |      WHERE NOT (c.click_id % 5 = 0 AND c.ms < (SELECT w FROM wm1)))
+           |SELECT purchase_id, user_id, p_ms, click_id, c_ms FROM m
+           |UNION ALL
+           |SELECT adm.purchase_id, adm.user_id, adm.ms, NULL, NULL FROM adm
+           |WHERE adm.ms < (SELECT w FROM wm2)
+           |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = adm.purchase_id)
+           |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin
+      }),
+
     // KEYED STATE under the hash gate: flatMapGroupsWithState
     // sessionization with event-time timeouts, landed by the same
     // two-phase replay — the sink holds exactly the sessions closed

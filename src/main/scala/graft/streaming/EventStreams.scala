@@ -549,6 +549,75 @@ object EventStreams {
       ()
     }
 
+  /** [[clickPurchaseLeftOuterJoin]] under the same gate contract as
+    * [[writeJoinedPairs]] — the sink additionally holds NULL-PADDED
+    * rows for purchases whose match window closed under the
+    * watermark with no (non-late) click.
+    */
+  def writeOuterJoinedPairs(events: DataFrame, outDir: String,
+                            checkpointDir: String): StreamingQuery =
+    clickPurchaseLeftOuterJoin(
+      events.where(!(col("event_type") === "purchase" &&
+        pmod(col("event_id"), lit(JoinPurchaseMod)) =!= 1L)),
+      JoinIntervalMinutes, JoinWatermark)
+      .select(col("purchase_id"), col("user_id"),
+        unix_millis(col("purchase_time")).as("p_ms"),
+        col("click_id"), unix_millis(col("click_time")).as("c_ms"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Write-once LEFT-OUTER stream-stream-join sink, the state-
+    * EVICTION companion of [[streamedJoinLayout]]: matched rows are
+    * the inner join's exact set, and a null-padded row lands iff its
+    * purchase was ADMITTED (on time for its arrival batch), found no
+    * non-late click, and its match window closed under the FINAL
+    * watermark (`p_ms < WM₂` — an unmatched purchase can only be
+    * declared unmatched once no future click can legally match, so
+    * emission is governed by watermark progress, not data arrival).
+    * Purchases still open at termination stay in state and are
+    * absent. A null row emitted early (before its window closed), a
+    * match that leaked past the late filter, or an open purchase
+    * flushed on shutdown all red the hash. The early-emit rule at
+    * WM₁ is consistent by construction: a phase-1 purchase below WM₁
+    * can never be matched by an admitted phase-2 click (it would
+    * need `c_ms ≤ p_ms < WM₁`, i.e. a late click), so the two-run
+    * emission union equals the single final-watermark rule the
+    * oracle encodes.
+    */
+  def streamedOuterJoinLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("ljoinsink", sfDir,
+      Seq(s"$sfDir/events.parquet")) { path =>
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val srcDir = root.resolve("_src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = graft.Tables.events(spark, sfDir)
+      def run(): Unit = {
+        val q = writeOuterJoinedPairs(
+          readEventsStream(spark, srcDir.toString),
+          path, s"$path/_checkpoint")
+        try q.awaitTermination() finally q.stop()
+      }
+      stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) =!= 0),
+        srcDir.resolve("phase1.parquet"))
+      run()
+      stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) === 0),
+        srcDir.resolve("phase2.parquet"))
+      run()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
+
   /** LEFT OUTER stream-stream interval join: EVERY purchase emits —
     * attributed to a preceding click within the interval when one
     * exists, null-padded otherwise. The null-padded rows exercise the
