@@ -2480,6 +2480,30 @@ object Queries {
              |    FROM (SELECT count(*) AS k FROM orders GROUP BY o_orderkey))
              |ORDER BY rule""".stripMargin)),
 
+    // raw-blob directory ingestion through the binaryFile source:
+    // the oracle re-derives every file's byte count and hex-md5
+    // digest from the documents table the fixture was written from
+    "binaryfile_scan" -> QueryDef(
+      (s, d) => graft.sources.BinarySource.binaryInventory(s, d),
+      Some(s"""SELECT doc_id,
+              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              |  md5(hex(encode(text))) AS content_md5
+              |FROM documents WHERE doc_id % ${graft.sources.BinarySource.SampleMod} = 0
+              |ORDER BY doc_id""".stripMargin)),
+
+    // k-anonymity audit over the (nation, segment, balance-band)
+    // quasi-identifier: group sizes under k and the rows at risk
+    "k_anonymity" -> QueryDef(
+      (s, d) => RelationalOps.kAnonymity(Tables.customer(s, d)),
+      Some(s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+              |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band, count(*) AS n
+              |  FROM customer GROUP BY 1, 2, 3)
+              |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+              |  CAST(count(*) FILTER (WHERE n < ${RelationalOps.KAnonK}) AS BIGINT) AS n_small_groups,
+              |  CAST(coalesce(sum(n) FILTER (WHERE n < ${RelationalOps.KAnonK}), 0) AS BIGINT) AS n_rows_at_risk,
+              |  CAST(min(n) AS BIGINT) AS min_group_n
+              |FROM g""".stripMargin)),
+
     // SCD Type-2 dimension merge: one full-outer join on the dim key
     // + row-local version fan-out; changed rows close v1 and open v2,
     // byte-identical batch rows are no-ops, new keys insert as v1

@@ -430,6 +430,29 @@ object RelationalOps {
       .orderBy("rule")
   }
 
+  /** k threshold for [[kAnonymity]] (shared with the oracle). */
+  val KAnonK = 5L
+
+  /** k-anonymity audit — the governance companion of the PII scrub:
+    * group the table by its quasi-identifier combination (nation,
+    * market segment, $1000 balance band) and report how re-
+    * identifiable it is: total group count, groups under k, rows in
+    * those groups (the set a release would suppress or generalize),
+    * and the smallest group. One grouped aggregate + a 1-row rollup;
+    * zero small groups at large SF is a PASSING audit, recomputed by
+    * the oracle either way (the dq_audit convention).
+    */
+  def kAnonymity(customer: DataFrame, k: Long = KAnonK): DataFrame =
+    customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        min("n").as("min_group_n"))
+
   /** Offset added to source custkeys to synthesize brand-new
     * dimension keys in [[scd2CustomerMerge]]'s change batch — far
     * above any fixture key range (shared with the oracle).
