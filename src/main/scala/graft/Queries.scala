@@ -1396,6 +1396,37 @@ object Queries {
            |ORDER BY dist, entity""".stripMargin
       }),
 
+    // weighted SSSP (min-plus Bellman-Ford) over trade-multiplicity
+    // edge costs — exact longs, per-round MATERIALIZED CTEs
+    "sssp_weighted" -> QueryDef(
+      (s, d) => GraphOps.ssspWeighted(Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some {
+        def round(k: Int) =
+          s"""d$k AS MATERIALIZED (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d${k - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS node, p.dist + e.w AS dist
+             |    FROM edges e JOIN d${k - 1} p ON e.src = p.node)
+             |  GROUP BY node)""".stripMargin
+        s"""WITH trade AS MATERIALIZED (
+           |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+           |    count(DISTINCT o_orderkey) % 3 + 1 AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |edges AS MATERIALIZED (
+           |  SELECT c AS src, s AS dst, w FROM trade
+           |  UNION ALL SELECT s, c, w FROM trade),
+           |d0 AS (SELECT CAST(${GraphOps.PprSeedNode} AS BIGINT) AS node,
+           |              CAST(0 AS BIGINT) AS dist),
+           |${(1 to GraphOps.BfsMaxHops).map(round).mkString(",\n")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+           |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS entity,
+           |  dist
+           |FROM d${GraphOps.BfsMaxHops}
+           |ORDER BY dist, entity""".stripMargin
+      }),
+
     // steady-state PageRank: persisted base-graph ranks (even
     // o_orderkey orders — the house parity convention) warm-started
     // with ONE damped round over the updated graph; the oracle
@@ -2503,6 +2534,33 @@ object Queries {
               |  CAST(coalesce(sum(n) FILTER (WHERE n < ${RelationalOps.KAnonK}), 0) AS BIGINT) AS n_rows_at_risk,
               |  CAST(min(n) AS BIGINT) AS min_group_n
               |FROM g""".stripMargin)),
+
+    // snapshot diff: one full-outer join classifies every key as
+    // added/removed/changed/unchanged; the revised snapshot is
+    // derived deterministically so the oracle replays the whole diff
+    "table_diff" -> QueryDef(
+      (s, d) => RelationalOps.tableDiff(Tables.orders(s, d)),
+      Some {
+        val off = RelationalOps.Scd2InsertOffset
+        s"""WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+           |rev AS (
+           |  SELECT o_orderkey AS r_key,
+           |    CASE WHEN o_orderkey % 9 = 4 THEN round(o_totalprice + 1.0, 2)
+           |         ELSE o_totalprice END AS r_price,
+           |    o_orderstatus AS r_status
+           |  FROM base WHERE o_orderkey % 17 != 2
+           |  UNION ALL
+           |  SELECT o_orderkey + $off, o_totalprice, o_orderstatus
+           |  FROM base WHERE o_orderkey % 19 = 3),
+           |j AS (SELECT
+           |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+           |         WHEN r.r_key IS NULL THEN 'removed'
+           |         WHEN b.o_totalprice <> r.r_price OR b.o_orderstatus <> r.r_status
+           |           THEN 'changed'
+           |         ELSE 'unchanged' END AS verdict
+           |  FROM base b FULL OUTER JOIN rev r ON b.o_orderkey = r.r_key)
+           |SELECT verdict, count(*) AS n FROM j GROUP BY verdict ORDER BY verdict""".stripMargin
+      }),
 
     // SCD Type-2 dimension merge: one full-outer join on the dim key
     // + row-local version fan-out; changed rows close v1 and open v2,

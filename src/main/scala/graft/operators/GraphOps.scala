@@ -226,6 +226,45 @@ object GraphOps {
     dist.select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
   }
 
+  /** WEIGHTED single-source shortest paths — the min-plus companion
+    * of [[bfsHops]]: each trade edge carries an integer cost derived
+    * from its trade multiplicity (`1 + n_orders % 3` — deterministic,
+    * non-uniform), and [[BfsMaxHops]] Bellman-Ford rounds relax
+    * `dist = min(dist, min(dist(src) + w))` from the seed. Exact
+    * longs end to end (zero-tolerance hash). Same per-round plan as
+    * BFS — one edges⋈dist join + one min-aggregate on the node id,
+    * lineage truncated per round — except the edge subtree is the
+    * WEIGHTED trade aggregate (one groupBy(c,s) count) instead of
+    * the distinct. Bounded rounds give the ≤k-hop-cheapest-path
+    * semantics; a full fixpoint at 100 TB runs the same round to
+    * convergence with the components-style unchanged-sum test.
+    */
+  def ssspWeighted(orders: DataFrame, lineitem: DataFrame,
+                   seed: Long = PprSeedNode,
+                   rounds: Int = BfsMaxHops): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val trade = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"), (col("l_suppkey") * 2L + 1L).as("s"),
+        col("o_orderkey"))
+      .groupBy("c", "s")
+      .agg((countDistinct(col("o_orderkey")) % 3L + 1L).as("w"))
+    val edges = trade
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst"), col("w")),
+        struct(col("s").as("src"), col("c").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    var dist = Checkpoints.truncate(Seq((seed, 0L)).toDF("node", "dist"))
+    for (_ <- 1 to rounds) {
+      val next = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = Checkpoints.truncate(
+        dist.unionByName(next).groupBy("node").agg(min("dist").as("dist")))
+    }
+    dist.select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
+  }
+
   /** Warm-start rounds the incremental form runs over the updated
     * graph (vs [[PagerankIters]] cold rounds on a rebuild). */
   val PagerankWarmRounds: Int = 1

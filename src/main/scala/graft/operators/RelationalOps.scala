@@ -430,6 +430,42 @@ object RelationalOps {
       .orderBy("rule")
   }
 
+  /** Snapshot diff — the regression check run between two versions
+    * of a table before promoting one: classify every key as added /
+    * removed / changed / unchanged and report the counts. The
+    * revised snapshot is derived deterministically from the fixture
+    * (keys %17==2 dropped, %9==4 repriced, %19==3 re-keyed high as
+    * inserts), so the oracle reproduces the whole diff. ONE
+    * full-outer equi-join on the key + a 4-group aggregate; at
+    * 100 TB both snapshots shuffle once on the key (or join
+    * co-located if both are bucketed by it — the bucketed_join_agg
+    * layout), and the verdict is row-local.
+    */
+  def tableDiff(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderstatus"))
+    val kept = base.where(col("o_orderkey") % 17 =!= 2)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 9 === 4, round(col("o_totalprice") + 1.0, 2))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    val added = base.where(col("o_orderkey") % 19 === 3)
+      .select((col("o_orderkey") + Scd2InsertOffset).as("o_orderkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val rev = kept.unionByName(added)
+      .select(col("o_orderkey").as("r_key"), col("o_totalprice").as("r_price"),
+        col("o_orderstatus").as("r_status"))
+    base.join(rev, base("o_orderkey") === rev("r_key"), "full_outer")
+      .select(
+        when(col("o_orderkey").isNull, "added")
+          .when(col("r_key").isNull, "removed")
+          .when(col("o_totalprice") =!= col("r_price") ||
+            col("o_orderstatus") =!= col("r_status"), "changed")
+          .otherwise("unchanged").as("verdict"))
+      .groupBy("verdict").agg(count(lit(1)).as("n"))
+      .orderBy("verdict")
+  }
+
   /** k threshold for [[kAnonymity]] (shared with the oracle). */
   val KAnonK = 5L
 
