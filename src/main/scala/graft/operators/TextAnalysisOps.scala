@@ -570,12 +570,20 @@ object TextAnalysisOps {
       sum(size(ws).cast("long")).cast("double").as("total_tokens"),
       sum(greatest(size(ws) - 1, lit(0)).cast("long")).cast("double")
         .as("total_bigrams"))
+    // melt each surviving bigram to (pos, word) rows and join the
+    // unigram table ONCE: aliasing uni into per-position legs would
+    // break exchange canonicalization and re-tokenize the corpus per
+    // leg (measured: 3 Generates; the melt form has 2 — one per
+    // statistic). The re-assembly aggregate is bigram-vocabulary
+    // grain, never corpus grain.
     big
       .where(col("cb") >= minCount)
-      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
-      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
-      .join(uni.select(col("word").as("w1"), col("c").as("c1")), Seq("w1"))
-      .join(uni.select(col("word").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("bigram"), col("cb"),
+        posexplode(split(col("bigram"), " ")).as(Seq("pos", "word")))
+      .join(uni, Seq("word"))
+      .groupBy("bigram", "cb")
+      .agg(max(when(col("pos") === 0, col("c"))).as("c1"),
+        max(when(col("pos") === 1, col("c"))).as("c2"))
       .crossJoin(totals)
       .withColumn("pmi_raw",
         log(col("cb").cast("double") * col("total_tokens") * col("total_tokens") /
