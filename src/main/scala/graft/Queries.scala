@@ -299,6 +299,80 @@ object Queries {
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
 
+  /** Shared by the Spark run and the DuckDB oracle of
+    * `sql_recursive_series` — both engines execute this exact text
+    * (Spark 4's `WITH RECURSIVE`). Linear recursion: one calendar row
+    * per day, so the recursion depth equals the series length and the
+    * per-step frame is a single row — the iterative-union plan Spark
+    * lowers this to does one tiny batch per day. The calendar then
+    * gap-fills a pushed-down quarter of `orders` (the recursive
+    * counterpart of the `sequence()`-based `events_daily_gapfill`).
+    * Dialect notes: `date + int` adds days and `CAST(date AS STRING)`
+    * prints ISO `yyyy-MM-dd` in both engines.
+    */
+  private val recursiveSeriesSql: String =
+    """WITH RECURSIVE cal (d) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL
+      |  SELECT d + 1 FROM cal WHERE d < DATE '1995-03-31'
+      |),
+      |daily AS (
+      |  SELECT o_orderdate AS d, count(*) AS n_orders,
+      |         round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders
+      |  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '1995-03-31'
+      |  GROUP BY o_orderdate
+      |)
+      |SELECT CAST(cal.d AS STRING) AS day,
+      |       coalesce(daily.n_orders, 0) AS n_orders,
+      |       round(coalesce(daily.revenue, 0.0), 2) AS revenue
+      |FROM cal LEFT JOIN daily ON cal.d = daily.d
+      |ORDER BY day""".stripMargin
+
+  /** Shared by the Spark run and the DuckDB oracle of
+    * `sql_recursive_chain`. Every customer walks the implicit
+    * key-halving tree (`parent = floor(key / 2)`) to the root — a
+    * hierarchy roll-up (depth + descendant count + balance sum per
+    * ancestor) whose recursion is log-bounded: `depth <= log2(max
+    * key)`, so rows-per-step only ever shrinks and UNION ALL
+    * terminates without distinct-recursion support (which Spark 4.1
+    * lacks: UNION inside a recursive CTE is
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE). `floor(node / 2.0)` is
+    * used instead of integer division because `/` on integers floors
+    * in neither engine consistently (`div` vs `//` are dialect-local;
+    * float division + floor is common text).
+    */
+  private val recursiveChainSql: String =
+    """WITH RECURSIVE chain (leaf, node, depth, bal) AS (
+      |  SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer
+      |  UNION ALL
+      |  SELECT leaf, CAST(floor(node / 2.0) AS BIGINT), depth + 1, bal
+      |  FROM chain WHERE node > 1
+      |)
+      |SELECT node AS ancestor, count(*) AS n_desc, max(depth) AS max_depth,
+      |       round(sum(bal), 2) AS bal_sum
+      |FROM chain
+      |GROUP BY node
+      |HAVING count(*) >= 8
+      |ORDER BY ancestor""".stripMargin
+
+  /** The `sql_udf_pricing` SELECT — runs on Spark against two SQL
+    * scalar UDFs (`CREATE TEMPORARY FUNCTION ... RETURN expr`, the
+    * Spark 4 SQL-UDF surface); the oracle inlines the UDF bodies
+    * (DuckDB's equivalent would be CREATE MACRO — inlining keeps the
+    * oracle dialect-free). Both UDFs fold into the same codegen'd
+    * expressions as the hand-inlined q1 arithmetic: a SQL UDF is a
+    * parse-time substitution, not a black-box call.
+    */
+  private val sqlUdfSelect: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(%DISC%), 2) AS disc_rev,
+      |  round(sum(%CHARGE%), 2) AS charge_rev
+      |FROM lineitem
+      |WHERE l_shipdate <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val registry: Seq[(String, QueryDef)] = Seq(
 
     // ----- reference parity: the wordcount family ---------------------
@@ -3643,7 +3717,98 @@ object Queries {
              |  CAST(CASE WHEN h > 0 THEN coalesce(sm, 0) // (w * h) ELSE 0 END AS BIGINT) AS mean_px,
              |  CAST(coalesce(toprow, 0) AS BIGINT) AS top_row_sum
              |FROM d LEFT JOIN a USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ----- Spark-4 SQL-engine surfaces (round 13) --------------------
+    // WITH RECURSIVE through the SQL layer — shared text, both
+    // engines execute it verbatim. Linear calendar recursion (one row
+    // per step) + pushed-down quarter of orders.
+    "sql_recursive_series" -> QueryDef(
+      (s, d) => { Catalog.registerViews(s, d); s.sql(recursiveSeriesSql) },
+      Some(recursiveSeriesSql)),
+
+    // log-bounded tree roll-up. The default 1M-row recursion guard is
+    // raised because the working set is |customer| x log2(max key)
+    // rows BY CONSTRUCTION (each step strictly shrinks: rows retire
+    // at node <= 1) — ~31M rows at the 100x gate, not unbounded.
+    "sql_recursive_chain" -> QueryDef(
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.conf.set("spark.sql.cteRecursionRowLimit", "200000000")
+        s.sql(recursiveChainSql)
+      },
+      Some(recursiveChainSql)),
+
+    // SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr),
+    // including a UDF-calls-UDF body: both are parse-time inlined by
+    // Spark, so the aggregate runs the same whole-stage-codegen'd
+    // arithmetic as hand-inlined q1 — the oracle states that by
+    // textually inlining the bodies (left-associative, same op order).
+    "sql_udf_pricing" -> QueryDef(
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_rev(p DOUBLE, d DOUBLE)
+                |RETURNS DOUBLE RETURN p * (1.0 - d)""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_charge(p DOUBLE, d DOUBLE, t DOUBLE)
+                |RETURNS DOUBLE RETURN graft_disc_rev(p, d) * (1.0 + t)""".stripMargin)
+        s.sql(sqlUdfSelect
+          .replace("%DISC%", "graft_disc_rev(l_extendedprice, l_discount)")
+          .replace("%CHARGE%", "graft_charge(l_extendedprice, l_discount, l_tax)"))
+      },
+      Some(sqlUdfSelect
+        .replace("%DISC%", "l_extendedprice * (1.0 - l_discount)")
+        .replace("%CHARGE%", "(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)"))),
+
+    // SQL TABLE function (UDTF): per-brand top-3 by retail price,
+    // invoked directly with literal arguments. Deliberately NOT the
+    // LATERAL form: Spark 4.1.2 mis-decorrelates a LIMIT inside a SQL
+    // UDTF under LATERAL (the limit is applied globally, returning
+    // the first rows of the table joined to their own correlation
+    // key — reproduced on this dataset), while direct invocation
+    // plans the ordinary TopK-per-call and matches the oracle.
+    "sql_udtf_brand_top" -> QueryDef(
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_brand_top(b STRING)
+                |RETURNS TABLE (pk BIGINT, price DOUBLE)
+                |RETURN SELECT p_partkey, p_retailprice FROM part
+                |       WHERE p_brand = b
+                |       ORDER BY p_retailprice DESC, p_partkey LIMIT 3""".stripMargin)
+        s.sql("""SELECT 'Brand#11' AS brand, pk, price FROM graft_brand_top('Brand#11')
+                |UNION ALL
+                |SELECT 'Brand#22' AS brand, pk, price FROM graft_brand_top('Brand#22')
+                |UNION ALL
+                |SELECT 'Brand#33' AS brand, pk, price FROM graft_brand_top('Brand#33')
+                |ORDER BY brand, price DESC, pk""".stripMargin)
+      },
+      Some("""SELECT brand, pk, price FROM (
+             |  SELECT 'Brand#11' AS brand, p_partkey AS pk, p_retailprice AS price
+             |  FROM part WHERE p_brand = 'Brand#11'
+             |  ORDER BY p_retailprice DESC, p_partkey LIMIT 3)
+             |UNION ALL
+             |SELECT brand, pk, price FROM (
+             |  SELECT 'Brand#22' AS brand, p_partkey AS pk, p_retailprice AS price
+             |  FROM part WHERE p_brand = 'Brand#22'
+             |  ORDER BY p_retailprice DESC, p_partkey LIMIT 3)
+             |UNION ALL
+             |SELECT brand, pk, price FROM (
+             |  SELECT 'Brand#33' AS brand, p_partkey AS pk, p_retailprice AS price
+             |  FROM part WHERE p_brand = 'Brand#33'
+             |  ORDER BY p_retailprice DESC, p_partkey LIMIT 3)
+             |ORDER BY brand, price DESC, pk""".stripMargin)),
+
+    // VARIANT semi-structured path (parse_json -> variant_get): the
+    // oracle reproduces the semantics relationally (regex extraction
+    // + typed columns); n_absent pins try_variant_get's missing-path
+    // -> NULL contract (no per-row error), constant 0 on this corpus.
+    "events_variant" -> QueryDef(
+      (s, d) => EventsOps.variantProps(Tables.events(s, d)),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(regexp_extract(props, '"k"\s*:\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+             |  max(user_id) AS max_u,
+             |  round(sum(value * 2), 4) AS sum_x2,
+             |  CAST(0 AS BIGINT) AS n_absent
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   /** DuckDB recomputation of [[graft.operators.PipelineOps.cleanCorpus]]:

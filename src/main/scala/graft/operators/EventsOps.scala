@@ -140,6 +140,40 @@ object EventsOps {
       .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"))
       .orderBy("event_type")
 
+  /** VARIANT-typed semi-structured extraction — Spark 4's
+    * `parse_json` → `variant_get` path, the schema-on-read surface
+    * that replaces per-field regex/`get_json_object` walks (compare
+    * [[jsonProps]]): `props` parses ONCE to a VARIANT and every field
+    * access is a typed path over the binary encoding, so adding an
+    * extracted field costs no extra JSON parse — the property that
+    * matters when a 100 TB corpus carries wide semi-structured
+    * payloads. A second variant is built row-locally from typed
+    * columns (`to_json` → `parse_json`) to pin the typed round-trip:
+    * long, double and array-index paths all come back exactly
+    * (shortest-round-trip JSON numbers re-parse to the same IEEE
+    * value). `try_variant_get` on a missing path yields NULL rather
+    * than a per-row error — `n_absent` (constant 0) pins that.
+    */
+  def variantProps(events: DataFrame): DataFrame = {
+    val v = parse_json(col("props"))
+    val nested = parse_json(to_json(struct(
+      col("user_id").as("u"),
+      array(col("value"), col("value") * 2).as("vals"))))
+    events
+      .select(col("event_type"),
+        variant_get(v, "$.k", "bigint").as("k"),
+        variant_get(nested, "$.u", "bigint").as("u"),
+        variant_get(nested, "$.vals[1]", "double").as("x2"),
+        try_variant_get(v, "$.absent", "bigint").as("absent"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        max("u").as("max_u"),
+        round(sum("x2"), 4).as("sum_x2"),
+        count(col("absent")).as("n_absent"))
+      .orderBy("event_type")
+  }
+
   /** Exact `count(DISTINCT user_id)` per event type via two-stage
     * salted aggregation: stage 1 dedups within (type, hash-bucket),
     * stage 2 sums bucket cardinalities. Same answer as a direct
