@@ -373,6 +373,40 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Shared oracle of `cdc_apply` AND `streamed_cdc_apply`: replay
+    * the synthesized changelog ([[graft.operators.RelationalOps
+    * .cdcOps]]'s fixture convention) relationally — latest-op-per-key
+    * over the full op set, one full-outer merge against the snapshot.
+    * The streamed path must land on the exact same rows whatever its
+    * micro-batch boundaries and delivery order.
+    */
+  private lazy val cdcApplySql: String = {
+    val off = RelationalOps.CdcSeqOffset
+    s"""WITH snap AS (SELECT o_orderkey AS key, o_totalprice AS price
+       |  FROM orders WHERE o_orderkey % 10 <> 7),
+       |gen AS (SELECT o_orderkey AS k, o_totalprice AS p
+       |  FROM orders WHERE o_orderkey % 10 = 7),
+       |ops AS (
+       |  SELECT 'D' AS op, k - 1 AS key, CAST(NULL AS DOUBLE) AS new_price, k AS seq
+       |  FROM gen WHERE k % 3 = 0
+       |  UNION ALL
+       |  SELECT 'U', k - 1, round(p + 10.0, 2), k FROM gen WHERE k % 3 = 1
+       |  UNION ALL
+       |  SELECT 'I', k, p, k FROM gen WHERE k % 3 = 2
+       |  UNION ALL
+       |  SELECT 'U', k - 1, round(p + 20.0, 2), k + $off FROM gen WHERE k % 60 = 7),
+       |latest AS (SELECT op, key, new_price FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |  FROM ops) WHERE rn = 1),
+       |m AS (SELECT coalesce(s.key, l.key) AS o_orderkey,
+       |    CASE WHEN l.key IS NOT NULL THEN l.new_price ELSE s.price END AS price,
+       |    CASE WHEN l.key IS NOT NULL THEN 'cdc' ELSE 'snap' END AS src,
+       |    l.op AS op
+       |  FROM snap s FULL OUTER JOIN latest l ON s.key = l.key)
+       |SELECT o_orderkey, price, src FROM m WHERE op IS NULL OR op <> 'D'
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   val registry: Seq[(String, QueryDef)] = Seq(
 
     // ----- reference parity: the wordcount family ---------------------
@@ -3808,7 +3842,42 @@ object Queries {
              |  max(user_id) AS max_u,
              |  round(sum(value * 2), 4) AS sum_x2,
              |  CAST(0 AS BIGINT) AS n_absent
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // CDC changelog apply (lakehouse upsert/delete): snapshot +
+    // sequenced I/U/D ops -> post-apply table; latest-op-per-key via
+    // one keyed window, apply via one full-outer join on the key
+    "cdc_apply" -> QueryDef(
+      (s, d) => RelationalOps.cdcApply(Tables.orders(s, d)),
+      Some(cdcApplySql)),
+
+    // the same apply, but the changelog arrives as a checkpointed
+    // micro-batch stream folding into versioned keyed state — with
+    // the higher-sequenced wave delivered FIRST, so the seq guard
+    // (not batch order) decides every double-updated key. One oracle
+    // text gates both paths: streamed state == one-batch apply.
+    "streamed_cdc_apply" -> QueryDef(
+      (s, d) => {
+        val root = graft.streaming.EventStreams.streamedCdcLayout(s, d)
+        val stateRoot = s"$root/state"
+        val v = graft.streaming.EventStreams.latestCdcVersion(stateRoot)
+        s.read.parquet(s"$stateRoot/v$v")
+          .where(col("src") =!= "del")
+          .select(col("key").as("o_orderkey"), col("price"), col("src"))
+          .orderBy("o_orderkey")
+      },
+      Some(cdcApplySql)),
+
+    // incremental MV maintenance: persisted even-half daily rollup +
+    // odd-half batch, merged as partials; oracle = full recompute
+    // over ALL events, so a stale/double-applied MV reds the gate
+    "incremental_daily_counts" -> QueryDef(
+      (s, d) => EventsOps.incrementalDailyCounts(s, d),
+      Some("""SELECT event_type,
+             |  strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |  count(*) AS n,
+             |  round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** DuckDB recomputation of [[graft.operators.PipelineOps.cleanCorpus]]:

@@ -129,6 +129,51 @@ object EventsOps {
       .orderBy("event_type", "day")
   }
 
+  /** Daily (event_type, day) partial aggregates with EXACT integer
+    * cent sums — the mergeable shape [[incrementalDailyCounts]]
+    * persists and folds (cents, not double sums: partial-merge must
+    * be reorder-proof, and longs are).
+    */
+  private def dailyPartials(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_format(date_trunc("day", timestamp_millis(tsMs)), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("cents"))
+
+  /** Incremental materialized-view maintenance — the steady-state
+    * ETL shape: a persisted daily-rollup MV absorbs an arriving
+    * batch WITHOUT rescanning the base table. The base MV (daily
+    * partials over the even-`event_id` half, write-once fixture) is
+    * read back as parquet; refresh aggregates ONLY the odd-half
+    * batch and merges partials (counts and exact cent sums add; the
+    * groupBy is over |MV| + |batch-days| rows, never the base
+    * events). At 100 TB the MV is partitioned by day and the merge
+    * touches only the days the batch lands in — the plan here is
+    * that shape minus the partition pruning. The oracle recomputes
+    * the rollup from ALL events, so a stale or double-applied MV
+    * reds the hash gate (merge(base, batch) == full recompute is
+    * exactly the partial-aggregate contract).
+    */
+  def incrementalDailyCounts(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String): DataFrame = {
+    val dir = graft.sources.Fixtures.ensure("dailymv", sfDir,
+      Seq(s"$sfDir/events.parquet")) { path =>
+      dailyPartials(graft.Tables.events(spark, sfDir)
+        .where(col("event_id") % 2 === 0))
+        .write.mode("overwrite").parquet(path)
+    }
+    val mv = spark.read.parquet(dir)
+    val batch = dailyPartials(graft.Tables.events(spark, sfDir)
+      .where(col("event_id") % 2 === 1))
+    mv.unionByName(batch)
+      .groupBy("event_type", "day")
+      .agg(sum("n").as("n"), sum("cents").as("cents"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("cents") / 100.0, 2).as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** JSON property extraction + aggregation: average of `props.$.k`
     * per event type. The engine path uses `get_json_object`.
     */

@@ -495,6 +495,102 @@ object RelationalOps {
     */
   val Scd2InsertOffset = 1000000000L
 
+  /** Sequence offset of [[cdcApply]]'s second-wave updates: any
+    * wave-2 op outranks every wave-1 op (shared with the oracle).
+    */
+  val CdcSeqOffset = 1000000000L
+
+  /** CDC changelog apply — the lakehouse upsert/delete surface (the
+    * Debezium-feed / Delta-MERGE shape): a snapshot table plus a
+    * sequenced changelog of INSERT / UPDATE / DELETE ops collapse to
+    * the post-apply table. Latest-op-per-key wins (`row_number` over
+    * seq DESC — one shuffle on the target key, partition size
+    * bounded by ops-per-key); the apply itself is ONE join of
+    * snapshot and collapsed ops on the key — U on an absent key
+    * upserts, I on a present key replaces, D removes. Both shuffles
+    * hash on the same key, and at fixture scale AQE broadcasts the
+    * collapsed-ops side (a changelog is normally << the snapshot).
+    *
+    * Fixture convention (deterministic, oracle-shared): orders with
+    * `o_orderkey % 10 == 7` GENERATE the changelog instead of
+    * entering the snapshot — one primary op each (kind decided by
+    * `k % 3`: D/U target the neighbouring key `k-1`, I inserts `k`
+    * itself), plus a second, later-sequenced UPDATE for
+    * `k % 60 == 7` so some keys carry two competing ops and
+    * latest-wins is actually exercised. TPC-H orderkeys are sparse,
+    * so some U targets miss the snapshot — exercising the upsert
+    * path too.
+    */
+  /** The CDC snapshot side: keyed state rows carrying the sequence
+    * they were last written at (`applied_seq = -1` for initial-load
+    * rows, so every real op outranks them).
+    */
+  def cdcSnapshot(orders: DataFrame): DataFrame =
+    orders.where(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"),
+        lit("snap").as("src"), lit(-1L).as("applied_seq"))
+
+  /** The synthesized changelog (see [[cdcApply]] for the fixture
+    * convention). One generator pass: conditional op array -> filter
+    * nulls -> explode (no per-op-kind re-scan of the source).
+    */
+  def cdcOps(orders: DataFrame): DataFrame = {
+    val gen = orders.where(col("o_orderkey") % 10 === 7)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val primary = when(col("k") % 3 === 0,
+        struct(lit("D").as("op"), (col("k") - 1).as("key"),
+          lit(null).cast("double").as("new_price"), col("k").as("seq")))
+      .when(col("k") % 3 === 1,
+        struct(lit("U").as("op"), (col("k") - 1).as("key"),
+          round(col("p") + 10.0, 2).as("new_price"), col("k").as("seq")))
+      .otherwise(
+        struct(lit("I").as("op"), col("k").as("key"),
+          col("p").as("new_price"), col("k").as("seq")))
+    val second = when(col("k") % 60 === 7,
+      struct(lit("U").as("op"), (col("k") - 1).as("key"),
+        round(col("p") + 20.0, 2).as("new_price"),
+        (col("k") + CdcSeqOffset).as("seq")))
+    gen
+      .select(explode(filter(array(primary, second), _.isNotNull)).as("o"))
+      .select(col("o.op").as("op"), col("o.key").as("key"),
+        col("o.new_price").as("new_price"), col("o.seq").as("seq"))
+  }
+
+  /** One fold of a sequenced op batch into keyed CDC state. Within
+    * the batch, latest-op-per-key wins (`row_number` over seq DESC,
+    * one shuffle on the key); across folds, an op only lands if its
+    * seq outranks the row's `applied_seq` — so batches may arrive
+    * OUT OF ORDER and fold(fold(S, b2), b1) still equals
+    * fold(S, b1 ∪ b2). Deletes become TOMBSTONES (`src = 'del'`,
+    * price NULL) rather than dropped rows: a dropped row would let a
+    * stale lower-seq op resurrect the key in a later fold. Readers
+    * filter `src != 'del'`; production state would compact
+    * tombstones once the changelog horizon passes them.
+    */
+  def cdcFold(state: DataFrame, ops: DataFrame): DataFrame = {
+    val w = Window.partitionBy("key").orderBy(col("seq").desc)
+    val latest = ops.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    val takeOp = col("op").isNotNull &&
+      (col("applied_seq").isNull || col("seq") > col("applied_seq"))
+    state.join(latest, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(takeOp, when(col("op") === "D", lit(null).cast("double"))
+          .otherwise(col("new_price"))).otherwise(col("price")).as("price"),
+        when(takeOp, when(col("op") === "D", lit("del"))
+          .otherwise(lit("cdc"))).otherwise(col("src")).as("src"),
+        when(takeOp, col("seq")).otherwise(col("applied_seq")).as("applied_seq"))
+  }
+
+  /** Post-apply table: fold the whole changelog in one batch, drop
+    * tombstones, present the merged rows.
+    */
+  def cdcApply(orders: DataFrame): DataFrame =
+    cdcFold(cdcSnapshot(orders), cdcOps(orders))
+      .where(col("src") =!= "del")
+      .select(col("key").as("o_orderkey"), col("price"), col("src"))
+      .orderBy("o_orderkey")
+
   /** SCD Type-2 dimension merge (the warehouse MERGE surface): apply
     * a change batch to the customer dimension, producing the
     * versioned history — matched-and-changed rows close their

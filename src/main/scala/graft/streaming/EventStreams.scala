@@ -439,6 +439,105 @@ object EventStreams {
       ()
     }
 
+  /** STREAMED CDC apply: each micro-batch of changelog ops folds
+    * into versioned keyed state via
+    * [[graft.operators.RelationalOps.cdcFold]] inside `foreachBatch`
+    * — the streaming MERGE sink. Each fold reads the latest state
+    * version and writes the next (`v0, v1, ...` — the write-ahead
+    * version chain a table format would keep), so a fold never
+    * overwrites the files it is reading. Because `cdcFold` is
+    * seq-guarded, micro-batches may deliver ops OUT OF ORDER across
+    * batches and the final state still equals the one-batch apply —
+    * the layout below delivers them newest-first on purpose.
+    */
+  def ingestCdcFoldStream(opsStream: DataFrame, stateRoot: String,
+                          checkpointDir: String,
+                          availableNow: Boolean = false): StreamingQuery = {
+    val writer = opsStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val cur = latestCdcVersion(stateRoot)
+        val state = spark.read.parquet(s"$stateRoot/v$cur")
+        graft.operators.RelationalOps.cdcFold(state, batch.toDF())
+          .write.mode("overwrite").parquet(s"$stateRoot/v${cur + 1}")
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
+      .start()
+  }
+
+  /** Highest committed state version under `stateRoot` (a committed
+    * version has Spark's `_SUCCESS`; an interrupted fold's partial
+    * dir is skipped and overwritten by the retry).
+    */
+  def latestCdcVersion(stateRoot: String): Long =
+    Option(new java.io.File(stateRoot).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.drop(1).toLong)
+      .max
+
+  /** Write-once STREAMED CDC layout: state v0 = the initial
+    * snapshot; the changelog then arrives as a REAL checkpointed
+    * micro-batch stream in TWO files with the SECOND wave's
+    * higher-sequenced updates delivered FIRST (explicit mtimes,
+    * maxFilesPerTrigger=1 — the file source batches oldest-mtime
+    * first). The wave-1 ops that arrive second must then LOSE on the
+    * double-updated keys (seq guard), while their D/I ops still
+    * land — out-of-order cross-batch delivery under the hash gate,
+    * not just multi-batch composition. The registry's
+    * `streamed_cdc_apply` reads the final version against the SAME
+    * oracle as the batch `cdc_apply`.
+    */
+  def streamedCdcLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("streamcdc", sfDir,
+      Seq(s"$sfDir/orders.parquet")) { path =>
+      import org.apache.spark.sql.functions.col
+      import graft.operators.RelationalOps
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.createDirectories(root)
+      val orders = graft.Tables.orders(spark, sfDir)
+      val state = root.resolve("state")
+      RelationalOps.cdcSnapshot(orders)
+        .write.parquet(state.resolve("v0").toString)
+      val srcDir = root.resolve("_src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val ops = RelationalOps.cdcOps(orders)
+      def writeWave(df: org.apache.spark.sql.DataFrame, name: String,
+                    mtimeMs: Long): Unit = {
+        val tmp = root.resolve(s"_tmp_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val dst = srcDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val t0 = System.currentTimeMillis() - 600000L
+      writeWave(ops.where(col("seq") >= RelationalOps.CdcSeqOffset), "wave2", t0)
+      writeWave(ops.where(col("seq") < RelationalOps.CdcSeqOffset), "wave1", t0 + 60000L)
+      val arriving = readDocumentsStream(spark, srcDir.toString)
+      val q = ingestCdcFoldStream(arriving, state.toString,
+        s"$path/_checkpoint", availableNow = true)
+      try q.awaitTermination() finally q.stop()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
+
   /** Stream-stream interval self-join: each purchase joined to the
     * same user's clicks within the preceding `intervalMinutes` — the
     * watermarked join whose state store holds only rows inside the
