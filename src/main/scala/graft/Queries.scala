@@ -3877,8 +3877,59 @@ object Queries {
              |  strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
              |  count(*) AS n,
              |  round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // 2-D strict-dominance pareto frontier via the distributed
+    // prefix-min scan (ScanOps): per-x min, range-partitioned scan
+    // stitched by a constant-size per-partition summary — no
+    // all-pairs join, no single-partition window. The oracle states
+    // the same per-x + exclusive-prefix-min semantics with a window
+    // (fine at oracle scale; the engine side must not plan that).
+    "part_skyline" -> QueryDef(
+      (s, d) => ScanOps.partSkyline(Tables.part(s, d)),
+      Some("""WITH t AS (SELECT p_partkey, p_brand, p_retailprice,
+             |    CAST(p_size AS BIGINT) AS p_size,
+             |    -CAST(p_size AS DOUBLE) AS negsize FROM part),
+             |a AS (SELECT p_retailprice AS x, min(negsize) AS ymin FROM t GROUP BY 1),
+             |s AS (SELECT x, ymin, min(ymin) OVER (ORDER BY x
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior FROM a),
+             |k AS (SELECT x, ymin FROM s WHERE prior IS NULL OR ymin < prior)
+             |SELECT t.p_partkey, t.p_brand, t.p_retailprice, t.p_size
+             |FROM t JOIN k ON t.p_retailprice = k.x AND t.negsize = k.ymin
+             |ORDER BY t.p_retailprice, t.p_partkey""".stripMargin)),
+
+    // Johnson–Lindenstrauss sparse ±1 projection, row-local unrolled
+    // sums; the oracle regenerates the SAME deterministic matrix and
+    // op order from SimilarityOps.jlWeight
+    "embedding_projection" -> QueryDef(
+      (s, d) => SimilarityOps.embeddingProjection(Tables.embeddings(s, d)),
+      Some(jlProjectionSql()))
   )
+
+  /** DuckDB mirror of [[graft.operators.SimilarityOps
+    * .embeddingProjection]]: the same Achlioptas matrix
+    * (SimilarityOps.jlWeight — shared code, not a copied table), the
+    * same ascending-j left-associative summation (`a - b + c` parses
+    * left-assoc, and IEEE `a + (-b)` == `a - b`), the same scale
+    * constant (Scala's shortest-round-trip Double print re-parses to
+    * the identical double in DuckDB).
+    */
+  private def jlProjectionSql(dims: Int = 64): String = {
+    import graft.operators.SimilarityOps.{jlWeight, JlOutDims}
+    val scale = math.sqrt(3.0 / JlOutDims)
+    val cols = (0 until JlOutDims).map { k =>
+      val terms = (0 until dims).flatMap { j =>
+        jlWeight(j, k) match {
+          case 1  => Some(s"+ embedding[${j + 1}]::DOUBLE")
+          case -1 => Some(s"- embedding[${j + 1}]::DOUBLE")
+          case _  => None
+        }
+      }
+      val e = terms.mkString(" ").stripPrefix("+ ")
+      s"round(($e) * $scale, 4) AS p$k"
+    }
+    s"SELECT vec_id, ${cols.mkString(",\n  ")}\nFROM embeddings ORDER BY vec_id"
+  }
 
   /** DuckDB recomputation of [[graft.operators.PipelineOps.cleanCorpus]]:
     * token/punct quality gate, stopword-profile language agreement

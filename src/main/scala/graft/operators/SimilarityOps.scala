@@ -31,6 +31,49 @@ import graft.functions.VectorFunctions
   */
 object SimilarityOps {
 
+  /** Output dimensionality of [[embeddingProjection]]. */
+  val JlOutDims = 8
+
+  /** Achlioptas sparse random-projection weight for (input dim `j`,
+    * output dim `k`): +1 / -1 / 0 with density 1/3 (Achlioptas 2003,
+    * "Database-friendly random projections") — drawn from a
+    * DETERMINISTIC hash of the coordinate pair so the Spark plan and
+    * the DuckDB oracle use byte-identical matrices. Integer weights
+    * keep every product exact: the only rounding in the pipeline is
+    * the final scale-and-round.
+    */
+  def jlWeight(j: Int, k: Int): Int = (19 * j + 7 * k) % 6 match {
+    case 0 => 1
+    case 1 => -1
+    case _ => 0
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction: project the
+    * 64-dim embedding column onto [[JlOutDims]] sparse ±1 directions.
+    * Entirely ROW-LOCAL — the projection is an unrolled
+    * constant-folded sum per output dim (no UDF, no shuffle; whole
+    * stage codegen keeps it in one pass over the scan), which is the
+    * 100 TB shape: dim-reduction before an ANN index is a map-only
+    * stage. Summation is left-associative in ascending j on both
+    * engines, so doubles match bit-for-bit before the final round.
+    */
+  def embeddingProjection(embeddings: org.apache.spark.sql.DataFrame,
+                          dims: Int = 64): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scale = math.sqrt(3.0 / JlOutDims)
+    val projCols = (0 until JlOutDims).map { k =>
+      val terms = (0 until dims).flatMap { j =>
+        jlWeight(j, k) match {
+          case 1  => Some(element_at(col("embedding"), j + 1).cast("double"))
+          case -1 => Some(-element_at(col("embedding"), j + 1).cast("double"))
+          case _  => None
+        }
+      }
+      round(terms.reduceLeft(_ + _) * scale, 4).as(s"p$k")
+    }
+    embeddings.select((col("vec_id") +: projCols): _*).orderBy("vec_id")
+  }
+
   /** MMR candidate-pool size (constant, corpus-size independent). */
   val MmrCandK = 50
   /** MMR result size and relevance/diversity balance (exact 0.5 —
