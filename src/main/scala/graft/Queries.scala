@@ -2489,6 +2489,20 @@ object Queries {
       },
       Some(streamedSessionsOracle)),
 
+    // the SAME session state machine on Spark 4's transformWithState
+    // (StatefulProcessor + named ValueState + explicit event-time
+    // timers, RocksDB store) — gated by the SAME oracle text as
+    // streamed_sessions: two stateful-operator generations, one
+    // pinned semantics
+    "streamed_sessions_tws" -> QueryDef(
+      (s, d) => {
+        val dir = graft.streaming.EventStreams.streamedSessionTwsLayout(s, d)
+        s.read.parquet(dir)
+          .select("user_id", "session_start_ms", "n_events", "span_ms")
+          .orderBy("user_id", "session_start_ms")
+      },
+      Some(streamedSessionsOracle)),
+
     // dynamic partition pruning: the day set comes from a runtime
     // dim aggregate (days with a high-value purchase), so the fact
     // scan prunes via a dynamicpruning subquery instead of a literal
@@ -3878,6 +3892,51 @@ object Queries {
              |  count(*) AS n,
              |  round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // parameterized SQL (named parameter markers): the statement is
+    // compiled with :lo/:hi placeholders and literal ARGUMENTS bound
+    // at execution — the injection-safe programmatic SQL surface.
+    // The oracle inlines the same literals.
+    "sql_param_markers" -> QueryDef(
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS revenue
+            |FROM orders
+            |WHERE o_orderdate >= :lo AND o_orderdate < :hi
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+          Map("lo" -> java.time.LocalDate.parse("1996-01-01"),
+            "hi" -> java.time.LocalDate.parse("1997-01-01")))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders
+             |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // SQL session variables (DECLARE / SET VAR) + the IDENTIFIER()
+    // clause resolving a table name from a variable — the scripting
+    // surface. The oracle inlines both the threshold and the name.
+    "sql_session_vars" -> QueryDef(
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.sql("DECLARE OR REPLACE VARIABLE graft_min_bal DOUBLE")
+        s.sql("SET VAR graft_min_bal = 9000.0")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_tbl STRING")
+        s.sql("SET VAR graft_tbl = 'customer'")
+        s.sql(
+          """SELECT c_mktsegment, count(*) AS n_rich,
+            |  round(avg(c_acctbal), 4) AS avg_bal
+            |FROM IDENTIFIER(graft_tbl)
+            |WHERE c_acctbal >= graft_min_bal
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_rich,
+             |  round(avg(c_acctbal), 4) AS avg_bal
+             |FROM customer
+             |WHERE c_acctbal >= 9000.0
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     // 2-D strict-dominance pareto frontier via the distributed
     // prefix-min scan (ScanOps): per-x min, range-partitioned scan

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming variants of the events analytics: the same
@@ -905,6 +905,132 @@ object EventStreams {
     * timeout cuts. Keyed state under checkpoint restart is thereby
     * hash-gated end to end.
     */
+  /** [[sessionizeEventTime]]'s state machine on Spark 4's
+    * `transformWithState` operator (the StatefulProcessor API that
+    * supersedes `flatMapGroupsWithState`): explicit named
+    * `ValueState` plus EXPLICIT event-time timers — each update
+    * deletes the previous `last + gap` timer and arms the new one,
+    * and an expired timer only flushes if it still matches the live
+    * state (a stale timer that raced an in-batch update is ignored).
+    * Runs on the RocksDB state store (the operator requires it; also
+    * the right store for 100 TB keyed state — changelog-checkpointed,
+    * not heap-bound). Output contract is IDENTICAL to
+    * [[sessionizeEventTime]]: `streamed_sessions_tws` is gated by the
+    * same oracle text as `streamed_sessions`.
+    */
+  class SessionStatefulProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessionInputEt, SessionOut] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionInputEt],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val out = Seq.newBuilder[SessionOut]
+      var st = if (state.exists()) state.get() else null
+      for (r <- rows.toSeq.sortBy(_.ms)) {
+        if (st == null) {
+          st = SessionState(r.ms, r.ms, 1L)
+        } else if (r.ms - st.lastMs > gapMs) {
+          out += SessionOut(key, st.sessionStartMs, st.nEvents,
+            st.lastMs - st.sessionStartMs)
+          getHandle.deleteTimer(st.lastMs + gapMs)
+          st = SessionState(r.ms, r.ms, 1L)
+        } else {
+          getHandle.deleteTimer(st.lastMs + gapMs)
+          st = SessionState(st.sessionStartMs, r.ms, st.nEvents + 1L)
+        }
+      }
+      if (st != null) {
+        state.update(st)
+        getHandle.registerTimer(st.lastMs + gapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (state.exists()) {
+        val st = state.get()
+        if (expired.getExpiryTimeInMs() >= st.lastMs + gapMs) {
+          state.clear()
+          return Iterator.single(SessionOut(key, st.sessionStartMs,
+            st.nEvents, st.lastMs - st.sessionStartMs))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** [[sessionizeEventTime]] re-expressed on `transformWithState`. */
+  def sessionizeTws(events: DataFrame, gapMinutes: Int = 30,
+                    watermark: String = WatermarkDelay): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withColumn("event_time", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("event_time", watermark)
+      .withColumn("ms", expr("ts div 1000000"))
+      .select(col("user_id"), col("ms"), col("event_time"))
+      .as[SessionInputEt]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionStatefulProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Write-once layout for `streamed_sessions_tws`: the SAME
+    * two-phase staged replay as [[streamedSessionLayout]], with the
+    * RocksDB state store provider pinned for the run
+    * (`transformWithState` requires it; the conf is restored after).
+    */
+  def streamedSessionTwsLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("sessiontws", sfDir,
+      Seq(s"$sfDir/events.parquet")) { path =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val srcDir = root.resolve("_src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = graft.Tables.events(spark, sfDir)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def run(): Unit = {
+          val q = sessionizeTws(readEventsStream(spark, srcDir.toString))
+            .toDF()
+            .writeStream
+            .format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", s"$path/_checkpoint")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) =!= 0),
+          srcDir.resolve("phase1.parquet"))
+        run()
+        stageSingleParquet(ev.where(pmod(col("event_id"), lit(5)) === 0),
+          srcDir.resolve("phase2.parquet"))
+        run()
+      } finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
+
   def streamedSessionLayout(spark: SparkSession, sfDir: String): String =
     graft.sources.Fixtures.ensure("sessionsink", sfDir,
       Seq(s"$sfDir/events.parquet")) { path =>
