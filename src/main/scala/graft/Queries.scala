@@ -3893,6 +3893,44 @@ object Queries {
              |  round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // EWMA: seed-at-first-observation exponential smoothing as a
+    // LEFT FOLD over an ordered window collect_list (recurrences
+    // aren't window sums); list size capped by the calendar, both
+    // engines fold the identical sequence -> bit-equal doubles.
+    // DuckDB list_reduce's first-element-accumulator convention IS
+    // the EWMA seed.
+    "events_ewma" -> QueryDef(
+      (s, d) => EventsOps.ewmaDaily(Tables.events(s, d)),
+      Some("""WITH daily AS (SELECT event_type,
+             |    strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS x
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT event_type, day, x,
+             |    list(x) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+             |  FROM daily)
+             |SELECT event_type, day, round(x, 2) AS sum_value,
+             |  round(list_reduce(xs, (acc, v) -> acc * 0.75 + v * 0.25), 4) AS ewma
+             |FROM l ORDER BY event_type, day""".stripMargin)),
+
+    // robust outliers: median/MAD over exact integer cents (exact
+    // percentile buffers bounded by the distinct-cents domain; the
+    // even-count midpoint is exact binary, so counts carry zero
+    // tolerance)
+    "events_mad_outliers" -> QueryDef(
+      (s, d) => EventsOps.madOutliers(Tables.events(s, d)),
+      Some("""WITH c AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+             |m AS (SELECT event_type, median(c) AS med FROM c GROUP BY 1),
+             |d AS (SELECT c.event_type, c.c, m.med, abs(c.c - m.med) AS adev
+             |      FROM c JOIN m USING (event_type)),
+             |md AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
+             |SELECT d.event_type, count(*) AS n,
+             |  min(d.med) / 100.0 AS median_value,
+             |  min(md.mad) / 100.0 AS mad_value,
+             |  CAST(sum(CASE WHEN d.adev > md.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN md USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
+
     // parameterized SQL (named parameter markers): the statement is
     // compiled with :lo/:hi placeholders and literal ARGUMENTS bound
     // at execution — the injection-safe programmatic SQL surface.

@@ -174,6 +174,68 @@ object EventsOps {
       .orderBy("event_type", "day")
   }
 
+  /** Exponentially weighted moving average over the per-(type, day)
+    * daily value series — the time-series smoother whose recurrence
+    * (`ewma_t = (1-α)·ewma_{t-1} + α·x_t`, seeded at the first
+    * observation) makes it inexpressible as a plain window SUM. The
+    * fold runs over an ORDERED window `collect_list` (frame rows
+    * arrive in day order) via `aggregate()` — a bounded structure:
+    * the list is |days-so-far| per row over the |types|×|days|
+    * ROLLUP, never over raw events, so the quadratic prefix cost is
+    * capped by the calendar, not the data. α = 0.25 exactly (binary
+    * quarter) and the inputs are exact cents/100.0 — both engines
+    * execute the identical left fold, so doubles match bit-for-bit
+    * before the display round. The DuckDB mirror is `list_reduce`,
+    * whose first-element-as-accumulator convention IS the
+    * seed-at-first-observation EWMA.
+    */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", date_format(date_trunc("day", timestamp_millis(tsMs)), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg((sum(floor(col("value") * 100.0 + 0.5).cast("long")) / 100.0).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("xs", collect_list(col("x")).over(w))
+      .select(col("event_type"), col("day"), round(col("x"), 2).as("sum_value"),
+        round(expr(
+          "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), (acc, v) -> acc * 0.75 + v * 0.25)"),
+          4).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Robust outlier counts per event type: median / MAD (median
+    * absolute deviation) over exact integer cents, flagging events
+    * beyond `3 × MAD`. Exact `percentile(0.5)` is used on BOTH
+    * aggregation levels — its buffer is bounded by the DISTINCT cent
+    * values per type (a price-like domain, not data volume), which
+    * is the documented condition for exact medians at scale; an
+    * unbounded-domain deployment would swap in a quantile sketch
+    * (`lineitem_hist_quantiles` is that surface). The interpolated
+    * even-count midpoint is exact in binary (`x.0` or `x.5`), so
+    * every comparison and the final counts are reproducible
+    * cross-engine with zero tolerance.
+    */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val cents = events.select(col("event_type"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+    val med = cents.groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    val dev = cents.join(med, Seq("event_type"))
+      .select(col("event_type"), col("c"), col("med"),
+        abs(col("c") - col("med")).as("adev"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("med") / 100.0).as("median_value"),
+        min(col("mad") / 100.0).as("mad_value"),
+        sum(when(col("adev") > col("mad") * 3.0, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** JSON property extraction + aggregation: average of `props.$.k`
     * per event type. The engine path uses `get_json_object`.
     */

@@ -35,17 +35,26 @@ object SimilarityOps {
   val JlOutDims = 8
 
   /** Achlioptas sparse random-projection weight for (input dim `j`,
-    * output dim `k`): +1 / -1 / 0 with density 1/3 (Achlioptas 2003,
-    * "Database-friendly random projections") — drawn from a
-    * DETERMINISTIC hash of the coordinate pair so the Spark plan and
-    * the DuckDB oracle use byte-identical matrices. Integer weights
+    * output dim `k`): +1 / -1 / 0 with probabilities 1/6, 1/6, 2/3
+    * (Achlioptas 2003, "Database-friendly random projections") —
+    * drawn from a DETERMINISTIC splitmix-style mix of the coordinate
+    * pair, so the Spark plan and the DuckDB oracle use
+    * byte-identical matrices (the oracle SQL is GENERATED from this
+    * same function — the formula never crosses engines, only the
+    * realized ±1 terms do). A mixing hash matters: a linear
+    * `(a·j + b·k) mod 6` is periodic in k, which silently collapses
+    * output dims k and k+6 to the SAME direction. Integer weights
     * keep every product exact: the only rounding in the pipeline is
     * the final scale-and-round.
     */
-  def jlWeight(j: Int, k: Int): Int = (19 * j + 7 * k) % 6 match {
-    case 0 => 1
-    case 1 => -1
-    case _ => 0
+  def jlWeight(j: Int, k: Int): Int = {
+    var h = j.toLong * 2654435761L + k.toLong * 976686449L + 0x9E3779B97F4A7CL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    java.lang.Math.floorMod(h, 6L) match {
+      case 0L => 1
+      case 1L => -1
+      case _  => 0
+    }
   }
 
   /** Johnson–Lindenstrauss dimensionality reduction: project the
