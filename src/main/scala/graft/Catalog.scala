@@ -12,6 +12,7 @@ object Catalog {
     graft.functions.NativeText.register(spark)
     graft.functions.VectorFunctions.register(spark)
     graft.functions.SketchFunctions.register(spark)
+    graft.functions.AggregatorFunctions.register(spark)
     // events needs the nanos-as-long read conf BEFORE its footer is
     // read — go through Tables.events, never the generic loader
     Tables.events(spark, sfDir).createOrReplaceTempView("events")

@@ -3893,6 +3893,48 @@ object Queries {
              |  round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // dynamic partition overwrite: one day restated in place; the
+    // oracle checks BOTH directions (delta on the restated day,
+    // byte-identity everywhere else), so a static-mode truncation or
+    // a double restatement reds the gate
+    "dynamic_overwrite_daily" -> QueryDef(
+      (s, d) => graft.sources.Partitioning.eventsRestatedDaily(s, d),
+      Some {
+        val day = graft.sources.Partitioning.RestateDay
+        val delta = graft.sources.Partitioning.RestateDelta
+        s"""WITH e AS (SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day, value FROM events),
+           |r AS (SELECT day, CASE WHEN day = '$day' THEN value + $delta ELSE value END AS value FROM e)
+           |SELECT day, count(*) AS n,
+           |  round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
+           |FROM r GROUP BY day ORDER BY day""".stripMargin
+      }),
+
+    // mergeSchema over two file generations (additive column +
+    // partition column): old files null-fill the new column; the
+    // oracle re-derives generation membership from key parity
+    "schema_evolution_scan" -> QueryDef(
+      (s, d) => graft.sources.Partitioning.schemaEvolutionScan(s, d),
+      Some("""WITH t AS (SELECT o_orderkey, o_totalprice,
+             |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status_raw,
+             |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen FROM orders)
+             |SELECT CAST(gen AS BIGINT) AS gen,
+             |  coalesce(status_raw, 'LEGACY') AS status, count(*) AS n,
+             |  round(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // typed Aggregator UDAF (the public custom-aggregate API, next
+    // to the sketches' TypedImperativeAggregate): geometric mean in
+    // log space, constant two-double buffer, partial-agg mergeable
+    "events_geomean_udaf" -> QueryDef(
+      (s, d) => {
+        graft.functions.AggregatorFunctions.register(s)
+        EventsOps.geoMeanByType(Tables.events(s, d))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(exp(avg(ln(value))), 4) AS geomean
+             |FROM events WHERE value > 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // EWMA: seed-at-first-observation exponential smoothing as a
     // LEFT FOLD over an ordered window collect_list (recurrences
     // aren't window sums); list size capped by the calendar, both

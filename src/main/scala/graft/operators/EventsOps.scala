@@ -174,6 +174,20 @@ object EventsOps {
       .orderBy("event_type", "day")
   }
 
+  /** Per-type geometric mean of positive values through the
+    * registered [[graft.functions.AggregatorFunctions.GeoMean]]
+    * typed-Aggregator UDAF (register it on the session first). The
+    * WHERE mirrors the aggregator's positive-only reduce so `n`
+    * counts exactly the aggregated rows.
+    */
+  def geoMeanByType(events: DataFrame): DataFrame =
+    events.where(col("value") > 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(call_udf(graft.functions.AggregatorFunctions.GeoMeanName,
+          col("value")), 4).as("geomean"))
+      .orderBy("event_type")
+
   /** Exponentially weighted moving average over the per-(type, day)
     * daily value series — the time-series smoother whose recurrence
     * (`ewma_t = (1-α)·ewma_{t-1} + α·x_t`, seeded at the first

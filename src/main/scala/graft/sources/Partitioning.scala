@@ -92,4 +92,108 @@ object Partitioning {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("day")
   }
+
+  /** The day [[eventsDayRestated]] overwrites, and the additive
+    * restatement applied to its rows (additive so no new decimal
+    * digits appear — the cross-engine round convention).
+    */
+  val RestateDay = "2024-01-05"
+  val RestateDelta = 1000.0
+
+  /** DYNAMIC partition overwrite — the lake restatement surface: the
+    * full events table lands date-partitioned, then ONE day's rows
+    * are rewritten (value + [[RestateDelta]]) with
+    * `partitionOverwriteMode=dynamic`, which replaces only the
+    * partition directories the write touches. Under STATIC mode (the
+    * default) the same overwrite would TRUNCATE the whole table down
+    * to that one day — the oracle sees all 30 days with exactly one
+    * restated, so a mode regression reds the gate on row count, not
+    * just values. At 100 TB this is how a bad day is re-ingested
+    * without rewriting the month.
+    */
+  def eventsDayRestated(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Fixtures.ensure("events_restated", sfDir,
+      Seq(s"$sfDir/events.parquet")) { p =>
+      val withDay = graft.Tables.events(spark, sfDir)
+        .withColumn("day",
+          date_format(date_trunc("day", timestamp_millis(expr("ts div 1000000"))), "yyyy-MM-dd"))
+      withDay.write.mode("overwrite").partitionBy("day").parquet(p)
+      // drop the base write's completion marker so a crash during the
+      // restatement can't leave a complete-looking half-built fixture;
+      // the dynamic write recommits _SUCCESS at the root when it lands
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(p, "_SUCCESS"))
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(modeKey)
+      spark.conf.set(modeKey, "dynamic")
+      try
+        withDay.where(col("day") === RestateDay)
+          .withColumn("value", col("value") + RestateDelta)
+          .write.mode("overwrite").partitionBy("day").parquet(p)
+      finally prev match {
+        case Some(v) => spark.conf.set(modeKey, v)
+        case None    => spark.conf.unset(modeKey)
+      }
+      // partitioned writes leave _SUCCESS at the root already; the
+      // second (dynamic) write refreshed it, nothing more to mark
+    }
+    val schema = graft.Tables.events(spark, sfDir).schema
+      .add("day", org.apache.spark.sql.types.StringType)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** Daily rollup over the restated layout (exact cents). The oracle
+    * recomputes from the ORIGINAL events with the restatement applied
+    * relationally, so it checks both directions: the restated day
+    * carries the delta, and every other day is byte-identical (a
+    * static-mode truncation or a double restatement both red it).
+    */
+  def eventsRestatedDaily(spark: SparkSession, sfDir: String): DataFrame =
+    eventsDayRestated(spark, sfDir)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100.0 + 0.5).cast("long")) / 100.0).as("sum_value"))
+      .select(col("day"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("day")
+
+  /** Schema-evolution read (`mergeSchema`): generation-1 files carry
+    * `(o_orderkey, o_totalprice)`, generation-2 files add
+    * `o_orderstatus` — the additive-column migration every long-lived
+    * dataset goes through. The merged scan unions the footers'
+    * schemas and null-fills the missing column on old files; `gen`
+    * itself is a partition column. At 100 TB schema evolution must
+    * be a METADATA property of the scan (per-footer reconciliation),
+    * never a rewrite of the old files — this is that read path.
+    */
+  def schemaEvolvedOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Fixtures.ensure("orders_evolved", sfDir,
+      Seq(s"$sfDir/orders.parquet")) { p =>
+      Fixtures.cleanBuild(p, Seq("_SUCCESS")) {
+        val o = graft.Tables.orders(spark, sfDir)
+        o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.parquet(s"$p/gen=1")
+        o.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.parquet(s"$p/gen=2")
+      }
+    }
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", path).parquet(s"$path/gen=1", s"$path/gen=2")
+  }
+
+  /** Aggregate over the evolved table: legacy rows surface with the
+    * null-filled column mapped to 'LEGACY'. The oracle re-derives
+    * generation membership from the key parity, so a merge that
+    * dropped either generation's column or rows reds the gate.
+    */
+  def schemaEvolutionScan(spark: SparkSession, sfDir: String): DataFrame =
+    schemaEvolvedOrders(spark, sfDir)
+      .groupBy(col("gen"),
+        coalesce(col("o_orderstatus"), lit("LEGACY")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")) / 100.0).as("revenue"))
+      .select(col("gen").cast("long").as("gen"), col("status"), col("n"),
+        round(col("revenue"), 2).as("revenue"))
+      .orderBy("gen", "status")
 }
