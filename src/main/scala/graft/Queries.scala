@@ -3893,6 +3893,52 @@ object Queries {
              |  round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // null-safe equality join (<=>): NULL keys match each other —
+    // the semantics plain = can never express (its NULL comparisons
+    // drop rows). Keys are nulled deterministically; the oracle is
+    // IS NOT DISTINCT FROM. The null bucket is a genuine skew key at
+    // scale — counted here so a silent null-dropping regression or a
+    // null-key explosion both move the gated numbers.
+    "join_null_safe" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{coalesce, count, when => swhen}
+        val o = Tables.orders(s, d)
+        val a = o.where(col("o_orderkey") % 4 === 0)
+          .select(swhen(col("o_orderkey") % 20 === 0, lit(null))
+            .otherwise(col("o_custkey") % 50).as("ka"))
+        val b = o.where(col("o_orderkey") % 4 === 2)
+          .select(swhen(col("o_orderkey") % 20 === 2, lit(null))
+            .otherwise(col("o_custkey") % 50).as("kb"))
+        a.join(b, col("ka") <=> col("kb"))
+          .groupBy(coalesce(col("ka"), lit(-1L)).as("k"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("k")
+      },
+      Some("""WITH a AS (SELECT CASE WHEN o_orderkey % 20 = 0 THEN NULL
+             |    ELSE o_custkey % 50 END AS ka
+             |  FROM orders WHERE o_orderkey % 4 = 0),
+             |b AS (SELECT CASE WHEN o_orderkey % 20 = 2 THEN NULL
+             |    ELSE o_custkey % 50 END AS kb
+             |  FROM orders WHERE o_orderkey % 4 = 2)
+             |SELECT coalesce(ka, -1) AS k, count(*) AS n_pairs
+             |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // EXECUTE IMMEDIATE over a statement held in a session variable —
+    // completes the SQL-scripting triad (parameter markers, session
+    // variables, dynamic execution)
+    "sql_execute_immediate" -> QueryDef(
+      (s, d) => {
+        Catalog.registerViews(s, d)
+        s.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING")
+        s.sql("""SET VAR graft_stmt =
+                |  'SELECT p_brand, count(*) AS n, CAST(max(p_size) AS BIGINT) AS max_size
+                |   FROM part WHERE p_size >= 40 GROUP BY p_brand ORDER BY p_brand'""".stripMargin)
+        s.sql("EXECUTE IMMEDIATE graft_stmt")
+      },
+      Some("""SELECT p_brand, count(*) AS n, CAST(max(p_size) AS BIGINT) AS max_size
+             |FROM part WHERE p_size >= 40 GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // dynamic partition overwrite: one day restated in place; the
     // oracle checks BOTH directions (delta on the restated day,
     // byte-identity everywhere else), so a static-mode truncation or
