@@ -181,6 +181,58 @@ class Round13SurfaceSpec extends AnyFunSuite {
     assert(plan.contains("graft_dailymv"))
   }
 
+  test("dynamic overwrite restates exactly one day, in place") {
+    val restated = graft.sources.Partitioning.eventsRestatedDaily(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val plain = Tables.events(spark, sf)
+      .withColumn("day", date_format(date_trunc("day",
+        timestamp_millis(expr("ts div 1000000"))), "yyyy-MM-dd"))
+      .groupBy("day")
+      .agg(round(sum(floor(col("value") * 100.0 + 0.5).cast("long")) / 100.0, 2).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(restated.keySet === plain.keySet)
+    val changed = restated.keySet.filter(d => restated(d) != plain(d))
+    assert(changed === Set(graft.sources.Partitioning.RestateDay))
+  }
+
+  test("schema evolution: legacy rows null-fill, generations reconcile") {
+    val evolved = graft.sources.Partitioning.schemaEvolvedOrders(spark, sf)
+    assert(evolved.columns.contains("o_orderstatus"))
+    val byGen = evolved.groupBy("gen")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderstatus")).as("n_status"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orders = Tables.orders(spark, sf)
+    val evenN = orders.where(col("o_orderkey") % 2 === 0).count()
+    val oddN = orders.where(col("o_orderkey") % 2 === 1).count()
+    assert(byGen(1) === ((evenN, 0L)))   // gen 1: all statuses null-filled
+    assert(byGen(2) === ((oddN, oddN)))  // gen 2: all statuses present
+  }
+
+  test("geomean UDAF matches the driver-side log-space computation") {
+    graft.functions.AggregatorFunctions.register(spark)
+    val got = graft.operators.EventsOps.geoMeanByType(Tables.events(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val vals = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .filter(_._2 > 0).groupBy(_._1)
+    for ((t, xs) <- vals) {
+      val expected = math.exp(xs.map(x => math.log(x._2)).sum / xs.length)
+      assert(math.abs(got(t) - expected) <= 1e-4)
+    }
+  }
+
+  test("null-safe join: the NULL bucket is the product of the null sides") {
+    val rows = Queries.queries("join_null_safe")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf)
+    val nullsA = o.where(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 20 === 0).count()
+    val nullsB = o.where(col("o_orderkey") % 4 === 2 && col("o_orderkey") % 20 === 2).count()
+    assert(rows(-1L) === nullsA * nullsB)
+    assert(rows.keySet.filter(_ >= 0).forall(k => k < 50))
+  }
+
   test("streamed CDC state: committed version chain ends at the batch apply") {
     val orders = Tables.orders(spark, sf)
     val root = graft.streaming.EventStreams.streamedCdcLayout(spark, sf)
