@@ -27,8 +27,16 @@ object Bench {
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
-    // a failed query reports -1.0, never a normal-looking tiny time
+    // a failed query reports -1.0, never a normal-looking tiny time.
+    // Between queries (UNtimed): drop leftover caches/checkpoints and
+    // force a GC so a heavy query's heap aftermath (the r13
+    // coorder_triangles cluster) can't bleed into its alphabetic
+    // neighbors' timed spans.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -70,7 +78,12 @@ object Bench {
       "bm25_indexed", "incremental_bm25", "streamed_bm25_fold",
       "semantic_after_delete")
     val perQ = math.round(total / math.max(1, results.count(_._2 >= 0)) * 1000) / 1000.0
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"full":"BENCH_FULL.json","queries":${qjson(results.filter(r => headline(r._1)))},"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"full":"BENCH_FULL.json","queries":${qjson(results.filter(r => headline(r._1)))},"sf":"$sfDir"}"""
+    // belt-and-braces for the driver's stdout-tail parse: the same
+    // summary line also lands in a file next to BENCH_FULL.json
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary)
+    println(summary)
     spark.stop()
   }
 }

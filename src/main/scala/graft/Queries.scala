@@ -3782,8 +3782,19 @@ object Queries {
     "sql_recursive_chain" -> QueryDef(
       (s, d) => {
         Catalog.registerViews(s, d)
-        s.conf.set("spark.sql.cteRecursionRowLimit", "200000000")
-        s.sql(recursiveChainSql)
+        // Raise the recursion row guard for THIS query only: the limit
+        // is read at physical planning (first action), so the plan must
+        // be forced (eager localCheckpoint) before the previous value is
+        // restored — otherwise every later query on the shared session
+        // would run with a 200x weakened recursion guard.
+        val key = "spark.sql.cteRecursionRowLimit"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, "200000000")
+        try s.sql(recursiveChainSql).localCheckpoint(true)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None    => s.conf.unset(key)
+        }
       },
       Some(recursiveChainSql)),
 

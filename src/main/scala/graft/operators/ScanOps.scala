@@ -38,9 +38,13 @@ object ScanOps {
     * and exact duplicate (x, y) rows all survive the join back (no
     * strict difference, so neither dominates the other).
     *
-    * The scan costs two passes over the RANGED per-x table (persist
-    * covers both; at warehouse scale the per-x table is tiny next to
-    * the fact table, and the range layout would be reused storage).
+    * The scan costs two passes over the RANGED per-x table (the
+    * persist covers both: the survivor pass is forced eagerly —
+    * localCheckpoint — while the cache is still live, so the returned
+    * join never recomputes the range shuffle, and the broadcast
+    * prefix array can never face a re-sampled partitioning; at
+    * warehouse scale the per-x table is tiny next to the fact table,
+    * and the range layout would be reused storage).
     */
   def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -71,6 +75,8 @@ object ScanOps {
         arr
       }
       val bcPrefix = spark.sparkContext.broadcast(prefix)
+      // eager: materialize the (small) frontier while `ranged` is still
+      // cached — the pass must not be deferred past the unpersist below
       val survivors = ranged.rdd
         .mapPartitionsWithIndex { (pid, it) =>
           var m = bcPrefix.value(pid)
@@ -81,6 +87,7 @@ object ScanOps {
           }
         }
         .toDF("x", "ymin")
+        .localCheckpoint(true)
       df.join(survivors,
         df(xCol).cast("double") === col("x") &&
           df(yCol).cast("double") === col("ymin"))

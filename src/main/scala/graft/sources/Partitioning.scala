@@ -117,12 +117,21 @@ object Partitioning {
       val withDay = graft.Tables.events(spark, sfDir)
         .withColumn("day",
           date_format(date_trunc("day", timestamp_millis(expr("ts div 1000000"))), "yyyy-MM-dd"))
-      withDay.write.mode("overwrite").partitionBy("day").parquet(p)
-      // drop the base write's completion marker so a crash during the
-      // restatement can't leave a complete-looking half-built fixture;
-      // the dynamic write recommits _SUCCESS at the root when it lands
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(p, "_SUCCESS"))
+      // Suppress the committer's _SUCCESS marker for the BASE write so
+      // a complete-looking fixture can never exist without the
+      // restatement: only the second (dynamic) write commits the
+      // marker. Deleting the marker after the fact would leave a crash
+      // window between the base commit and the delete in which
+      // Fixtures.ensure would accept a half-built layout.
+      val markKey = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+      val hc = spark.sparkContext.hadoopConfiguration
+      val prevMark = Option(hc.get(markKey))
+      hc.set(markKey, "false")
+      try withDay.write.mode("overwrite").partitionBy("day").parquet(p)
+      finally prevMark match {
+        case Some(v) => hc.set(markKey, v)
+        case None    => hc.unset(markKey)
+      }
       val modeKey = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(modeKey)
       spark.conf.set(modeKey, "dynamic")

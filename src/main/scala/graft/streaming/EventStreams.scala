@@ -855,6 +855,15 @@ object EventStreams {
               st.lastMs - st.sessionStartMs)
             st = SessionState(r.ms, r.ms, 1L)
           } else {
+            // PINNED CONTRACT: lastMs is the last PROCESSED row's ms,
+            // not max — a cross-batch late-but-within-watermark row
+            // moves the tail backward (shrinking span_ms and arming an
+            // earlier timer). This makes session islanding a pure
+            // function of per-user processing order, which the replay
+            // oracle expresses with lag(ms) (streamedSessionsOracle's
+            // b2/g2m: `last = rlast`, the island's max BATCH ms); the
+            // transformWithState processor shares the same branch so
+            // both generations stay on one oracle text.
             st = SessionState(st.sessionStartMs, r.ms, st.nEvents + 1L)
           }
         }
@@ -940,6 +949,9 @@ object EventStreams {
           st = SessionState(r.ms, r.ms, 1L)
         } else {
           getHandle.deleteTimer(st.lastMs + gapMs)
+          // lastMs = last PROCESSED row's ms, deliberately not max —
+          // the pinned cross-batch-late-row contract shared with
+          // flatMapGroupsWithState above (see the comment there).
           st = SessionState(st.sessionStartMs, r.ms, st.nEvents + 1L)
         }
       }
