@@ -1544,48 +1544,18 @@ object Queries {
     "incremental_pagerank" -> QueryDef(
       (s, d) => GraphOps.incrementalPagerank(Tables.orders(s, d),
         Tables.lineitem(s, d), d),
-      Some {
-        val scale = GraphOps.PagerankScale
-        val baseNum = GraphOps.PagerankScale *
-          (GraphOps.DampDen - GraphOps.DampNum) / GraphOps.DampDen
-        def graphCtes(sfx: String, filter: String) =
-          s"""trade$sfx AS MATERIALIZED (
-             |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey $filter),
-             |edges$sfx AS MATERIALIZED (
-             |  SELECT c AS src, s AS dst FROM trade$sfx
-             |  UNION ALL SELECT s AS src, c AS dst FROM trade$sfx),
-             |deg$sfx AS MATERIALIZED (
-             |  SELECT src, count(*) AS outdeg FROM edges$sfx GROUP BY src),
-             |arcs$sfx AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg
-             |  FROM edges$sfx e JOIN deg$sfx d ON e.src = d.src),
-             |n$sfx AS MATERIALIZED (SELECT count(*) AS nn FROM deg$sfx)"""
-            .stripMargin
-        def round(sfx: String, k: Int, prev: String) =
-          s"""r$sfx$k AS MATERIALIZED (
-             |  SELECT a.dst AS node,
-             |    $baseNum // (SELECT nn FROM n$sfx)
-             |      + (${GraphOps.DampNum} * sum(p.rank // a.outdeg)) // ${GraphOps.DampDen} AS rank
-             |  FROM arcs$sfx a JOIN $prev p ON a.src = p.node
-             |  GROUP BY a.dst)""".stripMargin
-        s"""WITH ${graphCtes("b", "WHERE o_orderkey % 2 = 0")},
-           |${graphCtes("f", "")},
-           |rb0 AS MATERIALIZED (
-           |  SELECT src AS node, $scale // (SELECT nn FROM nb) AS rank FROM degb),
-           |${round("b", 1, "rb0")},
-           |${round("b", 2, "rb1")},
-           |${round("b", 3, "rb2")},
-           |seeds AS MATERIALIZED (
-           |  SELECT d.src AS node,
-           |    coalesce(r.rank, $scale // (SELECT nn FROM nf)) AS rank
-           |  FROM degf d LEFT JOIN rb3 r ON d.src = r.node),
-           |${round("f", 1, "seeds").replace("rf1", "warm")}
-           |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
-           |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS entity,
-           |  CAST(rank AS BIGINT) AS rank_val
-           |FROM warm
-           |ORDER BY rank_val DESC, entity LIMIT ${GraphOps.PagerankTopK}""".stripMargin
-      }),
+      Some(incrementalPagerankOracle(""))),
+
+    // batch-agnosticism proof for the warm-start API: the SAME
+    // operator fed a DIFFERENT arriving batch (the mod-4 split, a
+    // strict subset of the odd keys) against an independently
+    // parameterized replay oracle — the dedup family's `_batch2`
+    // discipline applied to the graph family.
+    "incremental_pagerank_batch2" -> QueryDef(
+      (s, d) => GraphOps.incrementalPagerankBatch(
+        Tables.orders(s, d).where("o_orderkey % 4 = 1"),
+        Tables.orders(s, d), Tables.lineitem(s, d), d),
+      Some(incrementalPagerankOracle("OR o_orderkey % 4 = 1"))),
 
     // degree-ordered triangle counting on the part co-order graph:
     // all-integer, so exact; the oracle mirrors the orientation with
@@ -4366,6 +4336,61 @@ object Queries {
     * non-overlapping, same as Spark's, and the `(x)(y)` delimiters
     * keep a pair pattern from matching across symbol boundaries.
     */
+  /** Replay oracle for the warm-start PageRank family: base cold
+    * rounds on the even-key graph, then ONE damped round over the
+    * updated graph — same scaled-long integer arithmetic as the
+    * engine. `extraBatch` widens the updated graph's filter beyond
+    * the base split (empty = the full-table parity batch of
+    * `incremental_pagerank`; an `OR ...` clause = an arbitrary batch
+    * for the `_batch2` gate). All CTEs MATERIALIZED (the
+    * mmr/triangles exponential-inlining lesson).
+    */
+  private def incrementalPagerankOracle(extraBatch: String): String = {
+    val scale = graft.operators.GraphOps.PagerankScale
+    val baseNum = graft.operators.GraphOps.PagerankScale *
+      (graft.operators.GraphOps.DampDen - graft.operators.GraphOps.DampNum) /
+      graft.operators.GraphOps.DampDen
+    val updatedFilter =
+      if (extraBatch.isEmpty) "" else s"WHERE o_orderkey % 2 = 0 $extraBatch"
+    def graphCtes(sfx: String, filter: String) =
+      s"""trade$sfx AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey $filter),
+         |edges$sfx AS MATERIALIZED (
+         |  SELECT c AS src, s AS dst FROM trade$sfx
+         |  UNION ALL SELECT s AS src, c AS dst FROM trade$sfx),
+         |deg$sfx AS MATERIALIZED (
+         |  SELECT src, count(*) AS outdeg FROM edges$sfx GROUP BY src),
+         |arcs$sfx AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg
+         |  FROM edges$sfx e JOIN deg$sfx d ON e.src = d.src),
+         |n$sfx AS MATERIALIZED (SELECT count(*) AS nn FROM deg$sfx)"""
+        .stripMargin
+    def round(sfx: String, k: Int, prev: String) =
+      s"""r$sfx$k AS MATERIALIZED (
+         |  SELECT a.dst AS node,
+         |    $baseNum // (SELECT nn FROM n$sfx)
+         |      + (${graft.operators.GraphOps.DampNum} * sum(p.rank // a.outdeg)) // ${graft.operators.GraphOps.DampDen} AS rank
+         |  FROM arcs$sfx a JOIN $prev p ON a.src = p.node
+         |  GROUP BY a.dst)""".stripMargin
+    s"""WITH ${graphCtes("b", "WHERE o_orderkey % 2 = 0")},
+       |${graphCtes("f", updatedFilter)},
+       |rb0 AS MATERIALIZED (
+       |  SELECT src AS node, $scale // (SELECT nn FROM nb) AS rank FROM degb),
+       |${round("b", 1, "rb0")},
+       |${round("b", 2, "rb1")},
+       |${round("b", 3, "rb2")},
+       |seeds AS MATERIALIZED (
+       |  SELECT d.src AS node,
+       |    coalesce(r.rank, $scale // (SELECT nn FROM nf)) AS rank
+       |  FROM degf d LEFT JOIN rb3 r ON d.src = r.node),
+       |${round("f", 1, "seeds").replace("rf1", "warm")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+       |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS entity,
+       |  CAST(rank AS BIGINT) AS rank_val
+       |FROM warm
+       |ORDER BY rank_val DESC, entity LIMIT ${graft.operators.GraphOps.PagerankTopK}""".stripMargin
+  }
+
   /** `streamed_sessions`' oracle: replay the two-phase
     * event-time-timeout session state machine as a pure function of
     * the data and the split. Rules (StreamingSessionSpec): phase-1

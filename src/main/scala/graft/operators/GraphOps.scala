@@ -112,7 +112,7 @@ object GraphOps {
     * edge is stored as both directed arcs, so every node has in- and
     * out-degree ≥ 1 (no dangling-mass term needed).
     */
-  private def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  private[graft] def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val trade = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2L).as("c"),
@@ -192,6 +192,55 @@ object GraphOps {
   /** Hop bound for [[bfsHops]] — shared with the unrolled oracle. */
   val BfsMaxHops = 4
 
+  /** DELTA-FRONTIER min-plus relaxation, the shared engine of
+    * [[bfsHops]] and [[ssspWeighted]]: each round relaxes outgoing
+    * edges of ONLY the nodes whose distance changed last round (the
+    * frontier), instead of the whole distance table. After round r
+    * the table holds exactly the min cost over paths of ≤ r edges —
+    * identical to the dense Bellman-Ford loop round for round
+    * (values propagate one hop per round in both; a node whose
+    * ≤(r−1)-edge optimum settled in round s sat in round s's
+    * frontier, so its successors see that optimum in round s+1 ≤ r)
+    * — which is why the unrolled oracles gate both forms unchanged.
+    *
+    * == Scale shape ==
+    * Per round: edges ⋈ frontier (the probe side SHRINKS as the
+    * wavefront passes — on a diameter-scale graph later rounds touch
+    * only the expanding rim, not every settled node), a map-side
+    * pre-aggregated candidate min, a node-keyed left join against
+    * the running table to keep strict improvements, and an anti-join
+    * merge (replace improved rows) — every step hash-partitioned on
+    * the node id. Both the table and the frontier are
+    * lineage-truncated per round (the table feeds the next round
+    * twice). `frontierSizes` (spec hook) forces a count per round
+    * when tracking — the production path never does.
+    */
+  private[graft] def deltaRelax(edges: DataFrame, seed: Long, rounds: Int,
+                                trackFrontier: Boolean = false)
+      : (DataFrame, Seq[Long]) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Checkpoints.truncate(Seq((seed, 0L)).toDF("node", "dist"))
+    var frontier = dist
+    val sizes = Seq.newBuilder[Long]
+    for (_ <- 1 to rounds) {
+      if (trackFrontier) sizes += frontier.count()
+      val cand = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      val improved = Checkpoints.truncate(
+        cand.join(dist.select(col("node"), col("dist").as("old")),
+            Seq("node"), "left")
+          .where(col("old").isNull || col("dist") < col("old"))
+          .select(col("node"), col("dist")))
+      dist = Checkpoints.truncate(
+        dist.join(improved.select("node"), Seq("node"), "left_anti")
+          .unionByName(improved))
+      frontier = improved
+    }
+    (dist, sizes.result())
+  }
+
   /** Single-source shortest HOP distances (BFS) from the
     * [[PprSeedNode]] seed over the trade graph, bounded to
     * [[BfsMaxHops]] rounds: every entity reachable within the bound,
@@ -199,31 +248,20 @@ object GraphOps {
     * float anywhere — so the gate is a zero-tolerance hash match.
     *
     * == Scale shape ==
-    * Label relaxation, the [[DedupOps.connectedComponents]] shape:
-    * each round is one edges⋈dist equi-join plus one min-aggregate,
-    * both hash-partitioned on the node id, with the round ending in
-    * an eager [[Checkpoints.truncate]] because the dist table feeds
-    * the next round twice (join probe + union arm) — unchecked, the
-    * lineage doubles per round. The arcs subtree canonicalizes
-    * identically across rounds (AQE ReusedExchange, the pagerank
-    * discipline). Rounds = the hop bound, a declared constant; a
-    * diameter-scale BFS at 100 TB would switch to a delta-frontier
-    * (join only nodes discovered last round) — same per-round plan,
-    * strictly smaller join input.
+    * [[deltaRelax]] with unit edge weights: per round, only the
+    * frontier (nodes discovered last round — for unit weights a node
+    * never re-improves) probes the edge table, so round r's join
+    * input is hop-ring r−1, not the whole reachable set. The arcs
+    * subtree canonicalizes identically across rounds (AQE
+    * ReusedExchange, the pagerank discipline). Rounds = the hop
+    * bound, a declared constant; a diameter-scale BFS at 100 TB runs
+    * the same loop to frontier exhaustion.
     */
   def bfsHops(orders: DataFrame, lineitem: DataFrame,
               seed: Long = PprSeedNode, maxHops: Int = BfsMaxHops): DataFrame = {
-    val spark = orders.sparkSession
-    import spark.implicits._
-    val edges = tradeEdges(orders, lineitem)
-    var dist = Checkpoints.truncate(Seq((seed, 0L)).toDF("node", "dist"))
-    for (_ <- 1 to maxHops) {
-      val next = edges.join(dist, edges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
-      dist = Checkpoints.truncate(
-        dist.unionByName(next).groupBy("node").agg(min("dist").as("dist")))
-    }
-    dist.select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
+    val edges = tradeEdges(orders, lineitem).withColumn("w", lit(1L))
+    deltaRelax(edges, seed, maxHops)._1
+      .select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
   }
 
   /** WEIGHTED single-source shortest paths — the min-plus companion
@@ -231,19 +269,19 @@ object GraphOps {
     * from its trade multiplicity (`1 + n_orders % 3` — deterministic,
     * non-uniform), and [[BfsMaxHops]] Bellman-Ford rounds relax
     * `dist = min(dist, min(dist(src) + w))` from the seed. Exact
-    * longs end to end (zero-tolerance hash). Same per-round plan as
-    * BFS — one edges⋈dist join + one min-aggregate on the node id,
-    * lineage truncated per round — except the edge subtree is the
-    * WEIGHTED trade aggregate (one groupBy(c,s) count) instead of
-    * the distinct. Bounded rounds give the ≤k-hop-cheapest-path
-    * semantics; a full fixpoint at 100 TB runs the same round to
-    * convergence with the components-style unchanged-sum test.
+    * longs end to end (zero-tolerance hash). Same [[deltaRelax]]
+    * loop as BFS — weighted relaxation can re-improve a settled
+    * node, and exactly then (and only then) the node re-enters the
+    * frontier — except the edge subtree is the WEIGHTED trade
+    * aggregate (one groupBy(c,s) count) instead of the distinct.
+    * Bounded rounds give the ≤k-hop-cheapest-path semantics; a full
+    * fixpoint at 100 TB runs the same loop to frontier exhaustion
+    * (empty frontier ⇔ no distance changed — Bellman-Ford's
+    * convergence test for free).
     */
   def ssspWeighted(orders: DataFrame, lineitem: DataFrame,
                    seed: Long = PprSeedNode,
                    rounds: Int = BfsMaxHops): DataFrame = {
-    val spark = orders.sparkSession
-    import spark.implicits._
     val trade = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2L).as("c"), (col("l_suppkey") * 2L + 1L).as("s"),
@@ -255,14 +293,8 @@ object GraphOps {
         struct(col("c").as("src"), col("s").as("dst"), col("w")),
         struct(col("s").as("src"), col("c").as("dst"), col("w")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-    var dist = Checkpoints.truncate(Seq((seed, 0L)).toDF("node", "dist"))
-    for (_ <- 1 to rounds) {
-      val next = edges.join(dist, edges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = Checkpoints.truncate(
-        dist.unionByName(next).groupBy("node").agg(min("dist").as("dist")))
-    }
-    dist.select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
+    deltaRelax(edges, seed, rounds)._1
+      .select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
   }
 
   /** Warm-start rounds the incremental form runs over the updated
@@ -339,11 +371,30 @@ object GraphOps {
     */
   def incrementalPagerank(orders: DataFrame, lineitem: DataFrame,
                           sfDir: String,
-                          topK: Int = PagerankTopK): DataFrame = {
+                          topK: Int = PagerankTopK): DataFrame =
+    incrementalPagerankBatch(
+      orders.where(pmod(col("o_orderkey"), lit(2L)) === 1L),
+      orders, lineitem, sfDir, topK)
+
+  /** ARBITRARY-BATCH form of [[incrementalPagerank]] — the public
+    * steady-state API (the dedup family's `_batch2` discipline): the
+    * arriving batch is a PARAMETER, not a baked-in split, so the
+    * operator is provably batch-agnostic — `incremental_pagerank`
+    * gates it on the parity split, `incremental_pagerank_batch2` on
+    * a different (mod-4) split against an independently-written
+    * oracle. The persisted base index (even-key orders) is untouched;
+    * the updated graph is base ∪ batch.
+    */
+  def incrementalPagerankBatch(batchOrders: DataFrame,
+                               orders: DataFrame, lineitem: DataFrame,
+                               sfDir: String,
+                               topK: Int = PagerankTopK): DataFrame = {
     val spark = orders.sparkSession
     val stored = spark.read.parquet(pagerankRankDir(orders, lineitem, sfDir))
       .select(col("node").as("snode"), col("rank").as("srank"))
-    val edges = tradeEdges(orders, lineitem) // the updated (full) graph
+    val base = orders.where(pmod(col("o_orderkey"), lit(2L)) === 0L)
+    val edges = // the updated graph: ingested base ∪ arriving batch
+      tradeEdges(base.unionByName(batchOrders), lineitem)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val arcs = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))

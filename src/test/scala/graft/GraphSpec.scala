@@ -131,6 +131,41 @@ class GraphSpec extends AnyFunSuite {
     assert(GraphOps.coorderTriangles(li).count() === 0L)
   }
 
+  test("deltaRelax: weighted re-improvement re-enters the frontier; exact dists") {
+    // seed(0)→a(1) w=10, seed→b(2) w=1, b→a w=2: a is settled at 10
+    // in round 1, then IMPROVES to 3 via b in round 2 — the node
+    // must re-enter the frontier exactly once, and later rounds see
+    // an empty frontier (convergence for free).
+    val edges = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 2L))
+      .toDF("src", "dst", "w")
+    val (dist, sizes) =
+      GraphOps.deltaRelax(edges, seed = 0L, rounds = 4, trackFrontier = true)
+    val m = dist.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m === Map(0L -> 0L, 1L -> 3L, 2L -> 1L))
+    // round join inputs: {seed}, {a@10, b@1}, {a@3}, {} — the dense
+    // loop would have probed all 3 reached nodes in EVERY round
+    assert(sizes === Seq(1L, 2L, 1L, 0L))
+  }
+
+  test("deltaRelax: BFS frontier join input shrinks past the wavefront peak") {
+    val orders = Tables.orders(spark, TestSpark.Sf0001)
+    val lineitem = Tables.lineitem(spark, TestSpark.Sf0001)
+    val edges = GraphOps.tradeEdges(orders, lineitem)
+      .withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val (dist, sizes) = GraphOps.deltaRelax(edges, GraphOps.PprSeedNode,
+      GraphOps.BfsMaxHops, trackFrontier = true)
+    val reached = dist.count()
+    // on the near-bipartite trade graph the wavefront saturates fast:
+    // the last round's frontier is a small tail of the peak ring, and
+    // the TOTAL join input across rounds beats the dense loop's
+    // rounds × |dist| by a wide margin — the point of delta-frontier
+    assert(sizes.head === 1L)
+    assert(sizes.last < sizes.max,
+      s"frontier never shrank: $sizes")
+    assert(sizes.sum < reached * GraphOps.BfsMaxHops / 2,
+      s"delta join input ${sizes.sum} not clearly below dense ${reached * GraphOps.BfsMaxHops}")
+  }
+
   test("pagerank_trade: higher-degree hubs outrank leaves") {
     // on the fixture above the degree-2 nodes strictly outrank the
     // degree-1 nodes; sanity that damping didn't invert the ordering
