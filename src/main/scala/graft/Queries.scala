@@ -3863,6 +3863,28 @@ object Queries {
       },
       Some(cdcApplySql)),
 
+    // state GC between folds: fold wave 1, COMPACT tombstones at the
+    // wave-1 sequence horizon, fold wave 2 — the same oracle text
+    // proves compaction is invisible to later folds and readers
+    "cdc_apply_compacted" -> QueryDef(
+      (s, d) => RelationalOps.cdcApplyCompacted(Tables.orders(s, d)),
+      Some(cdcApplySql)),
+
+    // state GC on the streamed chain: the version chain truncated to
+    // ONE compacted tombstone-free version; reading it matches the
+    // same oracle as the live chain — compaction == history, proven
+    "streamed_cdc_compacted" -> QueryDef(
+      (s, d) => {
+        val root = graft.streaming.EventStreams.streamedCdcCompactedLayout(s, d)
+        val stateRoot = s"$root/state"
+        val v = graft.streaming.EventStreams.latestCdcVersion(stateRoot)
+        s.read.parquet(s"$stateRoot/v$v")
+          .where(col("src") =!= "del")
+          .select(col("key").as("o_orderkey"), col("price"), col("src"))
+          .orderBy("o_orderkey")
+      },
+      Some(cdcApplySql)),
+
     // incremental MV maintenance: persisted even-half daily rollup +
     // odd-half batch, merged as partials; oracle = full recompute
     // over ALL events, so a stale/double-applied MV reds the gate

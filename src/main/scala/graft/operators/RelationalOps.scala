@@ -591,6 +591,43 @@ object RelationalOps {
       .select(col("key").as("o_orderkey"), col("price"), col("src"))
       .orderBy("o_orderkey")
 
+  /** TOMBSTONE COMPACTION — the state-GC leg of [[cdcFold]]'s
+    * contract: drop tombstones whose `applied_seq` is at or below the
+    * changelog `horizon` (the sequence high-water mark the source
+    * guarantees it will never emit at or below again). A tombstone
+    * exists only to outrank STALE lower-seq ops on its key; once the
+    * horizon passes it, every future op outranks it anyway — folding
+    * over the dropped tombstone and folding over its `null`-state
+    * absence produce identical rows (the full-outer merge treats
+    * "tombstone beaten by op" and "key absent, op inserts" the same).
+    * So for any batch with all seqs > horizon,
+    * `cdcFold(cdcCompact(S, h), b) == cdcFold(S, b)` exactly — the
+    * spec pins it, and the negative (a stale op CAN resurrect a
+    * compacted key, which is why the horizon bound is load-bearing).
+    * Without this leg, deleted keys accumulate forever: at 100 TB the
+    * tombstone population is churn × retention and must be GC'd on
+    * the same horizon discipline every log-structured store uses.
+    */
+  def cdcCompact(state: DataFrame, horizon: Long): DataFrame =
+    state.where(!(col("src") === "del" && col("applied_seq") <= horizon))
+
+  /** [[cdcApply]] with a mid-changelog compaction: fold wave 1
+    * (seqs below [[CdcSeqOffset]]), COMPACT at that horizon, fold
+    * wave 2 — the steady-state shape in which GC runs between
+    * batches. Gated by the SAME oracle as the one-shot apply, so the
+    * hash match proves compaction is invisible to both later folds
+    * and readers.
+    */
+  def cdcApplyCompacted(orders: DataFrame): DataFrame = {
+    val ops = cdcOps(orders)
+    val s1 = cdcFold(cdcSnapshot(orders), ops.where(col("seq") < CdcSeqOffset))
+    val s2 = cdcFold(cdcCompact(s1, CdcSeqOffset),
+      ops.where(col("seq") >= CdcSeqOffset))
+    s2.where(col("src") =!= "del")
+      .select(col("key").as("o_orderkey"), col("price"), col("src"))
+      .orderBy("o_orderkey")
+  }
+
   /** SCD Type-2 dimension merge (the warehouse MERGE surface): apply
     * a change batch to the customer dimension, producing the
     * versioned history — matched-and-changed rows close their

@@ -475,10 +475,70 @@ object EventStreams {
     */
   def latestCdcVersion(stateRoot: String): Long =
     Option(new java.io.File(stateRoot).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("v") &&
+      .filter(f => f.getName.matches("v\\d+") &&
         new java.io.File(f, "_SUCCESS").exists())
       .map(_.getName.drop(1).toLong)
       .max
+
+  /** VERSION-CHAIN COMPACTION — the state-GC leg of the streamed CDC
+    * sink: rewrite the latest state version with tombstones past
+    * `horizon` dropped ([[graft.operators.RelationalOps.cdcCompact]])
+    * as version `latest+1`, then delete every older version. The
+    * chain is the fold's write-ahead history (each fold reads v and
+    * writes v+1, never overwriting what it reads); unbounded it is
+    * versions × state in storage, so production truncates it to the
+    * newest version once no reader needs time travel past it. Crash
+    * discipline mirrors the fold's: the compacted version COMMITS
+    * (`_SUCCESS`) before any deletion starts, and `latestCdcVersion`
+    * skips uncommitted dirs, so a crash anywhere leaves a readable,
+    * monotone chain. Returns the surviving version number.
+    */
+  def compactCdcChain(spark: SparkSession, stateRoot: String,
+                      horizon: Long): Long = {
+    val cur = latestCdcVersion(stateRoot)
+    val next = cur + 1
+    graft.operators.RelationalOps.cdcCompact(
+        spark.read.parquet(s"$stateRoot/v$cur"), horizon)
+      .write.mode("overwrite").parquet(s"$stateRoot/v$next")
+    Option(new java.io.File(stateRoot).listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("v\\d+") && f.getName.drop(1).toLong < next)
+      .foreach { dir =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    next
+  }
+
+  /** Write-once COMPACTED-chain layout: the [[streamedCdcLayout]]
+    * version chain copied aside and run through
+    * [[compactCdcChain]] at the post-changelog horizon — the state
+    * collapses to ONE version with zero tombstones. The registry's
+    * `streamed_cdc_compacted` reads it against the SAME oracle as
+    * `cdc_apply`/`streamed_cdc_apply`: compaction == live chain,
+    * hash-proven.
+    */
+  def streamedCdcCompactedLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("streamcdccomp", sfDir,
+      Seq(s"$sfDir/orders.parquet")) { path =>
+      graft.sources.Fixtures.cleanBuild(path, Seq("_SUCCESS")) {
+        val src = java.nio.file.Paths.get(
+          streamedCdcLayout(spark, sfDir), "state")
+        val dst = java.nio.file.Paths.get(path, "state")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t)
+        }
+        // every changelog seq is <= CdcSeqOffset + max orderkey; the
+        // fixture horizon (all ops delivered) is "past everything"
+        compactCdcChain(spark, dst.toString, Long.MaxValue)
+        ()
+      }
+    }
 
   /** Write-once STREAMED CDC layout: state v0 = the initial
     * snapshot; the changelog then arrives as a REAL checkpointed

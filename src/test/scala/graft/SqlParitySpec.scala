@@ -696,6 +696,70 @@ class SqlParitySpec extends AnyFunSuite {
         |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin)
   }
 
+  test("cdc_apply via SQL (the MERGE surface as a full-outer replay)") {
+    // Spark's MERGE INTO needs a row-level-ops v2 table, which plain
+    // parquet views can't provide — the MERGE-shaped SQL over views
+    // is the latest-op-per-key window + full-outer merge, the exact
+    // relational definition the operator implements.
+    val off = RelationalOps.CdcSeqOffset
+    assertParity("cdc_apply",
+      s"""WITH snap AS (SELECT o_orderkey AS key, o_totalprice AS price
+         |  FROM orders WHERE o_orderkey % 10 <> 7),
+         |gen AS (SELECT o_orderkey AS k, o_totalprice AS p
+         |  FROM orders WHERE o_orderkey % 10 = 7),
+         |ops AS (
+         |  SELECT 'D' AS op, k - 1 AS key, CAST(NULL AS DOUBLE) AS new_price, k AS seq
+         |  FROM gen WHERE k % 3 = 0
+         |  UNION ALL
+         |  SELECT 'U', k - 1, round(p + 10.0, 2), k FROM gen WHERE k % 3 = 1
+         |  UNION ALL
+         |  SELECT 'I', k, p, k FROM gen WHERE k % 3 = 2
+         |  UNION ALL
+         |  SELECT 'U', k - 1, round(p + 20.0, 2), k + $off FROM gen WHERE k % 60 = 7),
+         |latest AS (SELECT op, key, new_price FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+         |  FROM ops) WHERE rn = 1),
+         |m AS (SELECT coalesce(s.key, l.key) AS o_orderkey,
+         |    CASE WHEN l.key IS NOT NULL THEN l.new_price ELSE s.price END AS price,
+         |    CASE WHEN l.key IS NOT NULL THEN 'cdc' ELSE 'snap' END AS src,
+         |    l.op AS op
+         |  FROM snap s FULL OUTER JOIN latest l ON s.key = l.key)
+         |SELECT o_orderkey, price, src FROM m WHERE op IS NULL OR op <> 'D'
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  test("part_skyline via SQL (NOT EXISTS dominance == the prefix-scan)") {
+    // the declarative skyline definition — no row is <= on price and
+    // >= on size with one strict — must equal the distributed
+    // two-pass prefix-min construction row for row
+    assertParity("part_skyline",
+      """SELECT p.p_partkey, p.p_brand, p.p_retailprice,
+        |  CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin)
+  }
+
+  test("events_ewma via SQL (ordered-list fold == the recurrence)") {
+    assertParity("events_ewma",
+      """WITH daily AS (SELECT event_type,
+        |    date_format(date_trunc('day', timestamp_millis(ts div 1000000)),
+        |      'yyyy-MM-dd') AS day,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0
+        |      AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, x,
+        |    collect_list(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+        |  FROM daily)
+        |SELECT event_type, day, round(x, 2) AS sum_value,
+        |  round(aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),
+        |    (acc, v) -> acc * 0.75 + v * 0.25), 4) AS ewma
+        |FROM l ORDER BY event_type, day""".stripMargin)
+  }
+
   test("q13_custdist keeps zero-order customers (the outer-join point)") {
     import spark.implicits._
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))
