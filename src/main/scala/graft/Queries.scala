@@ -3870,6 +3870,35 @@ object Queries {
       (s, d) => RelationalOps.cdcApplyCompacted(Tables.orders(s, d)),
       Some(cdcApplySql)),
 
+    // TIME TRAVEL on the version chain — the reason truncation is
+    // opt-in: v1 is the state after the FIRST delivered micro-batch,
+    // which the layout forces to be the HIGHER-sequenced wave 2
+    // (explicit mtimes, maxFilesPerTrigger=1), so the as-of read is
+    // the snapshot merged with ONLY the wave-2 ops — an oracle no
+    // full-changelog replay can match by accident.
+    "streamed_cdc_asof" -> QueryDef(
+      (s, d) => {
+        val root = graft.streaming.EventStreams.streamedCdcLayout(s, d)
+        s.read.parquet(s"$root/state/v1")
+          .where(col("src") =!= "del")
+          .select(col("key").as("o_orderkey"), col("price"), col("src"))
+          .orderBy("o_orderkey")
+      },
+      Some {
+        val off = RelationalOps.CdcSeqOffset
+        s"""WITH snap AS (SELECT o_orderkey AS key, o_totalprice AS price
+           |  FROM orders WHERE o_orderkey % 10 <> 7),
+           |gen AS (SELECT o_orderkey AS k, o_totalprice AS p
+           |  FROM orders WHERE o_orderkey % 10 = 7),
+           |ops AS (SELECT k - 1 AS key, round(p + 20.0, 2) AS new_price
+           |  FROM gen WHERE k % 60 = 7)
+           |SELECT s.key AS o_orderkey,
+           |  CASE WHEN l.key IS NOT NULL THEN l.new_price ELSE s.price END AS price,
+           |  CASE WHEN l.key IS NOT NULL THEN 'cdc' ELSE 'snap' END AS src
+           |FROM snap s LEFT JOIN ops l ON s.key = l.key
+           |ORDER BY o_orderkey""".stripMargin
+      }),
+
     // state GC on the streamed chain: the version chain truncated to
     // ONE compacted tombstone-free version; reading it matches the
     // same oracle as the live chain — compaction == history, proven
