@@ -85,10 +85,14 @@ object GraphOps {
       .join(deg.withColumnRenamed("p", "v").withColumnRenamed("deg", "dv"), "v")
     val ku = struct(col("du").as("d"), col("u").as("id"))
     val kv = struct(col("dv").as("d"), col("v").as("id"))
-    val oriented = withDegs.select(
+    // the oriented list feeds THREE consumers (both wedge-join sides
+    // and the closing join): materialize it once instead of repeating
+    // the distinct+degree subtree per consumer — the same probe-path
+    // discipline as the LSH index subtrees
+    val oriented = Checkpoints.truncate(withDegs.select(
       when(ku < kv, col("u")).otherwise(col("v")).as("src"),
       when(ku < kv, kv).otherwise(ku).as("dstKey"))
-      .select(col("src"), col("dstKey.id").as("dst"), col("dstKey"))
+      .select(col("src"), col("dstKey.id").as("dst"), col("dstKey")))
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
           col("e1.dstKey") < col("e2.dstKey"))
