@@ -3872,10 +3872,16 @@ object Queries {
 
     // TIME TRAVEL on the version chain — the reason truncation is
     // opt-in: v1 is the state after the FIRST delivered micro-batch,
-    // which the layout forces to be the HIGHER-sequenced wave 2
-    // (explicit mtimes, maxFilesPerTrigger=1), so the as-of read is
-    // the snapshot merged with ONLY the wave-2 ops — an oracle no
-    // full-changelog replay can match by accident.
+    // which the layout forces to be the file holding every op with
+    // seq >= CdcSeqOffset (explicit mtimes, maxFilesPerTrigger=1), so
+    // the as-of oracle replays exactly that SUBSET of the changelog —
+    // an oracle no full-changelog replay can match by accident. At
+    // the driver SFs the subset is only the double-update arm; at the
+    // 10x/skew fixtures shifted order keys exceed the offset, pulling
+    // shifted-copy primary I/U/D ops into the same file — the oracle
+    // derives the subset from the seq split itself, never from which
+    // arms it "should" contain (the r14 10x gate caught the
+    // arm-enumerating version of this text).
     "streamed_cdc_asof" -> QueryDef(
       (s, d) => {
         val root = graft.streaming.EventStreams.streamedCdcLayout(s, d)
@@ -3890,12 +3896,25 @@ object Queries {
            |  FROM orders WHERE o_orderkey % 10 <> 7),
            |gen AS (SELECT o_orderkey AS k, o_totalprice AS p
            |  FROM orders WHERE o_orderkey % 10 = 7),
-           |ops AS (SELECT k - 1 AS key, round(p + 20.0, 2) AS new_price
-           |  FROM gen WHERE k % 60 = 7)
-           |SELECT s.key AS o_orderkey,
-           |  CASE WHEN l.key IS NOT NULL THEN l.new_price ELSE s.price END AS price,
-           |  CASE WHEN l.key IS NOT NULL THEN 'cdc' ELSE 'snap' END AS src
-           |FROM snap s LEFT JOIN ops l ON s.key = l.key
+           |ops AS (
+           |  SELECT 'D' AS op, k - 1 AS key, CAST(NULL AS DOUBLE) AS new_price, k AS seq
+           |  FROM gen WHERE k % 3 = 0
+           |  UNION ALL
+           |  SELECT 'U', k - 1, round(p + 10.0, 2), k FROM gen WHERE k % 3 = 1
+           |  UNION ALL
+           |  SELECT 'I', k, p, k FROM gen WHERE k % 3 = 2
+           |  UNION ALL
+           |  SELECT 'U', k - 1, round(p + 20.0, 2), k + $off FROM gen WHERE k % 60 = 7),
+           |w2 AS (SELECT * FROM ops WHERE seq >= $off),
+           |latest AS (SELECT op, key, new_price FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+           |  FROM w2) WHERE rn = 1),
+           |m AS (SELECT coalesce(s.key, l.key) AS o_orderkey,
+           |    CASE WHEN l.key IS NOT NULL THEN l.new_price ELSE s.price END AS price,
+           |    CASE WHEN l.key IS NOT NULL THEN 'cdc' ELSE 'snap' END AS src,
+           |    l.op AS op
+           |  FROM snap s FULL OUTER JOIN latest l ON s.key = l.key)
+           |SELECT o_orderkey, price, src FROM m WHERE op IS NULL OR op <> 'D'
            |ORDER BY o_orderkey""".stripMargin
       }),
 
