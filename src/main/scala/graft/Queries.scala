@@ -4139,7 +4139,160 @@ object Queries {
     // op order from SimilarityOps.jlWeight
     "embedding_projection" -> QueryDef(
       (s, d) => SimilarityOps.embeddingProjection(Tables.embeddings(s, d)),
-      Some(jlProjectionSql()))
+      Some(jlProjectionSql())),
+
+    // ---- round 14: entity resolution, attribution, time-series fill,
+    // path mining, SCD2 point-in-time, OPTIMIZE/compaction ----
+
+    // blocked edit-distance record linkage: DISTINCT -> block on the
+    // first token -> levenshtein verify inside blocks only. Never an
+    // all-pairs theta join; both engines compute the same classic DP
+    // distance, so the pair set is exact.
+    "fuzzy_join_parts" -> QueryDef(
+      (s, d) => ResolutionOps.fuzzyPartPairs(Tables.part(s, d)),
+      Some(s"""WITH names AS (SELECT DISTINCT p_name,
+             |    split_part(p_name, ' ', 1) AS blk FROM part)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM names a JOIN names b USING (blk)
+             |WHERE a.p_name < b.p_name
+             |  AND levenshtein(a.p_name, b.p_name) <= ${ResolutionOps.MaxEditDistance}
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    // one resolution round: every name folds onto the lexicographic
+    // min within edit distance in its block, and the fact table
+    // aggregates on the canonical key
+    "fuzzy_canonical_parts" -> QueryDef(
+      (s, d) => ResolutionOps.fuzzyCanonicalParts(Tables.part(s, d)),
+      Some(s"""WITH names AS (SELECT DISTINCT p_name,
+             |    split_part(p_name, ' ', 1) AS blk FROM part),
+             |cand AS (SELECT a.p_name, min(b.p_name) AS canon
+             |  FROM names a JOIN names b USING (blk)
+             |  WHERE levenshtein(a.p_name, b.p_name) <= ${ResolutionOps.MaxEditDistance}
+             |  GROUP BY a.p_name)
+             |SELECT canon, count(DISTINCT p.p_name) AS n_names,
+             |  count(*) AS n_parts, round(sum(p_retailprice), 2) AS sum_price
+             |FROM part p JOIN cand c ON p.p_name = c.p_name
+             |GROUP BY canon ORDER BY canon""".stripMargin)),
+
+    // last-touch attribution: each purchase credited to the user's
+    // most recent preceding click via ONE conditional-last window —
+    // no purchases-x-clicks self-join
+    "attribution_last_touch" -> QueryDef(
+      (s, d) => EventsOps.attributionLastTouch(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, value,
+             |    epoch_ms(ts) AS ms FROM events),
+             |w AS (SELECT *,
+             |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+             |    last_value(CASE WHEN event_type = 'click' THEN ms END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ms
+             |  FROM e)
+             |SELECT event_id AS purchase_id, user_id, value, click_id,
+             |  ms - click_ms AS gap_ms,
+             |  CASE WHEN click_id IS NOT NULL THEN 'click' ELSE 'organic' END AS src
+             |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin)),
+
+    // linear interpolation over the per-user daily series (nearest
+    // edge outside the observed range); daily partial agg first, then
+    // one window pass carries the neighbor observations
+    "events_interpolate" -> QueryDef(
+      (s, d) => EventsOps.interpolateDaily(Tables.events(s, d)),
+      Some("""WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    round(avg(value), 4) AS obs FROM events GROUP BY 1, 2),
+             |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+             |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+             |grid AS (SELECT u.user_id, s.day, d.obs,
+             |    CAST(date_diff('day', DATE '2024-01-01', s.day) AS DOUBLE) AS dd
+             |  FROM spine s CROSS JOIN (SELECT DISTINCT user_id FROM daily) u
+             |  LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day),
+             |g4 AS (SELECT *, floor(obs * 10000 + 0.5) AS o4 FROM grid),
+             |n AS (SELECT *,
+             |    last_value(o4 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |    last_value(CASE WHEN obs IS NOT NULL THEN dd END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             |    first_value(o4 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |    first_value(CASE WHEN obs IS NOT NULL THEN dd END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |  FROM g4)
+             |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+             |  CAST(floor(CASE WHEN obs IS NOT NULL THEN o4
+             |    WHEN pv IS NULL THEN nv
+             |    WHEN nv IS NULL THEN pv
+             |    ELSE pv + (nv - pv) * (dd - pd) / (nd - pd) + 0.5 END) AS BIGINT) AS val_e4,
+             |  CASE WHEN obs IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+             |FROM n ORDER BY user_id, day""".stripMargin)),
+
+    // sequential pattern mining: length-3 event-type path counts via
+    // lag x2 — row-local path extraction, |types|^3 result domain
+    "event_trigram_paths" -> QueryDef(
+      (s, d) => EventsOps.trigramPaths(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+             |w AS (SELECT event_type AS t3,
+             |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS t1,
+             |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS t2
+             |  FROM e)
+             |SELECT t1, t2, t3, count(*) AS n FROM w WHERE t1 IS NOT NULL
+             |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3""".stripMargin)),
+
+    // point-in-time (as-of) fact->SCD2 lookup: each order reads the
+    // version current at its own epoch — the query the SCD2 history
+    // exists to serve; equi-join on the key, validity as a row-local
+    // post-filter
+    "scd2_point_in_time" -> QueryDef(
+      (s, d) => RelationalOps.scd2PointInTime(Tables.customer(s, d), Tables.orders(s, d)),
+      Some {
+        val off = RelationalOps.Scd2InsertOffset
+        s"""WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+           |batch AS (
+           |  SELECT c_custkey, 'SEG_' || (c_custkey % 5) AS u_seg,
+           |         round(c_acctbal + 100.0, 2) AS u_bal
+           |  FROM customer WHERE c_custkey % 7 = 3
+           |  UNION ALL
+           |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 7 = 2
+           |  UNION ALL
+           |  SELECT c_custkey + $off, 'SEG_' || ((c_custkey + $off) % 5), c_acctbal
+           |  FROM customer WHERE c_custkey % 13 = 6),
+           |j AS (SELECT coalesce(d.c_custkey, b.c_custkey) AS c_custkey,
+           |        d.c_mktsegment, d.c_acctbal, b.u_seg, b.u_bal,
+           |        (b.u_seg IS NOT NULL AND d.c_mktsegment IS NOT NULL AND
+           |         (b.u_seg <> d.c_mktsegment OR b.u_bal <> d.c_acctbal)) AS changed
+           |      FROM dim d FULL OUTER JOIN batch b ON d.c_custkey = b.c_custkey),
+           |hist AS (
+           |  SELECT c_custkey, c_mktsegment AS seg, 0 AS valid_from,
+           |    CASE WHEN changed THEN 1 END AS valid_to
+           |  FROM j WHERE c_mktsegment IS NOT NULL
+           |  UNION ALL
+           |  SELECT c_custkey, u_seg, 1, NULL FROM j WHERE changed
+           |  UNION ALL
+           |  SELECT c_custkey, u_seg, 1, NULL FROM j WHERE c_mktsegment IS NULL),
+           |o AS (SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+           |        o_orderkey % 2 AS epoch FROM orders)
+           |SELECT seg, CAST(epoch AS BIGINT) AS epoch, count(*) AS n_orders,
+           |  round(sum(o_totalprice), 2) AS sum_price
+           |FROM o JOIN hist USING (c_custkey)
+           |WHERE valid_from <= epoch AND (valid_to IS NULL OR valid_to > epoch)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // OPTIMIZE/compaction: the small-files ingest layout rewritten as
+    // few shipdate-clustered files; the date-ranged read over the
+    // compacted layout must match the raw table exactly — compaction
+    // is invisible to readers (file-count/clustering pinned in spec)
+    "compacted_scan" -> QueryDef(
+      (s, d) => LayoutOps.compactedScan(Tables.lineitem(s, d), d),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** DuckDB mirror of [[graft.operators.SimilarityOps

@@ -619,4 +619,103 @@ object EventsOps {
         countDistinct(col("day")).as("n_days"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
+
+  /** Last-touch attribution: each purchase is credited to the same
+    * user's most recent PRECEDING click (marketing's default model).
+    * One window per user — `last(_, ignoreNulls)` over the rows
+    * strictly before the purchase picks the click; purchases with no
+    * prior click stay unattributed (`click_id` null, src 'organic').
+    *
+    * == Scale shape ==
+    * A single exchange on user_id; the conditional-last window is one
+    * linear pass per user partition (no self-join of purchases
+    * against clicks, which would shuffle the fact table twice and
+    * build an O(purchases × clicks) intermediate under skew).
+    */
+  def attributionLastTouch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("ms", tsMs)
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ms",
+        last(when(col("event_type") === "click", col("ms")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("value"), col("click_id"),
+        (col("ms") - col("click_ms")).as("gap_ms"),
+        when(col("click_id").isNotNull, "click").otherwise("organic").as("src"))
+      .orderBy("purchase_id")
+  }
+
+  /** Linear interpolation over the per-user daily series: days where
+    * a user has no events take the straight line between the nearest
+    * observed days (clamped to the nearest edge outside the observed
+    * range). The time-series fill every feature pipeline needs next
+    * to [[dailyGapfill]]'s zero-fill.
+    *
+    * == Scale shape ==
+    * Daily partial agg first (the fact table collapses to user × day
+    * before anything else), then ONE window partitioning on user_id
+    * carries (day, value) of the previous/next observation along the
+    * spine — no self-join of the spine against observations per gap.
+    * Spine explosion is row-local from a 1-row bounds aggregate.
+    */
+  def interpolateDaily(events: DataFrame): DataFrame = {
+    val daily = Checkpoints.truncate(events
+      .withColumn("day", to_date(date_trunc("day", timestamp_millis(tsMs))))
+      .groupBy("user_id", "day")
+      .agg(round(avg("value"), 4).as("obs")))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val users = daily.select("user_id").distinct()
+    val grid = spine.crossJoin(users)
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("d", datediff(col("day"), lit("2024-01-01")).cast("double"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    // integer e4 space from here: round(_, 4) engine differences at
+    // exact .00005 ties would flip the last digit of the interpolated
+    // value; floor(x + 0.5) over integer-valued doubles is bit-exact
+    // in both engines, so `val_e4` carries zero cross-engine tolerance
+    grid
+      .withColumn("o4", floor(col("obs") * 10000 + lit(0.5)))
+      .withColumn("pv", last(when(col("obs").isNotNull, col("o4")), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("obs").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(when(col("obs").isNotNull, col("o4")), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("obs").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        floor(
+          when(col("obs").isNotNull, col("o4"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("d") - col("pd")) / (col("nd") - col("pd")) + lit(0.5)))
+          .cast("long").as("val_e4"),
+        when(col("obs").isNotNull, "obs").otherwise("interp").as("src"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Event-path mining: the frequency of every length-3 event-type
+    * path users walk (sequential pattern mining's workhorse query —
+    * "what do users do right before an error?"). lag×2 over one
+    * user window turns path extraction into a row-local projection;
+    * the result domain is |types|³, constant regardless of volume.
+    */
+  def trigramPaths(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+    events
+      .withColumn("ms", tsMs)
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .where(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
+  }
 }

@@ -96,4 +96,60 @@ object LayoutOps {
         coalesce(min(col("zval")), lit(-1L)).as("min_zval"),
         coalesce(max(col("zval")), lit(-1L)).as("max_zval"))
   }
+
+  /** Small-file count the ingest layout fragments into, and the
+    * shipdate-clustered file count compaction targets. */
+  val SmallFiles = 64
+  val CompactedFiles = 4
+
+  /** OPTIMIZE/compaction maintenance: an ingest-fragmented lineitem
+    * layout ([[SmallFiles]] unclustered files — the small-files
+    * problem every streaming/append sink accumulates) is rewritten as
+    * [[CompactedFiles]] files range-clustered and locally sorted by
+    * `l_shipdate`, so every file carries a tight shipdate min/max
+    * envelope. Both layouts are write-once fixtures; the compacted
+    * one declares the fragmented one as its source, so re-ingest
+    * invalidates the compaction.
+    *
+    * == Scale shape ==
+    * Compaction is one `repartitionByRange` + local sort — a single
+    * shuffle sized by the data, no driver involvement. The payoff is
+    * on the read side: date-ranged scans prune to the files whose
+    * envelope intersects (row-group stats do the rest), and
+    * footer/task count drops by the fan-in factor. At 100 TB this
+    * runs per-partition (compact yesterday's files only), never as a
+    * full-table rewrite; the per-partition plan is this one.
+    */
+  def compactedLayoutDir(lineitem: DataFrame, sfDir: String): String = {
+    val frag = graft.sources.Fixtures.ensure("smallfiles", sfDir,
+      Seq(s"$sfDir/lineitem.parquet"), params = s"n$SmallFiles") { dir =>
+      lineitem.select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"),
+          col("l_discount"), col("l_returnflag"))
+        .repartition(SmallFiles, col("l_orderkey"))
+        .write.mode("overwrite").parquet(dir)
+      ()
+    }
+    graft.sources.Fixtures.ensure("compacted", sfDir,
+      Seq(frag), params = s"f$CompactedFiles") { dir =>
+      lineitem.sparkSession.read.parquet(frag)
+        .repartitionByRange(CompactedFiles, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(dir)
+      ()
+    }
+  }
+
+  /** Date-ranged revenue scan over the compacted layout: the filter
+    * prunes to the files whose shipdate envelope intersects 1994.
+    * Oracle-gated against the raw table — compaction must be
+    * invisible to every reader.
+    */
+  def compactedScan(lineitem: DataFrame, sfDir: String): DataFrame =
+    lineitem.sparkSession.read.parquet(compactedLayoutDir(lineitem, sfDir))
+      .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag")
 }

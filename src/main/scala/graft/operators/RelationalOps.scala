@@ -688,6 +688,35 @@ object RelationalOps {
       .orderBy("c_custkey", "version")
   }
 
+  /** Point-in-time (as-of) lookup against the SCD2 history produced
+    * by [[scd2CustomerMerge]]: each order reads the dimension version
+    * that was current AT ITS OWN epoch (here epoch = o_orderkey % 2,
+    * exercising both the pre- and post-merge states), i.e. the
+    * version with `valid_from <= e < coalesce(valid_to, ∞)`. This is
+    * the query the SCD2 layout exists to serve — joining facts to the
+    * dimension AS OF fact time, not as of now.
+    *
+    * == Scale shape ==
+    * An equi-join on the dimension key; the validity predicate is a
+    * row-local filter AFTER the key match because a key's history is
+    * tiny (versions per key, not facts per key). The fact table
+    * shuffles once on custkey; at 100 TB the dimension side is the
+    * broadcast candidate. Never a range-theta join.
+    */
+  def scd2PointInTime(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val hist = scd2CustomerMerge(customer)
+      .select(col("c_custkey"), col("seg"), col("valid_from"), col("valid_to"))
+    orders
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"),
+        (col("o_orderkey") % 2).cast("long").as("epoch"))
+      .join(hist, Seq("c_custkey"))
+      .where(col("valid_from") <= col("epoch") &&
+        (col("valid_to").isNull || col("valid_to") > col("epoch")))
+      .groupBy(col("seg"), col("epoch"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("seg", "epoch")
+  }
+
   /** Range (band) join via bin bucketing: lineitems whose extended
     * price falls within ±10% of a part's retail price. A naive
     * theta-join is O(parts × lineitems); instead both sides are
