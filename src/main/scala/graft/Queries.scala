@@ -4201,32 +4201,33 @@ object Queries {
     "events_interpolate" -> QueryDef(
       (s, d) => EventsOps.interpolateDaily(Tables.events(s, d)),
       Some("""WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-             |    round(avg(value), 4) AS obs FROM events GROUP BY 1, 2),
+             |    CAST(floor(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) * 100.0
+             |      / count(*) + 0.5) AS BIGINT) AS o4
+             |  FROM events GROUP BY 1, 2),
              |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
              |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
-             |grid AS (SELECT u.user_id, s.day, d.obs,
+             |grid AS (SELECT u.user_id, s.day, d.o4,
              |    CAST(date_diff('day', DATE '2024-01-01', s.day) AS DOUBLE) AS dd
              |  FROM spine s CROSS JOIN (SELECT DISTINCT user_id FROM daily) u
              |  LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day),
-             |g4 AS (SELECT *, floor(obs * 10000 + 0.5) AS o4 FROM grid),
              |n AS (SELECT *,
              |    last_value(o4 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-             |    last_value(CASE WHEN obs IS NOT NULL THEN dd END IGNORE NULLS)
+             |    last_value(CASE WHEN o4 IS NOT NULL THEN dd END IGNORE NULLS)
              |      OVER (PARTITION BY user_id ORDER BY day
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
              |    first_value(o4 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-             |    first_value(CASE WHEN obs IS NOT NULL THEN dd END IGNORE NULLS)
+             |    first_value(CASE WHEN o4 IS NOT NULL THEN dd END IGNORE NULLS)
              |      OVER (PARTITION BY user_id ORDER BY day
              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
-             |  FROM g4)
+             |  FROM grid)
              |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
-             |  CAST(floor(CASE WHEN obs IS NOT NULL THEN o4
+             |  CAST(floor(CASE WHEN o4 IS NOT NULL THEN o4
              |    WHEN pv IS NULL THEN nv
              |    WHEN nv IS NULL THEN pv
              |    ELSE pv + (nv - pv) * (dd - pd) / (nd - pd) + 0.5 END) AS BIGINT) AS val_e4,
-             |  CASE WHEN obs IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+             |  CASE WHEN o4 IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
              |FROM n ORDER BY user_id, day""".stripMargin)),
 
     // sequential pattern mining: length-3 event-type path counts via
@@ -4292,7 +4293,42 @@ object Queries {
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // rolling DAU/WAU: distinct (user, day) first, then the trailing
+    // 7-day distinct via the contribute-forward explode — an
+    // equi-aggregation, never a day-range self-join or a
+    // single-partition count(distinct) window
+    "rolling_active_users" -> QueryDef(
+      (s, d) => EventsOps.rollingActiveUsers(Tables.events(s, d)),
+      Some("""WITH pairs AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM pairs GROUP BY day),
+             |wau AS (SELECT t.day, count(DISTINCT p.user_id) AS wau
+             |  FROM (SELECT DISTINCT day FROM pairs) t JOIN pairs p
+             |    ON p.day BETWEEN t.day - 6 AND t.day
+             |  GROUP BY t.day)
+             |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
+             |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin)),
+
+    // corpus-composition diagnostic: vocabulary Jaccard between every
+    // source pair; DISTINCT (word, source) first so the self-join is
+    // vocab-bounded with constant |sources| fan-out per word
+    "source_vocab_overlap" -> QueryDef(
+      (s, d) => TextAnalysisOps.sourceVocabOverlap(Tables.documents(s, d)),
+      Some(s"""WITH vocab AS (SELECT DISTINCT source, word FROM (
+             |    SELECT source, unnest($toksSql) AS word FROM documents)),
+             |sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+             |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+             |    count(*) AS n_common
+             |  FROM vocab a JOIN vocab b USING (word)
+             |  WHERE a.source < b.source GROUP BY 1, 2)
+             |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+             |  round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.source = source_a
+             |JOIN sizes sb ON sb.source = source_b
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 
   /** DuckDB mirror of [[graft.operators.SimilarityOps

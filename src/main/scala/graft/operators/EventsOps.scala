@@ -664,10 +664,16 @@ object EventsOps {
     * Spine explosion is row-local from a 1-row bounds aggregate.
     */
   def interpolateDaily(events: DataFrame): DataFrame = {
+    // exact integer arithmetic end-to-end: values are cents-precise,
+    // so the daily mean is sum(cents)*100/n — identical IEEE division
+    // on identical integers in both engines. round(avg(double), 4)
+    // red-flagged at sf0.1 on a genuine .xxxx5 tie (Spark HALF_UP vs
+    // DuckDB's double rounding); this form has no such tie hazard.
     val daily = Checkpoints.truncate(events
       .withColumn("day", to_date(date_trunc("day", timestamp_millis(tsMs))))
       .groupBy("user_id", "day")
-      .agg(round(avg("value"), 4).as("obs")))
+      .agg(floor(sum(floor(col("value") * 100 + lit(0.5))) * lit(100.0) /
+        count(lit(1)) + lit(0.5)).cast("long").as("o4")))
     val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
     val users = daily.select("user_id").distinct()
@@ -678,26 +684,57 @@ object EventsOps {
       .rowsBetween(Window.unboundedPreceding, 0)
     val wNext = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
       .rowsBetween(0, Window.unboundedFollowing)
-    // integer e4 space from here: round(_, 4) engine differences at
-    // exact .00005 ties would flip the last digit of the interpolated
-    // value; floor(x + 0.5) over integer-valued doubles is bit-exact
-    // in both engines, so `val_e4` carries zero cross-engine tolerance
+    // interpolation stays in e4 integer space: floor(x + 0.5) over
+    // integer-valued doubles is bit-exact in both engines, so
+    // `val_e4` carries zero cross-engine tolerance
     grid
-      .withColumn("o4", floor(col("obs") * 10000 + lit(0.5)))
-      .withColumn("pv", last(when(col("obs").isNotNull, col("o4")), ignoreNulls = true).over(wPrev))
-      .withColumn("pd", last(when(col("obs").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
-      .withColumn("nv", first(when(col("obs").isNotNull, col("o4")), ignoreNulls = true).over(wNext))
-      .withColumn("nd", first(when(col("obs").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+      .withColumn("pv", last(col("o4"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("o4").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("o4"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("o4").isNotNull, col("d")), ignoreNulls = true).over(wNext))
       .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
         floor(
-          when(col("obs").isNotNull, col("o4"))
+          when(col("o4").isNotNull, col("o4"))
             .when(col("pv").isNull, col("nv"))
             .when(col("nv").isNull, col("pv"))
             .otherwise(col("pv") + (col("nv") - col("pv")) *
               (col("d") - col("pd")) / (col("nd") - col("pd")) + lit(0.5)))
           .cast("long").as("val_e4"),
-        when(col("obs").isNotNull, "obs").otherwise("interp").as("src"))
+        when(col("o4").isNotNull, "obs").otherwise("interp").as("src"))
       .orderBy("user_id", "day")
+  }
+
+  /** Rolling engagement: per day, DAU (distinct users that day) and
+    * WAU (distinct users over the trailing 7 days ending that day).
+    *
+    * == Scale shape ==
+    * The fact table collapses to DISTINCT (user, day) first — one
+    * hash agg, after which everything is calendar-bounded. The
+    * trailing window is computed by the CONTRIBUTE-FORWARD trick:
+    * each (user, day) explodes to the constant 7 target days it is
+    * visible to, then one distinct count per target day. That keeps
+    * it an equi-aggregation — no day-range self-join, and definitely
+    * no `count(distinct) OVER` (which single-partitions in most
+    * engines). 100 TB cost: two hash aggs over |users|×|days| rows.
+    */
+  def rollingActiveUsers(events: DataFrame): DataFrame = {
+    val pairs = Checkpoints.truncate(events
+      .select(col("user_id"),
+        to_date(date_trunc("day", timestamp_millis(tsMs))).as("day"))
+      .distinct())
+    val maxDay = pairs.agg(max(col("day")).as("d1"))
+    val dau = pairs.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = pairs
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .join(broadcast(maxDay), col("day") <= col("d1"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    // target days earlier than day 7 see a partial trailing window —
+    // kept (the standard dashboard convention), pinned by the oracle
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+      .orderBy("day")
   }
 
   /** Event-path mining: the frequency of every length-3 event-type

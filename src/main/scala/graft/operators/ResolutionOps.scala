@@ -42,10 +42,15 @@ object ResolutionOps {
   def fuzzyPartPairs(part: DataFrame): DataFrame = {
     val a = distinctNames(part).select(col("blk"), col("p_name").as("name_a"))
     val b = distinctNames(part).select(col("blk"), col("p_name").as("name_b"))
+    // the 3-arg (banded) levenshtein computes only a 2k+1 diagonal
+    // stripe and early-exits to -1 past the threshold: O(k·n) per
+    // pair instead of O(n²) — the difference that matters when the
+    // verifier runs billions of in-block comparisons
     a.join(b, Seq("blk"))
       .where(col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= MaxEditDistance)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), MaxEditDistance))
+      .where(col("dist") >= 0)
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
       .orderBy("name_a", "name_b")
   }
@@ -62,7 +67,7 @@ object ResolutionOps {
     val names = distinctNames(part)
     val cand = names.select(col("blk"), col("p_name"))
       .join(names.select(col("blk"), col("p_name").as("other")), Seq("blk"))
-      .where(levenshtein(col("p_name"), col("other")) <= MaxEditDistance)
+      .where(levenshtein(col("p_name"), col("other"), MaxEditDistance) >= 0)
       .groupBy(col("p_name")).agg(min(col("other")).as("canon"))
     part.join(cand, Seq("p_name"))
       .groupBy(col("canon"))

@@ -747,4 +747,41 @@ object TextAnalysisOps {
         size(regexp_extract_all(col("raw"), lit(PiiPhoneRe), lit(0))).cast("long").as("n_phone"))
       .orderBy("doc_id")
   }
+
+  /** Corpus-composition analysis: vocabulary Jaccard overlap between
+    * every pair of sources — the "are these two crawls the same
+    * distribution?" diagnostic a mixing pipeline runs before setting
+    * weights.
+    *
+    * == Scale shape ==
+    * Tokens collapse to DISTINCT (word, source) FIRST (|vocab| ×
+    * |sources| rows, not token volume), and the pair counts come from
+    * a self-equi-join on the word — each word contributes at most
+    * |sources|² rows, so the join output is vocab-bounded with a
+    * constant fan-out, never corpus-bounded. Result domain:
+    * |sources|².
+    */
+  def sourceVocabOverlap(docs: DataFrame): DataFrame = {
+    graft.functions.NativeText.register(docs.sparkSession)
+    val ws = graft.functions.NativeText.tokens(col("text"))
+    val vocab = docs
+      .select(col("source"), explode(ws).as("word"))
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a")
+      .join(vocab.withColumnRenamed("source", "source_b").as("b"), Seq("word"))
+      .where(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a"), Seq("source_a"))
+      .join(broadcast(sizes).withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

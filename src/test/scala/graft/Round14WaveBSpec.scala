@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventsOps, LayoutOps, RelationalOps, ResolutionOps}
+import graft.operators.{EventsOps, LayoutOps, RelationalOps, ResolutionOps, TextAnalysisOps}
 
 /** Round-14 wave B: entity resolution, attribution, interpolation,
   * path mining, SCD2 point-in-time, compaction. Semantics plus the
@@ -102,6 +102,37 @@ class Round14WaveBSpec extends AnyFunSuite {
       Tables.customer(spark, sf).select(col("c_custkey").as("o_custkey")),
       Seq("o_custkey")).count()
     assert(rows.map(_.getLong(2)).sum === withCust)
+  }
+
+  test("rollingActiveUsers: dau <= wau <= sum of window dau; first day " +
+    "wau == dau (partial trailing window); no day-range join in plan") {
+    val res = EventsOps.rollingActiveUsers(Tables.events(spark, sf))
+    // the max-day clip is a 1-row broadcast; the window itself must
+    // never appear as a day-range (cartesian) join
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"the trailing window must be the contribute-forward explode:\n$plan")
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(2),
+      s"day ${r.getString(0)}: dau > wau"))
+    assert(rows.head.getLong(1) === rows.head.getLong(2),
+      "the first day's trailing window contains only itself")
+  }
+
+  test("sourceVocabOverlap: symmetric-complete pair domain, jaccard " +
+    "bounds, and n_common <= min(n_a, n_b)") {
+    val res = TextAnalysisOps.sourceVocabOverlap(Tables.documents(spark, sf))
+      .collect()
+    val sources = Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(res.length === sources * (sources - 1) / 2)
+    res.foreach { r =>
+      val (na, nb, common, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(common <= math.min(na, nb))
+      assert(j > 0.0 && j <= 1.0)
+    }
   }
 
   test("compaction: the compacted layout has the declared file count, " +

@@ -760,6 +760,83 @@ class SqlParitySpec extends AnyFunSuite {
         |FROM l ORDER BY event_type, day""".stripMargin)
   }
 
+  test("fuzzy_join_parts via SQL (blocked edit-distance linkage)") {
+    assertParity("fuzzy_join_parts",
+      """WITH names AS (SELECT DISTINCT p_name,
+        |    split_part(p_name, ' ', 1) AS blk FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM names a JOIN names b USING (blk)
+        |WHERE a.p_name < b.p_name
+        |  AND levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin)
+  }
+
+  test("attribution_last_touch via SQL (conditional-last window)") {
+    assertParity("attribution_last_touch",
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    ts div 1000000 AS ms FROM events),
+        |w AS (SELECT *,
+        |    last(CASE WHEN event_type = 'click' THEN event_id END) IGNORE NULLS
+        |      OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+        |    last(CASE WHEN event_type = 'click' THEN ms END) IGNORE NULLS
+        |      OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ms
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id, value, click_id,
+        |  ms - click_ms AS gap_ms,
+        |  CASE WHEN click_id IS NOT NULL THEN 'click' ELSE 'organic' END AS src
+        |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin)
+  }
+
+  test("event_trigram_paths via SQL (lag x2 path mining)") {
+    assertParity("event_trigram_paths",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    ts div 1000000 AS ms FROM events),
+        |w AS (SELECT event_type AS t3,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS t1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS t2
+        |  FROM e)
+        |SELECT t1, t2, t3, count(*) AS n FROM w WHERE t1 IS NOT NULL
+        |GROUP BY t1, t2, t3 ORDER BY n DESC, t1, t2, t3""".stripMargin)
+  }
+
+  test("scd2_point_in_time via SQL (validity-interval lookup)") {
+    val off = RelationalOps.Scd2InsertOffset
+    assertParity("scd2_point_in_time",
+      s"""WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         |batch AS (
+         |  SELECT c_custkey, concat('SEG_', c_custkey % 5) AS u_seg,
+         |         round(c_acctbal + 100.0, 2) AS u_bal
+         |  FROM customer WHERE c_custkey % 7 = 3
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 7 = 2
+         |  UNION ALL
+         |  SELECT c_custkey + $off, concat('SEG_', (c_custkey + $off) % 5), c_acctbal
+         |  FROM customer WHERE c_custkey % 13 = 6),
+         |j AS (SELECT coalesce(d.c_custkey, b.c_custkey) AS c_custkey,
+         |        d.c_mktsegment, d.c_acctbal, b.u_seg, b.u_bal,
+         |        (b.u_seg IS NOT NULL AND d.c_mktsegment IS NOT NULL AND
+         |         (b.u_seg <> d.c_mktsegment OR b.u_bal <> d.c_acctbal)) AS changed
+         |      FROM dim d FULL OUTER JOIN batch b ON d.c_custkey = b.c_custkey),
+         |hist AS (
+         |  SELECT c_custkey, c_mktsegment AS seg, 0L AS valid_from,
+         |    CASE WHEN changed THEN 1L END AS valid_to
+         |  FROM j WHERE c_mktsegment IS NOT NULL
+         |  UNION ALL
+         |  SELECT c_custkey, u_seg, 1L, CAST(NULL AS BIGINT) FROM j WHERE changed
+         |  UNION ALL
+         |  SELECT c_custkey, u_seg, 1L, CAST(NULL AS BIGINT) FROM j WHERE c_mktsegment IS NULL),
+         |o AS (SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         |        CAST(o_orderkey % 2 AS BIGINT) AS epoch FROM orders)
+         |SELECT seg, epoch, count(*) AS n_orders,
+         |  round(sum(o_totalprice), 2) AS sum_price
+         |FROM o JOIN hist USING (c_custkey)
+         |WHERE valid_from <= epoch AND (valid_to IS NULL OR valid_to > epoch)
+         |GROUP BY seg, epoch ORDER BY seg, epoch""".stripMargin)
+  }
+
   test("q13_custdist keeps zero-order customers (the outer-join point)") {
     import spark.implicits._
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))
