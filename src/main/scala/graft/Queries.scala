@@ -111,6 +111,24 @@ object Queries {
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), w -> w <> '')"""
 
+  /** Shared by the batch window and the streamed keyed-state form —
+    * the time-split staged replay makes them provably identical. */
+  private val attributionSql =
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |    epoch_ms(ts) AS ms FROM events),
+      |w AS (SELECT *,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ms END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ms
+      |  FROM e)
+      |SELECT event_id AS purchase_id, user_id, value, click_id,
+      |  ms - click_ms AS gap_ms,
+      |  CASE WHEN click_id IS NOT NULL THEN 'click' ELSE 'organic' END AS src
+      |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
   /** DuckDB: distinct word n-gram shingles of the token list `ws`. */
   private def shinglesSql(n: Int): String =
     s"list_distinct(list_transform(generate_series(1, len(ws) - ${n - 1}), i -> array_to_string(ws[i:i+${n - 1}], ' ')))"
@@ -4180,20 +4198,22 @@ object Queries {
     // no purchases-x-clicks self-join
     "attribution_last_touch" -> QueryDef(
       (s, d) => EventsOps.attributionLastTouch(Tables.events(s, d)),
-      Some("""WITH e AS (SELECT event_id, user_id, event_type, value,
-             |    epoch_ms(ts) AS ms FROM events),
-             |w AS (SELECT *,
-             |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-             |      OVER (PARTITION BY user_id ORDER BY ms, event_id
-             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
-             |    last_value(CASE WHEN event_type = 'click' THEN ms END IGNORE NULLS)
-             |      OVER (PARTITION BY user_id ORDER BY ms, event_id
-             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ms
-             |  FROM e)
-             |SELECT event_id AS purchase_id, user_id, value, click_id,
-             |  ms - click_ms AS gap_ms,
-             |  CASE WHEN click_id IS NOT NULL THEN 'click' ELSE 'organic' END AS src
-             |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin)),
+      Some(attributionSql)),
+
+    // the streaming form: per-user keyed state carries the latest
+    // click across micro-batches AND a checkpointed restart; the
+    // time-split staged replay delivers each user's rows in global
+    // event order, so the sink is gated by the SAME oracle as the
+    // batch window — a lost state store, a dropped micro-batch, or a
+    // click that failed to carry across the restart all red the hash
+    "streamed_attribution" -> QueryDef(
+      (s, d) => {
+        val dir = graft.streaming.EventStreams.streamedAttributionLayout(s, d)
+        s.read.parquet(dir)
+          .select("purchase_id", "user_id", "value", "click_id", "gap_ms", "src")
+          .orderBy("purchase_id")
+      },
+      Some(attributionSql)),
 
     // linear interpolation over the per-user daily series (nearest
     // edge outside the observed range); daily partial agg first, then

@@ -1406,4 +1406,107 @@ object EventStreams {
       java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
       ()
     }
+
+  // ---- streamed last-touch attribution ------------------------------
+
+  case class AttrInput(event_id: Long, user_id: Long, event_type: String,
+                       value: Double, ms: Long)
+  case class ClickState(ms: Long, id: Long)
+  case class AttrOut(purchase_id: Long, user_id: Long, value: Double,
+                     click_id: Option[Long], gap_ms: Option[Long], src: String)
+
+  /** Streaming last-touch attribution: per-user keyed state carries
+    * the most recent click; each purchase is emitted AT ARRIVAL with
+    * that click (or 'organic'). The streaming form of
+    * [[graft.operators.EventsOps.attributionLastTouch]] — state is
+    * one (ms, id) pair per user, constant size, and the output is a
+    * pure append (no window flush, no retraction).
+    */
+  def streamedAttribution(events: DataFrame): Dataset[AttrOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[AttrInput],
+           state: GroupState[ClickState]): Iterator[AttrOut] = {
+      val sorted = rows.toSeq.sortBy(r => (r.ms, r.event_id))
+      var st = state.getOption.orNull
+      val out = Seq.newBuilder[AttrOut]
+      for (r <- sorted) {
+        if (r.event_type == "click") {
+          st = ClickState(r.ms, r.event_id)
+        } else if (r.event_type == "purchase") {
+          out += (if (st == null)
+            AttrOut(r.event_id, userId, r.value, None, None, "organic")
+          else
+            AttrOut(r.event_id, userId, r.value, Some(st.id),
+              Some(r.ms - st.ms), "click"))
+        }
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withColumn("ms", expr("ts div 1000000"))
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ms"))
+      .as[AttrInput]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  def writeStreamedAttribution(events: DataFrame, outDir: String,
+                               checkpointDir: String): StreamingQuery =
+    streamedAttribution(events)
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Write-once streamed-attribution layout: the event stream staged
+    * in TWO TIME-SPLIT phases (ms below/above the fixture midpoint)
+    * with a stream restart between them. Because the split is by
+    * event time, each user's rows arrive in global event order, so
+    * the sink must equal the batch attribution EXACTLY — and a click
+    * in phase 1 attributing a purchase in phase 2 proves the keyed
+    * state survived the checkpoint restart. Gated by the SAME oracle
+    * as `attribution_last_touch`.
+    */
+  def streamedAttributionLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("attrsink", sfDir,
+      Seq(s"$sfDir/events.parquet")) { path =>
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val srcDir = root.resolve("_src")
+      java.nio.file.Files.createDirectories(srcDir)
+      val ev = graft.Tables.events(spark, sfDir)
+      val Array(lo, hi) = ev
+        .agg(expr("min(ts div 1000000)"), expr("max(ts div 1000000)"))
+        .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+      val mid = lo + (hi - lo) / 2
+      def run(): Unit = {
+        val q = writeStreamedAttribution(
+          readEventsStream(spark, srcDir.toString),
+          path, s"$path/_checkpoint")
+        try q.awaitTermination() finally q.stop()
+      }
+      stageSingleParquet(ev.where(expr(s"ts div 1000000 < $mid")),
+        srcDir.resolve("phase1.parquet"))
+      run()
+      stageSingleParquet(ev.where(expr(s"ts div 1000000 >= $mid")),
+        srcDir.resolve("phase2.parquet"))
+      run()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    }
 }

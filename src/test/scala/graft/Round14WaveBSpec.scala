@@ -135,6 +135,33 @@ class Round14WaveBSpec extends AnyFunSuite {
     }
   }
 
+  test("streamedAttribution: the time-split staged replay equals the " +
+    "batch window row-for-row, and at least one phase-2 purchase is " +
+    "attributed to a phase-1 click (state survived the restart)") {
+    val dir = graft.streaming.EventStreams
+      .streamedAttributionLayout(spark, sf)
+    val streamed = spark.read.parquet(dir)
+      .select("purchase_id", "user_id", "value", "click_id", "gap_ms", "src")
+      .collect().map(_.toString).sorted
+    val batch = EventsOps.attributionLastTouch(Tables.events(spark, sf))
+      .select(col("purchase_id"), col("user_id"), col("value"),
+        col("click_id"), col("gap_ms"), col("src"))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // cross-restart carry: a purchase whose attributing click happened
+    // before the split boundary while the purchase happened after it
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), expr("ts div 1000000").as("ms")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mid = ev.values.min + (ev.values.max - ev.values.min) / 2
+    val crossed = spark.read.parquet(dir)
+      .where(col("src") === "click").collect()
+      .exists(r => ev(r.getLong(0)) >= mid && ev(r.getLong(3)) < mid)
+    assert(crossed, "no attribution crossed the restart boundary — " +
+      "the state-carry leg proved nothing")
+  }
+
   test("compaction: the compacted layout has the declared file count, " +
     "fewer files than the fragmented one, tight shipdate clustering, " +
     "and byte-identical content") {
