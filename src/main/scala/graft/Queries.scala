@@ -4331,6 +4331,28 @@ object Queries {
              |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
              |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin)),
 
+    // the sketch twin of rolling_active_users: trailing-7-day
+    // distinct users per day via the deterministic KMV UDAF — one
+    // exchange carrying <=k values per day, the shape that survives
+    // when the window's distinct cardinality is too wide to count
+    // exactly; bit-reproducible, so hash-gated like the other KMV rows
+    "rolling_active_kmv" -> QueryDef(
+      (s, d) => EventsOps.rollingActiveKmv(Tables.events(s, d)),
+      Some("""WITH pairs AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |h AS (SELECT DISTINCT t.day,
+             |    (('0x' || substr(md5(p.user_id::VARCHAR), 1, 15))::UBIGINT)::DOUBLE AS h
+             |  FROM (SELECT DISTINCT day FROM pairs) t
+             |  JOIN pairs p ON p.day BETWEEN t.day - 6 AND t.day),
+             |r AS (SELECT day, h,
+             |        row_number() OVER (PARTITION BY day ORDER BY h) AS rnk FROM h),
+             |t AS (SELECT day, max(h) AS theta, count(*) AS m
+             |      FROM r WHERE rnk <= 64 GROUP BY day)
+             |SELECT strftime(day, '%Y-%m-%d') AS day,
+             |  CAST(CASE WHEN m < 64 THEN m
+             |       ELSE round(63.0 / (theta / 1152921504606846976.0)) END AS BIGINT) AS wau_est
+             |FROM t ORDER BY day""".stripMargin)),
+
     // corpus-composition diagnostic: vocabulary Jaccard between every
     // source pair; DISTINCT (word, source) first so the self-join is
     // vocab-bounded with constant |sources| fan-out per word

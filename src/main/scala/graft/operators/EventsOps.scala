@@ -737,6 +737,37 @@ object EventsOps {
       .orderBy("day")
   }
 
+  /** [[rollingActiveUsers]]'s sketch twin: the trailing-7-day
+    * distinct-user count per day estimated with the deterministic
+    * KMV sketch instead of the exact distinct. Same contribute-
+    * forward explode, but the per-day aggregate is the mergeable
+    * k-minimum-values UDAF — ONE exchange carrying ≤k values per
+    * day, which is the shape that survives when the window's
+    * distinct cardinality itself is too wide to count exactly (the
+    * exact form's partial aggregation still carries every distinct
+    * user per day). Every bit reproducible → hash-gated like the
+    * other KMV rows.
+    */
+  def rollingActiveKmv(events: DataFrame, k: Int = 64): DataFrame = {
+    graft.functions.SketchFunctions.register(events.sparkSession)
+    val pairs = Checkpoints.truncate(events
+      .select(col("user_id"),
+        to_date(date_trunc("day", timestamp_millis(tsMs))).as("day"))
+      .distinct())
+    val activeDays = pairs.select("day").distinct()
+    pairs
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .join(activeDays, Seq("day"))
+      .select(col("day"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("double").as("h"))
+      .groupBy("day")
+      .agg(graft.functions.SketchFunctions.kmvEst(col("h"), k).as("wau_est"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("wau_est"))
+      .orderBy("day")
+  }
+
   /** Event-path mining: the frequency of every length-3 event-type
     * path users walk (sequential pattern mining's workhorse query —
     * "what do users do right before an error?"). lag×2 over one
