@@ -38,12 +38,12 @@ object SqlDemo {
       """SELECT count(*) AS n FROM (
         |  SELECT word, count(*) AS cnt FROM (
         |    SELECT explode(graft_tokenize(text)) AS word FROM documents
-        |  ) GROUP BY word)""".stripMargin).head.getLong(0)
+        |  ) GROUP BY word)""".stripMargin).head().getLong(0)
 
     val topPair = spark.sql(
       """SELECT a.vec_id, b.vec_id, graft_cosine(a.embedding, b.embedding) AS c
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |ORDER BY c DESC, a.vec_id, b.vec_id LIMIT 1""".stripMargin).head
+        |ORDER BY c DESC, a.vec_id, b.vec_id LIMIT 1""".stripMargin).head()
 
     println(s"""{"vocab":$vocab,"top_pair":[${topPair.getLong(0)},${topPair.getLong(1)}],"top_cosine":${topPair.getDouble(2)}}""")
     spark.stop()

@@ -364,7 +364,7 @@ object RetrievalOps {
     java.nio.file.Files.move(tmp.toPath, live.toPath)
     val written = spark.read.parquet(s"$indexDir/postings")
     val oldNDocs = spark.read.parquet(s"$indexDir/stats")
-      .select("n_docs").head.getDouble(0)
+      .select("n_docs").head().getDouble(0)
     DedupOps.publishTable(
       written.groupBy("word")
         .agg(sum(col("tf")).as("ctf"), count(lit(1)).as("df"),
@@ -451,7 +451,7 @@ object RetrievalOps {
     val probedBuckets = query.select("word_bucket").distinct()
       .collect().map(_.getLong(0)) // ≤ QueryTerms values — model-sized
     val pruned = spark.read.parquet(s"$dir/postings")
-      .where(col("word_bucket").isin(probedBuckets: _*))
+      .where(col("word_bucket").isin(probedBuckets.toIndexedSeq: _*))
     val postings =
       if (subtractTombstones)
         pruned.join(

@@ -140,7 +140,7 @@ object SimilarityOps {
     def det6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
     val embById = cand.map(c => c._1 -> c._2).toMap
     val remaining = scala.collection.mutable.LinkedHashMap(
-      cand.map(c => c._1 -> c._3): _*) // id -> r6
+      cand.map(c => c._1 -> c._3).toIndexedSeq: _*) // id -> r6
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     while (selected.size < k && remaining.nonEmpty) {
       val best = remaining.iterator.map { case (id, r6) =>

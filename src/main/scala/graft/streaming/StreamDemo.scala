@@ -31,7 +31,7 @@ object StreamDemo {
     try wc.processAllAvailable() finally wc.stop()
     val windows = spark.table("demo_wc").count()
     val events = spark.table("demo_wc").agg(org.apache.spark.sql.functions.sum("n"))
-      .head.getLong(0)
+      .head().getLong(0)
 
     val sess = EventStreams.sessionize(EventStreams.readEventsStream(spark, dir.toString))
       .writeStream.outputMode("append").format("memory").queryName("demo_sess").start()
