@@ -4163,35 +4163,63 @@ object Queries {
     // path mining, SCD2 point-in-time, OPTIMIZE/compaction ----
 
     // blocked edit-distance record linkage: DISTINCT -> block on the
-    // first token -> levenshtein verify inside blocks only. Never an
-    // all-pairs theta join; both engines compute the same classic DP
-    // distance, so the pair set is exact.
+    // UNION of first-token and last-token keys -> dedupe candidates
+    // -> levenshtein verify once per pair. Never an all-pairs theta
+    // join; both engines compute the same classic DP distance, so the
+    // pair set is exact. The union's recall vs the unblocked truth is
+    // itself gated (fuzzy_recall_eval).
     "fuzzy_join_parts" -> QueryDef(
       (s, d) => ResolutionOps.fuzzyPartPairs(Tables.part(s, d)),
-      Some(s"""WITH names AS (SELECT DISTINCT p_name,
-             |    split_part(p_name, ' ', 1) AS blk FROM part)
-             |SELECT a.p_name AS name_a, b.p_name AS name_b,
-             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-             |FROM names a JOIN names b USING (blk)
-             |WHERE a.p_name < b.p_name
-             |  AND levenshtein(a.p_name, b.p_name) <= ${ResolutionOps.MaxEditDistance}
+      Some(s"""$fuzzyCandCtes
+             |SELECT name_a, name_b,
+             |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+             |FROM cand
+             |WHERE levenshtein(name_a, name_b) <= ${ResolutionOps.MaxEditDistance}
              |ORDER BY name_a, name_b""".stripMargin)),
 
     // one resolution round: every name folds onto the lexicographic
-    // min within edit distance in its block, and the fact table
-    // aggregates on the canonical key
+    // min of its matched neighborhood (itself included), and the fact
+    // table aggregates on the canonical key; the price sum is exact
+    // decimal cents (the revenueExact discipline)
     "fuzzy_canonical_parts" -> QueryDef(
       (s, d) => ResolutionOps.fuzzyCanonicalParts(Tables.part(s, d)),
-      Some(s"""WITH names AS (SELECT DISTINCT p_name,
-             |    split_part(p_name, ' ', 1) AS blk FROM part),
-             |cand AS (SELECT a.p_name, min(b.p_name) AS canon
-             |  FROM names a JOIN names b USING (blk)
-             |  WHERE levenshtein(a.p_name, b.p_name) <= ${ResolutionOps.MaxEditDistance}
-             |  GROUP BY a.p_name)
+      Some(s"""$fuzzyCandCtes,
+             |m AS (SELECT name_a, name_b FROM cand
+             |  WHERE levenshtein(name_a, name_b) <= ${ResolutionOps.MaxEditDistance}),
+             |neigh AS (SELECT name_a AS p_name, name_b AS other FROM m
+             |  UNION ALL SELECT name_b, name_a FROM m
+             |  UNION ALL SELECT p_name, p_name FROM names),
+             |cn AS (SELECT p_name, min(other) AS canon FROM neigh GROUP BY p_name)
              |SELECT canon, count(DISTINCT p.p_name) AS n_names,
-             |  count(*) AS n_parts, round(sum(p_retailprice), 2) AS sum_price
-             |FROM part p JOIN cand c ON p.p_name = c.p_name
+             |  count(*) AS n_parts,
+             |  CAST(round(sum(CAST(p_retailprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS sum_price
+             |FROM part p JOIN cn USING (p_name)
              |GROUP BY canon ORDER BY canon""".stripMargin)),
+
+    // blocking-recall eval (the ann_recall_eval discipline applied to
+    // record linkage): unblocked banded-levenshtein truth over the
+    // distinct-name domain vs what each blocking strategy can reach —
+    // the measured number behind the first∪last union key
+    "fuzzy_recall_eval" -> QueryDef(
+      (s, d) => ResolutionOps.fuzzyRecallEval(Tables.part(s, d)),
+      Some(s"""WITH names AS (SELECT DISTINCT p_name FROM part),
+             |t AS (SELECT a.p_name AS na, b.p_name AS nb
+             |  FROM names a JOIN names b ON a.p_name < b.p_name
+             |  WHERE levenshtein(a.p_name, b.p_name) <= ${ResolutionOps.MaxEditDistance}),
+             |f AS (SELECT count(*) AS truth,
+             |  coalesce(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+             |    THEN 1 ELSE 0 END), 0) AS f1,
+             |  coalesce(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+             |      OR string_split(na, ' ')[-1] = string_split(nb, ' ')[-1]
+             |    THEN 1 ELSE 0 END), 0) AS fu
+             |  FROM t)
+             |SELECT 'first_last_union' AS strategy, CAST(fu AS BIGINT) AS found,
+             |  CAST(truth AS BIGINT) AS truth,
+             |  ${TextAnalysisOps.det4Sql("fu::DOUBLE / truth")} AS recall FROM f
+             |UNION ALL
+             |SELECT 'first_token', CAST(f1 AS BIGINT), CAST(truth AS BIGINT),
+             |  ${TextAnalysisOps.det4Sql("f1::DOUBLE / truth")} FROM f
+             |ORDER BY strategy""".stripMargin)),
 
     // last-touch attribution: each purchase credited to the user's
     // most recent preceding click via ONE conditional-last window —
@@ -4868,6 +4896,20 @@ object Queries {
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared blocked-candidate CTEs of the fuzzy-resolution family:
+    * distinct names exploded to position-tagged first/last-token
+    * block keys ([[graft.operators.ResolutionOps.fuzzyPartPairs]]),
+    * candidate pairs deduped across blocks.
+    */
+  private lazy val fuzzyCandCtes: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |blocks AS (SELECT p_name, unnest(list_distinct([
+      |    'f:' || split_part(p_name, ' ', 1),
+      |    'l:' || string_split(p_name, ' ')[-1]])) AS blk FROM names),
+      |cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      |  FROM blocks a JOIN blocks b USING (blk)
+      |  WHERE a.p_name < b.p_name)""".stripMargin
 
   private lazy val componentsOracleBody: String =
     s"""WITH RECURSIVE $jaccardPairsBody,

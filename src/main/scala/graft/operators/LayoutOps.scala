@@ -140,7 +140,7 @@ object LayoutOps {
   }
 
   /** Date-ranged revenue scan over the compacted layout: the filter
-    * prunes to the files whose shipdate envelope intersects 1994.
+    * prunes to the files whose shipdate envelope intersects 1996.
     * Oracle-gated against the raw table — compaction must be
     * invisible to every reader.
     */

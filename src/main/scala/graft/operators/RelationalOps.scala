@@ -607,6 +607,15 @@ object RelationalOps {
     * Without this leg, deleted keys accumulate forever: at 100 TB the
     * tombstone population is churn × retention and must be GC'd on
     * the same horizon discipline every log-structured store uses.
+    *
+    * Horizon boundary: seqs are UNIQUE across the changelog (each op
+    * carries its own sequence number), so "never emits at or below
+    * `horizon` again" and "never re-emits a dropped tombstone's own
+    * seq" coincide — a future op can tie a dropped tombstone's seq
+    * only if seqs repeat, which the changelog contract forbids. The
+    * gated composition ([[cdcApplyCompacted]]) compacts at a horizon
+    * equal to wave 2's smallest seq and is correct exactly because of
+    * this uniqueness invariant.
     */
   def cdcCompact(state: DataFrame, horizon: Long): DataFrame =
     state.where(!(col("src") === "del" && col("applied_seq") <= horizon))

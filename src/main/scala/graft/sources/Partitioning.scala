@@ -122,16 +122,14 @@ object Partitioning {
       // restatement: only the second (dynamic) write commits the
       // marker. Deleting the marker after the fact would leave a crash
       // window between the base commit and the delete in which
-      // Fixtures.ensure would accept a half-built layout.
-      val markKey = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
-      val hc = spark.sparkContext.hadoopConfiguration
-      val prevMark = Option(hc.get(markKey))
-      hc.set(markKey, "false")
-      try withDay.write.mode("overwrite").partitionBy("day").parquet(p)
-      finally prevMark match {
-        case Some(v) => hc.set(markKey, v)
-        case None    => hc.unset(markKey)
-      }
+      // Fixtures.ensure would accept a half-built layout. The option
+      // rides the WRITER (per-job hadoop conf), never the shared
+      // SparkContext hadoopConfiguration — a session-global toggle
+      // would race any concurrent parquet write into losing ITS
+      // marker for the duration of this one.
+      withDay.write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .partitionBy("day").parquet(p)
       val modeKey = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(modeKey)
       spark.conf.set(modeKey, "dynamic")

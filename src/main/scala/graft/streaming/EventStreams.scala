@@ -500,6 +500,14 @@ object EventStreams {
     graft.operators.RelationalOps.cdcCompact(
         spark.read.parquet(s"$stateRoot/v$cur"), horizon)
       .write.mode("overwrite").parquet(s"$stateRoot/v$next")
+    // the commit-before-delete discipline must not rest on the
+    // committer's global marker flag alone: if v(next) lacks its
+    // _SUCCESS (e.g. a write that ran with the marker suppressed),
+    // deleting the older versions would leave an unreadable chain —
+    // fail loudly BEFORE any deletion instead
+    require(new java.io.File(s"$stateRoot/v$next/_SUCCESS").exists(),
+      s"compacted version v$next did not commit (_SUCCESS missing); " +
+        "aborting before deleting the version chain")
     Option(new java.io.File(stateRoot).listFiles()).toSeq.flatten
       .filter(f => f.getName.matches("v\\d+") && f.getName.drop(1).toLong < next)
       .foreach { dir =>

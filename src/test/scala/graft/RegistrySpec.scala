@@ -33,6 +33,50 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("no new round(sum(<double>)) column (exact-decimal discipline)") {
+    // A rounded DOUBLE sum is summation-order sensitive: a .xx5 tie at
+    // an untested scale rounds differently per engine / per partition
+    // layout and reds the hash gate (the 10x q1_pricing cent flip;
+    // SURVEY §8.2). Money-like sums must use the revenueExact pattern
+    // (sum exact DECIMAL, round, cast back to double). The allowlist
+    // below freezes the pre-round-15 legacy uses — 4-decimal sums of
+    // the synthetic events.value / low-churn totals that have held at
+    // every gate config — so the set can only SHRINK: any new query
+    // (or a regression in a fixed one) fails here until its sum is
+    // made decimal-exact.
+    import org.apache.spark.sql.catalyst.expressions.Round
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+    import org.apache.spark.sql.types.DoubleType
+    val legacy = Set(
+      "bucketed_join_agg", "compacted_scan", "events_cube",
+      "events_dpp_join", "events_grouping_sets", "events_hourly",
+      "events_moving_avg", "events_partition_pruned", "events_topusers",
+      "events_variant", "join_left_outer", "lineitem_orc_scan",
+      "lineitem_rollup", "orders_csv_scan", "orders_monthly",
+      "orders_yoy", "q6_forecast", "scd2_point_in_time",
+      "sql_param_markers", "sql_recursive_series", "sql_udf_pricing",
+      "streamed_day_counts")
+    val offenders = Queries.registry.flatMap { case (name, qd) =>
+      val plan = qd.run(spark, TestSpark.Sf0001).queryExecution.analyzed
+      val bad = plan.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case r: Round => r.child match {
+            case ae: AggregateExpression => ae.aggregateFunction match {
+              case s: Sum => s.child.dataType == DoubleType
+              case _      => false
+            }
+            case _ => false
+          }
+        }).contains(true)
+      }.contains(true)
+      if (bad) Some(name) else None
+    }.toSet
+    val fresh = offenders -- legacy
+    assert(fresh.isEmpty,
+      s"round(sum(<double>)) crept into ${fresh.toSeq.sorted.mkString(", ")}; " +
+        "use the revenueExact exact-decimal pattern instead")
+  }
+
   test("every registered query is oracle-gated (no rows-only entries)") {
     val names = Queries.registry.map(_._1).toSet
     assert(Queries.oracleSql.keySet.subsetOf(names))

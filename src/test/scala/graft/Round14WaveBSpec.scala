@@ -26,7 +26,9 @@ class Round14WaveBSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (a, b, d) = (r.getString(0), r.getString(1), r.getLong(2))
       assert(a < b)
-      assert(a.split(" ").head === b.split(" ").head, "pair crossed blocks")
+      val (ta, tb) = (a.split(" "), b.split(" "))
+      assert(ta.head === tb.head || ta.last === tb.last,
+        "pair shares neither blocking key (first/last token)")
       assert(d >= 1 && d <= ResolutionOps.MaxEditDistance)
     }
   }

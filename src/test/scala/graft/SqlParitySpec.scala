@@ -762,13 +762,17 @@ class SqlParitySpec extends AnyFunSuite {
 
   test("fuzzy_join_parts via SQL (blocked edit-distance linkage)") {
     assertParity("fuzzy_join_parts",
-      """WITH names AS (SELECT DISTINCT p_name,
-        |    split_part(p_name, ' ', 1) AS blk FROM part)
-        |SELECT a.p_name AS name_a, b.p_name AS name_b,
-        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-        |FROM names a JOIN names b USING (blk)
-        |WHERE a.p_name < b.p_name
-        |  AND levenshtein(a.p_name, b.p_name) <= 3
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |blocks AS (SELECT p_name, explode(array_distinct(array(
+        |    'f:' || split_part(p_name, ' ', 1),
+        |    'l:' || element_at(split(p_name, ' '), -1)))) AS blk FROM names),
+        |cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+        |  FROM blocks a JOIN blocks b USING (blk)
+        |  WHERE a.p_name < b.p_name)
+        |SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) <= 3
         |ORDER BY name_a, name_b""".stripMargin)
   }
 
