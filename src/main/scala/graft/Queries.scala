@@ -1932,34 +1932,16 @@ object Queries {
       (s, d) => { VectorFunctions.register(s)
         SimilarityOps.annSq8(Tables.embeddings(s, d), d,
           nProbes = 10, k = 10, rerankM = SimilarityOps.Sq8RerankM) },
-      Some(s"""WITH dx AS (SELECT vec_id, embedding,
-             |    unnest(generate_series(1, len(embedding))) AS pos FROM embeddings),
-             |b AS (SELECT pos, min(embedding[pos]::DOUBLE) AS lo,
-             |             max(embedding[pos]::DOUBLE) AS hi FROM dx GROUP BY pos),
-             |qx AS (SELECT vec_id, pos,
-             |    coalesce(round((embedding[pos]::DOUBLE - lo) * 254.0 / NULLIF(hi - lo, 0.0), 0) - 127.0,
-             |             0.0) AS code, lo, hi
-             |  FROM dx JOIN b USING (pos)),
-             |q AS (SELECT vec_id,
-             |    list((lo + (code + 127.0) * (hi - lo) / 254.0)::FLOAT ORDER BY pos) AS dq
-             |  FROM qx GROUP BY vec_id),
-             |p AS (SELECT vec_id AS probe_id, dq AS pdq FROM q WHERE vec_id < 10),
-             |s AS (SELECT probe_id, q.vec_id, ${cosSql("pdq", "dq")} AS score_q
-             |      FROM q CROSS JOIN p WHERE q.vec_id <> probe_id),
-             |r AS (SELECT probe_id, vec_id, score_q,
-             |        row_number() OVER (PARTITION BY probe_id
-             |          ORDER BY round(score_q, 6) DESC, vec_id) AS rnk_q FROM s),
-             |cand AS (SELECT probe_id, vec_id, score_q FROM r WHERE rnk_q <= ${SimilarityOps.Sq8RerankM}),
-             |x AS (SELECT probe_id, cand.vec_id, score_q,
-             |        ${cosSql("pe.embedding", "e.embedding")} AS score
-             |      FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
-             |        JOIN embeddings pe ON pe.vec_id = probe_id),
-             |r2 AS (SELECT probe_id, vec_id, score, score_q,
-             |         row_number() OVER (PARTITION BY probe_id
-             |           ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM x)
-             |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
-             |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
-             |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+      Some(sq8OracleSql)),
+
+    // recall@10 of the SQ8 quantized path vs brute force — the
+    // quality number next to the correctness gate (the
+    // ann_recall_eval discipline for the quantized family); the
+    // oracle nests the full quantized-search SQL as the approx side
+    "ann_sq8_recall_eval" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annSq8RecallEval(Tables.embeddings(s, d), d) },
+      Some(annRecallOracle(sq8OracleSql))),
 
     // product quantization with asymmetric scoring: codes = per-
     // subspace argmin centroid, reconstruction scored then exact
@@ -1968,46 +1950,14 @@ object Queries {
       (s, d) => { VectorFunctions.register(s)
         SimilarityOps.annPq(Tables.embeddings(s, d), d,
           nProbes = 10, k = 10, rerankM = SimilarityOps.PqRerankM) },
-      Some({
-        val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
-        val kk = SimilarityOps.PqK; val rr = SimilarityOps.PqRerankM
-        s"""WITH cb AS (SELECT vec_id AS j, embedding AS c
-           |  FROM embeddings WHERE vec_id < $kk),
-           |mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
-           |enc AS (SELECT e.vec_id, mm.m, cb.j,
-           |    list_sum(list_transform(generate_series(1, $sub), i ->
-           |      cb.c[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE))
-           |  - 2 * list_sum(list_transform(generate_series(1, $sub), i ->
-           |      e.embedding[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE)) AS d
-           |  FROM embeddings e CROSS JOIN mm CROSS JOIN cb),
-           |best AS (SELECT vec_id, m, j FROM (
-           |    SELECT vec_id, m, j, row_number() OVER (
-           |      PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM enc)
-           |  WHERE rn = 1),
-           |rx AS (SELECT b.vec_id, b.m, ii.i, cb.c[b.m*$sub+ii.i]::FLOAT AS x
-           |  FROM best b JOIN cb USING (j)
-           |  CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) ii),
-           |recon AS (SELECT vec_id, list(x ORDER BY m, i) AS rc
-           |  FROM rx GROUP BY vec_id),
-           |p AS (SELECT vec_id AS probe_id, embedding AS pv
-           |  FROM embeddings WHERE vec_id < 10),
-           |sq AS (SELECT probe_id, r.vec_id, ${cosSql("pv", "rc")} AS score_q
-           |  FROM recon r CROSS JOIN p WHERE r.vec_id <> probe_id),
-           |rq AS (SELECT probe_id, vec_id, score_q, row_number() OVER (
-           |    PARTITION BY probe_id
-           |    ORDER BY round(score_q, 6) DESC, vec_id) AS rnk_q FROM sq),
-           |cand AS (SELECT probe_id, vec_id, score_q FROM rq WHERE rnk_q <= $rr),
-           |x AS (SELECT probe_id, cand.vec_id, score_q,
-           |    ${cosSql("pe.embedding", "e.embedding")} AS score
-           |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
-           |    JOIN embeddings pe ON pe.vec_id = probe_id),
-           |r2 AS (SELECT probe_id, vec_id, score, score_q, row_number() OVER (
-           |    PARTITION BY probe_id
-           |    ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM x)
-           |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
-           |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
-           |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
-      })),
+      Some(pqOracleSql)),
+
+    // recall@10 of the PQ path vs brute force — same discipline as
+    // ann_sq8_recall_eval for the 64x-compressed codes
+    "ann_pq_recall_eval" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annPqRecallEval(Tables.embeddings(s, d), d) },
+      Some(annRecallOracle(pqOracleSql))),
 
     // SemDeDup: within-cluster cosine pairs (the O(n²/K) candidate
     // generation; threshold + cluster cap from SimilarityOps
@@ -4896,6 +4846,109 @@ object Queries {
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Full DuckDB replay of the SQ8 quantized search ([[graft.operators.SimilarityOps.annSq8]]):
+    * per-dimension min/max bounds, quantize/dequantize double math,
+    * quantized rank to the rerank pool, exact-cosine rerank. Shared
+    * verbatim by the `ann_sq8` gate and (nested as the approx side)
+    * `ann_sq8_recall_eval`.
+    */
+  private lazy val sq8OracleSql: String =
+    s"""WITH dx AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS pos FROM embeddings),
+       |b AS (SELECT pos, min(embedding[pos]::DOUBLE) AS lo,
+       |             max(embedding[pos]::DOUBLE) AS hi FROM dx GROUP BY pos),
+       |qx AS (SELECT vec_id, pos,
+       |    coalesce(round((embedding[pos]::DOUBLE - lo) * 254.0 / NULLIF(hi - lo, 0.0), 0) - 127.0,
+       |             0.0) AS code, lo, hi
+       |  FROM dx JOIN b USING (pos)),
+       |q AS (SELECT vec_id,
+       |    list((lo + (code + 127.0) * (hi - lo) / 254.0)::FLOAT ORDER BY pos) AS dq
+       |  FROM qx GROUP BY vec_id),
+       |p AS (SELECT vec_id AS probe_id, dq AS pdq FROM q WHERE vec_id < 10),
+       |s AS (SELECT probe_id, q.vec_id, ${cosSql("pdq", "dq")} AS score_q
+       |      FROM q CROSS JOIN p WHERE q.vec_id <> probe_id),
+       |r AS (SELECT probe_id, vec_id, score_q,
+       |        row_number() OVER (PARTITION BY probe_id
+       |          ORDER BY round(score_q, 6) DESC, vec_id) AS rnk_q FROM s),
+       |cand AS (SELECT probe_id, vec_id, score_q FROM r WHERE rnk_q <= ${SimilarityOps.Sq8RerankM}),
+       |x AS (SELECT probe_id, cand.vec_id, score_q,
+       |        ${cosSql("pe.embedding", "e.embedding")} AS score
+       |      FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+       |        JOIN embeddings pe ON pe.vec_id = probe_id),
+       |r2 AS (SELECT probe_id, vec_id, score, score_q,
+       |         row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM x)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+       |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
+       |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+
+  /** Full DuckDB replay of the PQ search ([[graft.operators.SimilarityOps.annPq]]):
+    * per-subspace argmin encode against the seed codebook,
+    * concatenated reconstruction, asymmetric quantized score, exact
+    * rerank. Shared by `ann_pq` and `ann_pq_recall_eval`.
+    */
+  private lazy val pqOracleSql: String = {
+    val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
+    val kk = SimilarityOps.PqK; val rr = SimilarityOps.PqRerankM
+    s"""WITH cb AS (SELECT vec_id AS j, embedding AS c
+       |  FROM embeddings WHERE vec_id < $kk),
+       |mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+       |enc AS (SELECT e.vec_id, mm.m, cb.j,
+       |    list_sum(list_transform(generate_series(1, $sub), i ->
+       |      cb.c[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE))
+       |  - 2 * list_sum(list_transform(generate_series(1, $sub), i ->
+       |      e.embedding[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE)) AS d
+       |  FROM embeddings e CROSS JOIN mm CROSS JOIN cb),
+       |best AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM enc)
+       |  WHERE rn = 1),
+       |rx AS (SELECT b.vec_id, b.m, ii.i, cb.c[b.m*$sub+ii.i]::FLOAT AS x
+       |  FROM best b JOIN cb USING (j)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) ii),
+       |recon AS (SELECT vec_id, list(x ORDER BY m, i) AS rc
+       |  FROM rx GROUP BY vec_id),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pv
+       |  FROM embeddings WHERE vec_id < 10),
+       |sq AS (SELECT probe_id, r.vec_id, ${cosSql("pv", "rc")} AS score_q
+       |  FROM recon r CROSS JOIN p WHERE r.vec_id <> probe_id),
+       |rq AS (SELECT probe_id, vec_id, score_q, row_number() OVER (
+       |    PARTITION BY probe_id
+       |    ORDER BY round(score_q, 6) DESC, vec_id) AS rnk_q FROM sq),
+       |cand AS (SELECT probe_id, vec_id, score_q FROM rq WHERE rnk_q <= $rr),
+       |x AS (SELECT probe_id, cand.vec_id, score_q,
+       |    ${cosSql("pe.embedding", "e.embedding")} AS score
+       |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+       |    JOIN embeddings pe ON pe.vec_id = probe_id),
+       |r2 AS (SELECT probe_id, vec_id, score, score_q, row_number() OVER (
+       |    PARTITION BY probe_id
+       |    ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM x)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+       |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
+       |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** Recall@10 oracle: brute-force exact top-10 vs `approxSql` (a
+    * complete search SELECT, nested as a subquery — its inner CTEs
+    * shadow the outer ones), intersected and reduced to the 1-row
+    * (hits, total, recall) metric — the ann_recall_eval shape, shared
+    * by the SQ8/PQ recall rows.
+    */
+  private def annRecallOracle(approxSql: String): String =
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings WHERE vec_id < 10),
+       |s AS (SELECT probe_id, vec_id, ${cosSql("probe_vec", "embedding")} AS score
+       |      FROM embeddings CROSS JOIN p WHERE vec_id <> probe_id),
+       |r AS (SELECT probe_id, vec_id,
+       |        row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
+       |      FROM s),
+       |ex AS (SELECT probe_id, vec_id FROM r WHERE rnk <= 10),
+       |ap AS (SELECT probe_id, vec_id FROM ($approxSql) aq),
+       |m AS (SELECT count(*) AS hits FROM ex JOIN ap USING (probe_id, vec_id)),
+       |t AS (SELECT count(*) AS total FROM ex)
+       |SELECT hits::BIGINT AS hits, total::BIGINT AS total,
+       |  ${TextAnalysisOps.det4Sql("hits::DOUBLE / total")} AS recall
+       |FROM m, t""".stripMargin
 
   /** Shared blocked-candidate CTEs of the fuzzy-resolution family:
     * distinct names exploded to position-tagged first/last-token

@@ -696,20 +696,45 @@ object SimilarityOps {
     * cross-engine rounding rule for ratios (see
     * [[graft.operators.TextAnalysisOps.det4]]).
     */
-  def annRecallEval(emb: DataFrame, sfDir: String, k: Int = 10): DataFrame = {
+  def annRecallEval(emb: DataFrame, sfDir: String, k: Int = 10): DataFrame =
+    recallVsExact(emb,
+      annIvfKmeans(emb, sfDir, centroidMod = 97, numCentroids = 16,
+        nprobe = 3, nProbes = 10, k = k, iterations = 1, moveEps = 0.0), k)
+
+  /** Recall@k of `approx` (any search result with probe_id/vec_id
+    * columns) against the brute-force ground truth — the shared
+    * metric core of the IVF, SQ8 and PQ recall rows.
+    */
+  private def recallVsExact(emb: DataFrame, approx: DataFrame,
+                            k: Int): DataFrame = {
     val exact = similarityTopK(emb, nProbes = 10, k = k)
       .select("probe_id", "vec_id")
-    val approx = annIvfKmeans(emb, sfDir, centroidMod = 97,
-      numCentroids = 16, nprobe = 3, nProbes = 10, k = k,
-      iterations = 1, moveEps = 0.0)
-      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("probe_id", "vec_id"), "left")
+    exact.join(
+        approx.select(col("probe_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("probe_id", "vec_id"), "left")
       .agg(coalesce(sum(col("hit")), lit(0L)).as("hits"),
         count(lit(1)).as("total"))
       .select(col("hits"), col("total"),
         graft.operators.TextAnalysisOps.det4(
           col("hits").cast("double") / col("total")).as("recall"))
   }
+
+  /** Recall@k of the int8 scalar-quantized path ([[annSq8]]) vs brute
+    * force — the quality number next to its correctness gate. The
+    * quantized scan RANKS by dequantized cosine but RERANKS the top
+    * [[Sq8RerankM]] exactly, so this measures what quantization loses
+    * at the candidate-generation stage.
+    */
+  def annSq8RecallEval(emb: DataFrame, sfDir: String, k: Int = 10): DataFrame =
+    recallVsExact(emb,
+      annSq8(emb, sfDir, nProbes = 10, k = k, rerankM = Sq8RerankM), k)
+
+  /** Recall@k of the product-quantized path ([[annPq]]) vs brute
+    * force — same discipline for the 64×-compressed codes.
+    */
+  def annPqRecallEval(emb: DataFrame, sfDir: String, k: Int = 10): DataFrame =
+    recallVsExact(emb,
+      annPq(emb, sfDir, nProbes = 10, k = k, rerankM = PqRerankM), k)
 
   /** documents joined with their embedding vector (doc_id == vec_id)
     * plus the L2 norm — the multimodal "attach features to metadata"
