@@ -1586,28 +1586,45 @@ object Queries {
     // runs in seconds (the mmr_rerank lesson, repeated)
     "coorder_triangles" -> QueryDef(
       (s, d) => GraphOps.coorderTriangles(Tables.lineitem(s, d)),
-      Some(s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-             |edges AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
-             |          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
-             |deg AS MATERIALIZED (SELECT p, count(*) AS deg FROM (
-             |          SELECT u AS p FROM edges UNION ALL SELECT v FROM edges)
-             |        GROUP BY p),
-             |oriented AS MATERIALIZED (
-             |  SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
-             |         CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
-             |         CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS ddeg
-             |  FROM (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
-             |        FROM edges e JOIN deg du ON e.u = du.p JOIN deg dv ON e.v = dv.p)),
-             |tri AS MATERIALIZED (
-             |  SELECT w.tu, w.tv, w.tw FROM (
-             |    SELECT e1.src AS tu, e1.dst AS tv, e2.dst AS tw
-             |    FROM oriented e1 JOIN oriented e2
-             |    ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)) w
-             |  JOIN oriented o ON w.tv = o.src AND w.tw = o.dst),
-             |nodes AS (SELECT tu AS p FROM tri UNION ALL
-             |          SELECT tv FROM tri UNION ALL SELECT tw FROM tri)
-             |SELECT p AS l_partkey, count(*) AS n_tri FROM nodes GROUP BY p
-             |ORDER BY n_tri DESC, l_partkey LIMIT ${GraphOps.TriangleTopK}""".stripMargin)),
+      Some(coorderTrianglesOracle)),
+
+    // the SAME triangle count over the WRITE-ONCE oriented edge-list
+    // index: co-order projection + degree + orientation run at build
+    // time, the query is a read + wedge/closing joins. Shares the
+    // inline oracle verbatim — the hash match is the index == inline
+    // proof (the bm25_indexed discipline for the graph family).
+    "coorder_triangles_indexed" -> QueryDef(
+      (s, d) => GraphOps.coorderTrianglesIndexed(Tables.lineitem(s, d), d),
+      Some(coorderTrianglesOracle)),
+
+    // BFS run to EMPTY-FRONTIER CONVERGENCE on a thinned
+    // (o_orderkey % 37) trade graph whose eccentricity exceeds the
+    // bounded queries' 4 rounds: the gate for the exhaustion loop the
+    // bounded bfs/sssp rows document as the 100 TB posture. Oracle:
+    // recursive CTE walking (node, dist) pairs, capped at the shared
+    // FixpointMaxRounds (cycles extend dists forever under UNION
+    // recursion; the Spark loop THROWS if it ever needs that many
+    // rounds, so the cap is jointly certified), min-reduced per node.
+    "bfs_hops_fixpoint" -> QueryDef(
+      (s, d) => GraphOps.bfsHopsFixpoint(Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some(s"""WITH RECURSIVE trade AS MATERIALIZED (
+             |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  WHERE o_orderkey % ${GraphOps.FixpointSliceMod} = 0),
+             |edges AS MATERIALIZED (
+             |  SELECT c AS src, s AS dst FROM trade
+             |  UNION ALL SELECT s AS src, c AS dst FROM trade),
+             |seed AS (SELECT min(src) AS n FROM edges),
+             |walk(node, dist) AS (
+             |  SELECT n, CAST(0 AS BIGINT) FROM seed
+             |  UNION
+             |  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node
+             |  WHERE w.dist < ${GraphOps.FixpointMaxRounds}),
+             |d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+             |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+             |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS entity,
+             |  dist
+             |FROM d ORDER BY dist, entity""".stripMargin)),
 
     // 2-D box aggregate over the write-once Z-ORDERED lineitem layout
     // (cells = low 16 bits of partkey/suppkey, rows range-partitioned
@@ -4949,6 +4966,35 @@ object Queries {
        |SELECT hits::BIGINT AS hits, total::BIGINT AS total,
        |  ${TextAnalysisOps.det4Sql("hits::DOUBLE / total")} AS recall
        |FROM m, t""".stripMargin
+
+  /** Degree-ordered triangle oracle, shared verbatim by the inline
+    * and the persisted-index triangle queries (index == inline proof).
+    * Row-value (tuple) comparisons mirror Spark's struct ordering;
+    * every CTE MATERIALIZED (the exponential-inlining lesson).
+    */
+  private lazy val coorderTrianglesOracle: String =
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |edges AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+             |          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+             |deg AS MATERIALIZED (SELECT p, count(*) AS deg FROM (
+             |          SELECT u AS p FROM edges UNION ALL SELECT v FROM edges)
+             |        GROUP BY p),
+             |oriented AS MATERIALIZED (
+             |  SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+             |         CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+             |         CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS ddeg
+             |  FROM (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+             |        FROM edges e JOIN deg du ON e.u = du.p JOIN deg dv ON e.v = dv.p)),
+             |tri AS MATERIALIZED (
+             |  SELECT w.tu, w.tv, w.tw FROM (
+             |    SELECT e1.src AS tu, e1.dst AS tv, e2.dst AS tw
+             |    FROM oriented e1 JOIN oriented e2
+             |    ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)) w
+             |  JOIN oriented o ON w.tv = o.src AND w.tw = o.dst),
+             |nodes AS (SELECT tu AS p FROM tri UNION ALL
+             |          SELECT tv FROM tri UNION ALL SELECT tw FROM tri)
+             |SELECT p AS l_partkey, count(*) AS n_tri FROM nodes GROUP BY p
+             |ORDER BY n_tri DESC, l_partkey LIMIT ${GraphOps.TriangleTopK}""".stripMargin
 
   /** Shared blocked-candidate CTEs of the fuzzy-resolution family:
     * distinct names exploded to position-tagged first/last-token

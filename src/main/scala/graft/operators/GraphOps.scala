@@ -68,7 +68,21 @@ object GraphOps {
     * float anywhere).
     */
   def coorderTriangles(lineitem: DataFrame,
-                       topK: Int = TriangleTopK): DataFrame = {
+                       topK: Int = TriangleTopK): DataFrame =
+    // the oriented list feeds THREE consumers (both wedge-join sides
+    // and the closing join): materialize it once instead of repeating
+    // the distinct+degree subtree per consumer — the same probe-path
+    // discipline as the LSH index subtrees
+    trianglesFromOriented(Checkpoints.truncate(orientedEdges(lineitem)), topK)
+
+  /** The degree-oriented co-order edge list — the derived structure
+    * the triangle count is really computed over: each undirected edge
+    * directed from its lower (degree, id) endpoint to the higher,
+    * with the destination's (degree, id) key carried so wedges can
+    * order their two endpoints without a global vertex ranking
+    * (struct comparison = lexicographic).
+    */
+  private def orientedEdges(lineitem: DataFrame): DataFrame = {
     val op = lineitem.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
     val edges = op.as("a").join(op.as("b"),
@@ -77,22 +91,23 @@ object GraphOps {
       .distinct()
     val deg = edges.select(col("u").as("p")).union(edges.select(col("v").as("p")))
       .groupBy("p").agg(count(lit(1)).as("deg"))
-    // orient low (deg, id) → high (deg, id); carry the destination's
-    // key so wedges can order their two endpoints without a global
-    // vertex ranking (struct comparison = lexicographic)
     val withDegs = edges
       .join(deg.withColumnRenamed("p", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("p", "v").withColumnRenamed("deg", "dv"), "v")
     val ku = struct(col("du").as("d"), col("u").as("id"))
     val kv = struct(col("dv").as("d"), col("v").as("id"))
-    // the oriented list feeds THREE consumers (both wedge-join sides
-    // and the closing join): materialize it once instead of repeating
-    // the distinct+degree subtree per consumer — the same probe-path
-    // discipline as the LSH index subtrees
-    val oriented = Checkpoints.truncate(withDegs.select(
+    withDegs.select(
       when(ku < kv, col("u")).otherwise(col("v")).as("src"),
       when(ku < kv, kv).otherwise(ku).as("dstKey"))
-      .select(col("src"), col("dstKey.id").as("dst"), col("dstKey")))
+      .select(col("src"), col("dstKey.id").as("dst"), col("dstKey"))
+  }
+
+  /** Wedge join + closing join + per-vertex count over an already
+    * materialized oriented list — shared by the inline and indexed
+    * triangle queries.
+    */
+  private def trianglesFromOriented(oriented: DataFrame,
+                                    topK: Int): DataFrame = {
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
           col("e1.dstKey") < col("e2.dstKey"))
@@ -108,6 +123,32 @@ object GraphOps {
       .orderBy(col("n_tri").desc, col("l_partkey"))
       .limit(topK)
   }
+
+  /** Write-once oriented-edge-list index: the co-order projection,
+    * degree computation and orientation run ONCE at build time; every
+    * later triangle query is a read + two joins. This is the registry's
+    * single most expensive derived structure (the co-order distinct +
+    * degree join dominate the inline query's cost), so it gets the
+    * same write-once discipline as the LSH band index, the BM25
+    * postings and the pagerank rank table.
+    */
+  def orientedEdgeDir(lineitem: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("coorder_oriented", sfDir,
+      Seq(s"$sfDir/lineitem.parquet")) { dir =>
+      orientedEdges(lineitem).write.mode("overwrite").parquet(dir)
+      ()
+    }
+
+  /** [[coorderTriangles]] over the persisted oriented list — gated by
+    * the SAME oracle as the inline form, so the hash match is the
+    * index == inline proof (the bm25_indexed discipline applied to
+    * the graph family).
+    */
+  def coorderTrianglesIndexed(lineitem: DataFrame, sfDir: String,
+                              topK: Int = TriangleTopK): DataFrame =
+    trianglesFromOriented(
+      lineitem.sparkSession.read.parquet(orientedEdgeDir(lineitem, sfDir)),
+      topK)
 
   /** Customer–supplier trade graph: an undirected edge per DISTINCT
     * (customer, supplier) pair that ever traded (orders ⋈ lineitem).
@@ -229,20 +270,66 @@ object GraphOps {
     val sizes = Seq.newBuilder[Long]
     for (_ <- 1 to rounds) {
       if (trackFrontier) sizes += frontier.count()
-      val cand = edges.join(frontier, edges("src") === frontier("node"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-        .groupBy("node").agg(min("dist").as("dist"))
-      val improved = Checkpoints.truncate(
-        cand.join(dist.select(col("node"), col("dist").as("old")),
-            Seq("node"), "left")
-          .where(col("old").isNull || col("dist") < col("old"))
-          .select(col("node"), col("dist")))
-      dist = Checkpoints.truncate(
-        dist.join(improved.select("node"), Seq("node"), "left_anti")
-          .unionByName(improved))
+      val (d2, improved) = relaxStep(edges, dist, frontier)
+      dist = d2
       frontier = improved
     }
     (dist, sizes.result())
+  }
+
+  /** One min-plus relaxation round: relax the frontier's outgoing
+    * edges, keep strict improvements against `dist`, merge. Returns
+    * (updated dist, improved rows) — `improved` IS the next frontier,
+    * and `improved.isEmpty` is Bellman-Ford's convergence test for
+    * free. Both outputs are lineage-truncated (each feeds multiple
+    * consumers next round).
+    */
+  private def relaxStep(edges: DataFrame, dist: DataFrame,
+                        frontier: DataFrame): (DataFrame, DataFrame) = {
+    val cand = edges.join(frontier, edges("src") === frontier("node"))
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      .groupBy("node").agg(min("dist").as("dist"))
+    val improved = Checkpoints.truncate(
+      cand.join(dist.select(col("node"), col("dist").as("old")),
+          Seq("node"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select(col("node"), col("dist")))
+    val newDist = Checkpoints.truncate(
+      dist.join(improved.select("node"), Seq("node"), "left_anti")
+        .unionByName(improved))
+    (newDist, improved)
+  }
+
+  /** [[deltaRelax]] run to EMPTY-FRONTIER EXHAUSTION — the 100 TB
+    * posture the bounded queries document, executed for real: no
+    * round count, the loop stops when a round improves nothing
+    * (`improved.isEmpty`, one cheap action on an already
+    * materialized frame per round — the per-round driver check every
+    * distributed fixpoint pays, from Pregel supersteps to GraphX).
+    * `maxRounds` is a SAFETY bound, not a semantic one: exceeding it
+    * throws instead of silently returning a non-converged table, so
+    * a gated fixpoint run PROVES the fixture's diameter is below the
+    * cap the oracle's recursion shares. Returns (distances, rounds
+    * actually run).
+    */
+  private[graft] def deltaRelaxFixpoint(edges: DataFrame, seed: Long,
+                                        maxRounds: Int = FixpointMaxRounds)
+      : (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Checkpoints.truncate(Seq((seed, 0L)).toDF("node", "dist"))
+    var frontier = dist
+    var rounds = 0
+    while (!frontier.isEmpty) {
+      require(rounds < maxRounds,
+        s"fixpoint did not converge within $maxRounds rounds — " +
+          "graph diameter exceeds the declared cap")
+      val (d2, improved) = relaxStep(edges, dist, frontier)
+      dist = d2
+      frontier = improved
+      rounds += 1
+    }
+    (dist, rounds)
   }
 
   /** Single-source shortest HOP distances (BFS) from the
@@ -298,6 +385,42 @@ object GraphOps {
         struct(col("s").as("src"), col("c").as("dst"), col("w")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
     deltaRelax(edges, seed, rounds)._1
+      .select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
+  }
+
+  /** Order-key modulus of the fixpoint gate's bounded-diameter
+    * fixture slice: `o_orderkey % FixpointSliceMod == 0` thins the
+    * trade graph enough that its eccentricity from the minimum node
+    * EXCEEDS [[BfsMaxHops]] at gate SFs (5–6 hops measured) — so the
+    * fixpoint provably runs past the bounded queries' round count
+    * before converging.
+    */
+  val FixpointSliceMod: Long = 37L
+
+  /** Safety cap on fixpoint rounds, shared with the oracle's bounded
+    * recursion: the Spark loop THROWS past it (never returns a
+    * non-converged table), the oracle recursion stops extending walks
+    * at it — so a green hash on the fixpoint row certifies both that
+    * the loop converged and that the fixture diameter is under the
+    * cap.
+    */
+  val FixpointMaxRounds: Int = 48
+
+  /** BFS hop distances run to CONVERGENCE (empty frontier) on the
+    * [[FixpointSliceMod]]-sliced trade graph, seeded at the slice's
+    * minimum node id (a one-scalar driver aggregate both engines
+    * recompute). This is the gate for the exhaustion path the bounded
+    * [[bfsHops]]/[[ssspWeighted]] document as their 100 TB posture:
+    * the oracle is a DuckDB recursive CTE over the same slice (the
+    * dup_components precedent), so the hash match proves the
+    * unbounded loop reaches exactly the recursive fixpoint.
+    */
+  def bfsHopsFixpoint(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val sliced = orders.where(
+      pmod(col("o_orderkey"), lit(FixpointSliceMod)) === 0L)
+    val edges = tradeEdges(sliced, lineitem).withColumn("w", lit(1L))
+    val seed = edges.agg(min(col("src"))).head().getLong(0)
+    deltaRelaxFixpoint(edges, seed)._1
       .select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
   }
 

@@ -176,4 +176,47 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(m("c1") > m("c2") && m("s10") > m("s20"))
   }
+
+  test("bfsHopsFixpoint: converges past the bounded round count and " +
+    "equals an over-provisioned bounded relax exactly") {
+    import org.apache.spark.sql.functions.{col, lit, min => smin, pmod}
+    val sf = TestSpark.Sf0001
+    val orders = Tables.orders(spark, sf)
+      .where(pmod(col("o_orderkey"), lit(GraphOps.FixpointSliceMod)) === 0L)
+    val edges = GraphOps.tradeEdges(orders, Tables.lineitem(spark, sf))
+      .withColumn("w", lit(1L))
+    val seed = edges.agg(smin(col("src"))).head().getLong(0)
+    val (dist, rounds) = GraphOps.deltaRelaxFixpoint(edges, seed)
+    // the slice is thinned precisely so convergence needs MORE rounds
+    // than the bounded queries run — otherwise the fixpoint gate would
+    // never exercise the loop past what bfs_hops already proves
+    assert(rounds > GraphOps.BfsMaxHops - 1,
+      s"fixture too dense: converged in $rounds <= ${GraphOps.BfsMaxHops - 1} rounds")
+    assert(rounds < GraphOps.FixpointMaxRounds)
+    // fixpoint == any bounded run past the diameter (Bellman-Ford
+    // monotone convergence), exact row equality
+    val bounded = GraphOps.deltaRelax(edges, seed, rounds + 3)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = dist.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixed === bounded)
+  }
+
+  test("deltaRelaxFixpoint: throws rather than returning a non-converged table") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.deltaRelaxFixpoint(edges, 1L, maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("coorderTrianglesIndexed == coorderTriangles, row for row") {
+    val sf = TestSpark.Sf0001
+    val li = Tables.lineitem(spark, sf)
+    val inline = GraphOps.coorderTriangles(li)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val indexed = GraphOps.coorderTrianglesIndexed(li, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(indexed === inline)
+  }
 }

@@ -520,6 +520,20 @@ class PlanAuditSpec extends AnyFunSuite {
         s.relation.location.rootPaths.map(_.toString)
     }.flatten
 
+  test("coorder_triangles_indexed: probes the persisted oriented list, never lineitem") {
+    // the graph family's index claim: build-time work (co-order
+    // distinct, degree agg, orientation) must NOT reappear on the
+    // query path — the plan reads the oriented-list parquet only
+    val sf = TestSpark.Sf0001
+    val df = graft.operators.GraphOps.coorderTrianglesIndexed(
+      Tables.lineitem(spark, sf), sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("graft_coorder_oriented")),
+      s"expected the persisted oriented-list scan, got: $paths")
+    assert(!paths.exists(_.contains("lineitem.parquet")),
+      "indexed triangles must not re-derive the co-order graph from lineitem")
+  }
+
   test("ann models load from persisted artifacts — no training stage on the warm path") {
     // building the query ensures the write-once model artifact; the
     // RETURNED plan must then read the model parquet and contain no
