@@ -515,6 +515,29 @@ object Queries {
              |  round(sum(o_totalprice), 2) AS revenue
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Avro ingestion (no spark-avro connector in this runtime: built
+    // on avro-mapred's sync-marker-splittable Hadoop input format —
+    // sources/AvroSource.scala). min/max o_orderdate prove the
+    // epoch-micros timestamp round trip; revenue is decimal-exact
+    // (new queries may not round a double sum — RegistrySpec pin)
+    "orders_avro_scan" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit, max, min, round, sum}
+        val fixture = graft.sources.AvroSource.ordersAvroDir(Tables.orders(s, d), d)
+        graft.sources.AvroSource.readOrdersAvro(s, fixture)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(15,2)")), 2)
+              .cast("double").as("revenue"),
+            min(col("o_orderdate")).as("first_date"),
+            max(col("o_orderdate")).as("last_date"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue,
+             |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // JSON-lines ingestion: documents metadata round-trips through
     // JSONL and aggregates per language
     "documents_jsonl_scan" -> QueryDef(

@@ -38,4 +38,27 @@ class SinksSpec extends AnyFunSuite {
     val b = back.agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
     assert(a === b)
   }
+
+  test("avro fixture round-trips every projected column exactly, " +
+    "including the NTZ timestamp, and writes one container per partition") {
+    import graft.sources.AvroSource
+    val orders = Tables.orders(spark, TestSpark.Sf0001)
+    val src = orders
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString + "/o"
+    AvroSource.writeOrdersAvro(src, dir)
+    // distributed write: one .avro container per input partition
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".avro"))
+    assert(parts.length === 3, s"expected 3 container files, got ${parts.toSeq}")
+    val back = AvroSource.readOrdersAvro(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      src.schema.map(f => (f.name, f.dataType)))
+    val key = Seq("o_orderkey")
+    assert(back.count() === src.count())
+    assert(back.join(src, key, "left_anti").isEmpty &&
+      back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "avro round trip must be value-exact on every column")
+  }
 }
