@@ -336,7 +336,7 @@ object Queries {
       |),
       |daily AS (
       |  SELECT o_orderdate AS d, count(*) AS n_orders,
-      |         round(sum(o_totalprice), 2) AS revenue
+      |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue
       |  FROM orders
       |  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '1995-03-31'
       |  GROUP BY o_orderdate
@@ -368,7 +368,7 @@ object Queries {
       |  FROM chain WHERE node > 1
       |)
       |SELECT node AS ancestor, count(*) AS n_desc, max(depth) AS max_depth,
-      |       round(sum(bal), 2) AS bal_sum
+      |       CAST(round(sum(CAST(bal AS DECIMAL(15,2))), 2) AS DOUBLE) AS bal_sum
       |FROM chain
       |GROUP BY node
       |HAVING count(*) >= 8
@@ -384,8 +384,8 @@ object Queries {
     */
   private val sqlUdfSelect: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(%DISC%), 2) AS disc_rev,
-      |  round(sum(%CHARGE%), 2) AS charge_rev
+      |  CAST(round(sum(CAST(%DISC% AS DECIMAL(18,4))), 2) AS DOUBLE) AS disc_rev,
+      |  CAST(round(sum(CAST(%CHARGE% AS DECIMAL(20,6))), 2) AS DOUBLE) AS charge_rev
       |FROM lineitem
       |WHERE l_shipdate <= DATE '1998-09-02'
       |GROUP BY l_returnflag, l_linestatus
@@ -508,11 +508,12 @@ object Queries {
         graft.sources.DelimitedSource.readCsv(s, fixture, src.schema)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_orders"),
-            round(sum("o_totalprice"), 2).as("revenue"))
+            round(sum(col("o_totalprice").cast("decimal(15,2)")), 2)
+              .cast("double").as("revenue"))
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, count(*) AS n_orders,
-             |  round(sum(o_totalprice), 2) AS revenue
+             |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // Avro ingestion (no spark-avro connector in this runtime: built
@@ -572,11 +573,12 @@ object Queries {
           .where(col("l_quantity") >= 10)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_lines"),
-            round(sum("l_extendedprice"), 2).as("revenue"))
+            round(sum(col("l_extendedprice").cast("decimal(15,2)")), 2)
+              .cast("double").as("revenue"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, count(*) AS n_lines,
-             |  round(sum(l_extendedprice), 2) AS revenue
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue
              |FROM lineitem WHERE l_quantity >= 10
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -2219,7 +2221,7 @@ object Queries {
     "lineitem_rollup" -> QueryDef(
       (s, d) => RelationalOps.lineitemRollup(Tables.lineitem(s, d)),
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
-             |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |  count(*) AS n, CAST(round(sum(CAST(l_quantity AS DECIMAL(15,2))), 2) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY returnflag, linestatus""".stripMargin)),
 
@@ -2256,7 +2258,7 @@ object Queries {
 
     "join_left_outer" -> QueryDef(
       (s, d) => RelationalOps.custOrdersLeftOuter(Tables.customer(s, d), Tables.orders(s, d)),
-      Some("""WITH po AS (SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+      Some("""WITH po AS (SELECT o_custkey, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS total_spend
              |            FROM orders GROUP BY o_custkey)
              |SELECT c_custkey, c_mktsegment,
              |  coalesce(n_orders, 0) AS n_orders,
@@ -2281,8 +2283,8 @@ object Queries {
     // 100 TB fact-fact join is amortized across a query workload
     "bucketed_join_agg" -> QueryDef(
       (s, d) => graft.sources.Bucketing.bucketedJoinAgg(s, d),
-      Some("""SELECT o_orderpriority,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      Some(s"""SELECT o_orderpriority,
+             |  ${RelationalOps.RevenueExactSql} AS revenue,
              |  count(*) AS n_lines
              |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
@@ -2530,7 +2532,7 @@ object Queries {
     // pushdown probe: all three predicates must reach the parquet scan
     "q6_forecast" -> QueryDef(
       (s, d) => RelationalOps.q6Forecast(Tables.lineitem(s, d)),
-      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_lines
+      Some("""SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue, count(*) AS n_lines
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -3121,7 +3123,7 @@ object Queries {
     "orders_monthly" -> QueryDef(
       (s, d) => RelationalOps.ordersMonthly(Tables.orders(s, d)),
       Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
-             |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue, round(avg(o_totalprice), 4) AS avg_price
+             |  count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue, round(avg(o_totalprice), 4) AS avg_price
              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // YoY growth: lag window over the |years|x12-row aggregate, never
@@ -3130,7 +3132,7 @@ object Queries {
       (s, d) => RelationalOps.ordersYoy(Tables.orders(s, d)),
       Some("""WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
              |            CAST(month(o_orderdate) AS BIGINT) AS mo,
-             |            round(sum(o_totalprice), 2) AS revenue
+             |            CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue
              |          FROM orders GROUP BY 1, 2),
              |l AS (SELECT yr, mo, revenue,
              |        lag(revenue) OVER (PARTITION BY mo ORDER BY yr) AS prev_revenue
@@ -4087,7 +4089,7 @@ object Queries {
         Catalog.registerViews(s, d)
         s.sql(
           """SELECT o_orderpriority, count(*) AS n,
-            |  round(sum(o_totalprice), 2) AS revenue
+            |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue
             |FROM orders
             |WHERE o_orderdate >= :lo AND o_orderdate < :hi
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -4095,7 +4097,7 @@ object Queries {
             "hi" -> java.time.LocalDate.parse("1997-01-01")))
       },
       Some("""SELECT o_orderpriority, count(*) AS n,
-             |  round(sum(o_totalprice), 2) AS revenue
+             |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS revenue
              |FROM orders
              |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
@@ -4314,7 +4316,7 @@ object Queries {
            |o AS (SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
            |        o_orderkey % 2 AS epoch FROM orders)
            |SELECT seg, CAST(epoch AS BIGINT) AS epoch, count(*) AS n_orders,
-           |  round(sum(o_totalprice), 2) AS sum_price
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2) AS DOUBLE) AS sum_price
            |FROM o JOIN hist USING (c_custkey)
            |WHERE valid_from <= epoch AND (valid_to IS NULL OR valid_to > epoch)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -4326,8 +4328,8 @@ object Queries {
     // is invisible to readers (file-count/clustering pinned in spec)
     "compacted_scan" -> QueryDef(
       (s, d) => LayoutOps.compactedScan(Tables.lineitem(s, d), d),
-      Some("""SELECT l_returnflag, count(*) AS n,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+             |  ${RelationalOps.RevenueExactSql} AS revenue
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'

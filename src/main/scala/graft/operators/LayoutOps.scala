@@ -149,7 +149,6 @@ object LayoutOps {
       .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        RelationalOps.revenueExact.as("revenue"))
       .orderBy("l_returnflag")
 }

@@ -66,10 +66,24 @@ object RelationalOps {
     * sensitivity the hash gate is exposed to at any larger SF); the
     * result is cast back to double to keep the declared schema.
     */
-  private def revenueExact =
+  private[graft] def revenueExact =
     round(sum(col("l_extendedprice").cast("decimal(15,2)") *
       (lit(1).cast("decimal(15,2)") - col("l_discount").cast("decimal(15,2)"))), 2)
       .cast("double")
+
+  /** Exact-cents sum of a single money column (the one-column form of
+    * [[revenueExact]]): the stored doubles are the nearest doubles to
+    * cent-valued numbers, so the decimal cast recovers the exact
+    * cents and the sum is order-independent — same rounded total on
+    * any partition layout and any engine. Output cast back to double
+    * (the declared-schema discipline).
+    */
+  private[graft] def moneySum(c: org.apache.spark.sql.Column) =
+    round(sum(c.cast("decimal(15,2)")), 2).cast("double")
+
+  /** DuckDB mirror of [[moneySum]]. */
+  def MoneySumSql(column: String): String =
+    s"CAST(round(sum(CAST($column AS DECIMAL(15,2))), 2) AS DOUBLE)"
 
   /** The DuckDB mirror of [[revenueExact]]. */
   val RevenueExactSql: String =
@@ -132,7 +146,7 @@ object RelationalOps {
   def lineitemRollup(lineitem: DataFrame): DataFrame =
     lineitem
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -193,7 +207,7 @@ object RelationalOps {
   def custOrdersLeftOuter(customer: DataFrame, orders: DataFrame): DataFrame = {
     val perCust = orders.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total_spend"))
+        moneySum(col("o_totalprice")).as("total_spend"))
     customer.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
       .select(col("c_custkey"), col("c_mktsegment"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
@@ -228,7 +242,7 @@ object RelationalOps {
         month(col("o_orderdate")).cast("long").as("mo"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("revenue"),
+        moneySum(col("o_totalprice")).as("revenue"),
         round(avg("o_totalprice"), 4).as("avg_price"))
       .orderBy("yr", "mo")
 
@@ -291,7 +305,7 @@ object RelationalOps {
       .groupBy(
         year(col("o_orderdate")).cast("long").as("yr"),
         month(col("o_orderdate")).cast("long").as("mo"))
-      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
     val w = Window.partitionBy(col("mo")).orderBy(col("yr").asc)
     monthly
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
@@ -328,7 +342,9 @@ object RelationalOps {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(round(sum(col("l_extendedprice").cast("decimal(15,2)") *
+          col("l_discount").cast("decimal(4,2)")), 2)
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
 
   /** Pivot: order counts and revenue per order year, one column pair
@@ -722,7 +738,7 @@ object RelationalOps {
       .where(col("valid_from") <= col("epoch") &&
         (col("valid_to").isNull || col("valid_to") > col("epoch")))
       .groupBy(col("seg"), col("epoch"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_price"))
       .orderBy("seg", "epoch")
   }
 

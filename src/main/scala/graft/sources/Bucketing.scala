@@ -81,7 +81,7 @@ object Bucketing {
     import org.apache.spark.sql.functions._
     bucketedOrdersLineitem(spark, sfDir)
       .groupBy("o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(graft.operators.RelationalOps.revenueExact.as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("o_orderpriority")
   }

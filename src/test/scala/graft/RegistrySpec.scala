@@ -39,23 +39,21 @@ class RegistrySpec extends AnyFunSuite {
     // layout and reds the hash gate (the 10x q1_pricing cent flip;
     // SURVEY §8.2). Money-like sums must use the revenueExact pattern
     // (sum exact DECIMAL, round, cast back to double). The allowlist
-    // below freezes the pre-round-15 legacy uses — 4-decimal sums of
-    // the synthetic events.value / low-churn totals that have held at
-    // every gate config — so the set can only SHRINK: any new query
-    // (or a regression in a fixed one) fails here until its sum is
-    // made decimal-exact.
+    // below is what remains after the round-15 burn-down converted
+    // every MONEY sum to the decimal pattern: only the 4-decimal sums
+    // of the synthetic full-precision events.value column, where a
+    // decimal cast would ROUND each value (changing semantics) rather
+    // than recover an exact representation — cents exist for money;
+    // no exact decimal exists for an arbitrary double. The set can
+    // only SHRINK: any new query (or a regression in a fixed one)
+    // fails here until its sum is made decimal-exact.
     import org.apache.spark.sql.catalyst.expressions.Round
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
     import org.apache.spark.sql.types.DoubleType
     val legacy = Set(
-      "bucketed_join_agg", "compacted_scan", "events_cube",
-      "events_dpp_join", "events_grouping_sets", "events_hourly",
-      "events_moving_avg", "events_partition_pruned", "events_topusers",
-      "events_variant", "join_left_outer", "lineitem_orc_scan",
-      "lineitem_rollup", "orders_csv_scan", "orders_monthly",
-      "orders_yoy", "q6_forecast", "scd2_point_in_time",
-      "sql_param_markers", "sql_recursive_series", "sql_udf_pricing",
-      "streamed_day_counts")
+      "events_cube", "events_dpp_join", "events_grouping_sets",
+      "events_hourly", "events_moving_avg", "events_partition_pruned",
+      "events_topusers", "events_variant", "streamed_day_counts")
     val offenders = Queries.registry.flatMap { case (name, qd) =>
       val plan = qd.run(spark, TestSpark.Sf0001).queryExecution.analyzed
       val bad = plan.collect { case p =>

@@ -23,9 +23,21 @@ Replication model — VOLUME-scaled, not density-scaled:
   The IVF index gets 100x list density AND the degenerate-tie top-k;
   no pair explosion because ANN output is top-k, not all-pairs.
 
+- `events` (round 15): 100 copies with user_id AND event_id shifted by
+  copy * OFFSET, timestamps/types/values unchanged — 10M events, 150k
+  users over the SAME 30-day spine. This is the volume axis the keyed-
+  state / dense-spine / sketch-window shapes fail on: 100x the
+  per-user state population (streamed_attribution), 100x the
+  spine-x-user interpolation grid (events_interpolate), 100x the
+  per-day distinct stream through the KMV window (rolling_active_kmv).
+  Day-spine width deliberately does NOT scale: wider spines are the
+  10x fixture's densified-window job; this fixture's job is user
+  volume at fixed time range (the production shape — users grow,
+  retention windows don't).
+
 - All other tables: symlinked from the source sf dir (the spot-gate
-  queries read only documents/embeddings; the links keep DuckDB's
-  view setup in tools/check.py working).
+  queries read only documents/embeddings/events; the links keep
+  DuckDB's view setup in tools/check.py working).
 
 Usage: python3 tools/mk100x.py [src_sf_dir] [dst]
 """
@@ -75,8 +87,20 @@ def main():
     pq.write_table(all_embs, f"{DST}/embeddings.parquet")
     print(f"embeddings: {all_embs.num_rows} rows -> {DST}")
 
+    # pre-round-15 builds symlinked events from SRC: writing through
+    # that symlink would target the read-only source dir — unlink first
+    if os.path.lexists(f"{DST}/events.parquet"):
+        os.remove(f"{DST}/events.parquet")
+    events = pq.read_table(f"{SRC}/events.parquet")
+    ev_parts = [shift(shift(events, "event_id", i * OFFSET),
+                      "user_id", i * OFFSET)
+                for i in range(COPIES)]
+    all_ev = pa.concat_tables(ev_parts)
+    pq.write_table(all_ev, f"{DST}/events.parquet")
+    print(f"events: {all_ev.num_rows} rows -> {DST}")
+
     for name in TABLES:
-        if name in ("documents", "embeddings"):
+        if name in ("documents", "embeddings", "events"):
             continue
         link = f"{DST}/{name}.parquet"
         if os.path.lexists(link):
