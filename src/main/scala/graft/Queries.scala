@@ -1651,6 +1651,34 @@ object Queries {
              |  dist
              |FROM d ORDER BY dist, entity""".stripMargin)),
 
+    // the weighted fixpoint: min-plus Bellman-Ford to empty frontier
+    // on the same slice — weighted relaxation re-improves settled
+    // nodes, so the frontier RE-ENTRY leg runs to exhaustion too.
+    // Cost-capped recursion on the oracle side (costs 1-3 per edge,
+    // true shortest costs << 48 on this fixture)
+    "sssp_fixpoint" -> QueryDef(
+      (s, d) => GraphOps.ssspFixpoint(Tables.orders(s, d), Tables.lineitem(s, d)),
+      Some(s"""WITH RECURSIVE trade AS MATERIALIZED (
+             |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+             |    count(DISTINCT o_orderkey) % 3 + 1 AS w
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  WHERE o_orderkey % ${GraphOps.FixpointSliceMod} = 0
+             |  GROUP BY 1, 2),
+             |edges AS MATERIALIZED (
+             |  SELECT c AS src, s AS dst, w FROM trade
+             |  UNION ALL SELECT s, c, w FROM trade),
+             |seed AS (SELECT min(src) AS n FROM edges),
+             |walk(node, dist) AS (
+             |  SELECT n, CAST(0 AS BIGINT) FROM seed
+             |  UNION
+             |  SELECT e.dst, w.dist + e.w FROM walk w JOIN edges e ON e.src = w.node
+             |  WHERE w.dist + e.w <= ${GraphOps.FixpointMaxRounds}),
+             |d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+             |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+             |            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS entity,
+             |  dist
+             |FROM d ORDER BY dist, entity""".stripMargin)),
+
     // 2-D box aggregate over the write-once Z-ORDERED lineitem layout
     // (cells = low 16 bits of partkey/suppkey, rows range-partitioned
     // by the Morton interleave): the hash match proves the layout

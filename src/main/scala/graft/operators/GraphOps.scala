@@ -424,6 +424,36 @@ object GraphOps {
       .select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
   }
 
+  /** WEIGHTED fixpoint companion of [[bfsHopsFixpoint]]: min-plus
+    * Bellman-Ford run to empty frontier on the same thinned slice,
+    * with the trade-multiplicity costs of [[ssspWeighted]]. Weighted
+    * relaxation RE-IMPROVES settled nodes (a longer-hop cheaper path
+    * arrives later), so this gate exercises the re-entry leg of the
+    * frontier loop to exhaustion, not just ring expansion. Oracle:
+    * the same capped recursive CTE, extending walks by edge cost —
+    * the cost cap bounds cycle extension exactly as the hop cap does
+    * for BFS (shortest costs are far below it on this fixture, and
+    * the Spark loop's round cap throws if convergence stalls).
+    */
+  def ssspFixpoint(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val sliced = orders.where(
+      pmod(col("o_orderkey"), lit(FixpointSliceMod)) === 0L)
+    val trade = sliced
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("c"), (col("l_suppkey") * 2L + 1L).as("s"),
+        col("o_orderkey"))
+      .groupBy("c", "s")
+      .agg((countDistinct(col("o_orderkey")) % 3L + 1L).as("w"))
+    val edges = trade
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst"), col("w")),
+        struct(col("s").as("src"), col("c").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    val seed = edges.agg(min(col("src"))).head().getLong(0)
+    deltaRelaxFixpoint(edges, seed)._1
+      .select(entityCol, col("dist")).orderBy(col("dist"), col("entity"))
+  }
+
   /** Warm-start rounds the incremental form runs over the updated
     * graph (vs [[PagerankIters]] cold rounds on a rebuild). */
   val PagerankWarmRounds: Int = 1
