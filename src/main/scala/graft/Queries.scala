@@ -2029,6 +2029,22 @@ object Queries {
         SimilarityOps.annPqRecallEval(Tables.embeddings(s, d), d) },
       Some(annRecallOracle(pqOracleSql))),
 
+    // PQ over the one-Lloyd-round TRAINED codebook: same probe path
+    // (annPqFrom + native reconstruction), better model — the oracle
+    // replays the training round then the identical search body
+    "ann_pq_trained" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annPqTrained(Tables.embeddings(s, d), d,
+          nProbes = 10, k = 10, rerankM = SimilarityOps.PqRerankM) },
+      Some(pqTrainedOracleSql)),
+
+    // recall@10 of the trained-codebook PQ path — the measured
+    // improvement the training round buys over ann_pq_recall_eval
+    "ann_pq_trained_recall_eval" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annPqTrainedRecallEval(Tables.embeddings(s, d), d) },
+      Some(annRecallOracle(pqTrainedOracleSql))),
+
     // SemDeDup: within-cluster cosine pairs (the O(n²/K) candidate
     // generation; threshold + cluster cap from SimilarityOps
     // constants, cap inert at tested SFs)
@@ -4953,17 +4969,19 @@ object Queries {
        |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
        |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
 
-  /** Full DuckDB replay of the PQ search ([[graft.operators.SimilarityOps.annPq]]):
-    * per-subspace argmin encode against the seed codebook,
-    * concatenated reconstruction, asymmetric quantized score, exact
-    * rerank. Shared by `ann_pq` and `ann_pq_recall_eval`.
+  /** The PQ search CTE chain + final SELECT — everything downstream
+    * of the codebook: per-subspace argmin encode, concatenated
+    * reconstruction, asymmetric quantized score, exact rerank. It
+    * references a `cb(j, c)` CTE the caller's WITH-prefix must
+    * define, so the seed ([[pqOracleSql]]) and the one-round-trained
+    * ([[pqTrainedOracleSql]]) oracles share the search body
+    * literally — the same probe-path-unchanged guarantee the Spark
+    * side gets from reusing `annPqFrom`.
     */
-  private lazy val pqOracleSql: String = {
+  private lazy val pqSearchSql: String = {
     val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
-    val kk = SimilarityOps.PqK; val rr = SimilarityOps.PqRerankM
-    s"""WITH cb AS (SELECT vec_id AS j, embedding AS c
-       |  FROM embeddings WHERE vec_id < $kk),
-       |mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+    val rr = SimilarityOps.PqRerankM
+    s"""mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
        |enc AS (SELECT e.vec_id, mm.m, cb.j,
        |    list_sum(list_transform(generate_series(1, $sub), i ->
        |      cb.c[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE))
@@ -4997,6 +5015,53 @@ object Queries {
        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
        |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
        |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** Full DuckDB replay of the PQ search ([[graft.operators.SimilarityOps.annPq]])
+    * over the SEED codebook (cb[j] = j-th smallest-vec_id embedding).
+    * Shared by `ann_pq` and `ann_pq_recall_eval`.
+    */
+  private lazy val pqOracleSql: String =
+    s"""WITH cb AS (SELECT vec_id AS j, embedding AS c
+       |  FROM embeddings WHERE vec_id < ${SimilarityOps.PqK}),
+       |$pqSearchSql""".stripMargin
+
+  /** Full DuckDB replay of [[graft.operators.SimilarityOps.annPqTrained]]:
+    * the one-Lloyd-round codebook training (assign every vector's
+    * m-th subvector to its nearest seed slice by the same asymmetric
+    * L2 argmin, recenter each (m, j) slice on the per-dimension
+    * round(avg, 4)::FLOAT mean, empty slices keep their seed values)
+    * followed by the UNCHANGED [[pqSearchSql]] body over the trained
+    * `cb`. Training CTEs are t-prefixed so they can't shadow the
+    * search chain's names.
+    */
+  private lazy val pqTrainedOracleSql: String = {
+    val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
+    val kk = SimilarityOps.PqK
+    s"""WITH scb AS (SELECT vec_id AS j, embedding AS c
+       |  FROM embeddings WHERE vec_id < $kk),
+       |tmm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+       |tii AS (SELECT unnest(generate_series(1, $sub)) AS i),
+       |tenc AS (SELECT e.vec_id, tmm.m, scb.j,
+       |    list_sum(list_transform(generate_series(1, $sub), i ->
+       |      scb.c[tmm.m*$sub+i]::DOUBLE * scb.c[tmm.m*$sub+i]::DOUBLE))
+       |  - 2 * list_sum(list_transform(generate_series(1, $sub), i ->
+       |      e.embedding[tmm.m*$sub+i]::DOUBLE * scb.c[tmm.m*$sub+i]::DOUBLE)) AS d
+       |  FROM embeddings e CROSS JOIN tmm CROSS JOIN scb),
+       |tbest AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM tenc)
+       |  WHERE rn = 1),
+       |tref AS (SELECT b.m, b.j, tii.i,
+       |    round(avg(e.embedding[b.m*$sub+tii.i]::DOUBLE), 4) AS mv
+       |  FROM tbest b JOIN embeddings e USING (vec_id) CROSS JOIN tii
+       |  GROUP BY b.m, b.j, tii.i),
+       |tgrid AS (SELECT scb.j, tmm.m, tii.i,
+       |    scb.c[tmm.m*$sub+tii.i]::DOUBLE AS seedv
+       |  FROM scb CROSS JOIN tmm CROSS JOIN tii),
+       |cb AS (SELECT j, list(coalesce(mv, seedv)::FLOAT ORDER BY m, i) AS c
+       |  FROM tgrid LEFT JOIN tref USING (m, j, i) GROUP BY j),
+       |$pqSearchSql""".stripMargin
   }
 
   /** Recall@10 oracle: brute-force exact top-10 vs `approxSql` (a

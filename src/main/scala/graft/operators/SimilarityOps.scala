@@ -1406,6 +1406,98 @@ object SimilarityOps {
             rerankM: Int = PqRerankM): DataFrame =
     annPqFrom(emb, pqCodebook(emb), nProbes, k, rerankM)
 
+  /** PQ codebook after ONE per-subspace Lloyd refinement round — the
+    * trained answer to the seed codebook's measured recall
+    * (`ann_pq_recall_eval`): assign every vector's m-th subvector to
+    * its nearest seed slice (same asymmetric-L2 argmin the encoder
+    * uses, ties to the lowest index), then recenter each (subspace,
+    * code) slice on the per-dimension mean of its assigned
+    * subvectors; a slice that attracts nothing keeps its seed values.
+    * Means follow the [[refineCentroids]] discipline — round(avg, 4)
+    * cast to float — so the SQL oracle reproduces the exact IEEE
+    * codebook. The refined slices reassemble into full PqK vectors,
+    * so the probe path ([[annPqFrom]], native reconstruction) is
+    * UNCHANGED — training only moves the model.
+    *
+    * == Scale shape ==
+    * The training pass is corpus × PqM × PqK assignment rows with a
+    * 16-element fold each — one shuffle to the (m, j, i) means. At
+    * 100 TB codebooks train on a corpus SAMPLE (standard PQ
+    * practice — the model has PqM·PqK·PqSub = 2048 floats; a few
+    * hundred thousand vectors saturate it), and this is a write-once
+    * build behind [[pqTrainedCodebookDir]] either way.
+    */
+  def pqTrainedCodebook(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val cbRows = emb.where(col("vec_id") < PqK)
+      .select(col("vec_id").as("j"), col("embedding").as("c"))
+    val ms = spark.range(PqM).select(col("id").cast("int").as("m"))
+    val is = spark.range(1, PqSub + 1).select(col("id").cast("int").as("i"))
+    // asymmetric-L2 cost of code j for subspace m of x:
+    // Σ c_i² − 2 Σ x_i·c_i, two separate left folds in index order
+    // (the oracle's list_sum pair, the proven cosine fold pattern)
+    def dcost(x: Column, c: Column, m: Column): Column = {
+      val cs = transform(slice(c, m * PqSub + 1, lit(PqSub)),
+        v => v.cast("double"))
+      val xs = transform(slice(x, m * PqSub + 1, lit(PqSub)),
+        v => v.cast("double"))
+      val sum1 = aggregate(cs, lit(0.0), (a, v) => a + v * v)
+      val sum2 = aggregate(zip_with(xs, cs, (a, b) => a * b),
+        lit(0.0), (a, v) => a + v)
+      sum1 - lit(2.0) * sum2
+    }
+    val wB = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("j"))
+    val best = emb.crossJoin(ms).crossJoin(broadcast(cbRows))
+      .select(col("vec_id"), col("m"), col("j"), col("embedding"),
+        dcost(col("embedding"), col("c"), col("m")).as("d"))
+      .withColumn("rn", row_number().over(wB)).where(col("rn") === 1)
+      .select(col("m"), col("j"), col("embedding"))
+    val ref = best
+      .select(col("m"), col("j"),
+        posexplode(slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)))
+          .as(Seq("i0", "x")))
+      .select(col("m"), col("j"), (col("i0") + 1).cast("int").as("i"),
+        col("x").cast("double").as("x"))
+      .groupBy("m", "j", "i").agg(round(avg(col("x")), 4).as("mv"))
+    val grid = cbRows.crossJoin(ms).crossJoin(is)
+      .select(col("j"), col("m"), col("i"),
+        element_at(col("c"), col("m") * PqSub + col("i"))
+          .cast("double").as("seedv"))
+    val cbv = grid.join(ref, Seq("m", "j", "i"), "left")
+      .select(col("j"), col("m"), col("i"),
+        coalesce(col("mv"), col("seedv")).as("v"))
+    cbv.groupBy("j")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("i"), col("v")))),
+        s => s.getField("v").cast("float")).as("c"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        s => s.getField("c")).as("cb"))
+  }
+
+  /** Write-once trained PQ codebook. */
+  def pqTrainedCodebookDir(emb: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("pqcbtrain", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"), params = s"k${PqK}r1") { dir =>
+      pqTrainedCodebook(emb).coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+  /** [[annPq]] over the TRAINED codebook — same probe path, better
+    * model; the recall row ([[annPqTrainedRecallEval]]) is the
+    * measured improvement over the seed codebook.
+    */
+  def annPqTrained(emb: DataFrame, sfDir: String, nProbes: Int, k: Int,
+                   rerankM: Int): DataFrame =
+    annPqFrom(emb,
+      emb.sparkSession.read.parquet(pqTrainedCodebookDir(emb, sfDir)),
+      nProbes, k, rerankM)
+
+  /** Recall@k of the trained-codebook PQ path vs brute force. */
+  def annPqTrainedRecallEval(emb: DataFrame, sfDir: String,
+                             k: Int = 10): DataFrame =
+    recallVsExact(emb,
+      annPqTrained(emb, sfDir, nProbes = 10, k = k, rerankM = PqRerankM), k)
+
   private def annPqFrom(emb: DataFrame, codebook: DataFrame, nProbes: Int,
                         k: Int, rerankM: Int): DataFrame = {
     VectorFunctions.register(emb.sparkSession)

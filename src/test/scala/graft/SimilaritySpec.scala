@@ -157,6 +157,61 @@ class SimilaritySpec extends AnyFunSuite {
     pq.foreach(r => assert(r.getDouble(4) >= -1.0001 && r.getDouble(4) <= 1.0001))
   }
 
+  test("trained PQ codebook keeps shape and one Lloyd round does not increase quantization error") {
+    VectorFunctions.register(spark)
+    val seed = SimilarityOps.pqCodebook(emb).collect()(0)
+      .getSeq[scala.collection.Seq[Float]](0)
+    val trained = SimilarityOps.pqTrainedCodebook(emb).collect()(0)
+      .getSeq[scala.collection.Seq[Float]](0)
+    assert(trained.length === SimilarityOps.PqK)
+    trained.foreach(c => assert(c.length === SimilarityOps.PqM * SimilarityOps.PqSub))
+    // driver-side recompute of the total per-subspace quantization
+    // error under each codebook; fixed-assignment recentering is the
+    // L2 minimizer, so the trained error can exceed the seed's only
+    // by the round(avg, 4) perturbation
+    val vecs = emb.collect().map(_.getSeq[Float](1))
+    def err(cb: scala.collection.Seq[scala.collection.Seq[Float]]): Double = {
+      var tot = 0.0
+      for (x <- vecs; m <- 0 until SimilarityOps.PqM) {
+        val off = m * SimilarityOps.PqSub
+        tot += cb.map { c =>
+          var d = 0.0
+          (0 until SimilarityOps.PqSub).foreach { i =>
+            val dv = c(off + i).toDouble - x(off + i).toDouble; d += dv * dv
+          }
+          d
+        }.min
+      }
+      tot
+    }
+    val e0 = err(seed); val e1 = err(trained)
+    assert(e1 <= e0 * 1.001 + 1e-6,
+      s"training increased quantization error: $e1 > $e0")
+    assert(e1 < e0, s"training moved nothing: $e1 vs $e0")
+  }
+
+  test("trained PQ search keeps the result shape and does not collapse recall") {
+    VectorFunctions.register(spark)
+    val exact = SimilarityOps.similarityTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val seedHits = SimilarityOps.annPq(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val res = SimilarityOps.annPqTrained(emb, TestSpark.Sf0001,
+      nProbes = 10, k = 10, rerankM = SimilarityOps.PqRerankM).collect()
+    assert(res.length === 100)
+    val trHits = res.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rSeed = (exact & seedHits).size.toDouble / exact.size
+    val rTr = (exact & trHits).size.toDouble / exact.size
+    // Lloyd training improves the candidate pool on average; a single
+    // round isn't probe-wise monotone, so allow slack but no collapse
+    assert(rTr >= rSeed - 0.1, s"trained recall regressed: $rTr vs seed $rSeed")
+    assert(rTr > 0.5, s"trained recall collapsed: $rTr")
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+  }
+
   test("semantic dedup labels one survivor per group and pairs stay co-clustered") {
     VectorFunctions.register(spark)
     val labeled = SimilarityOps.semanticDedup(emb).collect()
