@@ -2045,6 +2045,22 @@ object Queries {
         SimilarityOps.annPqTrainedRecallEval(Tables.embeddings(s, d), d) },
       Some(annRecallOracle(pqTrainedOracleSql))),
 
+    // the composed billion-vector index: IVF routing prunes the scan
+    // to nprobe lists, PQ codes shrink the candidate payload, exact
+    // rerank on the top PqRerankM — both halves the separately-gated
+    // machines, composed unchanged
+    "ann_ivfpq" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfPq(Tables.embeddings(s, d)) },
+      Some(ivfPqOracleSql)),
+
+    // recall@10 of IVF-PQ vs brute force — routing miss x
+    // quantization blur together, next to the per-half recall rows
+    "ann_ivfpq_recall_eval" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfPqRecallEval(Tables.embeddings(s, d)) },
+      Some(annRecallOracle(ivfPqOracleSql))),
+
     // SemDeDup: within-cluster cosine pairs (the O(n²/K) candidate
     // generation; threshold + cluster cap from SimilarityOps
     // constants, cap inert at tested SFs)
@@ -5062,6 +5078,64 @@ object Queries {
        |cb AS (SELECT j, list(coalesce(mv, seedv)::FLOAT ORDER BY m, i) AS c
        |  FROM tgrid LEFT JOIN tref USING (m, j, i) GROUP BY j),
        |$pqSearchSql""".stripMargin
+  }
+
+  /** Full DuckDB replay of [[graft.operators.SimilarityOps.annIvfPq]]:
+    * the `ann_ivf` routing CTEs (seed centroids, max-cosine
+    * assignment, nprobe probe lists) composed with the `ann_pq`
+    * encode/reconstruct CTEs; candidate scoring joins the probe's
+    * lists to the PQ reconstruction instead of either half's
+    * all-pairs scan, then exact-reranks the top PqRerankM.
+    */
+  private lazy val ivfPqOracleSql: String = {
+    val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
+    val kk = SimilarityOps.PqK; val rr = SimilarityOps.PqRerankM
+    s"""WITH cb AS (SELECT vec_id AS j, embedding AS c
+       |  FROM embeddings WHERE vec_id < $kk),
+       |mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+       |enc AS (SELECT e.vec_id, mm.m, cb.j,
+       |    list_sum(list_transform(generate_series(1, $sub), i ->
+       |      cb.c[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE))
+       |  - 2 * list_sum(list_transform(generate_series(1, $sub), i ->
+       |      e.embedding[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE)) AS d
+       |  FROM embeddings e CROSS JOIN mm CROSS JOIN cb),
+       |best AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM enc)
+       |  WHERE rn = 1),
+       |rx AS (SELECT b.vec_id, b.m, ii.i, cb.c[b.m*$sub+ii.i]::FLOAT AS x
+       |  FROM best b JOIN cb USING (j)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) ii),
+       |recon AS (SELECT vec_id, list(x ORDER BY m, i) AS rc
+       |  FROM rx GROUP BY vec_id),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),
+       |ps AS (SELECT e.vec_id, c.centroid_id, e.embedding,
+       |    ${cosSql("e.embedding", "c.cvec")} AS cscore
+       |  FROM embeddings e CROSS JOIN c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM ps),
+       |assign AS (SELECT vec_id, centroid_id FROM r WHERE crank = 1),
+       |pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec
+       |  FROM r WHERE vec_id < 10 AND crank <= 3),
+       |sq AS (SELECT pl.probe_id, a.vec_id, ${cosSql("pl.probe_vec", "rn.rc")} AS score_q
+       |  FROM pl JOIN assign a ON pl.centroid_id = a.centroid_id
+       |    JOIN recon rn ON rn.vec_id = a.vec_id
+       |  WHERE a.vec_id <> pl.probe_id),
+       |rq AS (SELECT probe_id, vec_id, score_q, row_number() OVER (
+       |    PARTITION BY probe_id
+       |    ORDER BY round(score_q, 6) DESC, vec_id) AS rnk_q FROM sq),
+       |cand AS (SELECT probe_id, vec_id, score_q FROM rq WHERE rnk_q <= $rr),
+       |x AS (SELECT probe_id, cand.vec_id, score_q,
+       |    ${cosSql("pe.embedding", "e.embedding")} AS score
+       |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+       |    JOIN embeddings pe ON pe.vec_id = probe_id),
+       |r2 AS (SELECT probe_id, vec_id, score, score_q, row_number() OVER (
+       |    PARTITION BY probe_id
+       |    ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM x)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+       |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
+       |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
   }
 
   /** Recall@10 oracle: brute-force exact top-10 vs `approxSql` (a

@@ -1498,6 +1498,82 @@ object SimilarityOps {
     recallVsExact(emb,
       annPqTrained(emb, sfDir, nProbes = 10, k = k, rerankM = PqRerankM), k)
 
+  /** IVF-PQ: the composed billion-vector index — IVF routing prunes
+    * the SCAN (only `nprobe` of `numCentroids` inverted lists are
+    * touched per probe) and PQ prunes the PAYLOAD (candidate
+    * generation scores the 64×-compressed reconstruction; exact
+    * floats are read only for the `rerankM` rerank rows). Both halves
+    * are the separately-gated machines composed unchanged: routing is
+    * [[seedCentroids]]+[[assignToCentroids]] (the `ann_ivf` rule,
+    * same tie discipline), in-list scoring + rerank is the `ann_pq`
+    * asymmetric path (native [[graft.functions.VectorFunctions.pqReconstruct]]).
+    *
+    * == Scale shape ==
+    * At 100 TB this is THE structure that works: the lists partition
+    * the corpus (each probe reads nprobe/K of it — partition-pruned
+    * when persisted, see [[annIvfIndexed]]), the codes ride in memory
+    * next to the routing key (PqM bytes/vector vs 256 B of floats),
+    * and the float payload stays in cold storage until the ≤rerankM
+    * per-probe rerank fetch. Candidate work per probe is
+    * |corpus|·nprobe/K code-scores, not |corpus| float-cosines.
+    */
+  def annIvfPq(emb: DataFrame, centroidMod: Int = 97, numCentroids: Int = 16,
+               nprobe: Int = 3, nProbes: Int = 10, k: Int = 10,
+               rerankM: Int = PqRerankM): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val centroids = seedCentroids(emb, centroidMod, numCentroids)
+    val assignment = assignToCentroids(emb, centroids)
+    // PQ-encode each routed vector once; codes (here: their
+    // reconstruction) ride next to the routing key
+    val encoded = assignment.crossJoin(broadcast(pqCodebook(emb)))
+      .withColumn("recon", VectorFunctions.pqReconstruct(
+        col("embedding"), col("cb"), PqM, PqSub, PqK))
+      .select(col("vec_id"), col("centroid_id"), col("recon"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("cscore"), 6).desc, col("centroid_id").asc)
+    val probeLists = emb.where(col("vec_id") < nProbes)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"),
+        VectorFunctions.cosine(col("embedding"), col("cvec")).as("cscore"))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("centroid_id"),
+        col("embedding").as("probe_vec"))
+    // assignment is in exactly one list per vector and probeLists has
+    // distinct centroids per probe, so each (probe, vec) pair scores
+    // at most once — no cross-list dedup stage needed
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score_q"), 6).desc, col("vec_id").asc)
+    val cand = encoded.join(broadcast(probeLists), Seq("centroid_id"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        VectorFunctions.cosine(col("probe_vec"), col("recon")).as("score_q"))
+      .withColumn("rnk_q", row_number().over(wq))
+      .where(col("rnk_q") <= rerankM)
+      .select(col("probe_id"), col("vec_id"), col("score_q"))
+    val probes = emb.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score"), 6).desc, col("vec_id").asc)
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("score_q"),
+        VectorFunctions.cosine(col("probe_vec"), col("embedding")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"),
+        round(col("score"), 4).as("score"), round(col("score_q"), 4).as("score_q"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Recall@k of the composed IVF-PQ path vs brute force — measures
+    * what routing misses and quantization blurs TOGETHER, next to
+    * [[annRecallEval]] (routing only) and [[annPqRecallEval]]
+    * (quantization only).
+    */
+  def annIvfPqRecallEval(emb: DataFrame, k: Int = 10): DataFrame =
+    recallVsExact(emb, annIvfPq(emb, k = k), k)
+
   private def annPqFrom(emb: DataFrame, codebook: DataFrame, nProbes: Int,
                         k: Int, rerankM: Int): DataFrame = {
     VectorFunctions.register(emb.sparkSession)

@@ -212,6 +212,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq composition: result shape, exact-rerank ordering, recall floor") {
+    VectorFunctions.register(spark)
+    val res = SimilarityOps.annIvfPq(emb).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+    // composition can't beat either half, but must not collapse below
+    // the IVF routing floor x a coarse-quantizer haircut
+    val exact = SimilarityOps.similarityTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = res.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.15, s"ivf-pq recall collapsed: $recall")
+  }
+
   test("semantic dedup labels one survivor per group and pairs stay co-clustered") {
     VectorFunctions.register(spark)
     val labeled = SimilarityOps.semanticDedup(emb).collect()
