@@ -2061,6 +2061,16 @@ object Queries {
         SimilarityOps.annIvfPqRecallEval(Tables.embeddings(s, d)) },
       Some(annRecallOracle(ivfPqOracleSql))),
 
+    // the persisted form: coded lists on disk partitioned by
+    // centroid (PqM ints per vector — what a real index keeps hot),
+    // probe scans only its nprobe partitions and decodes stored
+    // codes; decode == fused-encode bit-equality makes the inline
+    // oracle shared verbatim (index == inline proof)
+    "ann_ivfpq_indexed" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfPqIndexed(Tables.embeddings(s, d), d) },
+      Some(ivfPqOracleSql)),
+
     // SemDeDup: within-cluster cosine pairs (the O(n²/K) candidate
     // generation; threshold + cluster cap from SimilarityOps
     // constants, cap inert at tested SFs)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{CosineSimilarityFloat, DotProductFloat, ExpressionArgs, PqReconstructFloat}
+import graft.functions.expressions.{CosineSimilarityFloat, DotProductFloat, ExpressionArgs, PqDecodeFloat, PqEncodeInts, PqReconstructFloat}
 
 /** Column-level API for the native vector expressions.
   *
@@ -18,6 +18,8 @@ object VectorFunctions {
   val CosineName = "graft_cosine"
   val DotName    = "graft_dot"
   val PqReconstructName = "graft_pq_reconstruct"
+  val PqEncodeName = "graft_pq_encode"
+  val PqDecodeName = "graft_pq_decode"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -31,6 +33,19 @@ object VectorFunctions {
         ExpressionArgs.literalInt(exprs(2), PqReconstructName),
         ExpressionArgs.literalInt(exprs(3), PqReconstructName),
         ExpressionArgs.literalInt(exprs(4), PqReconstructName)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      PqEncodeName,
+      exprs => PqEncodeInts(exprs(0), exprs(1),
+        ExpressionArgs.literalInt(exprs(2), PqEncodeName),
+        ExpressionArgs.literalInt(exprs(3), PqEncodeName),
+        ExpressionArgs.literalInt(exprs(4), PqEncodeName)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      PqDecodeName,
+      exprs => PqDecodeFloat(exprs(0), exprs(1),
+        ExpressionArgs.literalInt(exprs(2), PqDecodeName),
+        ExpressionArgs.literalInt(exprs(3), PqDecodeName)),
       "scala_udf")
   }
 
@@ -48,4 +63,16 @@ object VectorFunctions {
     */
   def pqReconstruct(x: Column, cb: Column, m: Int, sub: Int, k: Int): Column =
     call_function(PqReconstructName, x, cb, lit(m), lit(sub), lit(k))
+
+  /** PQ code word (array<int> of length m) of an array<float> against
+    * an array<array<float>> codebook — the persisted-index payload.
+    */
+  def pqEncode(x: Column, cb: Column, m: Int, sub: Int, k: Int): Column =
+    call_function(PqEncodeName, x, cb, lit(m), lit(sub), lit(k))
+
+  /** Reassemble a code word into its reconstruction (bit-equal to
+    * [[pqReconstruct]] of the original vector).
+    */
+  def pqDecode(codes: Column, cb: Column, m: Int, sub: Int): Column =
+    call_function(PqDecodeName, codes, cb, lit(m), lit(sub))
 }

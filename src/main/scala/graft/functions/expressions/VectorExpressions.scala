@@ -169,6 +169,146 @@ case class PqReconstructFloat(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** The encode half of [[PqReconstructFloat]], factored out so a
+  * persisted IVF-PQ layout can store what a real billion-vector index
+  * stores: `m` small ints per vector (the code word), not floats.
+  * codes(mi) = argmin_j (|c_mi,j|² − 2·x_mi·c_mi,j) with the IDENTICAL
+  * loop, accumulation order, and lowest-j tie rule as the fused form,
+  * so `PqDecodeFloat(PqEncodeInts(x)) == PqReconstructFloat(x)` bit
+  * for bit — the equality SimilaritySpec pins.
+  */
+case class PqEncodeInts(left: Expression, right: Expression,
+                        m: Int, sub: Int, k: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(m >= 1 && sub >= 1 && k >= 1, "pq dims must be positive")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (l, ArrayType(inner, _)) if isFloatArray(l) && isFloatArray(inner) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<array<float>>), got " +
+          s"${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(xAny: Any, cbAny: Any): Any = {
+    val x = xAny.asInstanceOf[ArrayData]
+    val cb = cbAny.asInstanceOf[ArrayData]
+    require(x.numElements() >= m * sub,
+      s"$prettyName: vector has ${x.numElements()} dims, needs >= ${m * sub} (m*sub)")
+    require(cb.numElements() >= k,
+      s"$prettyName: codebook has ${cb.numElements()} rows, needs >= $k (k) — " +
+        "a truncated codebook would silently change encodings")
+    var r = 0
+    while (r < k) {
+      require(cb.getArray(r).numElements() >= m * sub,
+        s"$prettyName: codebook row $r has ${cb.getArray(r).numElements()} dims, needs >= ${m * sub}")
+      r += 1
+    }
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * sub
+      var bestJ = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        val c = cb.getArray(j)
+        var cc = 0.0
+        var xc = 0.0
+        var i = 0
+        while (i < sub) {
+          val ci = c.getFloat(off + i).toDouble
+          cc += ci * ci
+          xc += x.getFloat(off + i).toDouble * ci
+          i += 1
+        }
+        val d = cc - 2.0 * xc
+        if (d < bestD) { bestD = d; bestJ = j }
+        j += 1
+      }
+      out(mi) = bestJ
+      mi += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The decode half: concatenate the coded rows' subspace slices back
+  * into a full vector. Pure copy — no arithmetic — so the decoded
+  * vector is exactly the slices [[PqEncodeInts]]' winners hold, i.e.
+  * exactly what [[PqReconstructFloat]] emits for the same input.
+  */
+case class PqDecodeFloat(left: Expression, right: Expression,
+                         m: Int, sub: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(m >= 1 && sub >= 1, "pq dims must be positive")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_pq_decode"
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isIntArray(dt: DataType): Boolean = dt match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (l, ArrayType(inner, _)) if isIntArray(l) && isFloatArray(inner) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<array<float>>), got " +
+          s"${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(codesAny: Any, cbAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val cb = cbAny.asInstanceOf[ArrayData]
+    require(codes.numElements() == m,
+      s"$prettyName: code word has ${codes.numElements()} entries, needs $m (m)")
+    val out = new Array[Float](m * sub)
+    var mi = 0
+    while (mi < m) {
+      val j = codes.getInt(mi)
+      require(j >= 0 && j < cb.numElements(),
+        s"$prettyName: code $j out of codebook range [0, ${cb.numElements()})")
+      val c = cb.getArray(j)
+      require(c.numElements() >= (mi + 1) * sub,
+        s"$prettyName: codebook row $j has ${c.numElements()} dims, needs >= ${(mi + 1) * sub}")
+      val off = mi * sub
+      var i = 0
+      while (i < sub) { out(off + i) = c.getFloat(off + i); i += 1 }
+      mi += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** cosine(a, b) = dot / (||a|| * ||b||); 0.0 when either norm is 0. */
 case class CosineSimilarityFloat(left: Expression, right: Expression)
     extends FloatVectorBinary {

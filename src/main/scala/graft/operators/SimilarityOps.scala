@@ -1522,16 +1522,26 @@ object SimilarityOps {
                rerankM: Int = PqRerankM): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
     val centroids = seedCentroids(emb, centroidMod, numCentroids)
-    val assignment = assignToCentroids(emb, centroids)
     // PQ-encode each routed vector once; codes (here: their
     // reconstruction) ride next to the routing key
-    val encoded = assignment.crossJoin(broadcast(pqCodebook(emb)))
+    val encoded = assignToCentroids(emb, centroids)
+      .crossJoin(broadcast(pqCodebook(emb)))
       .withColumn("recon", VectorFunctions.pqReconstruct(
         col("embedding"), col("cb"), PqM, PqSub, PqK))
       .select(col("vec_id"), col("centroid_id"), col("recon"))
+    ivfPqRerank(emb,
+      ivfPqProbeLists(emb, centroids, nprobe, nProbes), encoded,
+      nProbes, k, rerankM)
+  }
+
+  /** The probe half of IVF routing: each probe ranked against the
+    * broadcast centroids, keeping its `nprobe` nearest lists.
+    */
+  private def ivfPqProbeLists(emb: DataFrame, centroids: DataFrame,
+                              nprobe: Int, nProbes: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("cscore"), 6).desc, col("centroid_id").asc)
-    val probeLists = emb.where(col("vec_id") < nProbes)
+    emb.where(col("vec_id") < nProbes)
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"), col("embedding"),
         VectorFunctions.cosine(col("embedding"), col("cvec")).as("cscore"))
@@ -1539,9 +1549,18 @@ object SimilarityOps {
       .where(col("crank") <= nprobe)
       .select(col("vec_id").as("probe_id"), col("centroid_id"),
         col("embedding").as("probe_vec"))
-    // assignment is in exactly one list per vector and probeLists has
-    // distinct centroids per probe, so each (probe, vec) pair scores
-    // at most once — no cross-list dedup stage needed
+  }
+
+  /** The candidate + rerank half shared by the inline and persisted
+    * IVF-PQ paths: `encoded` is (vec_id, centroid_id, recon) however
+    * the caller produced it (fused encode, or decoded stored codes).
+    * Each vector is in exactly one list and probeLists has distinct
+    * centroids per probe, so each (probe, vec) pair scores at most
+    * once — no cross-list dedup stage needed.
+    */
+  private def ivfPqRerank(emb: DataFrame, probeLists: DataFrame,
+                          encoded: DataFrame, nProbes: Int, k: Int,
+                          rerankM: Int): DataFrame = {
     val wq = Window.partitionBy(col("probe_id"))
       .orderBy(round(col("score_q"), 6).desc, col("vec_id").asc)
     val cand = encoded.join(broadcast(probeLists), Seq("centroid_id"))
@@ -1564,6 +1583,63 @@ object SimilarityOps {
       .select(col("probe_id"), col("rnk"), col("vec_id"),
         round(col("score"), 4).as("score"), round(col("score_q"), 4).as("score_q"))
       .orderBy("probe_id", "rnk")
+  }
+
+  /** Persisted IVF-PQ layout: inverted lists partitioned by
+    * centroid_id holding (vec_id, codes) — the code word is [[PqM]]
+    * ints per vector ([[graft.functions.expressions.PqEncodeInts]]),
+    * which IS what a billion-vector index keeps hot: at 100 TB the
+    * lists are ~16 bytes/vector of routable, scannable state while
+    * the float payload stays in the base table until rerank.
+    */
+  def ivfPqListsDir(emb: DataFrame, sfDir: String, centroidMod: Int,
+                    numCentroids: Int): String =
+    graft.sources.Fixtures.ensure("ivfpqlists", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"m${centroidMod}c${numCentroids}q$PqK") { dir =>
+      val centroids = seedCentroids(emb, centroidMod, numCentroids)
+      assignToCentroids(emb, centroids)
+        .crossJoin(broadcast(pqCodebook(emb)))
+        .select(col("vec_id"), col("centroid_id"),
+          VectorFunctions.pqEncode(
+            col("embedding"), col("cb"), PqM, PqSub, PqK).as("codes"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    }
+
+  /** [[annIvfPq]] over the persisted coded lists: rank centroids per
+    * probe, scan ONLY the probed list partitions (typed IN filter →
+    * partition pruning, pinned in PlanAuditSpec like
+    * [[annIvfIndexed]]), decode the stored code words against the
+    * broadcast codebook, rerank exactly. Decode-of-stored-codes is
+    * bit-equal to the inline fused reconstruction, so the oracle is
+    * shared verbatim — the index == inline proof.
+    */
+  def annIvfPqIndexed(emb: DataFrame, sfDir: String, centroidMod: Int = 97,
+                      numCentroids: Int = 16, nprobe: Int = 3,
+                      nProbes: Int = 10, k: Int = 10,
+                      rerankM: Int = PqRerankM): DataFrame = {
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    val centroids = seedCentroids(emb, centroidMod, numCentroids)
+    val lists = spark.read.parquet(
+      ivfPqListsDir(emb, sfDir, centroidMod, numCentroids))
+    val probeLists = ivfPqProbeLists(emb, centroids, nprobe, nProbes)
+    val probed = probeLists.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // IN-filter literals typed to the partition column as read from
+    // disk (the annIvfIndexed lesson: a cast on the column side would
+    // defeat partition pruning)
+    val probedTyped: Seq[Any] =
+      if (lists.schema("centroid_id").dataType ==
+        org.apache.spark.sql.types.IntegerType) probed.toSeq.map(_.toInt)
+      else probed.toSeq
+    val decoded = lists.where(col("centroid_id").isInCollection(probedTyped))
+      .select(col("vec_id"),
+        col("centroid_id").cast("long").as("centroid_id"), col("codes"))
+      .crossJoin(broadcast(pqCodebook(emb)))
+      .select(col("vec_id"), col("centroid_id"),
+        VectorFunctions.pqDecode(col("codes"), col("cb"), PqM, PqSub).as("recon"))
+    ivfPqRerank(emb, probeLists, decoded, nProbes, k, rerankM)
   }
 
   /** Recall@k of the composed IVF-PQ path vs brute force — measures

@@ -599,6 +599,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe must prune the list scan: read $selected of $total partitions")
   }
 
+  test("ann_ivfpq_indexed: the coded-list probe reads only its nprobe partitions") {
+    // same mechanism pin as ann_ivf_indexed over the CODED layout:
+    // the scan that feeds decode must carry the probed-centroid IN
+    // list as a partition filter — the whole point of persisting
+    // codes is that per-probe I/O is (probed/K) x ~PqM ints/vector
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    graft.functions.VectorFunctions.register(spark)
+    val df = graft.operators.SimilarityOps.annIvfPqIndexed(
+      Tables.embeddings(spark, TestSpark.Sf0001), TestSpark.Sf0001,
+      nprobe = 1, nProbes = 3)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpqlists")) => s
+    }
+    assert(scans.size === 1, "expected exactly one coded-lists scan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the probed-centroid IN list must plan as a partition filter")
+    val selected = scan.selectedPartitions.partitionCount
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected < total,
+      s"probe must prune the coded-list scan: read $selected of $total partitions")
+  }
+
   test("ann_ivf_upsert: the upserted-layout probe keeps partition pruning") {
     // same mechanism pin as ann_ivf_indexed, over the corpus-write +
     // batch-append layout: appending files into the list partitions

@@ -230,6 +230,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.15, s"ivf-pq recall collapsed: $recall")
   }
 
+  test("pq decode of stored codes is bit-equal to the fused reconstruction") {
+    VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val cb = SimilarityOps.pqCodebook(emb)
+    val both = emb.crossJoin(broadcast(cb))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.pqReconstruct(col("embedding"), col("cb"),
+          SimilarityOps.PqM, SimilarityOps.PqSub, SimilarityOps.PqK).as("fused"),
+        graft.functions.VectorFunctions.pqDecode(
+          graft.functions.VectorFunctions.pqEncode(col("embedding"), col("cb"),
+            SimilarityOps.PqM, SimilarityOps.PqSub, SimilarityOps.PqK),
+          col("cb"), SimilarityOps.PqM, SimilarityOps.PqSub).as("decoded"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val f = r.getSeq[Float](1); val d = r.getSeq[Float](2)
+      assert(f == d, s"vec ${r.getLong(0)}: decode != fused reconstruct")
+    }
+    // code words are m ints inside the codebook range
+    val codes = emb.crossJoin(broadcast(cb))
+      .select(graft.functions.VectorFunctions.pqEncode(col("embedding"), col("cb"),
+        SimilarityOps.PqM, SimilarityOps.PqSub, SimilarityOps.PqK).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    codes.foreach { cw =>
+      assert(cw.length == SimilarityOps.PqM)
+      cw.foreach(j => assert(j >= 0 && j < SimilarityOps.PqK))
+    }
+  }
+
+  test("ivf-pq indexed probe equals the inline composition row for row") {
+    VectorFunctions.register(spark)
+    val inline = SimilarityOps.annIvfPq(emb).collect().map(_.toString).sorted
+    val indexed = SimilarityOps.annIvfPqIndexed(emb, TestSpark.Sf0001)
+      .collect().map(_.toString).sorted
+    assert(indexed.sameElements(inline),
+      "persisted coded lists must reproduce the inline IVF-PQ result")
+  }
+
   test("semantic dedup labels one survivor per group and pairs stay co-clustered") {
     VectorFunctions.register(spark)
     val labeled = SimilarityOps.semanticDedup(emb).collect()
