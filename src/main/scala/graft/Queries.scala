@@ -2071,6 +2071,25 @@ object Queries {
         SimilarityOps.annIvfPqIndexed(Tables.embeddings(s, d), d) },
       Some(ivfPqOracleSql)),
 
+    // steady-state coded-list maintenance: the odd-id batch encoded
+    // AND routed under both corpus-frozen models (trained codebook +
+    // trained centroids), appended in place; the oracle retrains both
+    // from the corpus slice and rebuilds everything from scratch —
+    // append == rebuild for the composed index
+    "ann_ivfpq_upsert" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfPqUpsert(Tables.embeddings(s, d), d) },
+      Some(ivfPqUpsertOracle(""))),
+
+    // the coded lifecycle's DELETE leg: id-only tombstone log
+    // subtracted before decode, physical removal deferred to the
+    // layout-agnostic compaction; oracle = rebuild minus the slice
+    "ann_ivfpq_delete" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfPqDelete(Tables.embeddings(s, d), d) },
+      Some(ivfPqUpsertOracle(
+        s"AND a.vec_id % ${SimilarityOps.IvfDeleteMod} != ${SimilarityOps.IvfDeleteRes}"))),
+
     // SemDeDup: within-cluster cosine pairs (the O(n²/K) candidate
     // generation; threshold + cluster cap from SimilarityOps
     // constants, cap inert at tested SFs)
@@ -5132,6 +5151,102 @@ object Queries {
        |  FROM pl JOIN assign a ON pl.centroid_id = a.centroid_id
        |    JOIN recon rn ON rn.vec_id = a.vec_id
        |  WHERE a.vec_id <> pl.probe_id),
+       |rq AS (SELECT probe_id, vec_id, score_q, row_number() OVER (
+       |    PARTITION BY probe_id
+       |    ORDER BY round(score_q, 6) DESC, vec_id) AS rnk_q FROM sq),
+       |cand AS (SELECT probe_id, vec_id, score_q FROM rq WHERE rnk_q <= $rr),
+       |x AS (SELECT probe_id, cand.vec_id, score_q,
+       |    ${cosSql("pe.embedding", "e.embedding")} AS score
+       |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+       |    JOIN embeddings pe ON pe.vec_id = probe_id),
+       |r2 AS (SELECT probe_id, vec_id, score, score_q, row_number() OVER (
+       |    PARTITION BY probe_id
+       |    ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM x)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+       |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
+       |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** From-scratch replay of [[graft.operators.SimilarityOps.annIvfPqUpsert]]:
+    * BOTH frozen models retrained from the even-id corpus slice —
+    * the PQ codebook (stride-2 seeds, one Lloyd round over corpus
+    * vectors only) and the IVF centroids (the [[ivfUpsertOracle]]
+    * chain, mod 98) — then EVERY vector (corpus ∪ batch) re-encoded
+    * and re-routed under them, searched list-restricted with the PQ
+    * screen + exact rerank. The hash match is the coded-layout
+    * append == rebuild proof; `neighborFilter` is the delete leg's
+    * searchable-corpus restriction.
+    */
+  private def ivfPqUpsertOracle(neighborFilter: String): String = {
+    val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
+    val kk = SimilarityOps.PqK; val rr = SimilarityOps.PqRerankM
+    val mod = 98; val numC = 16
+    s"""WITH scb AS (SELECT vec_id AS j, embedding AS c FROM embeddings
+       |  WHERE vec_id % 2 = 0 AND vec_id < ${2 * kk}),
+       |tmm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+       |tii AS (SELECT unnest(generate_series(1, $sub)) AS i),
+       |tenc AS (SELECT e.vec_id, tmm.m, scb.j,
+       |    list_sum(list_transform(generate_series(1, $sub), i ->
+       |      scb.c[tmm.m*$sub+i]::DOUBLE * scb.c[tmm.m*$sub+i]::DOUBLE))
+       |  - 2 * list_sum(list_transform(generate_series(1, $sub), i ->
+       |      e.embedding[tmm.m*$sub+i]::DOUBLE * scb.c[tmm.m*$sub+i]::DOUBLE)) AS d
+       |  FROM embeddings e CROSS JOIN tmm CROSS JOIN scb
+       |  WHERE e.vec_id % 2 = 0),
+       |tbest AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM tenc)
+       |  WHERE rn = 1),
+       |tref AS (SELECT b.m, b.j, tii.i,
+       |    round(avg(e.embedding[b.m*$sub+tii.i]::DOUBLE), 4) AS mv
+       |  FROM tbest b JOIN embeddings e USING (vec_id) CROSS JOIN tii
+       |  GROUP BY b.m, b.j, tii.i),
+       |tgrid AS (SELECT scb.j, tmm.m, tii.i,
+       |    scb.c[tmm.m*$sub+tii.i]::DOUBLE AS seedv
+       |  FROM scb CROSS JOIN tmm CROSS JOIN tii),
+       |cb AS (SELECT j, list(coalesce(mv, seedv)::FLOAT ORDER BY m, i) AS c
+       |  FROM tgrid LEFT JOIN tref USING (m, j, i) GROUP BY j),
+       |c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 2 = 0 AND vec_id % $mod = 0 AND vec_id < ${mod.toLong * numC}),
+       |s0 AS (SELECT e.vec_id, c.centroid_id, e.embedding,
+       |  ${cosSql("e.embedding", "c.cvec")} AS cscore
+       |  FROM embeddings e CROSS JOIN c0 c WHERE e.vec_id % 2 = 0),
+       |r0 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |  ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM s0),
+       |a0 AS (SELECT vec_id, centroid_id, embedding FROM r0 WHERE crank = 1),
+       |e0 AS (SELECT centroid_id, embedding,
+       |  unnest(generate_series(1, len(embedding))) AS pos FROM a0),
+       |ref0 AS (SELECT centroid_id, pos, round(avg(embedding[pos]::DOUBLE), 4) AS cm
+       |  FROM e0 GROUP BY centroid_id, pos),
+       |c1 AS (SELECT centroid_id, list(cm::FLOAT ORDER BY pos) AS cvec
+       |  FROM ref0 GROUP BY centroid_id),
+       |sf AS (SELECT e.vec_id, c.centroid_id, e.embedding,
+       |  ${cosSql("e.embedding", "c.cvec")} AS cscore
+       |  FROM embeddings e CROSS JOIN c1 c),
+       |rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |  ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM sf),
+       |assign AS (SELECT vec_id, centroid_id FROM rf WHERE crank = 1),
+       |pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec
+       |  FROM rf WHERE vec_id < 10 AND crank <= 3),
+       |mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+       |enc AS (SELECT e.vec_id, mm.m, cb.j,
+       |    list_sum(list_transform(generate_series(1, $sub), i ->
+       |      cb.c[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE))
+       |  - 2 * list_sum(list_transform(generate_series(1, $sub), i ->
+       |      e.embedding[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE)) AS d
+       |  FROM embeddings e CROSS JOIN mm CROSS JOIN cb),
+       |best AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM enc)
+       |  WHERE rn = 1),
+       |rx AS (SELECT b.vec_id, b.m, ii.i, cb.c[b.m*$sub+ii.i]::FLOAT AS x
+       |  FROM best b JOIN cb USING (j)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) ii),
+       |recon AS (SELECT vec_id, list(x ORDER BY m, i) AS rc
+       |  FROM rx GROUP BY vec_id),
+       |sq AS (SELECT pl.probe_id, a.vec_id, ${cosSql("pl.probe_vec", "rn2.rc")} AS score_q
+       |  FROM pl JOIN assign a ON pl.centroid_id = a.centroid_id
+       |    JOIN recon rn2 ON rn2.vec_id = a.vec_id
+       |  WHERE a.vec_id <> pl.probe_id $neighborFilter),
        |rq AS (SELECT probe_id, vec_id, score_q, row_number() OVER (
        |    PARTITION BY probe_id
        |    ORDER BY round(score_q, 6) DESC, vec_id) AS rnk_q FROM sq),

@@ -1427,9 +1427,15 @@ object SimilarityOps {
     * hundred thousand vectors saturate it), and this is a write-once
     * build behind [[pqTrainedCodebookDir]] either way.
     */
-  def pqTrainedCodebook(emb: DataFrame): DataFrame = {
+  def pqTrainedCodebook(emb: DataFrame, seedStride: Int = 1): DataFrame = {
     val spark = emb.sparkSession
-    val cbRows = emb.where(col("vec_id") < PqK)
+    // seedStride generalizes the seed slice so a CORPUS-frozen model
+    // can seed from every stride-th id (stride 2 = the even-id corpus
+    // of the upsert lifecycle) while keeping exactly PqK rows; j stays
+    // the raw vec_id — it only orders rows and breaks argmin ties,
+    // and any monotone relabeling preserves both
+    val cbRows = emb.where(pmod(col("vec_id"), lit(seedStride)) === 0 &&
+        col("vec_id") < seedStride.toLong * PqK)
       .select(col("vec_id").as("j"), col("embedding").as("c"))
     val ms = spark.range(PqM).select(col("id").cast("int").as("m"))
     val is = spark.range(1, PqSub + 1).select(col("id").cast("int").as("i"))
@@ -1624,22 +1630,167 @@ object SimilarityOps {
     val lists = spark.read.parquet(
       ivfPqListsDir(emb, sfDir, centroidMod, numCentroids))
     val probeLists = ivfPqProbeLists(emb, centroids, nprobe, nProbes)
+    ivfPqRerank(emb, probeLists,
+      ivfPqPrunedDecode(lists, probeLists, pqCodebook(emb)),
+      nProbes, k, rerankM)
+  }
+
+  /** The warm read half shared by every coded-list layout: restrict
+    * the list scan to the probed partitions (typed IN filter →
+    * partition pruning, the annIvfIndexed lesson: a cast on the
+    * column side would defeat it), then decode the stored code words
+    * against the broadcast codebook.
+    */
+  private def ivfPqPrunedDecode(lists: DataFrame, probeLists: DataFrame,
+                                codebook: DataFrame): DataFrame = {
     val probed = probeLists.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    // IN-filter literals typed to the partition column as read from
-    // disk (the annIvfIndexed lesson: a cast on the column side would
-    // defeat partition pruning)
     val probedTyped: Seq[Any] =
       if (lists.schema("centroid_id").dataType ==
         org.apache.spark.sql.types.IntegerType) probed.toSeq.map(_.toInt)
       else probed.toSeq
-    val decoded = lists.where(col("centroid_id").isInCollection(probedTyped))
+    lists.where(col("centroid_id").isInCollection(probedTyped))
       .select(col("vec_id"),
         col("centroid_id").cast("long").as("centroid_id"), col("codes"))
-      .crossJoin(broadcast(pqCodebook(emb)))
+      .crossJoin(broadcast(codebook))
       .select(col("vec_id"), col("centroid_id"),
         VectorFunctions.pqDecode(col("codes"), col("cb"), PqM, PqSub).as("recon"))
-    ivfPqRerank(emb, probeLists, decoded, nProbes, k, rerankM)
+  }
+
+  /** Frozen CORPUS-trained PQ codebook for the coded-list upsert
+    * lifecycle: seeds from the even-id corpus (stride 2, still PqK
+    * rows), one Lloyd round over corpus vectors only — the model an
+    * arriving batch must NOT perturb, mirroring [[upsertCentroidsDir]].
+    */
+  def pqUpsertCodebookDir(emb: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("ivfpqupcb", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"), params = s"k${PqK}r1s2") { dir =>
+      pqTrainedCodebook(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          seedStride = 2)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+  /** Incremental coded-list maintenance: route + PQ-encode an
+    * arriving batch under BOTH frozen models (centroids AND codebook)
+    * and append the code words into their list partitions. The
+    * append moves |batch| x ~PqM ints — at 100 TB the coded index
+    * stays current for bytes proportional to the batch, while corpus
+    * lists and both models are untouched on disk.
+    */
+  def ivfPqAppendBatch(batch: DataFrame, centroids: DataFrame,
+                       codebook: DataFrame, listsDir: String): Unit =
+    assignToCentroids(batch, centroids)
+      .crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("centroid_id"),
+        VectorFunctions.pqEncode(
+          col("embedding"), col("cb"), PqM, PqSub, PqK).as("codes"))
+      .write.mode("append").partitionBy("centroid_id").parquet(listsDir)
+
+  /** Write-once UPSERTED coded lists: even-id corpus encoded + routed
+    * under the corpus-frozen models, odd-id batch
+    * [[ivfPqAppendBatch]]-ed in place; `_UPSERTED` marks the
+    * two-write build complete (the [[ivfUpsertListsDir]] crash
+    * discipline).
+    */
+  def ivfPqUpsertListsDir(emb: DataFrame, sfDir: String,
+                          centroidMod: Int, numCentroids: Int): String =
+    graft.sources.Fixtures.ensure("ivfpquplists", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"m${centroidMod}c${numCentroids}q$PqK",
+      validate = d => new java.io.File(d, "_UPSERTED").exists()) { dir =>
+      val spark = emb.sparkSession
+      val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
+        centroidMod, numCentroids, 1, 0.0))
+      val codebook = spark.read.parquet(pqUpsertCodebookDir(emb, sfDir))
+      assignToCentroids(emb.where(pmod(col("vec_id"), lit(2)) === 0), centroids)
+        .crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("centroid_id"),
+          VectorFunctions.pqEncode(
+            col("embedding"), col("cb"), PqM, PqSub, PqK).as("codes"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      ivfPqAppendBatch(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        centroids, codebook, dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_UPSERTED"))
+      ()
+    }
+
+  /** Steady-state search over the upserted coded lists with both
+    * frozen models. Output equals a from-scratch rebuild over
+    * corpus ∪ batch under the same models — the oracle retrains the
+    * codebook and centroids from the corpus slice and re-encodes
+    * everything, so a batch row encoded or routed differently than
+    * the rebuild would reds the hash (append == rebuild, the coded
+    * twin of [[annIvfUpsert]]).
+    */
+  def annIvfPqUpsert(emb: DataFrame, sfDir: String, centroidMod: Int = 98,
+                     numCentroids: Int = 16, nprobe: Int = 3,
+                     nProbes: Int = 10, k: Int = 10,
+                     rerankM: Int = PqRerankM): DataFrame = {
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
+      centroidMod, numCentroids, 1, 0.0))
+    val codebook = spark.read.parquet(pqUpsertCodebookDir(emb, sfDir))
+    val lists = spark.read.parquet(
+      ivfPqUpsertListsDir(emb, sfDir, centroidMod, numCentroids))
+    val probeLists = ivfPqProbeLists(emb, centroids, nprobe, nProbes)
+    ivfPqRerank(emb, probeLists,
+      ivfPqPrunedDecode(lists, probeLists, codebook), nProbes, k, rerankM)
+  }
+
+  /** Write-once tombstoned coded lists: the upsert build plus a
+    * [[ivfDeleteBatch]] of the deterministic delete slice (the
+    * tombstone log is layout-agnostic — ids only). `_DELETED` marks
+    * the three-step build complete.
+    */
+  def ivfPqDeleteIndexDir(emb: DataFrame, sfDir: String,
+                          centroidMod: Int, numCentroids: Int): String =
+    graft.sources.Fixtures.ensure("ivfpqdellists", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"m${centroidMod}c${numCentroids}q$PqK",
+      validate = d => new java.io.File(d, "_DELETED").exists()) { dir =>
+      val spark = emb.sparkSession
+      val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
+        centroidMod, numCentroids, 1, 0.0))
+      val codebook = spark.read.parquet(pqUpsertCodebookDir(emb, sfDir))
+      assignToCentroids(emb.where(pmod(col("vec_id"), lit(2)) === 0), centroids)
+        .crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("centroid_id"),
+          VectorFunctions.pqEncode(
+            col("embedding"), col("cb"), PqM, PqSub, PqK).as("codes"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      ivfPqAppendBatch(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        centroids, codebook, dir)
+      ivfDeleteBatch(emb.where(
+        pmod(col("vec_id"), lit(IvfDeleteMod)) === IvfDeleteRes), dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_DELETED"))
+      ()
+    }
+
+  /** DELETE over the coded lists: the tombstone log subtracted by a
+    * broadcast anti join BEFORE decode — partition pruning survives
+    * on the preserved side, a deleted vector can never be returned,
+    * the lists on disk stay untouched, and [[compactIvfLists]] (the
+    * layout-agnostic rewrite) applies the log physically when it
+    * runs. Completes the coded lifecycle: build → probe → append →
+    * delete → compact.
+    */
+  def annIvfPqDelete(emb: DataFrame, sfDir: String, centroidMod: Int = 98,
+                     numCentroids: Int = 16, nprobe: Int = 3,
+                     nProbes: Int = 10, k: Int = 10,
+                     rerankM: Int = PqRerankM): DataFrame = {
+    val spark = emb.sparkSession
+    VectorFunctions.register(spark)
+    val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
+      centroidMod, numCentroids, 1, 0.0))
+    val codebook = spark.read.parquet(pqUpsertCodebookDir(emb, sfDir))
+    val dir = ivfPqDeleteIndexDir(emb, sfDir, centroidMod, numCentroids)
+    val lists = spark.read.parquet(dir)
+    val tombstones = spark.read.parquet(s"$dir/_tombstones")
+    val live = lists.join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+    val probeLists = ivfPqProbeLists(emb, centroids, nprobe, nProbes)
+    ivfPqRerank(emb, probeLists,
+      ivfPqPrunedDecode(live, probeLists, codebook), nProbes, k, rerankM)
   }
 
   /** Recall@k of the composed IVF-PQ path vs brute force — measures

@@ -229,6 +229,51 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "the applied tombstone log must be truncated by the publish rename")
   }
 
+  test("coded-list (IVF-PQ) appends/delete/compaction: rows intact, log applied, one file per list") {
+    VectorFunctions.register(spark)
+    val (centroids, _) = SimilarityOps.lloydIterate(
+      emb, iterations = 1, moveEps = 0.0, centroidMod = 97, numCentroids = 16)
+    val cb = SimilarityOps.pqCodebook(emb)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqcomp")
+      .resolve("lists").toString
+    // three append rounds on an arbitrary (non-parity) split
+    (0 until 3).foreach { r =>
+      SimilarityOps.ivfPqAppendBatch(
+        emb.where(pmod(col("vec_id"), lit(3)) === r), centroids, cb, dir)
+    }
+    def rows(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("centroid_id").cast("long"), col("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def partFiles(d: String): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filterNot(_.toString.contains("_tombstones"))
+        .toSeq.groupBy(_.getParent.getFileName.toString)
+        .map { case (k, v) => k -> v.size }
+    }
+    val before = rows(dir)
+    assert(before.size === emb.count(),
+      "the three appends must cover the corpus exactly once")
+    assert(partFiles(dir).values.max >= 2, "appends should have split files")
+    // tombstone an arbitrary slice, then compact: physical removal +
+    // log truncation + one file per list, code words untouched
+    val delIds = emb.where(pmod(col("vec_id"), lit(5)) === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    SimilarityOps.ivfDeleteBatch(
+      emb.where(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"), dir)
+    SimilarityOps.compactIvfLists(spark, dir)
+    val after = rows(dir)
+    assert(after === before.filterNot(t => delIds.contains(t._1)),
+      "compaction must drop exactly the tombstoned rows and keep codes intact")
+    assert(partFiles(dir).values.max === 1,
+      s"each list must be one file after compaction: ${partFiles(dir)}")
+    assert(!new java.io.File(dir, "_tombstones").exists(),
+      "the applied tombstone log must be truncated by the publish rename")
+  }
+
   test("postings fold-in: appended postings + merged lexicon/stats equal a rebuild") {
     // arbitrary NON-parity split (the registered incremental_bm25
     // query uses odd/even — a different split here proves the fold
