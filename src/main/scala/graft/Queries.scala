@@ -2090,6 +2090,18 @@ object Queries {
       Some(ivfPqUpsertOracle(
         s"AND a.vec_id % ${SimilarityOps.IvfDeleteMod} != ${SimilarityOps.IvfDeleteRes}"))),
 
+    // the streamed front door of the coded index: arriving vectors
+    // fold into the list partitions per micro-batch (a REAL
+    // checkpointed AvailableNow run, >= 2 batches); probe of the
+    // stream-maintained layout shares the batch upsert's rebuild
+    // oracle — stream == batch == rebuild through one hash
+    "streamed_ivfpq_upsert" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        val lists = s.read.parquet(
+          graft.streaming.EventStreams.streamedIvfPqLayout(s, d))
+        SimilarityOps.annIvfPqOverLists(Tables.embeddings(s, d), d, lists) },
+      Some(ivfPqUpsertOracle(""))),
+
     // SemDeDup: within-cluster cosine pairs (the O(n²/K) candidate
     // generation; threshold + cluster cap from SimilarityOps
     // constants, cap inert at tested SFs)

@@ -1603,13 +1603,8 @@ object SimilarityOps {
     graft.sources.Fixtures.ensure("ivfpqlists", sfDir,
       Seq(s"$sfDir/embeddings.parquet"),
       params = s"m${centroidMod}c${numCentroids}q$PqK") { dir =>
-      val centroids = seedCentroids(emb, centroidMod, numCentroids)
-      assignToCentroids(emb, centroids)
-        .crossJoin(broadcast(pqCodebook(emb)))
-        .select(col("vec_id"), col("centroid_id"),
-          VectorFunctions.pqEncode(
-            col("embedding"), col("cb"), PqM, PqSub, PqK).as("codes"))
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      ivfPqCorpusBuild(emb, seedCentroids(emb, centroidMod, numCentroids),
+        pqCodebook(emb), dir)
     }
 
   /** [[annIvfPq]] over the persisted coded lists: rank centroids per
@@ -1679,12 +1674,28 @@ object SimilarityOps {
     */
   def ivfPqAppendBatch(batch: DataFrame, centroids: DataFrame,
                        codebook: DataFrame, listsDir: String): Unit =
-    assignToCentroids(batch, centroids)
+    routedCodes(batch, centroids, codebook)
+      .write.mode("append").partitionBy("centroid_id").parquet(listsDir)
+
+  /** (vec_id, centroid_id, codes) for a slice of vectors under given
+    * models — the row shape every coded-list write shares.
+    */
+  private def routedCodes(vecs: DataFrame, centroids: DataFrame,
+                          codebook: DataFrame): DataFrame =
+    assignToCentroids(vecs, centroids)
       .crossJoin(broadcast(codebook))
       .select(col("vec_id"), col("centroid_id"),
         VectorFunctions.pqEncode(
           col("embedding"), col("cb"), PqM, PqSub, PqK).as("codes"))
-      .write.mode("append").partitionBy("centroid_id").parquet(listsDir)
+
+  /** One-shot corpus build of a coded-list layout (overwrite) — the
+    * step the upsert/delete fixtures and the streamed front door all
+    * start from.
+    */
+  def ivfPqCorpusBuild(corpus: DataFrame, centroids: DataFrame,
+                       codebook: DataFrame, listsDir: String): Unit =
+    routedCodes(corpus, centroids, codebook)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(listsDir)
 
   /** Write-once UPSERTED coded lists: even-id corpus encoded + routed
     * under the corpus-frozen models, odd-id batch
@@ -1702,12 +1713,8 @@ object SimilarityOps {
       val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
         centroidMod, numCentroids, 1, 0.0))
       val codebook = spark.read.parquet(pqUpsertCodebookDir(emb, sfDir))
-      assignToCentroids(emb.where(pmod(col("vec_id"), lit(2)) === 0), centroids)
-        .crossJoin(broadcast(codebook))
-        .select(col("vec_id"), col("centroid_id"),
-          VectorFunctions.pqEncode(
-            col("embedding"), col("cb"), PqM, PqSub, PqK).as("codes"))
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      ivfPqCorpusBuild(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        centroids, codebook, dir)
       ivfPqAppendBatch(emb.where(pmod(col("vec_id"), lit(2)) === 1),
         centroids, codebook, dir)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_UPSERTED"))
@@ -1727,12 +1734,25 @@ object SimilarityOps {
                      nProbes: Int = 10, k: Int = 10,
                      rerankM: Int = PqRerankM): DataFrame = {
     val spark = emb.sparkSession
+    val lists = spark.read.parquet(
+      ivfPqUpsertListsDir(emb, sfDir, centroidMod, numCentroids))
+    annIvfPqOverLists(emb, sfDir, lists, centroidMod, numCentroids,
+      nprobe, nProbes, k, rerankM)
+  }
+
+  /** Probe ARBITRARY coded lists under the frozen upsert models —
+    * the shared warm front for every maintenance path that lands
+    * rows in the coded layout (batch upsert, streamed fold).
+    */
+  def annIvfPqOverLists(emb: DataFrame, sfDir: String, lists: DataFrame,
+                        centroidMod: Int = 98, numCentroids: Int = 16,
+                        nprobe: Int = 3, nProbes: Int = 10, k: Int = 10,
+                        rerankM: Int = PqRerankM): DataFrame = {
+    val spark = emb.sparkSession
     VectorFunctions.register(spark)
     val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
       centroidMod, numCentroids, 1, 0.0))
     val codebook = spark.read.parquet(pqUpsertCodebookDir(emb, sfDir))
-    val lists = spark.read.parquet(
-      ivfPqUpsertListsDir(emb, sfDir, centroidMod, numCentroids))
     val probeLists = ivfPqProbeLists(emb, centroids, nprobe, nProbes)
     ivfPqRerank(emb, probeLists,
       ivfPqPrunedDecode(lists, probeLists, codebook), nProbes, k, rerankM)
@@ -1753,12 +1773,8 @@ object SimilarityOps {
       val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
         centroidMod, numCentroids, 1, 0.0))
       val codebook = spark.read.parquet(pqUpsertCodebookDir(emb, sfDir))
-      assignToCentroids(emb.where(pmod(col("vec_id"), lit(2)) === 0), centroids)
-        .crossJoin(broadcast(codebook))
-        .select(col("vec_id"), col("centroid_id"),
-          VectorFunctions.pqEncode(
-            col("embedding"), col("cb"), PqM, PqSub, PqK).as("codes"))
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      ivfPqCorpusBuild(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        centroids, codebook, dir)
       ivfPqAppendBatch(emb.where(pmod(col("vec_id"), lit(2)) === 1),
         centroids, codebook, dir)
       ivfDeleteBatch(emb.where(

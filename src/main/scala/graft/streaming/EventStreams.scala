@@ -439,6 +439,83 @@ object EventStreams {
       ()
     }
 
+  /** STREAMED coded-list maintenance — the VECTOR-INDEX member of
+    * the streamed index-fold family (postings fold, CDC fold, LSH
+    * ingest): each micro-batch of arriving vectors is routed and
+    * PQ-encoded under the FROZEN models and appended into its
+    * inverted-list partitions
+    * ([[graft.operators.SimilarityOps.ivfPqAppendBatch]]) inside
+    * `foreachBatch`. Folds compose trivially here — a code word is a
+    * pure per-row function of the vector and the frozen models, so
+    * ANY micro-batch split lands the identical layout; the gate's
+    * claim is stream-maintained == batch upsert == from-scratch
+    * rebuild (the three paths share one oracle). Same at-least-once
+    * note as the postings fold: a retried batch would double-append,
+    * and production stages per-batch manifests (the idempotent
+    * `batch_id=` sink discipline this repo demonstrates elsewhere).
+    */
+  def ingestIvfPqFoldStream(vecStream: DataFrame, centroids: DataFrame,
+                            codebook: DataFrame, listsDir: String,
+                            checkpointDir: String,
+                            availableNow: Boolean = false): StreamingQuery = {
+    val writer = vecStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.SimilarityOps.ivfPqAppendBatch(
+          batch.toDF(), centroids, codebook, listsDir)
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
+      .start()
+  }
+
+  /** Write-once STREAMED coded-list layout: the even-id corpus is
+    * built in batch under the corpus-frozen models, then the odd half
+    * arrives as a REAL checkpointed micro-batch stream — two source
+    * files with maxFilesPerTrigger=1, so the fold runs at least twice
+    * and the gate covers multi-batch composition. The registry's
+    * `streamed_ivfpq_upsert` probes this layout against the batch
+    * upsert's from-scratch oracle.
+    */
+  def streamedIvfPqLayout(spark: SparkSession, sfDir: String): String = {
+    val ops = graft.operators.SimilarityOps
+    graft.sources.Fixtures.ensure("streamivfpq", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"m98c16q${ops.PqK}") { path =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      graft.functions.VectorFunctions.register(spark)
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val centroids = spark.read.parquet(
+        ops.upsertCentroidsDir(emb, sfDir, 98, 16, 1, 0.0))
+      val codebook = spark.read.parquet(ops.pqUpsertCodebookDir(emb, sfDir))
+      val srcDir = root.resolve("_src")
+      emb.where(pmod(col("vec_id"), lit(2)) === 1)
+        .repartition(2) // two files -> two micro-batches
+        .write.parquet(srcDir.toString)
+      val lists = root.resolve("lists").toString
+      ops.ivfPqCorpusBuild(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        centroids, codebook, lists)
+      val arriving = spark.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = ingestIvfPqFoldStream(arriving, centroids, codebook, lists,
+        s"$path/_checkpoint", availableNow = true)
+      try q.awaitTermination() finally q.stop()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    } + "/lists"
+  }
+
   /** STREAMED CDC apply: each micro-batch of changelog ops folds
     * into versioned keyed state via
     * [[graft.operators.RelationalOps.cdcFold]] inside `foreachBatch`

@@ -504,4 +504,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats(s"$dir/index") === stats(rebuilt),
       "stream-folded stats != batch rebuild")
   }
+
+  test("streamed coded-list fold over >= 2 micro-batches equals the batch upsert layout") {
+    import graft.operators.SimilarityOps
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val streamed = graft.streaming.EventStreams
+      .streamedIvfPqLayout(spark, TestSpark.Sf0001)
+    val srcParts = new java.io.File(
+        streamed.stripSuffix("/lists") + "/_src").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(srcParts >= 2, s"fixture must split the arriving half: $srcParts files")
+    val batch = SimilarityOps.ivfPqUpsertListsDir(
+      emb, TestSpark.Sf0001, 98, 16)
+    def rows(d: String) = {
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(d)
+        .select(col("vec_id"), col("centroid_id").cast("long"), col("codes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    assert(rows(streamed) === rows(batch),
+      "stream-maintained coded lists != batch upsert layout")
+  }
 }
