@@ -76,6 +76,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ExpressionArgs.literalInt(exprs(2), "graft_pq_reconstruct"),
         ExpressionArgs.literalInt(exprs(3), "graft_pq_reconstruct"),
         ExpressionArgs.literalInt(exprs(4), "graft_pq_reconstruct"))))
+    e.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      info("graft_pq_encode", "product-quantization code word (m ints)"),
+      exprs => PqEncodeInts(exprs(0), exprs(1),
+        ExpressionArgs.literalInt(exprs(2), "graft_pq_encode"),
+        ExpressionArgs.literalInt(exprs(3), "graft_pq_encode"),
+        ExpressionArgs.literalInt(exprs(4), "graft_pq_encode"))))
+    e.injectFunction((FunctionIdentifier("graft_pq_decode"),
+      info("graft_pq_decode", "reassemble a PQ code word into its reconstruction"),
+      exprs => PqDecodeFloat(exprs(0), exprs(1),
+        ExpressionArgs.literalInt(exprs(2), "graft_pq_decode"),
+        ExpressionArgs.literalInt(exprs(3), "graft_pq_decode"))))
     e.injectFunction((FunctionIdentifier("graft_bloom"),
       info("graft_bloom", "bloom filter bitmap aggregate"),
       exprs => BloomAgg(exprs(0),
