@@ -1703,6 +1703,48 @@ object Queries {
            |  AND cy BETWEEN $BoxYLo AND $BoxYHi""".stripMargin
       }),
 
+    // Hilbert-curve layout companion to zorder_box_scan: connected
+    // curve ranges => tighter per-file (cx, cy) envelopes; the oracle
+    // replays the native expression's rotation walk level by level
+    "hilbert_box_scan" -> QueryDef(
+      (s, d) => LayoutOps.hilbertBoxScan(Tables.lineitem(s, d), d),
+      Some(LayoutOps.hilbertBoxScanSql)),
+
+    // weighted sample without replacement: top-PrioK priorities
+    // (w·2^60/h — two IEEE ops, bit-identical cross-engine) per
+    // source; the rank window is WindowGroupLimit-trimmed pre-shuffle
+    "priority_sample_weighted" -> QueryDef(
+      (s, d) => PipelineOps.prioritySample(Tables.documents(s, d)),
+      Some(s"""WITH h AS (SELECT source, doc_id, n_chars,
+              |  ${PipelineOps.SamplePrioritySql} AS priority FROM documents),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY source
+              |        ORDER BY priority DESC, doc_id) AS rnk FROM h)
+              |SELECT source, rnk AS smp_rank, doc_id, n_chars, priority
+              |FROM r WHERE rnk <= ${PipelineOps.PrioK}
+              |ORDER BY source, smp_rank""".stripMargin)),
+
+    // the estimator the sample exists for: Σ max(w, τ) per source in
+    // integer micro-units (order-independent long sum) vs the truth
+    "priority_sample_estimate" -> QueryDef(
+      (s, d) => PipelineOps.prioritySampleEstimate(Tables.documents(s, d)),
+      Some(s"""WITH h AS (SELECT source, doc_id, n_chars,
+              |  ${PipelineOps.SamplePrioritySql} AS priority FROM documents),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY source
+              |        ORDER BY priority DESC, doc_id) AS rnk FROM h),
+              |tau AS (SELECT source, priority AS tau FROM r
+              |        WHERE rnk = ${PipelineOps.PrioK + 1}),
+              |est AS (SELECT r.source,
+              |    CAST(sum(CAST(floor(greatest(CAST(n_chars AS DOUBLE),
+              |      coalesce(tau.tau, 0.0)) * 1000000.0 + 0.5) AS BIGINT))
+              |      AS BIGINT) AS est_total_micro
+              |  FROM r LEFT JOIN tau ON r.source = tau.source
+              |  WHERE rnk <= ${PipelineOps.PrioK} GROUP BY r.source),
+              |tot AS (SELECT source, count(*) AS n_docs,
+              |    CAST(sum(n_chars) AS BIGINT) AS true_total
+              |  FROM documents GROUP BY source)
+              |SELECT source, n_docs, true_total, est_total_micro
+              |FROM tot JOIN est USING (source) ORDER BY source""".stripMargin)),
+
     // the deduplicated corpus itself: cluster minima + untouched docs
     "dedup_survivors" -> QueryDef(
       (s, d) => DedupOps.dedupSurvivors(Tables.documents(s, d), d),

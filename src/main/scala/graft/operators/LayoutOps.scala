@@ -151,4 +151,103 @@ object LayoutOps {
       .agg(count(lit(1)).as("n"),
         RelationalOps.revenueExact.as("revenue"))
       .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------
+  // Hilbert-curve layout: the Z-order companion with CONNECTED
+  // ranges. Same write-once fixture + box-scan discipline; the curve
+  // value comes from the native loop expression
+  // [[graft.functions.expressions.HilbertIndex]] (the rotation state
+  // across levels rules out the closed-form term sum zValue uses).
+  // ---------------------------------------------------------------
+
+  /** Bits per dimension of the Hilbert grid (256 x 256 cells). */
+  val HBits = 8
+  /** Mask extracting a Hilbert cell coordinate. */
+  val HCellMask = (1L << HBits) - 1L
+  /** Files in the Hilbert-ordered layout. */
+  val HFiles = 64
+
+  /** Box bounds: full x range crossed with a narrow y band — the
+    * shape a 1-D x-sort cannot prune at all. */
+  val HBoxXLo = 0L
+  val HBoxXHi = 255L
+  val HBoxYLo = 8L
+  val HBoxYHi = 15L
+
+  val HilbertName = "graft_hilbert"
+
+  /** Registers [[HilbertName]] on the session function registry (the
+    * Spark-4 route to a custom expression as a Column). Idempotent.
+    */
+  def registerHilbert(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HilbertName,
+      exprs => graft.functions.expressions.HilbertIndex(
+        exprs(0), exprs(1), HBits),
+      "scala_udf")
+
+  /** Hilbert curve distance of two long cell coordinates. */
+  def hValue(a: Column, b: Column): Column =
+    call_function(HilbertName, a, b)
+
+  private def hCells(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      col("l_partkey").bitwiseAND(lit(HCellMask)).as("cx"),
+      col("l_suppkey").bitwiseAND(lit(HCellMask)).as("cy"),
+      col("l_quantity"))
+
+  /** Write-once Hilbert-clustered lineitem layout ([[HFiles]] files,
+    * range-partitioned and locally sorted by curve distance). */
+  def hilbertLayoutDir(lineitem: DataFrame, sfDir: String): String = {
+    registerHilbert(lineitem.sparkSession)
+    graft.sources.Fixtures.ensure("hilbert", sfDir,
+      Seq(s"$sfDir/lineitem.parquet"), params = s"b$HBits f$HFiles") { dir =>
+      hCells(lineitem)
+        .withColumn("hval", hValue(col("cx"), col("cy")))
+        .repartitionByRange(HFiles, col("hval"))
+        .sortWithinPartitions("hval")
+        .write.mode("overwrite").parquet(dir)
+      ()
+    }
+  }
+
+  /** 2-D box aggregate over the Hilbert layout — row count, exact
+    * quantity sum, min/max curve distance inside the box (the min/max
+    * pin the whole rotation walk cross-engine, level by level).
+    */
+  def hilbertBoxScan(lineitem: DataFrame, sfDir: String): DataFrame = {
+    val layout =
+      lineitem.sparkSession.read.parquet(hilbertLayoutDir(lineitem, sfDir))
+    layout
+      .where(col("cx") >= HBoxXLo && col("cx") <= HBoxXHi &&
+        col("cy") >= HBoxYLo && col("cy") <= HBoxYHi)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(col("l_quantity").cast("decimal(18,2)")), lit(0))
+          .cast("double").as("sum_qty"),
+        coalesce(min(col("hval")), lit(-1L)).as("min_hval"),
+        coalesce(max(col("hval")), lit(-1L)).as("max_hval"))
+  }
+
+  /** DuckDB oracle for [[hilbertBoxScan]]: recompute the cells and
+    * the full [[HBits]]-level walk from the raw table via the chained
+    * CTE rounds of [[graft.functions.expressions.HilbertIndex.sqlRounds]],
+    * then apply the identical box aggregate.
+    */
+  def hilbertBoxScanSql: String = {
+    val (rounds, last) = graft.functions.expressions.HilbertIndex
+      .sqlRounds("c0", HBits, Seq("cx", "cy", "l_quantity"))
+    s"""WITH c0 AS (SELECT (l_partkey & $HCellMask) AS x,
+       |  (l_suppkey & $HCellMask) AS y, 0::BIGINT AS d,
+       |  (l_partkey & $HCellMask) AS cx, (l_suppkey & $HCellMask) AS cy,
+       |  l_quantity FROM lineitem),
+       |$rounds
+       |SELECT count(*) AS n_rows,
+       |  CAST(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_qty,
+       |  coalesce(min(d), -1)::BIGINT AS min_hval,
+       |  coalesce(max(d), -1)::BIGINT AS max_hval
+       |FROM $last
+       |WHERE cx >= $HBoxXLo AND cx <= $HBoxXHi
+       |  AND cy >= $HBoxYLo AND cy <= $HBoxYHi""".stripMargin
+  }
 }

@@ -337,6 +337,87 @@ object PipelineOps {
       .orderBy("lang", "split")
   }
 
+  /** Sample size per source for the weighted priority sample. */
+  val PrioK = 5
+  /** 2^60 as an exactly-representable double — the scale factor
+    * turning the 60-bit doc hash into a unit uniform. */
+  val PrioHashScale = 1.152921504606846976e18
+
+  /** Deterministic priority of a document: `q = w / u` with weight
+    * `w = n_chars` and `u = h / 2^60` for the 60-bit md5-prefix hash
+    * `h` — i.e. `w * 2^60 / h`, two correctly-rounded IEEE ops in a
+    * fixed order, so the value is bit-identical cross-engine (no
+    * libm, no rand()). Larger q = more likely sampled, and heavier
+    * documents get proportionally larger priorities — weighted
+    * sampling without replacement (the priority-sampling scheme of
+    * Duffield/Lund/Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums").
+    */
+  def samplePriority: Column =
+    col("n_chars").cast("double") * lit(PrioHashScale) /
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").cast("double")
+
+  /** DuckDB mirror of [[samplePriority]] — same ops, same order. */
+  val SamplePrioritySql: String =
+    "CAST(n_chars AS DOUBLE) * 1152921504606846976 / " +
+      "CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS DOUBLE)"
+
+  private def prioRanked(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("priority", samplePriority)
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  /** Weighted sample WITHOUT replacement: the [[PrioK]] top-priority
+    * documents per source. Deterministic (hash-derived priorities),
+    * stable under repartitioning, and the heavy lifting is ONE
+    * rank window that Spark's WindowGroupLimit rewrite trims to the
+    * top rows per map partition BEFORE the exchange — at 100 TB each
+    * task forwards at most K+1 rows per source, not its whole split
+    * (the same physical shape as every top-k query in the registry).
+    */
+  def prioritySample(docs: DataFrame): DataFrame =
+    prioRanked(docs)
+      .where(col("rnk") <= PrioK)
+      .select(col("source"), col("rnk").as("smp_rank"),
+        col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy("source", "smp_rank")
+
+  /** The point of priority sampling: an unbiased subset-sum estimate
+    * from K rows per group. With τ = the (K+1)-th largest priority,
+    * `Σ_{i in sample} max(w_i, τ)` estimates the group's true total
+    * weight (exactly the group total when the group has <= K rows, in
+    * which case τ is absent and the max degrades to w). The estimate
+    * is reported in integer MICRO-units — `floor(max(w, τ)·10⁶ + ½)`
+    * summed as longs — so the aggregate is order-independent and the
+    * hash gate cannot flip on summation order (the repo-wide
+    * double-sum ban). Scale shape: the same trimmed rank window, a
+    * K+1-row-per-source join, and one partial-aggregated totals pass.
+    */
+  def prioritySampleEstimate(docs: DataFrame): DataFrame = {
+    val ranked = prioRanked(docs).where(col("rnk") <= PrioK + 1)
+    val tau = ranked.where(col("rnk") === PrioK + 1)
+      .select(col("source"), col("priority").as("tau"))
+    val est = ranked.where(col("rnk") <= PrioK)
+      .join(tau, Seq("source"), "left")
+      .withColumn("contrib_micro",
+        floor(greatest(col("n_chars").cast("double"),
+          coalesce(col("tau"), lit(0.0))) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .groupBy("source")
+      .agg(sum(col("contrib_micro")).as("est_total_micro"))
+    val totals = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("true_total"))
+    totals.join(est, Seq("source"))
+      .select(col("source"), col("n_docs"), col("true_total"),
+        col("est_total_micro"))
+      .orderBy("source")
+  }
+
   /** Language-balancing stratified sample: cap every language at the
     * SMALLEST language's document count by hash-thresholding —
     * per-mille bucket = md5(doc_id) mod 1000, keep rows with bucket <

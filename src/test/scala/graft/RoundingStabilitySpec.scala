@@ -48,7 +48,11 @@ class RoundingStabilitySpec extends AnyFunSuite {
     // a canonical bucket-sorted fold; the WAV family is integer-only
     // but its mapPartitions fan-out must still be partition-invariant
     "mixture_schedule", "dsir_weights", "gopher_rules",
-    "multimodal_wav_decode", "multimodal_wav_segments")
+    "multimodal_wav_decode", "multimodal_wav_segments",
+    // round-15 wave C: the sample's hash-derived priorities are
+    // row-local doubles and the estimator sums integer micro-units,
+    // but the rank windows must not depend on partitioning
+    "priority_sample_weighted", "priority_sample_estimate")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)

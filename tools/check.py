@@ -16,10 +16,27 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 report_path = sys.argv[3] if len(sys.argv) > 3 else None
 report = {}
 
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS FROM read_parquet('{sfdir}/{t}.parquet')")
+# One FRESH connection per oracle query. The heavy rebuild oracles
+# (IVF-PQ at the 100x fixture) reliably pass on a fresh connection
+# (~8 GB peak, 77 s measured) but throw "Out of Memory Error ... (bad
+# allocation)" when run after other queries on a shared connection —
+# cumulative allocator/buffer-pool state, not the query's own
+# footprint. The in-memory connection also has no temp_directory by
+# default, so blocking operators (windows, big hash aggs) cannot
+# spill; give it one. The gate sorts results itself, so insertion
+# order is free to drop.
+def connect():
+    c = duckdb.connect()
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '80GB')}'")
+    c.execute(f"SET threads={os.environ.get('GRAFT_DUCKDB_THREADS', '8')}")
+    c.execute("SET preserve_insertion_order=false")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS FROM read_parquet('{sfdir}/{t}.parquet')")
+    return c
+
+con = connect()
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
@@ -42,6 +59,8 @@ if os.path.exists(stamp_file):
     run_stamp = open(stamp_file).read().strip()
 
 for name, sql in sorted(oracle.items()):
+    con.close()
+    con = connect()
     if run_stamp is not None:
         qstamp_file = os.path.join(outdir, name, "_GRAFT_STAMP")
         qstamp = open(qstamp_file).read().strip() if os.path.exists(qstamp_file) else None
