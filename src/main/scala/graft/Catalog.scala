@@ -13,6 +13,7 @@ object Catalog {
     graft.functions.VectorFunctions.register(spark)
     graft.functions.SketchFunctions.register(spark)
     graft.functions.AggregatorFunctions.register(spark)
+    graft.operators.LayoutOps.registerHilbert(spark)
     // events needs the nanos-as-long read conf BEFORE its footer is
     // read — go through Tables.events, never the generic loader
     Tables.events(spark, sfDir).createOrReplaceTempView("events")

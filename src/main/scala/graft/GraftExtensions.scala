@@ -97,5 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => BloomProbe(exprs(0), exprs(1),
         ExpressionArgs.literalInt(exprs(2), "graft_bloom_probe"),
         ExpressionArgs.literalInt(exprs(3), "graft_bloom_probe"))))
+    e.injectFunction((FunctionIdentifier("graft_hilbert"),
+      info("graft_hilbert", "Hilbert curve distance of a 2-D cell"),
+      exprs => HilbertIndex(exprs(0), exprs(1),
+        graft.operators.LayoutOps.HBits)))
   }
 }

@@ -32,6 +32,20 @@ object Queries {
     */
   private val wmDelayMs = graft.streaming.EventStreams.WatermarkDelayMs
 
+  /** Shared oracle of `priority_sample_weighted` AND
+    * `streamed_priority_sample`: the streamed fold's final state must
+    * replay the batch sampler over the whole corpus row for row
+    * (top-K over union is associative), so one SQL text gates both.
+    */
+  private lazy val prioritySampleSql =
+    s"""WITH h AS (SELECT source, doc_id, n_chars,
+       |  ${graft.operators.PipelineOps.SamplePrioritySql} AS priority FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |        ORDER BY priority DESC, doc_id) AS rnk FROM h)
+       |SELECT source, rnk AS smp_rank, doc_id, n_chars, priority
+       |FROM r WHERE rnk <= ${graft.operators.PipelineOps.PrioK}
+       |ORDER BY source, smp_rank""".stripMargin
+
   /** DuckDB: lower-cased whitespace tokens, empties dropped. */
   /** Okapi BM25 oracle — shared verbatim by `bm25_topk` (inline
     * aggregation) and `bm25_indexed` (persisted postings probe): the
@@ -1715,13 +1729,18 @@ object Queries {
     // source; the rank window is WindowGroupLimit-trimmed pre-shuffle
     "priority_sample_weighted" -> QueryDef(
       (s, d) => PipelineOps.prioritySample(Tables.documents(s, d)),
-      Some(s"""WITH h AS (SELECT source, doc_id, n_chars,
-              |  ${PipelineOps.SamplePrioritySql} AS priority FROM documents),
-              |r AS (SELECT *, row_number() OVER (PARTITION BY source
-              |        ORDER BY priority DESC, doc_id) AS rnk FROM h)
-              |SELECT source, rnk AS smp_rank, doc_id, n_chars, priority
-              |FROM r WHERE rnk <= ${PipelineOps.PrioK}
-              |ORDER BY source, smp_rank""".stripMargin)),
+      Some(prioritySampleSql)),
+
+    // the streamed front door: per-source top-(K+1) state folded per
+    // micro-batch (versioned chain); top-K over union is associative,
+    // so the final state replays the BATCH sampler's oracle verbatim
+    "streamed_priority_sample" -> QueryDef(
+      (s, d) => {
+        val stateRoot = graft.streaming.EventStreams.streamedPrioLayout(s, d)
+        val v = graft.streaming.EventStreams.latestCdcVersion(stateRoot)
+        PipelineOps.prioritySampleFromState(s.read.parquet(s"$stateRoot/v$v"))
+      },
+      Some(prioritySampleSql)),
 
     // the estimator the sample exists for: Σ max(w, τ) per source in
     // integer micro-units (order-independent long sum) vs the truth

@@ -363,14 +363,48 @@ object PipelineOps {
     "CAST(n_chars AS DOUBLE) * 1152921504606846976 / " +
       "CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT AS DOUBLE)"
 
-  private def prioRanked(docs: DataFrame): DataFrame = {
+  /** Rank rows that already carry a `priority` column: descending
+    * priority, doc_id tiebreak, per source. */
+  private def rankByPriority(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("source")
       .orderBy(col("priority").desc, col("doc_id"))
-    docs
-      .select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("priority", samplePriority)
-      .withColumn("rnk", row_number().over(w))
+    df.withColumn("rnk", row_number().over(w))
   }
+
+  private def prioRanked(docs: DataFrame): DataFrame =
+    rankByPriority(docs
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("priority", samplePriority))
+
+  /** Per-source top-(K+1) priority STATE of a document set — the
+    * K sample rows plus the (K+1)-th row the estimator's τ needs.
+    * Schema: (source, doc_id, n_chars, priority).
+    */
+  def prioTopState(docs: DataFrame): DataFrame =
+    prioRanked(docs).where(col("rnk") <= PrioK + 1).drop("rnk")
+
+  /** Fold an arriving document batch into a top-(K+1) priority
+    * state. Priorities are row-local (hash of doc_id × weight), and
+    * "top-(K+1) per source" is associative and commutative over set
+    * union — `top(top(A) ∪ top(B)) == top(A ∪ B)` — so ANY
+    * micro-batch split of the corpus folds to the identical state,
+    * which is what lets the streamed front door share the batch
+    * query's oracle verbatim. At 100 TB each fold ranks
+    * |state ∪ batch-topped| rows per source — the state side is
+    * O(sources·K), never the corpus.
+    */
+  def prioFold(state: DataFrame, batch: DataFrame): DataFrame =
+    rankByPriority(prioTopState(batch).unionByName(state))
+      .where(col("rnk") <= PrioK + 1).drop("rnk")
+
+  /** The sample read off a folded state (same rows as
+    * [[prioritySample]] over the full corpus — one shared oracle). */
+  def prioritySampleFromState(state: DataFrame): DataFrame =
+    rankByPriority(state)
+      .where(col("rnk") <= PrioK)
+      .select(col("source"), col("rnk").as("smp_rank"),
+        col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy("source", "smp_rank")
 
   /** Weighted sample WITHOUT replacement: the [[PrioK]] top-priority
     * documents per source. Deterministic (hash-derived priorities),

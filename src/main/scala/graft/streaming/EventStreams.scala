@@ -439,6 +439,74 @@ object EventStreams {
       ()
     }
 
+  /** STREAMED weighted priority sampling — the SAMPLING member of
+    * the streamed index-fold family: each arriving micro-batch folds
+    * into the per-source top-(K+1) priority state
+    * ([[graft.operators.PipelineOps.prioFold]], the CDC fold's
+    * versioned-chain discipline: read v, write v+1, never overwrite
+    * what you read; `latestCdcVersion` skips uncommitted dirs).
+    * Fold composition is structural — top-(K+1) over set union is
+    * associative/commutative and priorities are row-local — so the
+    * final state equals the batch sampler's over the whole corpus
+    * and `streamed_priority_sample` shares
+    * `priority_sample_weighted`'s oracle verbatim.
+    */
+  def ingestPrioFoldStream(docsStream: DataFrame, stateRoot: String,
+                           checkpointDir: String,
+                           availableNow: Boolean = false): StreamingQuery = {
+    val writer = docsStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val cur = latestCdcVersion(stateRoot)
+        val state = spark.read.parquet(s"$stateRoot/v$cur")
+        graft.operators.PipelineOps.prioFold(state, batch.toDF())
+          .write.mode("overwrite").parquet(s"$stateRoot/v${cur + 1}")
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
+      .start()
+  }
+
+  /** Write-once streamed priority-sample layout: state seeded from
+    * the even-doc half, the odd half arriving as TWO real
+    * checkpointed micro-batches (two source files,
+    * maxFilesPerTrigger=1), so the gate covers multi-batch fold
+    * composition. Returns the state root; the registry query reads
+    * the latest committed version.
+    */
+  def streamedPrioLayout(spark: SparkSession, sfDir: String): String =
+    graft.sources.Fixtures.ensure("streamprio", sfDir,
+      Seq(s"$sfDir/documents.parquet"),
+      params = s"k${graft.operators.PipelineOps.PrioK}") { path =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.createDirectories(root)
+      val docs = graft.Tables.documents(spark, sfDir)
+      val state = root.resolve("state")
+      graft.operators.PipelineOps
+        .prioTopState(docs.where(pmod(col("doc_id"), lit(2)) === 0))
+        .write.parquet(state.resolve("v0").toString)
+      val srcDir = root.resolve("_src")
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .repartition(2) // two files -> two micro-batches
+        .write.parquet(srcDir.toString)
+      val arriving = readDocumentsStream(spark, srcDir.toString)
+      val q = ingestPrioFoldStream(arriving, state.toString,
+        s"$path/_checkpoint", availableNow = true)
+      try q.awaitTermination() finally q.stop()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    } + "/state"
+
   /** STREAMED coded-list maintenance — the VECTOR-INDEX member of
     * the streamed index-fold family (postings fold, CDC fold, LSH
     * ingest): each micro-batch of arriving vectors is routed and

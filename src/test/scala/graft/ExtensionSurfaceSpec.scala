@@ -28,7 +28,8 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
         |  size(graft_pq_decode(
         |    graft_pq_encode(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |      array(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 1, 2, 1),
-        |    array(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 1, 2)) AS pqd""".stripMargin.replace("\n", " ")
+        |    array(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 1, 2)) AS pqd,
+        |  graft_hilbert(3L, 4L) AS hil""".stripMargin.replace("\n", " ")
     val aggProbe =
       """SELECT graft_kmv_est(CAST(h AS DOUBLE), 64) AS kmv,
         |  round(graft_hist_quantile(CAST(v AS DOUBLE), 0.0, 10.0, 10, 0.5), 4) AS hq,
@@ -60,7 +61,7 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
     Seq("graft_winnow_fp", "graft_simhash", "graft_hist_quantile",
         "graft_cms", "graft_cms_probe", "graft_bloom",
         "graft_bloom_probe", "graft_pq_reconstruct",
-        "graft_pq_encode", "graft_pq_decode").foreach { fn =>
+        "graft_pq_encode", "graft_pq_decode", "graft_hilbert").foreach { fn =>
       assert(text.contains(s"The function $fn replaced a previously registered function"),
         s"$fn was not injected by GraftExtensions at session build:\n$text")
     }

@@ -135,6 +135,18 @@ class Round15WaveCSpec extends AnyFunSuite {
     assert(est("big")._2 >= 0L)
   }
 
+  test("streamed priority fold == batch sample, across >= 2 real micro-batches") {
+    val stateRoot =
+      graft.streaming.EventStreams.streamedPrioLayout(spark, TestSpark.Sf0001)
+    val v = graft.streaming.EventStreams.latestCdcVersion(stateRoot)
+    // v0 seed + one committed version per micro-batch (two source files)
+    assert(v >= 2L, s"expected >= 2 folded versions, got v$v")
+    val streamed = PipelineOps.prioritySampleFromState(
+      spark.read.parquet(s"$stateRoot/v$v")).collect().toSeq
+    val batch = q("priority_sample_weighted").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("priority estimate lands inside a sane band of the truth at sf0.001") {
     q("priority_sample_estimate").collect().foreach { r =>
       val truth = r.getLong(2).toDouble
