@@ -100,6 +100,37 @@ class Round15WaveCSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).where(boxFilter).count() === expected)
   }
 
+  test("Hilbert files carry tighter 2-D envelopes than Z-order on the same data") {
+    // The quantitative form of the operator's reason to exist: split
+    // the same full grid into the same number of equal curve-range
+    // files; the per-file (x, y) bounding-box area — what parquet
+    // min/max stats expose to a box filter — should total LESS under
+    // the Hilbert order, whose ranges are connected regions, than
+    // under Z-order, whose ranges periodically straddle diagonal
+    // jumps. Full 256x256 grid split into 50 files — deliberately NOT
+    // a 4^k-aligned split (aligned ranges of size 4^k are perfect
+    // tiles under BOTH curves, which is what repartitionByRange's
+    // arbitrary boundaries never give you).
+    val n = 1 << LayoutOps.HBits
+    val files = 50
+    val per = (n * n + files - 1) / files
+    def refZ(a: Long, b: Long): Long =
+      (0 until LayoutOps.HBits).map { i =>
+        (((a >> i) & 1L) << (2 * i)) + (((b >> i) & 1L) << (2 * i + 1))
+      }.sum
+    def envelopeArea(key: (Long, Long) => Long): Long = {
+      val cells = for (x <- 0L until n; y <- 0L until n) yield (key(x, y), x, y)
+      cells.sortBy(_._1).grouped(per).map { file =>
+        val xs = file.map(_._2); val ys = file.map(_._3)
+        (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+      }.sum
+    }
+    val hilbert = envelopeArea(refH)
+    val zorder = envelopeArea(refZ)
+    assert(hilbert < zorder,
+      s"hilbert envelope total $hilbert vs z-order $zorder")
+  }
+
   test("priority sample: K rows per source, rank pre-trimmed by WindowGroupLimit") {
     val df = q("priority_sample_weighted")
     val plan = df.queryExecution.executedPlan.toString
