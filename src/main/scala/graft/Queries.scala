@@ -1753,8 +1753,9 @@ object Queries {
               |tau AS (SELECT source, priority AS tau FROM r
               |        WHERE rnk = ${PipelineOps.PrioK + 1}),
               |est AS (SELECT r.source,
-              |    CAST(sum(CAST(floor(greatest(CAST(n_chars AS DOUBLE),
-              |      coalesce(tau.tau, 0.0)) * 1000000.0 + 0.5) AS BIGINT))
+              |    CAST(sum(CAST(floor(least(greatest(CAST(n_chars AS DOUBLE),
+              |      coalesce(tau.tau, 0.0)), ${PipelineOps.PrioEstimateCap})
+              |      * 1000000.0 + 0.5) AS BIGINT))
               |      AS BIGINT) AS est_total_micro
               |  FROM r LEFT JOIN tau ON r.source = tau.source
               |  WHERE rnk <= ${PipelineOps.PrioK} GROUP BY r.source),

@@ -43,9 +43,17 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
       s"$prettyName requires two bigint arguments, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
 
+  /** Coordinates outside `[0, 2^bits)` are wrapped onto the grid by
+    * masking to the low `bits` bits (the same masking the layout
+    * path applies before calling) — without it, high bits leak into
+    * the `s-1-x` reflections and the walk returns values that are
+    * not on the curve at all (possibly negative).
+    */
+  private val mask: Long = (1L << bits) - 1
+
   override def nullSafeEval(a: Any, b: Any): Any = {
-    var x = a.asInstanceOf[Long]
-    var y = b.asInstanceOf[Long]
+    var x = a.asInstanceOf[Long] & mask
+    var y = b.asInstanceOf[Long] & mask
     var d = 0L
     var s = 1L << (bits - 1)
     while (s > 0) {
@@ -71,8 +79,8 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
       val ry = ctx.freshName("hry")
       val t = ctx.freshName("ht")
       s"""
-         |long $x = $a;
-         |long $y = $b;
+         |long $x = $a & ${mask}L;
+         |long $y = $b & ${mask}L;
          |long $d = 0L;
          |for (long $s = 1L << ${bits - 1}; $s > 0; $s >>= 1) {
          |  long $rx = (($x & $s) > 0) ? 1L : 0L;

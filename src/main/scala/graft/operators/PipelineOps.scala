@@ -342,6 +342,12 @@ object PipelineOps {
   /** 2^60 as an exactly-representable double — the scale factor
     * turning the 60-bit doc hash into a unit uniform. */
   val PrioHashScale = 1.152921504606846976e18
+  /** Per-row ceiling on the estimator's max(w, τ) contribution:
+    * 9·10¹² micro-scales to 9·10¹⁸ < 2⁶³−1, so the double→long
+    * conversion is always in-range on BOTH engines (Spark saturates,
+    * DuckDB raises — neither path is ever taken). Exactly
+    * representable as a double. */
+  val PrioEstimateCap = 9.0e12
 
   /** Deterministic priority of a document: `q = w / u` with weight
     * `w = n_chars` and `u = h / 2^60` for the 60-bit md5-prefix hash
@@ -392,9 +398,21 @@ object PipelineOps {
     * query's oracle verbatim. At 100 TB each fold ranks
     * |state ∪ batch-topped| rows per source — the state side is
     * O(sources·K), never the corpus.
+    *
+    * The union is deduped on (source, doc_id) BEFORE ranking, which
+    * makes the fold idempotent under foreachBatch's at-least-once
+    * redelivery: a batch retried after its v+1 state committed (but
+    * before the stream checkpoint did) folds the same documents
+    * again, and without the dedup a redelivered row could occupy two
+    * of the K+1 slots, displacing a distinct doc and corrupting τ.
+    * Priorities are deterministic row-local functions of
+    * (doc_id, n_chars), so duplicate rows are exact copies and the
+    * dedup is exact — refolding any subset of already-folded rows is
+    * a no-op on the state.
     */
   def prioFold(state: DataFrame, batch: DataFrame): DataFrame =
-    rankByPriority(prioTopState(batch).unionByName(state))
+    rankByPriority(prioTopState(batch).unionByName(state)
+        .dropDuplicates("source", "doc_id"))
       .where(col("rnk") <= PrioK + 1).drop("rnk")
 
   /** The sample read off a folded state (same rows as
@@ -429,8 +447,15 @@ object PipelineOps {
     * is reported in integer MICRO-units — `floor(max(w, τ)·10⁶ + ½)`
     * summed as longs — so the aggregate is order-independent and the
     * hash gate cannot flip on summation order (the repo-wide
-    * double-sum ban). Scale shape: the same trimmed rank window, a
-    * K+1-row-per-source join, and one partial-aggregated totals pass.
+    * double-sum ban). Each contribution is clamped to
+    * [[PrioEstimateCap]] BEFORE scaling: a pathologically small hash
+    * prefix makes a priority (and hence τ) ~w·2⁶⁰/h arbitrarily
+    * large, and an unclamped max(w, τ)·10⁶ past 2⁶³ saturates in
+    * Spark's double→long cast but RAISES in DuckDB's — the clamp
+    * keeps the conversion in-range on both engines (it never binds
+    * for realistic weights, so gated hashes are unchanged). Scale
+    * shape: the same trimmed rank window, a K+1-row-per-source join,
+    * and one partial-aggregated totals pass.
     */
   def prioritySampleEstimate(docs: DataFrame): DataFrame = {
     val ranked = prioRanked(docs).where(col("rnk") <= PrioK + 1)
@@ -439,8 +464,9 @@ object PipelineOps {
     val est = ranked.where(col("rnk") <= PrioK)
       .join(tau, Seq("source"), "left")
       .withColumn("contrib_micro",
-        floor(greatest(col("n_chars").cast("double"),
-          coalesce(col("tau"), lit(0.0))) * lit(1000000.0) + lit(0.5))
+        floor(least(greatest(col("n_chars").cast("double"),
+          coalesce(col("tau"), lit(0.0))), lit(PrioEstimateCap)) *
+          lit(1000000.0) + lit(0.5))
           .cast("long"))
       .groupBy("source")
       .agg(sum(col("contrib_micro")).as("est_total_micro"))
@@ -475,6 +501,15 @@ object PipelineOps {
     // would re-scan the corpus for each — the centroid precedent)
     val countRows = counts.collect()
     val target = countRows.map(_.getLong(1)).min
+    // Granularity guard: with per-mille buckets a language more than
+    // 1000x the target floors to threshold 0 and silently samples
+    // ZERO rows — fail loudly instead; the remediation is widening
+    // the bucket modulus (and its oracle mirror) past the imbalance.
+    val maxLang = countRows.map(_.getLong(1)).max
+    require(maxLang <= 1000L * target,
+      s"stratifiedSample per-mille buckets cannot express a " +
+        s">1000:1 language imbalance (largest=$maxLang, target=$target); " +
+        "widen the bucket modulus beyond 1000 before sampling this corpus")
     val countsDf = docs.sparkSession.createDataFrame(
       java.util.Arrays.asList(countRows: _*), counts.schema)
     val bucket = pmod(

@@ -51,7 +51,20 @@ object AvroSource {
     * container file per input partition via the Hadoop committer
     * (whose `_SUCCESS` doubles as the fixture-complete marker).
     */
+  /** The NTZ↔micros hop below rides the session zone; the engine pins
+    * it UTC everywhere, but a future entry point building a non-UTC
+    * session would silently shift every timestamp through this file.
+    * Fail loudly instead.
+    */
+  private def requireUtcSession(spark: SparkSession): Unit = {
+    val zone = spark.conf.get("spark.sql.session.timeZone")
+    require(zone == "UTC",
+      s"Avro orders fixture requires a UTC session (timestamp_ntz " +
+        s"round-trips through the session zone); got '$zone'")
+  }
+
   def writeOrdersAvro(orders: DataFrame, path: String): Unit = {
+    requireUtcSession(orders.sparkSession)
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
       // saveAsNewAPIHadoopFile refuses an existing dir; a partial
@@ -98,6 +111,7 @@ object AvroSource {
 
   /** Sync-marker-splittable Avro scan → typed orders DataFrame. */
   def readOrdersAvro(spark: SparkSession, path: String): DataFrame = {
+    requireUtcSession(spark)
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     AvroJob.setInputKeySchema(job,
       new Schema.Parser().parse(OrdersAvroSchemaJson))

@@ -449,7 +449,13 @@ object EventStreams {
     * associative/commutative and priorities are row-local — so the
     * final state equals the batch sampler's over the whole corpus
     * and `streamed_priority_sample` shares
-    * `priority_sample_weighted`'s oracle verbatim.
+    * `priority_sample_weighted`'s oracle verbatim. foreachBatch is
+    * at-least-once: a batch retried after its v+1 commit (but before
+    * the checkpoint's) folds again into v+2, which is safe because
+    * [[graft.operators.PipelineOps.prioFold]] dedups the union on
+    * (source, doc_id) — refolding already-folded rows is a state
+    * no-op, the same idempotence argument the ivfPq fold's per-batch
+    * manifest makes by keying on batchId.
     */
   def ingestPrioFoldStream(docsStream: DataFrame, stateRoot: String,
                            checkpointDir: String,
