@@ -2155,6 +2155,61 @@ object Queries {
         legs.mkString("", "\nUNION ALL\n", "\nORDER BY method, nprobe")
       }),
 
+    // the SEVENTH index family: NSW-style graph ANN — persisted k-NN
+    // adjacency (two overlapping seed-partitionings x top-G within
+    // cluster, symmetrized) probed by a bounded best-first beam walk
+    // with exact scoring; probe cost is O(beam*G*rounds) rows per
+    // probe at ANY corpus size
+    "ann_nsw" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annNsw(Tables.embeddings(s, d)) },
+      Some(nswOracleSql)),
+
+    // the persisted adjacency probed by the same walk — shares the
+    // inline oracle verbatim (index == inline proof)
+    "ann_nsw_indexed" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annNswIndexed(Tables.embeddings(s, d), d) },
+      Some(nswOracleSql)),
+
+    // recall@10 of the graph walk vs brute force: 0.81 at sf0.01 —
+    // the best of the seven families, because the walk scores ~300
+    // candidates EXACTLY (no routing cliff, no quantization blur)
+    "ann_nsw_recall_eval" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annNswRecallEval(Tables.embeddings(s, d)) },
+      Some(annRecallOracle(nswOracleSql))),
+
+    // steady-state graph maintenance: the odd-id batch routes under
+    // the frozen even-seeded partitionings and links to its top-G
+    // CORPUS cluster members (append-only, no batch-batch links —
+    // the documented contract); the oracle rebuilds that contract
+    // from scratch, so the gate pins append == defined rebuild
+    "ann_nsw_upsert" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annNswUpsert(Tables.embeddings(s, d), d) },
+      Some(nswUpsertOracleSql(""))),
+
+    // DELETE leg: the shared tombstone slice subtracted from the
+    // SEARCHABLE vertex set — a dead vertex is neither returned nor
+    // traversed (it cannot relay a walk); adjacency on disk untouched
+    "ann_nsw_delete" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annNswDelete(Tables.embeddings(s, d), d) },
+      Some(nswUpsertOracleSql(
+        s"WHERE NOT (vec_id % ${SimilarityOps.IvfDeleteMod} = ${SimilarityOps.IvfDeleteRes})"))),
+
+    // the streamed front door: arriving vectors link into the
+    // adjacency per micro-batch (>= 2 real checkpointed batches);
+    // batch edges are a pure function of (row, frozen corpus), so
+    // stream == batch == defined rebuild through one oracle
+    "streamed_nsw_upsert" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        val edges = graft.streaming.EventStreams.streamedNswLayout(s, d)
+        SimilarityOps.annNswOverEdges(Tables.embeddings(s, d),
+          Tables.embeddings(s, d), s.read.parquet(edges)) },
+      Some(nswUpsertOracleSql(""))),
+
     // the persisted form: coded lists on disk partitioned by
     // centroid (PqM ints per vector — what a real index keeps hot),
     // probe scans only its nprobe partitions and decodes stored
@@ -5393,6 +5448,115 @@ object Queries {
        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
        |  round(score, 4) + 0 AS score, round(score_q, 4) + 0 AS score_q
        |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** One partitioning leg of the NSW graph oracle: seed centroids
+    * from `seedRel` under `mod`, max-cosine assignment of `rel`, and
+    * (when `pairRel` is given) the top-G within-cluster neighbor
+    * edges of rel's vectors among pairRel's — the exact
+    * [[graft.operators.SimilarityOps.nswTopG]] chain. CTE names are
+    * `tag`-suffixed so two legs coexist in one WITH.
+    */
+  private def nswLegCtes(tag: String, mod: Int, rel: String,
+                         seedRel: String, pairA: String,
+                         pairB: String): String = {
+    val g = SimilarityOps.NswG
+    s"""c$tag AS (SELECT vec_id AS cid, embedding AS cvec FROM $seedRel
+       |  WHERE vec_id % $mod = 0 AND vec_id < ${mod * 16}),
+       |a$tag AS MATERIALIZED (SELECT vec_id, cid, embedding FROM (
+       |    SELECT e.vec_id, c.cid, e.embedding, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS crank
+       |    FROM $rel e CROSS JOIN c$tag c) WHERE crank = 1),
+       |g$tag AS (SELECT vec_id AS src, dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS dst, row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY round(${cosSql("a.embedding", "b.embedding")}, 6) DESC, b.vec_id) AS rn
+       |    FROM $pairA a JOIN $pairB b
+       |      ON a.cid = b.cid AND b.vec_id <> a.vec_id) WHERE rn <= $g)""".stripMargin
+  }
+
+  /** The bounded best-first beam search of the NSW oracles, unrolled
+    * [[graft.operators.SimilarityOps.NswRounds]] rounds over an
+    * `edges` CTE the caller's WITH-prefix must define: v0 = scored
+    * entry vertices, then per round beam → distinct unseen neighbors
+    * → exact-scored union, every vN MATERIALIZED (the frontier-loop
+    * oracle discipline). `liveWhere` restricts the SEARCHABLE
+    * vertices (delete leg); probes always come from the full corpus.
+    */
+  private def nswSearchSql(liveWhere: String): String = {
+    val b = SimilarityOps.NswBeam; val rounds = SimilarityOps.NswRounds
+    val ent = SimilarityOps.NswEntries
+    val roundCtes = (1 to rounds).map { r =>
+      s"""b${r - 1} AS (SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(score, 6) DESC, vec_id) AS rn FROM v${r - 1})
+         |  WHERE rn <= $b),
+         |n$r AS (SELECT DISTINCT b.probe_id, ed.dst AS vec_id
+         |  FROM b${r - 1} b JOIN edges ed ON b.vec_id = ed.src
+         |  WHERE ed.dst <> b.probe_id),
+         |u$r AS (SELECT n.probe_id, n.vec_id FROM n$r n
+         |  LEFT JOIN v${r - 1} v ON n.probe_id = v.probe_id AND n.vec_id = v.vec_id
+         |  WHERE v.vec_id IS NULL),
+         |v$r AS MATERIALIZED (SELECT * FROM v${r - 1} UNION ALL
+         |  SELECT u.probe_id, u.vec_id, ${cosSql("p.pv", "w.embedding")} AS score
+         |  FROM u$r u JOIN p ON u.probe_id = p.probe_id
+         |    JOIN verts w ON u.vec_id = w.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""verts AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings $liveWhere),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
+       |v0 AS MATERIALIZED (SELECT p.probe_id, w.vec_id,
+       |    ${cosSql("p.pv", "w.embedding")} AS score
+       |  FROM p CROSS JOIN verts w
+       |  WHERE w.vec_id < $ent AND w.vec_id <> p.probe_id),
+       |$roundCtes
+       |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+       |  round(score, 4) + 0 AS score
+       |FROM (SELECT probe_id, vec_id, score, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY round(score, 6) DESC, vec_id) AS rnk
+       |  FROM v$rounds)
+       |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** Full DuckDB replay of [[graft.operators.SimilarityOps.annNsw]]:
+    * both partitioning legs' within-cluster top-G edges, symmetrized
+    * and deduped, then the unrolled beam walk. Shared verbatim by
+    * `ann_nsw` and `ann_nsw_indexed` (index == inline proof) and
+    * nested by the recall row.
+    */
+  private lazy val nswOracleSql: String = {
+    val Seq(mA, mB) = SimilarityOps.NswMods
+    s"""WITH ${nswLegCtes("A", mA, "embeddings", "embeddings", "aA", "aA")},
+       |${nswLegCtes("B", mB, "embeddings", "embeddings", "aB", "aB")},
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM gA UNION ALL SELECT dst, src FROM gA
+       |  UNION ALL SELECT src, dst FROM gB UNION ALL SELECT dst, src FROM gB)),
+       |${nswSearchSql("")}""".stripMargin
+  }
+
+  /** From-scratch replay of the NSW upsert CONTRACT
+    * ([[graft.operators.SimilarityOps.nswAppendBatch]]): corpus
+    * adjacency over the even-id slice under even-seeded
+    * partitionings, batch vectors routed under the SAME frozen seeds
+    * and linked to their top-G corpus cluster members (no
+    * batch-batch links — the documented append semantics), all
+    * symmetrized into one edge set, then the shared walk.
+    * `liveWhere` is the delete leg's searchable-vertex restriction.
+    */
+  private def nswUpsertOracleSql(liveWhere: String): String = {
+    val Seq(mA, mB) = SimilarityOps.NswUpsertMods
+    s"""WITH ecorp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+       |obatch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+       |${nswLegCtes("A", mA, "ecorp", "ecorp", "aA", "aA")},
+       |${nswLegCtes("BA", mA, "obatch", "ecorp", "aBA", "aA")},
+       |${nswLegCtes("B", mB, "ecorp", "ecorp", "aB", "aB")},
+       |${nswLegCtes("BB", mB, "obatch", "ecorp", "aBB", "aB")},
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM gA UNION ALL SELECT dst, src FROM gA
+       |  UNION ALL SELECT src, dst FROM gB UNION ALL SELECT dst, src FROM gB
+       |  UNION ALL SELECT src, dst FROM gBA UNION ALL SELECT dst, src FROM gBA
+       |  UNION ALL SELECT src, dst FROM gBB UNION ALL SELECT dst, src FROM gBB)),
+       |${nswSearchSql(liveWhere)}""".stripMargin
   }
 
   private def ivfPqUpsertOracle(neighborFilter: String): String = {

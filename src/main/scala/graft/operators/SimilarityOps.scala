@@ -1976,4 +1976,220 @@ object SimilarityOps {
         round(col("score"), 4).as("score"), round(col("score_q"), 4).as("score_q"))
       .orderBy("probe_id", "rnk")
   }
+
+  // ===== NSW-style graph ANN (the seventh index family) =====
+
+  /** Neighbors kept per vector per partitioning leg of the k-NN
+    * graph. */
+  val NswG = 6
+  /** Beam width of the bounded best-first search. */
+  val NswBeam = 16
+  /** Fixed expansion-round budget — probe cost is O(beam · G ·
+    * rounds) exact cosines, INDEPENDENT of corpus size. */
+  val NswRounds = 4
+  /** Entry vertices (vec_id < NswEntries) seeding every walk. */
+  val NswEntries = 4
+  /** Seed-partition mods of the main family's graph. TWO overlapping
+    * partitionings is the navigability trick: within-one-clustering
+    * edges can never leave their cluster, so a single partition
+    * strands any probe whose true neighbors live elsewhere (measured
+    * recall 0.35); the union of two independently-seeded partitions
+    * creates the cross-links a navigable small-world graph needs
+    * (0.81 at the same beam budget). */
+  val NswMods: Seq[Int] = Seq(97, 89)
+  /** EVEN seed mods for the upsert lifecycle, so the frozen centroid
+    * models come entirely from the even-id corpus. */
+  val NswUpsertMods: Seq[Int] = Seq(98, 90)
+  private val NswNumCentroids = 16
+
+  /** k-NN neighbor-graph edges of `universe`: for each partitioning
+    * mod, vectors pair WITHIN their max-cosine cluster (never
+    * all-pairs — the semantic-dedup bound: with K clusters the pair
+    * count is Σ|cluster|²; at 100 TB K grows as ⌈√n⌉ exactly like
+    * [[semanticDedup]]'s adaptive clustering, holding construction at
+    * ~n^1.5), each keeps its [[NswG]] nearest, and the union over
+    * mods is symmetrized. Construction is a write-once index build
+    * ([[nswIndexDir]]) — probes never pay it.
+    */
+  def nswEdges(universe: DataFrame, mods: Seq[Int]): DataFrame = {
+    VectorFunctions.register(universe.sparkSession)
+    val legs = mods.map { mod =>
+      val assigned = assignToCentroids(universe,
+        seedCentroids(universe, mod, NswNumCentroids))
+      nswTopG(assigned, assigned)
+    }
+    symmetrize(legs.reduce(_.unionByName(_)))
+  }
+
+  /** Top-[[NswG]] cosine neighbors of each `left` vector among the
+    * `right` vectors sharing its cluster (both sides carry
+    * (vec_id, centroid_id, embedding)): the one shuffled join of
+    * graph construction, keyed on the cluster id, trimmed by the
+    * rank window BEFORE anything else consumes it.
+    */
+  private def nswTopG(left: DataFrame, right: DataFrame): DataFrame = {
+    val r = right.select(col("centroid_id"), col("vec_id").as("dst"),
+      col("embedding").as("demb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("s"), 6).desc, col("dst").asc)
+    left.join(r, Seq("centroid_id"))
+      .where(col("dst") =!= col("vec_id"))
+      .select(col("vec_id"), col("dst"),
+        VectorFunctions.cosine(col("embedding"), col("demb")).as("s"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= NswG)
+      .select(col("vec_id").as("src"), col("dst"))
+  }
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  /** Bounded best-first beam search over a neighbor graph — the
+    * probe half every NSW leg shares. `probesSrc` supplies the query
+    * vectors (always the full corpus — a tombstoned id can still
+    * QUERY); `vertices` is the SEARCHABLE set (delete leg passes the
+    * live subset: a dead vertex is neither returned nor traversed,
+    * because candidates only enter the walk through the vertices
+    * join). Per round: the current top-[[NswBeam]] visited vertices
+    * expand their adjacency lists, unseen neighbors are scored by
+    * EXACT cosine (a graph index quantizes nothing), and the beam
+    * re-ranks. [[NswRounds]] rounds bound the walk, so probe cost is
+    * O(beam · G · rounds) score rows per probe at ANY corpus size —
+    * the frontier loop is [[graft.operators.GraphOps]]'s deltaRelax
+    * shape with per-round lineage truncation.
+    */
+  def annNswOverEdges(probesSrc: DataFrame, vertices: DataFrame,
+                      edges: DataFrame, nProbes: Int = 10,
+                      k: Int = 10): DataFrame = {
+    VectorFunctions.register(probesSrc.sparkSession)
+    val verts = vertices.select(col("vec_id"), col("embedding"))
+    val probes = probesSrc.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val entries = verts.where(col("vec_id") < NswEntries)
+    val wB = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("score"), 6).desc, col("vec_id").asc)
+    var visited = Checkpoints.truncate(
+      probes.crossJoin(broadcast(entries))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          VectorFunctions.cosine(col("probe_vec"), col("embedding"))
+            .as("score")))
+    for (_ <- 1 to NswRounds) {
+      val beam = visited.withColumn("rn", row_number().over(wB))
+        .where(col("rn") <= NswBeam).select("probe_id", "vec_id")
+      val unseen = beam.join(edges, beam("vec_id") === edges("src"))
+        .select(col("probe_id"), col("dst").as("vec_id")).distinct()
+        .where(col("vec_id") =!= col("probe_id"))
+        .join(visited.select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id"), "left_anti")
+      val newScored = unseen
+        .join(verts, Seq("vec_id"))
+        .join(probes, Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          VectorFunctions.cosine(col("probe_vec"), col("embedding"))
+            .as("score"))
+      visited = Checkpoints.truncate(visited.unionByName(newScored))
+    }
+    visited.withColumn("rnk", row_number().over(wB).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Graph-ANN search with an inline-built graph. Measured recall@10
+    * = 0.81 at sf0.01 — the best of the seven index families (IVF
+    * 0.65, SQ8 1.0 but full-scan, composed IVF-PQ 0.63), because the
+    * walk scores ~300 candidates EXACTLY with no routing cliff.
+    */
+  def annNsw(emb: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame =
+    annNswOverEdges(emb, emb, nswEdges(emb, NswMods), nProbes, k)
+
+  /** Recall@k of the graph walk vs brute force. */
+  def annNswRecallEval(emb: DataFrame, k: Int = 10): DataFrame =
+    recallVsExact(emb, annNsw(emb, k = k), k)
+
+  /** Write-once persisted adjacency — the state a graph index
+    * actually keeps: ~2·mods·G edge rows per vector (ids only; the
+    * float payload stays in the base table and is fetched per
+    * visited candidate).
+    */
+  def nswIndexDir(emb: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("nswedges", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"g${NswG}m${NswMods.mkString("x")}") { dir =>
+      nswEdges(emb, NswMods).write.mode("overwrite").parquet(dir)
+    }
+
+  /** [[annNsw]] over the persisted adjacency — shares the inline
+    * oracle verbatim (index == inline proof, the family discipline).
+    */
+  def annNswIndexed(emb: DataFrame, sfDir: String, nProbes: Int = 10,
+                    k: Int = 10): DataFrame =
+    annNswOverEdges(emb, emb,
+      emb.sparkSession.read.parquet(nswIndexDir(emb, sfDir)), nProbes, k)
+
+  /** Append an arriving batch into a persisted graph: each batch
+    * vector routes under the FROZEN corpus partitionings and links to
+    * its top-[[NswG]] corpus members of that cluster, both directions
+    * appended. The contract is deliberately corpus-anchored (no
+    * batch-batch links, corpus adjacency untouched) — the IVF-append
+    * discipline: arrivals attach to the frozen structure for
+    * O(|batch|) work and the model refreshes at the next offline
+    * rebuild. The oracle replays THIS contract from scratch, so the
+    * gate pins append == its defined rebuild.
+    */
+  def nswAppendBatch(batch: DataFrame, corpus: DataFrame,
+                     edgesDir: String): Unit = {
+    val legs = NswUpsertMods.map { mod =>
+      val centroids = seedCentroids(corpus, mod, NswNumCentroids)
+      nswTopG(assignToCentroids(batch, centroids),
+        assignToCentroids(corpus, centroids))
+    }
+    symmetrize(legs.reduce(_.unionByName(_)))
+      .write.mode("append").parquet(edgesDir)
+  }
+
+  /** Write-once UPSERTED graph: even-id corpus adjacency under the
+    * even-seeded partitionings ([[NswUpsertMods]]), odd-id batch
+    * [[nswAppendBatch]]-ed in place; `_UPSERTED` marks the two-write
+    * build complete (the ivfUpsertListsDir crash discipline).
+    */
+  def nswUpsertEdgesDir(emb: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("nswuped", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"g${NswG}m${NswUpsertMods.mkString("x")}",
+      validate = d => new java.io.File(d, "_UPSERTED").exists()) { dir =>
+      val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      nswEdges(corpus, NswUpsertMods)
+        .write.mode("overwrite").parquet(dir)
+      nswAppendBatch(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+        corpus, dir)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_UPSERTED"))
+      ()
+    }
+
+  /** Search the upserted graph: corpus ∪ batch all reachable. */
+  def annNswUpsert(emb: DataFrame, sfDir: String, nProbes: Int = 10,
+                   k: Int = 10): DataFrame =
+    annNswOverEdges(emb, emb,
+      emb.sparkSession.read.parquet(nswUpsertEdgesDir(emb, sfDir)),
+      nProbes, k)
+
+  /** DELETE over the graph: the deterministic tombstone slice
+    * (vec_id % [[IvfDeleteMod]] == [[IvfDeleteRes]], the layout-
+    * agnostic id log every vector index shares) is subtracted from
+    * the SEARCHABLE vertex set — a dead vertex is neither returned
+    * nor traversed (it can't relay a walk), while the adjacency on
+    * disk stays untouched until compaction. Probes still come from
+    * the full corpus: a deleted id may query, never answer.
+    */
+  def annNswDelete(emb: DataFrame, sfDir: String, nProbes: Int = 10,
+                   k: Int = 10): DataFrame = {
+    val live = emb.where(
+      pmod(col("vec_id"), lit(IvfDeleteMod)) =!= IvfDeleteRes)
+    annNswOverEdges(emb, live,
+      emb.sparkSession.read.parquet(nswUpsertEdgesDir(emb, sfDir)),
+      nProbes, k)
+  }
 }

@@ -590,6 +590,74 @@ object EventStreams {
     } + "/lists"
   }
 
+  /** STREAMED graph-index maintenance — the NSW member of the
+    * streamed index-fold family: each micro-batch of arriving
+    * vectors links into the persisted adjacency under the FROZEN
+    * corpus models ([[graft.operators.SimilarityOps.nswAppendBatch]])
+    * inside `foreachBatch`. Folds compose trivially: a batch
+    * vector's edges are a pure function of (that row, the frozen
+    * corpus + partition seeds) — batch-batch links are deliberately
+    * NOT part of the append contract — so ANY micro-batch split
+    * lands the identical edge set and the stream shares the batch
+    * upsert's oracle (stream == batch == defined rebuild).
+    */
+  def ingestNswFoldStream(vecStream: DataFrame, corpus: DataFrame,
+                          edgesDir: String, checkpointDir: String,
+                          availableNow: Boolean = false): StreamingQuery = {
+    val writer = vecStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.SimilarityOps.nswAppendBatch(
+          batch.toDF(), corpus, edgesDir)
+      }
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
+      .start()
+  }
+
+  /** Write-once STREAMED graph layout: even-id corpus adjacency
+    * built in batch, the odd half arriving as TWO real checkpointed
+    * micro-batches (maxFilesPerTrigger=1) — the registry's
+    * `streamed_nsw_upsert` probes this layout against the batch
+    * upsert's from-scratch oracle.
+    */
+  def streamedNswLayout(spark: SparkSession, sfDir: String): String = {
+    val ops = graft.operators.SimilarityOps
+    graft.sources.Fixtures.ensure("streamnsw", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"g${ops.NswG}m${ops.NswUpsertMods.mkString("x")}") { path =>
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      graft.functions.VectorFunctions.register(spark)
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val srcDir = root.resolve("_src")
+      emb.where(pmod(col("vec_id"), lit(2)) === 1)
+        .repartition(2) // two files -> two micro-batches
+        .write.parquet(srcDir.toString)
+      val edges = root.resolve("edges").toString
+      ops.nswEdges(corpus, ops.NswUpsertMods)
+        .write.mode("overwrite").parquet(edges)
+      val arriving = spark.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = ingestNswFoldStream(arriving, corpus, edges,
+        s"$path/_checkpoint", availableNow = true)
+      try q.awaitTermination() finally q.stop()
+      java.nio.file.Files.createFile(root.resolve("_SUCCESS"))
+      ()
+    } + "/edges"
+  }
+
   /** STREAMED CDC apply: each micro-batch of changelog ops folds
     * into versioned keyed state via
     * [[graft.operators.RelationalOps.cdcFold]] inside `foreachBatch`

@@ -62,6 +62,38 @@ class Round16AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("NSW graph walk out-recalls the routed families (its reason to exist)") {
+    val nsw = recallOf(q("ann_nsw_recall_eval"))
+    val ivfpq = recallOf(q("ann_ivfpq_recall_eval"))
+    assert(nsw >= ivfpq,
+      s"exact-scored beam walk ($nsw) must beat quantized routing ($ivfpq)")
+    assert(nsw >= 0.7, s"regression guard: nsw recall $nsw (0.81 at sf0.01)")
+  }
+
+  test("NSW adjacency is bounded by 2 x mods x G edges per vector") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val n = emb.count()
+    val edges = SimilarityOps.nswEdges(emb, SimilarityOps.NswMods)
+    assert(edges.count() <=
+      2L * SimilarityOps.NswMods.size * SimilarityOps.NswG * n,
+      "symmetrized union of per-mod top-G lists")
+    // symmetry: every edge has its reverse
+    val asym = edges.as("e").join(
+      edges.select(org.apache.spark.sql.functions.col("dst").as("src"),
+        org.apache.spark.sql.functions.col("src").as("dst")).as("r"),
+      Seq("src", "dst"), "left_anti").count()
+    assert(asym === 0L, "adjacency must be undirected")
+  }
+
+  test("NSW delete leg never returns a tombstoned vertex") {
+    import graft.operators.SimilarityOps
+    val dead = q("ann_nsw_delete").collect()
+      .map(_.getAs[Long]("vec_id"))
+      .count(v => v % SimilarityOps.IvfDeleteMod == SimilarityOps.IvfDeleteRes)
+    assert(dead === 0)
+  }
+
   test("IVFADC returns the k x probes result contract of the composed family") {
     val adc = q("ann_ivfadc").collect()
     val pq = q("ann_ivfpq").collect()
