@@ -3974,6 +3974,58 @@ object Queries {
              |  CASE WHEN corrupt THEN 'rejected' ELSE '' END AS err_class
              |FROM v ORDER BY doc_id""".stripMargin)),
 
+    // perceptual image dedup: integer-DCT pHash over the genuinely
+    // decoded BMP grid (8x8 block means -> T = C·P·Cᵀ with the
+    // StrictMath-derived integer basis inlined below as literals ->
+    // above-median AC bits), then the simhash chunk-bucket pairing
+    // (8x8-bit chunks, pigeonhole recall 1 at hamming <= 6) with the
+    // popcount verify ahead of the pair distinct
+    "image_phash_dup" -> QueryDef(
+      (s, d) => MultimodalOps.imagePhashDup(Tables.documents(s, d)),
+      Some {
+        val coefRows = (for (k <- 0 until 8; n <- 0 until 8)
+          yield s"($k, $n, ${MultimodalOps.PhashDct(k)(n)})").mkString(", ")
+        val hm = MultimodalOps.PhashMaxHamming
+        val cap = MultimodalOps.PhashMaxBucket
+        s"""WITH prm AS (SELECT doc_id, text, 17 + (doc_id % 4) * 6 AS w,
+           |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
+           |el AS (SELECT doc_id, text, w, len, (len + w - 1) // w AS h
+           |  FROM prm WHERE len >= 7 * w + 1),
+           |pr AS (SELECT doc_id, w, h, len, text,
+           |    unnest(generate_series(0, h - 1)) AS r FROM el),
+           |pc AS (SELECT doc_id, w, h, r, len, text,
+           |    unnest(generate_series(0, w - 1)) AS c FROM pr),
+           |cells AS (SELECT doc_id, (r * 8) // h AS i, (c * 8) // w AS j,
+           |    CASE WHEN r * w + c < len
+           |      THEN ascii(substring(text, r * w + c + 1, 1)) ELSE 0 END AS v
+           |  FROM pc),
+           |cm AS MATERIALIZED (SELECT doc_id, i, j,
+           |    CAST(sum(v) AS BIGINT) // count(*) AS p
+           |  FROM cells GROUP BY doc_id, i, j),
+           |coef AS (SELECT * FROM (VALUES $coefRows) t(k, n, c)),
+           |tt AS MATERIALIZED (SELECT m.doc_id, cu.k AS u, cv.k AS v,
+           |    CAST(sum(cu.c * cv.c * m.p) AS BIGINT) AS t
+           |  FROM cm m JOIN coef cu ON cu.n = m.i JOIN coef cv ON cv.n = m.j
+           |  GROUP BY m.doc_id, cu.k, cv.k),
+           |md AS (SELECT doc_id, median(t) AS med FROM tt
+           |  WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
+           |hs AS MATERIALIZED (SELECT tt.doc_id,
+           |    CAST(sum(CASE WHEN NOT (u = 0 AND v = 0) AND t > med
+           |      THEN 1::BIGINT << (u * 8 + v - 1) ELSE 0 END) AS BIGINT) AS ph
+           |  FROM tt JOIN md ON tt.doc_id = md.doc_id GROUP BY tt.doc_id),
+           |ckd AS MATERIALIZED (SELECT doc_id, ph,
+           |    q::VARCHAR || ':' || ((ph >> (q * 8)) & 255)::VARCHAR AS ck
+           |  FROM hs, (SELECT unnest(generate_series(0, ${MultimodalOps.PhashChunks - 1})) AS q) qs),
+           |bounded AS (SELECT doc_id, ph, ck FROM (
+           |    SELECT doc_id, ph, ck, count(*) OVER (PARTITION BY ck) AS bn FROM ckd)
+           |  WHERE bn <= $cap),
+           |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+           |  FROM bounded a JOIN bounded b ON a.ck = b.ck AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.ph, b.ph)) <= $hm)
+           |SELECT a_id, b_id, hamming FROM pairs ORDER BY a_id, b_id""".stripMargin
+      }),
+
     "multimodal_features" -> QueryDef(
       (s, d) => MultimodalOps.imageFeatures(Tables.documents(s, d)),
       Some("""WITH p AS (SELECT doc_id, text, 17 + (doc_id % 4) * 6 AS w,
@@ -4312,6 +4364,33 @@ object Queries {
              |  round(list_reduce(xs, (acc, v) -> acc * 0.75 + v * 0.25), 4) AS ewma
              |FROM l ORDER BY event_type, day""".stripMargin)),
 
+    // Holt level+trend double-exponential smoothing: the recurrence
+    // replayed as a recursive CTE over the per-type day index (NOT
+    // list_reduce — DuckDB's struct accumulator updates fields
+    // sequentially, so the trend expression would read the
+    // already-overwritten level; measured, documented in EventsOps)
+    "events_holt_trend" -> QueryDef(
+      (s, d) => EventsOps.holtDaily(Tables.events(s, d)),
+      Some("""WITH RECURSIVE daily AS (SELECT event_type,
+             |    strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS x
+             |  FROM events GROUP BY 1, 2),
+             |seq AS MATERIALIZED (SELECT event_type, day, x,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+             |  FROM daily),
+             |rec AS (
+             |  SELECT event_type, day, x, i, x AS l, 0.0::DOUBLE AS b
+             |  FROM seq WHERE i = 1
+             |  UNION ALL
+             |  SELECT s.event_type, s.day, s.x, s.i,
+             |    s.x * 0.5 + (r.l + r.b) * 0.5 AS l,
+             |    (s.x * 0.5 + (r.l + r.b) * 0.5 - r.l) * 0.25 + r.b * 0.75 AS b
+             |  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1)
+             |SELECT event_type, day, round(x, 2) AS sum_value,
+             |  round(l, 4) AS level, round(b, 4) AS trend,
+             |  round(l + b, 4) AS forecast_next
+             |FROM rec ORDER BY event_type, day""".stripMargin)),
+
     // robust outliers: median/MAD over exact integer cents (exact
     // percentile buffers bounded by the distinct-cents domain; the
     // even-count midpoint is exact binary, so counts carry zero
@@ -4444,24 +4523,90 @@ object Queries {
     // the measured number behind the first∪last union key
     "fuzzy_recall_eval" -> QueryDef(
       (s, d) => ResolutionOps.fuzzyRecallEval(Tables.part(s, d)),
-      Some(s"""WITH names AS (SELECT DISTINCT p_name FROM part),
-             |t AS (SELECT a.p_name AS na, b.p_name AS nb
-             |  FROM names a JOIN names b ON a.p_name < b.p_name
-             |  WHERE levenshtein(a.p_name, b.p_name) <= ${ResolutionOps.MaxEditDistance}),
-             |f AS (SELECT count(*) AS truth,
-             |  coalesce(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
-             |    THEN 1 ELSE 0 END), 0) AS f1,
-             |  coalesce(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
-             |      OR string_split(na, ' ')[-1] = string_split(nb, ' ')[-1]
-             |    THEN 1 ELSE 0 END), 0) AS fu
-             |  FROM t)
-             |SELECT 'first_last_union' AS strategy, CAST(fu AS BIGINT) AS found,
-             |  CAST(truth AS BIGINT) AS truth,
-             |  ${TextAnalysisOps.det4Sql("fu::DOUBLE / truth")} AS recall FROM f
-             |UNION ALL
-             |SELECT 'first_token', CAST(f1 AS BIGINT), CAST(truth AS BIGINT),
-             |  ${TextAnalysisOps.det4Sql("f1::DOUBLE / truth")} FROM f
-             |ORDER BY strategy""".stripMargin)),
+      Some {
+        val sset = (c: String) =>
+          s"array_to_string(list_sort(list_distinct(string_split($c, ' '))), ' ')"
+        s"""WITH names AS (SELECT DISTINCT p_name FROM part),
+           |t AS (SELECT a.p_name AS na, b.p_name AS nb
+           |  FROM names a JOIN names b ON a.p_name < b.p_name
+           |  WHERE levenshtein(a.p_name, b.p_name) <= ${ResolutionOps.MaxEditDistance}),
+           |f AS (SELECT count(*) AS truth,
+           |  coalesce(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+           |    THEN 1 ELSE 0 END), 0) AS f1,
+           |  coalesce(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+           |      OR string_split(na, ' ')[-1] = string_split(nb, ' ')[-1]
+           |    THEN 1 ELSE 0 END), 0) AS fu,
+           |  coalesce(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+           |      OR string_split(na, ' ')[-1] = string_split(nb, ' ')[-1]
+           |      OR ${sset("na")} = ${sset("nb")}
+           |    THEN 1 ELSE 0 END), 0) AS fs
+           |  FROM t),
+           |rv AS (SELECT p_name AS na,
+           |    array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS nb
+           |  FROM names),
+           |r AS (SELECT count(*) AS rtruth,
+           |  coalesce(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+           |      OR string_split(na, ' ')[-1] = string_split(nb, ' ')[-1]
+           |    THEN 1 ELSE 0 END), 0) AS rfu,
+           |  count(*) AS rfs
+           |  FROM rv WHERE na <> nb)
+           |SELECT 'first_last_union' AS strategy, 'reorder' AS pair_class,
+           |  CAST(rfu AS BIGINT) AS found, CAST(rtruth AS BIGINT) AS truth,
+           |  ${TextAnalysisOps.det4Sql("rfu::DOUBLE / rtruth")} AS recall FROM r
+           |UNION ALL
+           |SELECT 'first_last_union', 'typo', CAST(fu AS BIGINT),
+           |  CAST(truth AS BIGINT),
+           |  ${TextAnalysisOps.det4Sql("fu::DOUBLE / truth")} FROM f
+           |UNION ALL
+           |SELECT 'first_token', 'typo', CAST(f1 AS BIGINT), CAST(truth AS BIGINT),
+           |  ${TextAnalysisOps.det4Sql("f1::DOUBLE / truth")} FROM f
+           |UNION ALL
+           |SELECT 'sorted_set_union', 'reorder', CAST(rfs AS BIGINT),
+           |  CAST(rtruth AS BIGINT),
+           |  ${TextAnalysisOps.det4Sql("rfs::DOUBLE / rtruth")} FROM r
+           |UNION ALL
+           |SELECT 'sorted_set_union', 'typo', CAST(fs AS BIGINT),
+           |  CAST(truth AS BIGINT),
+           |  ${TextAnalysisOps.det4Sql("fs::DOUBLE / truth")} FROM f
+           |ORDER BY strategy, pair_class""".stripMargin
+      }),
+
+    // the reorder-robust RESOLUTION leg: every multi-token catalog
+    // name reversed plays the incoming dirty record (the class's
+    // deterministic worst case), blocked by the same 3-key union
+    // (equi-join only) and verified by token-set Jaccard >= 0.5 —
+    // the edit-distance verifier reports -1 on nearly every resolved
+    // row, which is the measured point: this class is invisible to it
+    "fuzzy_reorder_resolve" -> QueryDef(
+      (s, d) => ResolutionOps.fuzzyReorderResolve(Tables.part(s, d)),
+      Some {
+        val sset = (c: String) =>
+          s"array_to_string(list_sort(list_distinct(string_split($c, ' '))), ' ')"
+        val keys = (c: String) =>
+          s"""list_distinct(['f:' || split_part($c, ' ', 1),
+             |    'l:' || string_split($c, ' ')[-1],
+             |    's:' || ${sset(c)}])""".stripMargin
+        s"""WITH names AS (SELECT DISTINCT p_name FROM part),
+           |dn AS (SELECT array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+           |    AS dirty_name, p_name FROM names),
+           |dirty AS (SELECT dirty_name, unnest(${keys("dirty_name")}) AS blk
+           |  FROM dn WHERE dirty_name <> p_name),
+           |catalog AS (SELECT p_name AS resolved_name,
+           |    unnest(${keys("p_name")}) AS blk FROM names),
+           |cand2 AS (SELECT DISTINCT dirty_name, resolved_name
+           |  FROM dirty JOIN catalog USING (blk)),
+           |j AS (SELECT dirty_name, resolved_name,
+           |    len(list_intersect(list_distinct(string_split(dirty_name, ' ')),
+           |                       list_distinct(string_split(resolved_name, ' '))))::DOUBLE
+           |    / len(list_distinct(string_split(dirty_name, ' ') || string_split(resolved_name, ' ')))::DOUBLE
+           |      AS jaccard
+           |  FROM cand2)
+           |SELECT dirty_name, resolved_name, round(jaccard, 4) AS jaccard,
+           |  CAST(CASE WHEN levenshtein(dirty_name, resolved_name) <= ${ResolutionOps.MaxEditDistance}
+           |    THEN levenshtein(dirty_name, resolved_name) ELSE -1 END AS BIGINT) AS dist
+           |FROM j WHERE jaccard >= ${ResolutionOps.JaccardMinSim}
+           |ORDER BY dirty_name, resolved_name""".stripMargin
+      }),
 
     // last-touch attribution: each purchase credited to the user's
     // most recent preceding click via ONE conditional-last window —
@@ -5683,7 +5828,9 @@ object Queries {
     """WITH names AS (SELECT DISTINCT p_name FROM part),
       |blocks AS (SELECT p_name, unnest(list_distinct([
       |    'f:' || split_part(p_name, ' ', 1),
-      |    'l:' || string_split(p_name, ' ')[-1]])) AS blk FROM names),
+      |    'l:' || string_split(p_name, ' ')[-1],
+      |    's:' || array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ' ')])) AS blk
+      |  FROM names),
       |cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
       |  FROM blocks a JOIN blocks b USING (blk)
       |  WHERE a.p_name < b.p_name)""".stripMargin

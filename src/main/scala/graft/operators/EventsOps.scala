@@ -219,6 +219,47 @@ object EventsOps {
       .orderBy("event_type", "day")
   }
 
+  /** Holt double-exponential smoothing (level + trend) over the
+    * per-(type, day) daily value series — the forecasting primitive
+    * on top of [[ewmaDaily]]'s single-smoothing: `l_t = α·x_t +
+    * (1−α)·(l_{t−1} + b_{t−1})`, `b_t = β·(l_t − l_{t−1}) +
+    * (1−β)·b_{t−1}`, seeded `l_1 = x_1, b_1 = 0`, one-step forecast
+    * `l_t + b_t`. α = 0.5 and β = 0.25 are binary-exact, inputs are
+    * exact cents/100.0, and each row folds its ordered prefix with a
+    * STRUCT accumulator (the EWMA pattern lifted to 2-component
+    * state), so the doubles are deterministic bit-for-bit.
+    *
+    * The DuckDB mirror is a recursive CTE over the per-type day
+    * index running the identical op sequence — NOT `list_reduce`,
+    * whose struct accumulator updates fields SEQUENTIALLY (the `b`
+    * expression would see the already-overwritten `l`; measured, not
+    * speculated). Cost shape: the prefix fold is |days-so-far| per
+    * row over the |types|×|days| rollup — capped by the calendar,
+    * never the event volume, exactly like the EWMA.
+    */
+  def holtDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", date_format(date_trunc("day", timestamp_millis(tsMs)), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg((sum(floor(col("value") * 100.0 + 0.5).cast("long")) / 100.0).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("xs", collect_list(col("x")).over(w))
+      .withColumn("hw", expr(
+        """aggregate(slice(xs, 2, size(xs) - 1),
+          |  named_struct('l', element_at(xs, 1), 'b', 0.0D),
+          |  (acc, v) -> named_struct(
+          |    'l', v * 0.5 + (acc.l + acc.b) * 0.5,
+          |    'b', (v * 0.5 + (acc.l + acc.b) * 0.5 - acc.l) * 0.25
+          |         + acc.b * 0.75))""".stripMargin))
+      .select(col("event_type"), col("day"), round(col("x"), 2).as("sum_value"),
+        round(col("hw.l"), 4).as("level"),
+        round(col("hw.b"), 4).as("trend"),
+        round(col("hw.l") + col("hw.b"), 4).as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
+
   /** Robust outlier counts per event type: median / MAD (median
     * absolute deviation) over exact integer cents, flagging events
     * beyond `3 × MAD`. Exact `percentile(0.5)` is used on BOTH

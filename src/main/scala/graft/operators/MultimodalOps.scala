@@ -523,4 +523,124 @@ object MultimodalOps {
       .toDF()
       .orderBy("doc_id")
   }
+
+  // ===== perceptual image dedup (pHash) =====
+
+  /** Integer-DCT scale: coefficients are round(cos(...)·64), so the
+    * whole transform is exact long arithmetic on both engines. */
+  val PhashDctScale = 64
+  /** Per-chunk bit width of the hamming-bucket pairing (8 chunks x 8
+    * bits over the 63-bit hash — pigeonhole: any pair within
+    * [[PhashMaxHamming]] < 8 differing bits shares at least one
+    * intact chunk, so candidate recall is 1 by construction). */
+  val PhashChunks = 8
+  val PhashMaxHamming = 6
+  /** Mega-bucket cap, the [[DedupOps.simhashDup]] discipline: a
+    * chunk value shared by a dense identical cluster is exact-dedup's
+    * job, not the quadratic pairing's. Never binds at gate SFs
+    * (max bucket 19 at sf0.01). */
+  val PhashMaxBucket = 1000
+
+  /** 8-point DCT-II basis scaled to integers:
+    * `C(k)(n) = round(cos(π·(2n+1)·k/16) · 64)` via StrictMath (exact
+    * same table on every JVM). The SQL oracle inlines THIS table as
+    * literals, so both engines multiply identical longs.
+    */
+  lazy val PhashDct: Array[Array[Long]] = Array.tabulate(8, 8)((k, n) =>
+    math.round(StrictMath.cos(StrictMath.PI * (2 * n + 1) * k / 16.0)
+      * PhashDctScale))
+
+  /** 63-bit perceptual hash of a top-down luma grid: 8×8 block means
+    * (integer floor division — cells partition rows/cols by
+    * `i = r·8/h`), integer 2-D DCT `T = C·P·Cᵀ`, each AC coefficient
+    * hashed as "above the exact median of the 63 AC values" (odd
+    * count → the median is an element, no interpolation), DC bit
+    * dropped so the hash fits bits 0..62 of a non-negative long.
+    * Every step is exact integer arithmetic — the oracle replays it
+    * term for term.
+    */
+  def pHash63(px: Array[Int], w: Int, h: Int): Long = {
+    val sums = Array.ofDim[Long](8, 8)
+    val cnts = Array.ofDim[Long](8, 8)
+    var r = 0
+    while (r < h) {
+      val i = r * 8 / h
+      var c = 0
+      while (c < w) {
+        sums(i)(c * 8 / w) += px(r * w + c)
+        cnts(i)(c * 8 / w) += 1
+        c += 1
+      }
+      r += 1
+    }
+    val p = Array.tabulate(8, 8)((i, j) => sums(i)(j) / cnts(i)(j))
+    val cp = Array.tabulate(8, 8)((u, j) =>
+      (0 until 8).map(i => PhashDct(u)(i) * p(i)(j)).sum)
+    val t = Array.tabulate(8, 8)((u, v) =>
+      (0 until 8).map(j => cp(u)(j) * PhashDct(v)(j)).sum)
+    val ac = (for { u <- 0 until 8; v <- 0 until 8; if (u, v) != ((0, 0)) }
+      yield t(u)(v)).sorted
+    val med = ac(31)
+    var hash = 0L
+    for { u <- 0 until 8; v <- 0 until 8; if (u, v) != ((0, 0)) }
+      if (t(u)(v) > med) hash |= 1L << (u * 8 + v - 1)
+    hash
+  }
+
+  /** (doc_id, phash) of every image big enough to normalize: the
+    * genuine BMP round trip ([[BmpCodec.encode]] → [[BmpCodec
+    * .decodePixels]], so stride/flip/palette stay exercised) feeding
+    * [[pHash63]], row-local. Documents shorter than 8 grid rows
+    * (`len < 7·w + 1`) have empty 8×8 cells and are skipped — the
+    * oracle applies the same predicate.
+    */
+  def imagePhashes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val (w, bits) = imgParams(r.doc_id)
+        if (r.blob.length < 7 * w + 1) None
+        else {
+          val px = BmpCodec.decodePixels(BmpCodec.encode(r.blob, w, bits))
+          Some((r.doc_id, pHash63(px.lumas, px.width, px.height)))
+        }
+      })
+      .toDF("doc_id", "phash")
+  }
+
+  /** Perceptual near-duplicate image pairs — the multimodal member
+    * of the dedup family: [[imagePhashes]] fingerprints, the
+    * [[DedupOps.simhashDup]] chunk-bucket pairing (8×8-bit chunks,
+    * count-window mega-bucket cap riding the join's own shuffle),
+    * popcount verify ≤ [[PhashMaxHamming]] BEFORE the pair distinct.
+    * Candidate recall is 1 by pigeonhole (6 < 8 chunks); at sf0.01
+    * this finds the 3 byte-similar document pairs whose rendered
+    * grids stay within 6 of 63 bits.
+    */
+  def imagePhashDup(docs: DataFrame): DataFrame = {
+    val sigs = imagePhashes(docs)
+    val keyed = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until PhashChunks).map { q =>
+        concat_ws(":", lit(q).cast("string"),
+          shiftright(col("phash"), q * 8)
+            .bitwiseAND(lit(255L)).cast("string"))
+      }: _*)).as("ck"))
+    val bounded = keyed
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))))
+      .where(col("bn") <= PhashMaxBucket)
+      .select("doc_id", "phash", "ck")
+    bounded.as("a").join(bounded.as("b"),
+        col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= PhashMaxHamming)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
 }
+

@@ -39,22 +39,43 @@ object ResolutionOps {
   /** Maximum edit distance for two names to be the same entity. */
   val MaxEditDistance = 3
 
+  /** Minimum token-set Jaccard for the reorder-robust verifier leg:
+    * 0.5 (binary-exact) — a fully permuted name scores 1.0, a pair
+    * sharing half its vocabulary still matches, a one-shared-token
+    * accident (1/9 for two 5-token names) does not.
+    */
+  val JaccardMinSim = 0.5
+
   private def distinctNames(part: DataFrame): DataFrame =
     part.select(col("p_name")).distinct()
 
-  /** Each distinct name exploded to its blocking keys: first token
-    * and last token, deduped (a one-token name yields one row). The
-    * key carries a position tag so "first token X" and "last token X"
+  /** Sorted-token-set canonical form: tokens deduped, sorted, and
+    * rejoined — identical for ANY token permutation of a name, which
+    * is what makes it the blocking key for the reorder class real
+    * catalog data is full of ("spring green tomato" vs "tomato green
+    * spring" is edit distance ≫ [[MaxEditDistance]] but the same
+    * entity).
+    */
+  private def sortedTokenSet(c: org.apache.spark.sql.Column) =
+    concat_ws(" ", array_sort(array_distinct(split(c, " "))))
+
+  /** Each distinct name exploded to its blocking keys: first token,
+    * last token, and the sorted-token-set form, deduped. The key
+    * carries a position tag so "first token X" and "last token X"
     * are DIFFERENT blocks — without the tag, a name ending in a word
     * another name starts with would collide into one block and the
-    * candidate set would depend on cross-position accidents.
+    * candidate set would depend on cross-position accidents. The
+    * "s:" key adds the token-REORDER class the positional keys are
+    * blind to (both first and last move under permutation), measured
+    * by [[fuzzyRecallEval]]'s reorder rows.
     */
   private def blockedNames(part: DataFrame): DataFrame = {
     val toks = split(col("p_name"), " ")
     distinctNames(part)
       .select(col("p_name"), explode(array_distinct(array(
         concat(lit("f:"), toks.getItem(0)),
-        concat(lit("l:"), element_at(toks, -1))))).as("blk"))
+        concat(lit("l:"), element_at(toks, -1)),
+        concat(lit("s:"), sortedTokenSet(col("p_name")))))).as("blk"))
   }
 
   /** Candidate pairs (a < b) sharing at least one block key, deduped
@@ -146,20 +167,99 @@ object ResolutionOps {
       .select(
         (tok("name_a", 0) === tok("name_b", 0)).as("hit_first"),
         (tok("name_a", 0) === tok("name_b", 0) ||
-          tok("name_a", 1) === tok("name_b", 1)).as("hit_union"))
+          tok("name_a", 1) === tok("name_b", 1)).as("hit_union"),
+        (tok("name_a", 0) === tok("name_b", 0) ||
+          tok("name_a", 1) === tok("name_b", 1) ||
+          sortedTokenSet(col("name_a")) === sortedTokenSet(col("name_b")))
+          .as("hit_sorted"))
     val agg = truth.agg(
       count(lit(1)).as("truth"),
       coalesce(sum(col("hit_first").cast("long")), lit(0L)).as("f1"),
-      coalesce(sum(col("hit_union").cast("long")), lit(0L)).as("fu"))
-    agg.select(explode(array(
-        struct(lit("first_last_union").as("strategy"), col("fu").as("found"),
-          col("truth")),
-        struct(lit("first_token").as("strategy"), col("f1").as("found"),
-          col("truth")))).as("r"))
-      .select(col("r.strategy").as("strategy"), col("r.found").as("found"),
+      coalesce(sum(col("hit_union").cast("long")), lit(0L)).as("fu"),
+      coalesce(sum(col("hit_sorted").cast("long")), lit(0L)).as("fs"))
+    // The REORDER class has no natural labels in this catalog (the
+    // odds of two 5-color names drawing the same color SET are
+    // negligible), so its ground truth is SYNTHESIZED the way ER
+    // blocking is actually evaluated: every multi-token name is
+    // paired with its reversed-token twin — a labeled permuted
+    // duplicate. A positional key reaches it only when first == last
+    // token (measured ~0); the sorted-set key reaches every one by
+    // construction. Injected-perturbation truth, not hand-waving.
+    val rev = distinctNames(part)
+      .select(col("p_name").as("name_a"),
+        concat_ws(" ", reverse(split(col("p_name"), " "))).as("name_b"))
+      .where(col("name_a") =!= col("name_b"))
+    val revAgg = rev.select(
+        (tok("name_a", 0) === tok("name_b", 0) ||
+          tok("name_a", 1) === tok("name_b", 1)).as("hit_union"),
+        lit(true).as("hit_sorted"))
+      .agg(count(lit(1)).as("rtruth"),
+        coalesce(sum(col("hit_union").cast("long")), lit(0L)).as("rfu"),
+        coalesce(sum(col("hit_sorted").cast("long")), lit(0L)).as("rfs"))
+    val rows = agg.crossJoin(revAgg).select(explode(array(
+      struct(lit("first_token").as("strategy"), lit("typo").as("pair_class"),
+        col("f1").as("found"), col("truth")),
+      struct(lit("first_last_union").as("strategy"), lit("typo").as("pair_class"),
+        col("fu").as("found"), col("truth")),
+      struct(lit("sorted_set_union").as("strategy"), lit("typo").as("pair_class"),
+        col("fs").as("found"), col("truth")),
+      struct(lit("first_last_union").as("strategy"), lit("reorder").as("pair_class"),
+        col("rfu").as("found"), col("rtruth").as("truth")),
+      struct(lit("sorted_set_union").as("strategy"), lit("reorder").as("pair_class"),
+        col("rfs").as("found"), col("rtruth").as("truth")))).as("r"))
+    rows
+      .select(col("r.strategy").as("strategy"),
+        col("r.pair_class").as("pair_class"), col("r.found").as("found"),
         col("r.truth").as("truth"),
         TextAnalysisOps.det4(
           col("r.found").cast("double") / col("r.truth")).as("recall"))
-      .orderBy("strategy")
+      .orderBy("strategy", "pair_class")
+  }
+
+  /** The reorder-robust RESOLUTION leg — the use case the sorted-set
+    * key exists for: an incoming dirty record whose tokens arrived
+    * permuted ("bolt hot" for catalog entry "hot bolt") resolves back
+    * to its canonical name. The dirty stream here is the
+    * deterministic worst case — every multi-token catalog name
+    * reversed — so the gate proves the whole class reaches its
+    * target, not a lucky sample. Blocking is the SAME 3-key union
+    * (first/last/sorted-set) applied to both sides, equi-join only
+    * (the plan stays cartesian-free); the verifier is token-set
+    * Jaccard ≥ [[JaccardMinSim]], which the positional keys'
+    * accidental candidates (one shared token of a 2-token name,
+    * Jaccard 1/3) fail and every permutation (Jaccard 1) clears.
+    * `dist` reports the banded levenshtein next to it: −1 for almost
+    * every resolved row, which is exactly the point — this class is
+    * INVISIBLE to the edit-distance verifier.
+    */
+  def fuzzyReorderResolve(part: DataFrame): DataFrame = {
+    def keys(name: org.apache.spark.sql.Column) = {
+      val toks = split(name, " ")
+      array_distinct(array(
+        concat(lit("f:"), toks.getItem(0)),
+        concat(lit("l:"), element_at(toks, -1)),
+        concat(lit("s:"), sortedTokenSet(name))))
+    }
+    val dirty = distinctNames(part)
+      .select(concat_ws(" ", reverse(split(col("p_name"), " ")))
+        .as("dirty_name"))
+      .where(col("dirty_name") =!= col("p_name"))
+      .select(col("dirty_name"), explode(keys(col("dirty_name"))).as("blk"))
+    val catalog = distinctNames(part)
+      .select(col("p_name").as("resolved_name"),
+        explode(keys(col("p_name"))).as("blk"))
+    val ta = array_distinct(split(col("dirty_name"), " "))
+    val tb = array_distinct(split(col("resolved_name"), " "))
+    dirty.join(catalog, Seq("blk"))
+      .select("dirty_name", "resolved_name").distinct()
+      .withColumn("jaccard",
+        size(array_intersect(ta, tb)).cast("double") /
+          size(array_union(ta, tb)).cast("double"))
+      .where(col("jaccard") >= JaccardMinSim)
+      .select(col("dirty_name"), col("resolved_name"),
+        round(col("jaccard"), 4).as("jaccard"),
+        levenshtein(col("dirty_name"), col("resolved_name"), MaxEditDistance)
+          .cast("long").as("dist"))
+      .orderBy("dirty_name", "resolved_name")
   }
 }
