@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Queries split (round-16 ask #9) must be behavior-neutral: the
+  * composed registry is the same entries, same order, no duplicates,
+  * and the family slices cover it exactly.
+  */
+class RegistryCompositionSpec extends AnyFunSuite {
+
+  test("composed registry has no duplicate names and full oracle coverage") {
+    val names = Queries.registry.map(_._1)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+    assert(dups.isEmpty, s"duplicate registry names: ${dups.mkString(",")}")
+    assert(Queries.queries.size === names.size)
+    assert(Queries.oracleSql.size === names.size,
+      "every registry query is oracle-gated (the round-10 invariant)")
+  }
+
+  test("registry count matches the declared round-16 surface") {
+    // 255 at round 15 + ann_ivfadc + ann_ivfadc_recall_eval +
+    // ann_recall_nprobe_sweep + 6 NSW + events_holt_trend +
+    // image_phash_dup + fuzzy_reorder_resolve = 267
+    assert(Queries.registry.size === 267,
+      s"got ${Queries.registry.size}: update this pin when adding queries")
+  }
+}
