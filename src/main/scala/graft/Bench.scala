@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional trailing query names restrict the run (the scale-
+    // timing records at the 10x/100x fixtures); no names = the full
+    // registry, the driver contract, with artifacts written to the
+    // usual BENCH_FULL/BENCH_SUMMARY paths. Subset runs keep their
+    // full map ONLY on the printed line so they can never clobber
+    // the committed full-registry artifacts.
+    val only = args.toSet
+    def selected(name: String): Boolean = only.isEmpty || only(name)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -32,7 +40,8 @@ object Bench {
     // force a GC so a heavy query's heap aftermath (the r13
     // coorder_triangles cluster) can't bleed into its alphabetic
     // neighbors' timed spans.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1)).map { case (name, fn) =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -55,7 +64,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    java.nio.file.Files.writeString(
+    if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"sf":"$sfDir"}""")
     val headline = Set(
@@ -78,10 +87,11 @@ object Bench {
       "bm25_indexed", "incremental_bm25", "streamed_bm25_fold",
       "semantic_after_delete")
     val perQ = math.round(total / math.max(1, results.count(_._2 >= 0)) * 1000) / 1000.0
-    val summary = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"full":"BENCH_FULL.json","queries":${qjson(results.filter(r => headline(r._1)))},"sf":"$sfDir"}"""
+    val shown = if (only.isEmpty) results.filter(r => headline(r._1)) else results
+    val summary = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"full":"BENCH_FULL.json","queries":${qjson(shown)},"sf":"$sfDir"}"""
     // belt-and-braces for the driver's stdout-tail parse: the same
     // summary line also lands in a file next to BENCH_FULL.json
-    java.nio.file.Files.writeString(
+    if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary)
     println(summary)
     spark.stop()
