@@ -24,6 +24,9 @@ stage "10x"
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g tools/run.sh graft.Verify /tmp/sf1 /tmp/v_10x 2>/dev/null | tail -1 | tee -a "$log"
 python3 tools/check.py /tmp/sf1 /tmp/v_10x CORRECTNESS_10x.json 2>&1 | tail -1 | tee -a "$log"
 stage "skew"
-SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g tools/run.sh graft.Verify /tmp/sfskew /tmp/v_skew 2>/dev/null | tail -1 | tee -a "$log"
+# 60g: at 48g the r16 run hit GCLocker starvation ("Retried waiting
+# for GCLocker too often") and the JVM died mid-registry — the codec
+# seams' java.util.zip JNI critical regions under a nearly-full heap
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=60g tools/run.sh graft.Verify /tmp/sfskew /tmp/v_skew 2>/dev/null | tail -1 | tee -a "$log"
 python3 tools/check.py /tmp/sfskew /tmp/v_skew CORRECTNESS_skew.json 2>&1 | tail -1 | tee -a "$log"
 echo "=== ALL GATES DONE ===" | tee -a "$log"
