@@ -17,6 +17,11 @@ object Bench {
     // full map ONLY on the printed line so they can never clobber
     // the committed full-registry artifacts.
     val only = args.toSet
+    // fail fast on unknown names: a typo'd subset would otherwise run
+    // empty and print a plausible-looking value-0 summary
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     def selected(name: String): Boolean = only.isEmpty || only(name)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,7 +93,11 @@ object Bench {
       "semantic_after_delete")
     val perQ = math.round(total / math.max(1, results.count(_._2 >= 0)) * 1000) / 1000.0
     val shown = if (only.isEmpty) results.filter(r => headline(r._1)) else results
-    val summary = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,"full":"BENCH_FULL.json","queries":${qjson(shown)},"sf":"$sfDir"}"""
+    // a subset run never refreshes BENCH_FULL.json, so pointing at it
+    // from the subset summary would cite a stale artifact — only the
+    // full-registry run carries the pointer
+    val fullRef = if (only.isEmpty) "\"full\":\"BENCH_FULL.json\"," else ""
+    val summary = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,$fullRef"queries":${qjson(shown)},"sf":"$sfDir"}"""
     // belt-and-braces for the driver's stdout-tail parse: the same
     // summary line also lands in a file next to BENCH_FULL.json
     if (only.isEmpty) java.nio.file.Files.writeString(

@@ -1989,33 +1989,67 @@ object SimilarityOps {
   val NswRounds = 4
   /** Entry vertices (vec_id < NswEntries) seeding every walk. */
   val NswEntries = 4
-  /** Seed-partition mods of the main family's graph. TWO overlapping
+  /** Seed-offset mods of the main family's graph. TWO overlapping
     * partitionings is the navigability trick: within-one-clustering
     * edges can never leave their cluster, so a single partition
     * strands any probe whose true neighbors live elsewhere (measured
     * recall 0.35); the union of two independently-seeded partitions
-    * creates the cross-links a navigable small-world graph needs
-    * (0.81 at the same beam budget). */
+    * creates the cross-links a navigable small-world graph needs.
+    * Under the adaptive-K hash-spread rule the mod is the HASH
+    * OFFSET, not a divisor — two offsets select two independent
+    * seed spreads from the same corpus. */
   val NswMods: Seq[Int] = Seq(97, 89)
-  /** EVEN seed mods for the upsert lifecycle, so the frozen centroid
-    * models come entirely from the even-id corpus. */
+  /** Distinct seed offsets for the upsert lifecycle, so the frozen
+    * corpus models are a different partitioning pair than the main
+    * family's (seeds always come from the corpus slice itself —
+    * [[nswSeedCentroids]] filters the relation it is given). */
   val NswUpsertMods: Seq[Int] = Seq(98, 90)
-  private val NswNumCentroids = 16
+
+  /** Hash-spread seed centroids of one NSW partitioning leg: the
+    * [[seedCentroidsStride]] rule with the leg's mod as the hash
+    * offset — `(vec_id + mod) % P % stride == 0`, smallest-k cap —
+    * so the legs select INDEPENDENT ~k-id spreads from the same
+    * corpus while staying robust to sparse/shifted id layouts (the
+    * 10x/100x replica shape a plain `vec_id % mod` rule collapses
+    * on). (k, stride) come from [[semAdaptiveParams]]: K =
+    * max(16, ceil(sqrt n)), the formula that keeps the build's
+    * within-cluster pair work ~n^1.5 instead of n²/const — a fixed
+    * cluster count is all-pairs over 1/K of the corpus at 100 TB,
+    * a build-path scale killer.
+    */
+  private def nswSeedCentroids(emb: DataFrame, mod: Int, k: Int,
+                               stride: Long): DataFrame =
+    emb
+      .where(pmod(col("vec_id") + mod,
+        lit(graft.functions.expressions.CmsHash.P)) % stride === 0)
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+
+  /** One leg's cluster assignment under the adaptive hash-spread
+    * seeds — exposed for the scale spec's pair-work audit. */
+  private[graft] def nswAssignment(universe: DataFrame, mod: Int, k: Int,
+                                   stride: Long): DataFrame =
+    assignToCentroids(universe, nswSeedCentroids(universe, mod, k, stride))
 
   /** k-NN neighbor-graph edges of `universe`: for each partitioning
-    * mod, vectors pair WITHIN their max-cosine cluster (never
+    * leg, vectors pair WITHIN their max-cosine cluster (never
     * all-pairs — the semantic-dedup bound: with K clusters the pair
-    * count is Σ|cluster|²; at 100 TB K grows as ⌈√n⌉ exactly like
-    * [[semanticDedup]]'s adaptive clustering, holding construction at
-    * ~n^1.5), each keeps its [[NswG]] nearest, and the union over
-    * mods is symmetrized. Construction is a write-once index build
-    * ([[nswIndexDir]]) — probes never pay it.
+    * count is Σ|cluster|², and K grows as ⌈√n⌉ via
+    * [[semAdaptiveParams]] exactly like [[semanticDedup]]'s adaptive
+    * clustering, holding construction at ~n^1.5), each keeps its
+    * [[NswG]] nearest, and the union over legs is symmetrized.
+    * Construction is a write-once index build ([[nswIndexDir]]) —
+    * probes never pay it. The count() deriving (k, stride) is a
+    * parquet-metadata read, not a data pass; `explicitParams` pins
+    * it for specs.
     */
-  def nswEdges(universe: DataFrame, mods: Seq[Int]): DataFrame = {
+  def nswEdges(universe: DataFrame, mods: Seq[Int],
+               explicitParams: Option[(Int, Long)] = None): DataFrame = {
     VectorFunctions.register(universe.sparkSession)
+    val (k, stride) = explicitParams.getOrElse(semAdaptiveParams(universe.count()))
     val legs = mods.map { mod =>
-      val assigned = assignToCentroids(universe,
-        seedCentroids(universe, mod, NswNumCentroids))
+      val assigned = nswAssignment(universe, mod, k, stride)
       nswTopG(assigned, assigned)
     }
     symmetrize(legs.reduce(_.unionByName(_)))
@@ -2098,9 +2132,13 @@ object SimilarityOps {
   }
 
   /** Graph-ANN search with an inline-built graph. Measured recall@10
-    * = 0.81 at sf0.01 — the best of the seven index families (IVF
-    * 0.65, SQ8 1.0 but full-scan, composed IVF-PQ 0.63), because the
-    * walk scores ~300 candidates EXACTLY with no routing cliff.
+    * = 0.73 at sf0.01 under adaptive-K construction — still the best
+    * of the seven index families (IVF 0.65, SQ8 1.0 but full-scan,
+    * composed IVF-PQ 0.63), because the walk scores ~300 candidates
+    * EXACTLY with no routing cliff. (The retired fixed-16 clustering
+    * measured 0.81 here, but its build was all-pairs over n/16-sized
+    * clusters — quadratic at 100 TB; adaptive K trades those recall
+    * points for the ~n^1.5 build bound.)
     */
   def annNsw(emb: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame =
     annNswOverEdges(emb, emb, nswEdges(emb, NswMods), nProbes, k)
@@ -2117,7 +2155,7 @@ object SimilarityOps {
   def nswIndexDir(emb: DataFrame, sfDir: String): String =
     graft.sources.Fixtures.ensure("nswedges", sfDir,
       Seq(s"$sfDir/embeddings.parquet"),
-      params = s"g${NswG}m${NswMods.mkString("x")}") { dir =>
+      params = s"g${NswG}m${NswMods.mkString("x")}ak") { dir =>
       nswEdges(emb, NswMods).write.mode("overwrite").parquet(dir)
     }
 
@@ -2140,14 +2178,24 @@ object SimilarityOps {
     * gate pins append == its defined rebuild.
     */
   def nswAppendBatch(batch: DataFrame, corpus: DataFrame,
-                     edgesDir: String): Unit = {
+                     edgesDir: String,
+                     batchId: Option[Long] = None): Unit = {
+    val (k, stride) = semAdaptiveParams(corpus.count())
     val legs = NswUpsertMods.map { mod =>
-      val centroids = seedCentroids(corpus, mod, NswNumCentroids)
+      val centroids = nswSeedCentroids(corpus, mod, k, stride)
       nswTopG(assignToCentroids(batch, centroids),
         assignToCentroids(corpus, centroids))
     }
-    symmetrize(legs.reduce(_.unionByName(_)))
-      .write.mode("append").parquet(edgesDir)
+    val edges = symmetrize(legs.reduce(_.unionByName(_)))
+    batchId match {
+      // streamed fold: each micro-batch owns its batch_id= partition
+      // and OVERWRITES it, so an at-least-once redelivery lands the
+      // identical files instead of duplicating edge rows (the
+      // idempotent batch_id= sink discipline the event sinks use)
+      case Some(id) =>
+        edges.write.mode("overwrite").parquet(s"$edgesDir/batch_id=$id")
+      case None => edges.write.mode("append").parquet(edgesDir)
+    }
   }
 
   /** Write-once UPSERTED graph: even-id corpus adjacency under the
@@ -2158,7 +2206,7 @@ object SimilarityOps {
   def nswUpsertEdgesDir(emb: DataFrame, sfDir: String): String =
     graft.sources.Fixtures.ensure("nswuped", sfDir,
       Seq(s"$sfDir/embeddings.parquet"),
-      params = s"g${NswG}m${NswUpsertMods.mkString("x")}",
+      params = s"g${NswG}m${NswUpsertMods.mkString("x")}ak",
       validate = d => new java.io.File(d, "_UPSERTED").exists()) { dir =>
       val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       nswEdges(corpus, NswUpsertMods)
@@ -2190,6 +2238,89 @@ object SimilarityOps {
       pmod(col("vec_id"), lit(IvfDeleteMod)) =!= IvfDeleteRes)
     annNswOverEdges(emb, live,
       emb.sparkSession.read.parquet(nswUpsertEdgesDir(emb, sfDir)),
+      nProbes, k)
+  }
+
+  /** Output files of a compacted NSW adjacency — a small constant,
+    * so a year of appends collapses back to a handful of full
+    * parquet footers per probe (at cluster scale this would be
+    * proportional to executor count, not to append history). */
+  val NswCompactFiles = 8
+
+  /** Compact a tombstoned NSW adjacency — the graph family's
+    * deferred physical delete, completing its lifecycle (build →
+    * probe → append → delete → COMPACT, the [[compactIvfLists]]
+    * discipline). Every edge touching a tombstoned vertex is
+    * dropped: a dead vertex is neither returned nor traversed
+    * ([[annNswDelete]] filters it from the searchable set), so its
+    * edges can never influence a walk — removing them changes no
+    * probe answer while stopping the tombstone set from occupying
+    * adjacency storage forever. The rewrite hash-clusters edges by
+    * src into [[NswCompactFiles]] whole files (one file per writer
+    * task — the small-files tax of per-batch appends paid down) and
+    * publishes by directory rename: readers see the old layout or
+    * the new one, never a half-rewritten mix. Any `batch_id=`
+    * partitioning of the streamed layout is deliberately flattened —
+    * compaction is where append history stops mattering.
+    */
+  def compactNswEdges(spark: org.apache.spark.sql.SparkSession,
+                      edgesDir: String, tombstones: DataFrame): Unit = {
+    val tmp = new java.io.File(edgesDir + "_compacting")
+    val dead = tombstones.select(col("vec_id")).distinct()
+    spark.read.parquet(edgesDir)
+      .select(col("src"), col("dst"))
+      .join(broadcast(dead.select(col("vec_id").as("src"))),
+        Seq("src"), "left_anti")
+      .join(broadcast(dead.select(col("vec_id").as("dst"))),
+        Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
+      .repartition(NswCompactFiles, col("src"))
+      .write.mode("overwrite").parquet(tmp.getPath)
+    val live = new java.io.File(edgesDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(live)
+    java.nio.file.Files.move(tmp.toPath, live.toPath)
+    ()
+  }
+
+  /** Write-once COMPACTED graph layout: a byte-equivalent copy of
+    * the upserted adjacency, [[compactNswEdges]]-ed in place against
+    * the shared tombstone slice — the fixture exercises the real
+    * rewrite + rename path. `_COMPACTED` lands only after the
+    * compaction completes (the parquet commit's own `_SUCCESS`
+    * already exists after step one, so it cannot mark this build).
+    */
+  def nswCompactedEdgesDir(emb: DataFrame, sfDir: String): String =
+    graft.sources.Fixtures.ensure("nswcomp", sfDir,
+      Seq(s"$sfDir/embeddings.parquet"),
+      params = s"g${NswG}m${NswUpsertMods.mkString("x")}ak",
+      validate = d => new java.io.File(d, "_COMPACTED").exists()) { dir =>
+      val spark = emb.sparkSession
+      spark.read.parquet(nswUpsertEdgesDir(emb, sfDir))
+        .select(col("src"), col("dst"))
+        .write.mode("overwrite").parquet(dir)
+      compactNswEdges(spark, dir,
+        emb.where(pmod(col("vec_id"), lit(IvfDeleteMod)) === IvfDeleteRes)
+          .select(col("vec_id")))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_COMPACTED"))
+      ()
+    }
+
+  /** The delete probe read off the COMPACTED adjacency: identical
+    * answer to [[annNswDelete]] (a dead vertex's edges were already
+    * unusable — candidates only enter the walk through the live
+    * vertices join — so physically removing them is invisible to
+    * search) and gated by the same from-scratch oracle.
+    */
+  def annNswCompacted(emb: DataFrame, sfDir: String, nProbes: Int = 10,
+                      k: Int = 10): DataFrame = {
+    val live = emb.where(
+      pmod(col("vec_id"), lit(IvfDeleteMod)) =!= IvfDeleteRes)
+    annNswOverEdges(emb, live,
+      emb.sparkSession.read.parquet(nswCompactedEdgesDir(emb, sfDir)),
       nProbes, k)
   }
 }

@@ -1238,10 +1238,15 @@ private[graft] trait QueriesOracleHelpers {
        |FROM r2 WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
   }
 
-  /** One partitioning leg of the NSW graph oracle: seed centroids
-    * from `seedRel` under `mod`, max-cosine assignment of `rel`, and
-    * (when `pairRel` is given) the top-G within-cluster neighbor
-    * edges of rel's vectors among pairRel's — the exact
+  /** One partitioning leg of the NSW graph oracle: ADAPTIVE-K
+    * hash-spread seed centroids from `seedRel` under offset `mod`
+    * (K = max(SemMinK, ceil(sqrt n)), stride = n // k — the exact
+    * [[graft.operators.SimilarityOps.semAdaptiveParams]] +
+    * nswSeedCentroids formula, derived from count(*) with the same
+    * greatest/ceil/sqrt/integer-division ops so both engines always
+    * land on the same cluster layout), max-cosine assignment of
+    * `rel`, and the top-G within-cluster neighbor edges of rel's
+    * vectors among pairRel's — the exact
     * [[graft.operators.SimilarityOps.nswTopG]] chain. CTE names are
     * `tag`-suffixed so two legs coexist in one WITH.
     */
@@ -1249,8 +1254,13 @@ private[graft] trait QueriesOracleHelpers {
                          seedRel: String, pairA: String,
                          pairB: String): String = {
     val g = SimilarityOps.NswG
-    s"""c$tag AS (SELECT vec_id AS cid, embedding AS cvec FROM $seedRel
-       |  WHERE vec_id % $mod = 0 AND vec_id < ${mod * 16}),
+    val p = graft.functions.expressions.CmsHash.P
+    s"""pk$tag AS (SELECT CAST(greatest(${SimilarityOps.SemMinK}, ceil(sqrt(count(*)))) AS BIGINT) AS k,
+       |    count(*) AS n FROM $seedRel),
+       |pp$tag AS (SELECT k, greatest(1, n // k) AS stride FROM pk$tag),
+       |c$tag AS (SELECT vec_id AS cid, embedding AS cvec FROM $seedRel, pp$tag
+       |  WHERE (vec_id + $mod) % $p % stride = 0
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= k),
        |a$tag AS MATERIALIZED (SELECT vec_id, cid, embedding FROM (
        |    SELECT e.vec_id, c.cid, e.embedding, row_number() OVER (
        |      PARTITION BY e.vec_id

@@ -339,9 +339,10 @@ private[graft] trait QueriesSimilarity extends QueriesOracleHelpers {
         SimilarityOps.annNswIndexed(Tables.embeddings(s, d), d) },
       Some(nswOracleSql)),
 
-    // recall@10 of the graph walk vs brute force: 0.81 at sf0.01 —
-    // the best of the seven families, because the walk scores ~300
-    // candidates EXACTLY (no routing cliff, no quantization blur)
+    // recall@10 of the graph walk vs brute force: 0.73 at sf0.01
+    // under the adaptive-K (~n^1.5) build — still the best of the
+    // seven families, because the walk scores ~300 candidates
+    // EXACTLY (no routing cliff, no quantization blur)
     "ann_nsw_recall_eval" -> QueryDef(
       (s, d) => { VectorFunctions.register(s)
         SimilarityOps.annNswRecallEval(Tables.embeddings(s, d)) },
@@ -363,6 +364,17 @@ private[graft] trait QueriesSimilarity extends QueriesOracleHelpers {
     "ann_nsw_delete" -> QueryDef(
       (s, d) => { VectorFunctions.register(s)
         SimilarityOps.annNswDelete(Tables.embeddings(s, d), d) },
+      Some(nswUpsertOracleSql(
+        s"WHERE NOT (vec_id % ${SimilarityOps.IvfDeleteMod} = ${SimilarityOps.IvfDeleteRes})"))),
+
+    // the graph lifecycle's COMPACT leg: every edge touching a
+    // tombstoned vertex physically dropped, lists rewritten as
+    // NswCompactFiles whole files, published by rename; the probe
+    // over the compacted layout is gated by the SAME from-scratch
+    // oracle as the delete leg — compaction is invisible to search
+    "ann_nsw_compacted" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annNswCompacted(Tables.embeddings(s, d), d) },
       Some(nswUpsertOracleSql(
         s"WHERE NOT (vec_id % ${SimilarityOps.IvfDeleteMod} = ${SimilarityOps.IvfDeleteRes})"))),
 

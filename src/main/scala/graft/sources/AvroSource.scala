@@ -58,7 +58,13 @@ object AvroSource {
     */
   private def requireUtcSession(spark: SparkSession): Unit = {
     val zone = spark.conf.get("spark.sql.session.timeZone")
-    require(zone == "UTC",
+    // accept any spelling of UTC ("UTC", "Etc/UTC", "+00:00", "Z") —
+    // the NTZ round-trip is correct under every alias of offset zero;
+    // normalized() folds fixed-offset-zero region ids onto ZoneOffset
+    val isUtc =
+      try java.time.ZoneId.of(zone).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    require(isUtc,
       s"Avro orders fixture requires a UTC session (timestamp_ntz " +
         s"round-trips through the session zone); got '$zone'")
   }

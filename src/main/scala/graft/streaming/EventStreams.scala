@@ -599,7 +599,12 @@ object EventStreams {
     * corpus + partition seeds) — batch-batch links are deliberately
     * NOT part of the append contract — so ANY micro-batch split
     * lands the identical edge set and the stream shares the batch
-    * upsert's oracle (stream == batch == defined rebuild).
+    * upsert's oracle (stream == batch == defined rebuild). Each
+    * micro-batch lands as its own `batch_id=` partition with
+    * mode(overwrite), so an at-least-once REDELIVERY overwrites its
+    * own files instead of appending duplicate edge rows — the edge
+    * set on disk equals the exactly-once set, not just up to
+    * multiplicity (the idempotent batch_id= sink discipline).
     */
   def ingestNswFoldStream(vecStream: DataFrame, corpus: DataFrame,
                           edgesDir: String, checkpointDir: String,
@@ -607,9 +612,9 @@ object EventStreams {
     val writer = vecStream
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.operators.SimilarityOps.nswAppendBatch(
-          batch.toDF(), corpus, edgesDir)
+          batch.toDF(), corpus, edgesDir, batchId = Some(id))
       }
     (if (availableNow)
        writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -627,7 +632,7 @@ object EventStreams {
     val ops = graft.operators.SimilarityOps
     graft.sources.Fixtures.ensure("streamnsw", sfDir,
       Seq(s"$sfDir/embeddings.parquet"),
-      params = s"g${ops.NswG}m${ops.NswUpsertMods.mkString("x")}") { path =>
+      params = s"g${ops.NswG}m${ops.NswUpsertMods.mkString("x")}akb") { path =>
       import org.apache.spark.sql.functions.{col, lit, pmod}
       graft.functions.VectorFunctions.register(spark)
       val root = java.nio.file.Paths.get(path)
@@ -643,9 +648,14 @@ object EventStreams {
       emb.where(pmod(col("vec_id"), lit(2)) === 1)
         .repartition(2) // two files -> two micro-batches
         .write.parquet(srcDir.toString)
+      // the corpus build lands under its own batch_id=-1 partition so
+      // the layout is uniformly batch_id-partitioned (mixing root
+      // files with batch_id= subdirs breaks partition discovery); the
+      // extra batch_id column is invisible to the probe, which only
+      // consumes (src, dst)
       val edges = root.resolve("edges").toString
       ops.nswEdges(corpus, ops.NswUpsertMods)
-        .write.mode("overwrite").parquet(edges)
+        .write.mode("overwrite").parquet(s"$edges/batch_id=-1")
       val arriving = spark.readStream
         .schema(emb.schema)
         .option("maxFilesPerTrigger", "1")

@@ -106,6 +106,70 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(afterProbe === beforeProbe)
   }
 
+  test("NSW compaction: dead-touching edges dropped exactly, bounded files, identical delete probe") {
+    VectorFunctions.register(spark)
+    // a standalone upsert-shaped layout in a temp dir (arbitrary
+    // split, NOT the gated fixture): corpus = mod-3 nonzero built in
+    // batch, mod-3-zero appended, then an arbitrary tombstone slice
+    val corpus = emb.where(pmod(col("vec_id"), lit(3)) =!= 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("nswcomp")
+      .resolve("edges").toString
+    SimilarityOps.nswEdges(corpus, SimilarityOps.NswUpsertMods)
+      .write.mode("overwrite").parquet(dir)
+    SimilarityOps.nswAppendBatch(batch, corpus, dir)
+    val dead = emb.where(pmod(col("vec_id"), lit(5)) === 2)
+      .select(col("vec_id"))
+    val deadSet = dead.collect().map(_.getLong(0)).toSet
+
+    def edges(d: String) = spark.read.parquet(d)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val before = edges(dir)
+    val live = emb.where(pmod(col("vec_id"), lit(5)) =!= 2)
+    def probe(d: String) = SimilarityOps.annNswOverEdges(
+      emb, live, spark.read.parquet(d)).collect().toSeq
+    val beforeProbe = probe(dir)
+
+    SimilarityOps.compactNswEdges(spark, dir, dead)
+    // exactly the dead-touching edges are gone — nothing else moved
+    assert(edges(dir) ===
+      before.filter(e => !deadSet(e._1) && !deadSet(e._2)),
+      "compaction must drop exactly the edges touching a tombstone")
+    assert(before.exists(e => deadSet(e._1) || deadSet(e._2)),
+      "fixture must exercise the removal path")
+    // bounded whole files, staging dir renamed away
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    assert(files <= SimilarityOps.NswCompactFiles,
+      s"compaction must leave at most ${SimilarityOps.NswCompactFiles} files, got $files")
+    assert(!new java.io.File(dir + "_compacting").exists())
+    // compaction is invisible to the delete probe
+    assert(probe(dir) === beforeProbe,
+      "the delete probe must not change across compaction")
+  }
+
+  test("NSW streamed-fold idempotence: a redelivered batch_id overwrites, never duplicates") {
+    VectorFunctions.register(spark)
+    val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val dir = java.nio.file.Files.createTempDirectory("nswidem")
+      .resolve("edges").toString
+    SimilarityOps.nswEdges(corpus, SimilarityOps.NswUpsertMods)
+      .write.mode("overwrite").parquet(s"$dir/batch_id=-1")
+    SimilarityOps.nswAppendBatch(batch, corpus, dir, batchId = Some(0L))
+    def edges() = spark.read.parquet(dir)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val once = edges()
+    // the at-least-once scenario: the same micro-batch delivered again
+    SimilarityOps.nswAppendBatch(batch, corpus, dir, batchId = Some(0L))
+    assert(edges() === once,
+      "a redelivered micro-batch must land the identical on-disk edge set")
+  }
+
   test("LSH delete: tombstoned probe equals a rebuild on the live corpus, and compaction truncates the log") {
     // arbitrary take-down slice (NOT the gated query's mod-10 one):
     // corpus = mod-3 nonzero docs, deletes = the corpus's mod-7 == 1

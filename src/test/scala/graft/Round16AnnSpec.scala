@@ -67,7 +67,9 @@ class Round16AnnSpec extends AnyFunSuite {
     val ivfpq = recallOf(q("ann_ivfpq_recall_eval"))
     assert(nsw >= ivfpq,
       s"exact-scored beam walk ($nsw) must beat quantized routing ($ivfpq)")
-    assert(nsw >= 0.7, s"regression guard: nsw recall $nsw (0.81 at sf0.01)")
+    assert(nsw >= 0.7,
+      s"regression guard: nsw recall $nsw (0.77 at sf0.001, 0.73 at " +
+        "sf0.01 under the adaptive-K build)")
   }
 
   test("NSW adjacency is bounded by 2 x mods x G edges per vector") {
