@@ -260,6 +260,66 @@ object EventsOps {
       .orderBy("event_type", "day")
   }
 
+  /** Holt-Winters triple-exponential smoothing (level + trend +
+    * additive 7-slot season) over the per-(type, day) series — the
+    * seasonal step [[holtDaily]] stops short of. Recurrence (α = 0.5,
+    * β = γ = 0.25, all binary-exact):
+    * `l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})`,
+    * `b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}`,
+    * `s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}`, one-step forecast
+    * `l_t + b_t + s_{t+1−m}`. Seeding is CAUSAL: `l_1 = x_1, b_1 = 0`
+    * and all seven seasonal slots start at 0 and are learned as their
+    * slot recurs — no init pass over a "first full season" that would
+    * read future rows. Slots rotate over the OBSERVED per-type day
+    * sequence (slot = (row − 1) mod 7; on the fixture's dense daily
+    * spine that is exactly the weekday), so a gap shifts phase rather
+    * than erroring — the documented contract.
+    *
+    * Mechanics: the same calendar-bounded ordered-prefix fold as
+    * [[holtDaily]], with the accumulator widened to
+    * (l, b, s: array[7]) and the fold input zip-with-indexed so each
+    * step knows its slot; the seasonal array is updated functionally
+    * (`transform` rewriting one position). The DuckDB mirror is the
+    * same recursive CTE carrying a LIST column (NOT list_reduce — its
+    * struct accumulator updates fields sequentially, the measured
+    * r16 lesson). Cost: |days|² per type worst case, capped by the
+    * calendar, never event volume.
+    */
+  def holtWintersDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", date_format(date_trunc("day", timestamp_millis(tsMs)), "yyyy-MM-dd"))
+      .groupBy("event_type", "day")
+      .agg((sum(floor(col("value") * 100.0 + 0.5).cast("long")) / 100.0).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // l' appears inside b' and s'; SQL lambdas cannot bind a local, so
+    // the expression repeats VERBATIM — identical op sequence on both
+    // engines, the bit-determinism requirement
+    val lNext = "(e.x - element_at(acc.s, (e.k % 7) + 1)) * 0.5 + (acc.l + acc.b) * 0.5"
+    daily
+      .withColumn("xs", collect_list(col("x")).over(w))
+      .withColumn("xi", expr("transform(xs, (v, k) -> named_struct('x', v, 'k', k))"))
+      .withColumn("hw", expr(
+        s"""aggregate(slice(xi, 2, size(xi) - 1),
+           |  named_struct('l', element_at(xs, 1), 'b', 0.0D,
+           |    's', array_repeat(0.0D, 7)),
+           |  (acc, e) -> named_struct(
+           |    'l', $lNext,
+           |    'b', ($lNext - acc.l) * 0.25 + acc.b * 0.75,
+           |    's', transform(acc.s, (sv, j) -> IF(j = e.k % 7,
+           |      (e.x - ($lNext)) * 0.25
+           |        + element_at(acc.s, (e.k % 7) + 1) * 0.75,
+           |      sv))))""".stripMargin))
+      .select(col("event_type"), col("day"), round(col("x"), 2).as("sum_value"),
+        round(col("hw.l"), 4).as("level"),
+        round(col("hw.b"), 4).as("trend"),
+        round(element_at(col("hw.s"),
+          (pmod(size(col("xs")) - 1, lit(7)) + 1)), 4).as("season"),
+        round(col("hw.l") + col("hw.b") + element_at(col("hw.s"),
+          (pmod(size(col("xs")), lit(7)) + 1)), 4).as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
+
   /** Robust outlier counts per event type: median / MAD (median
     * absolute deviation) over exact integer cents, flagging events
     * beyond `3 × MAD`. Exact `percentile(0.5)` is used on BOTH

@@ -620,8 +620,61 @@ object MultimodalOps {
     * this finds the 3 byte-similar document pairs whose rendered
     * grids stay within 6 of 63 bits.
     */
-  def imagePhashDup(docs: DataFrame): DataFrame = {
-    val sigs = imagePhashes(docs)
+  def imagePhashDup(docs: DataFrame): DataFrame =
+    phashPairs(imagePhashes(docs))
+
+  /** (doc_id, phash) over the COMPRESSED-image leg: the genuine PNG
+    * round trip ([[PngCodec.encode]] → [[PngCodec.decodePixels]], so
+    * chunk CRCs, the zlib inflate and the per-row filter inversion
+    * all stay exercised) feeding the same [[pHash63]]. The decoded
+    * grid is the payload bytes top-down (truecolour folds (v,v,v)
+    * back to v), so the oracle replays it from the source text with
+    * [[pngParams]]' geometry. With `quarantine` set, the PNG
+    * quarantine contract composes into the dedup pipeline: the
+    * deterministic IDAT bit rot (doc_id % 3 == 2, the
+    * [[pngQuarantine]] injection) is applied first and a container
+    * the decoder REJECTS is skipped — a row-level quarantine, never
+    * a failed job, and never garbage bits in the pair graph.
+    */
+  def imagePhashesPng(docs: DataFrame,
+                      quarantine: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val (w, colour) = pngParams(r.doc_id)
+        if (r.blob.length < 7 * w + 1) None
+        else {
+          val png = PngCodec.encode(r.blob, w, colour)
+          if (quarantine && math.floorMod(r.doc_id, 3) == 2L) {
+            val off = PngCodec.firstIdatDataOffset(png)
+            png(off) = (png(off) ^ 0x5a).toByte
+          }
+          try {
+            val px = PngCodec.decodePixels(png)
+            Some((r.doc_id, pHash63(px.lumas, px.width, px.height)))
+          } catch {
+            case _: IllegalArgumentException => None // quarantined row
+          }
+        }
+      })
+      .toDF("doc_id", "phash")
+  }
+
+  /** [[imagePhashDup]] over the PNG leg (optionally with the
+    * quarantine injection composed in — see [[imagePhashesPng]]). */
+  def imagePhashDupPng(docs: DataFrame,
+                       quarantine: Boolean = false): DataFrame =
+    phashPairs(imagePhashesPng(docs, quarantine))
+
+  /** The shared chunk-bucket pairing over any (doc_id, phash) set —
+    * the [[DedupOps.simhashDup]] discipline (8×8-bit chunks,
+    * count-window mega-bucket cap riding the join's own shuffle,
+    * popcount verify ≤ [[PhashMaxHamming]] BEFORE the pair
+    * distinct). */
+  private def phashPairs(sigs: DataFrame): DataFrame = {
     val keyed = sigs.select(col("doc_id"), col("phash"),
       explode(array((0 until PhashChunks).map { q =>
         concat_ws(":", lit(q).cast("string"),

@@ -9,6 +9,60 @@ import graft.operators._
 /** Registry slice: multimodal codec seams. */
 private[graft] trait QueriesMultimodal extends QueriesOracleHelpers {
 
+  /** The shared pHash-pair oracle: the integer-DCT pHash replayed
+    * from the source text (8x8 block means -> T = C·P·Cᵀ with the
+    * StrictMath-derived integer basis inlined as literals ->
+    * above-median AC bits) over a doc_id-derived geometry, then the
+    * simhash chunk-bucket pairing (8x8-bit chunks, pigeonhole recall
+    * 1 at hamming <= PhashMaxHamming) with the popcount verify ahead
+    * of the pair distinct. `wExpr` is the per-doc width (BMP and PNG
+    * legs differ); `docFilter` drops rows the engine's quarantine
+    * rejects (AND-prefixed).
+    */
+  private def phashDupOracle(wExpr: String, docFilter: String): String = {
+    val coefRows = (for (k <- 0 until 8; n <- 0 until 8)
+      yield s"($k, $n, ${MultimodalOps.PhashDct(k)(n)})").mkString(", ")
+    val hm = MultimodalOps.PhashMaxHamming
+    val cap = MultimodalOps.PhashMaxBucket
+    s"""WITH prm AS (SELECT doc_id, text, $wExpr AS w,
+       |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
+       |el AS (SELECT doc_id, text, w, len, (len + w - 1) // w AS h
+       |  FROM prm WHERE len >= 7 * w + 1$docFilter),
+       |pr AS (SELECT doc_id, w, h, len, text,
+       |    unnest(generate_series(0, h - 1)) AS r FROM el),
+       |pc AS (SELECT doc_id, w, h, r, len, text,
+       |    unnest(generate_series(0, w - 1)) AS c FROM pr),
+       |cells AS (SELECT doc_id, (r * 8) // h AS i, (c * 8) // w AS j,
+       |    CASE WHEN r * w + c < len
+       |      THEN ascii(substring(text, r * w + c + 1, 1)) ELSE 0 END AS v
+       |  FROM pc),
+       |cm AS MATERIALIZED (SELECT doc_id, i, j,
+       |    CAST(sum(v) AS BIGINT) // count(*) AS p
+       |  FROM cells GROUP BY doc_id, i, j),
+       |coef AS (SELECT * FROM (VALUES $coefRows) t(k, n, c)),
+       |tt AS MATERIALIZED (SELECT m.doc_id, cu.k AS u, cv.k AS v,
+       |    CAST(sum(cu.c * cv.c * m.p) AS BIGINT) AS t
+       |  FROM cm m JOIN coef cu ON cu.n = m.i JOIN coef cv ON cv.n = m.j
+       |  GROUP BY m.doc_id, cu.k, cv.k),
+       |md AS (SELECT doc_id, median(t) AS med FROM tt
+       |  WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
+       |hs AS MATERIALIZED (SELECT tt.doc_id,
+       |    CAST(sum(CASE WHEN NOT (u = 0 AND v = 0) AND t > med
+       |      THEN 1::BIGINT << (u * 8 + v - 1) ELSE 0 END) AS BIGINT) AS ph
+       |  FROM tt JOIN md ON tt.doc_id = md.doc_id GROUP BY tt.doc_id),
+       |ckd AS MATERIALIZED (SELECT doc_id, ph,
+       |    q::VARCHAR || ':' || ((ph >> (q * 8)) & 255)::VARCHAR AS ck
+       |  FROM hs, (SELECT unnest(generate_series(0, ${MultimodalOps.PhashChunks - 1})) AS q) qs),
+       |bounded AS (SELECT doc_id, ph, ck FROM (
+       |    SELECT doc_id, ph, ck, count(*) OVER (PARTITION BY ck) AS bn FROM ckd)
+       |  WHERE bn <= $cap),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |  FROM bounded a JOIN bounded b ON a.ck = b.ck AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.ph, b.ph)) <= $hm)
+       |SELECT a_id, b_id, hamming FROM pairs ORDER BY a_id, b_id""".stripMargin
+  }
+
   protected lazy val multimodalRegistry: Seq[(String, QueryDef)] = Seq(
 
     // ----- multimodal --------------------------------------------------
@@ -297,49 +351,29 @@ private[graft] trait QueriesMultimodal extends QueriesOracleHelpers {
     // popcount verify ahead of the pair distinct
     "image_phash_dup" -> QueryDef(
       (s, d) => MultimodalOps.imagePhashDup(Tables.documents(s, d)),
-      Some {
-        val coefRows = (for (k <- 0 until 8; n <- 0 until 8)
-          yield s"($k, $n, ${MultimodalOps.PhashDct(k)(n)})").mkString(", ")
-        val hm = MultimodalOps.PhashMaxHamming
-        val cap = MultimodalOps.PhashMaxBucket
-        s"""WITH prm AS (SELECT doc_id, text, 17 + (doc_id % 4) * 6 AS w,
-           |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
-           |el AS (SELECT doc_id, text, w, len, (len + w - 1) // w AS h
-           |  FROM prm WHERE len >= 7 * w + 1),
-           |pr AS (SELECT doc_id, w, h, len, text,
-           |    unnest(generate_series(0, h - 1)) AS r FROM el),
-           |pc AS (SELECT doc_id, w, h, r, len, text,
-           |    unnest(generate_series(0, w - 1)) AS c FROM pr),
-           |cells AS (SELECT doc_id, (r * 8) // h AS i, (c * 8) // w AS j,
-           |    CASE WHEN r * w + c < len
-           |      THEN ascii(substring(text, r * w + c + 1, 1)) ELSE 0 END AS v
-           |  FROM pc),
-           |cm AS MATERIALIZED (SELECT doc_id, i, j,
-           |    CAST(sum(v) AS BIGINT) // count(*) AS p
-           |  FROM cells GROUP BY doc_id, i, j),
-           |coef AS (SELECT * FROM (VALUES $coefRows) t(k, n, c)),
-           |tt AS MATERIALIZED (SELECT m.doc_id, cu.k AS u, cv.k AS v,
-           |    CAST(sum(cu.c * cv.c * m.p) AS BIGINT) AS t
-           |  FROM cm m JOIN coef cu ON cu.n = m.i JOIN coef cv ON cv.n = m.j
-           |  GROUP BY m.doc_id, cu.k, cv.k),
-           |md AS (SELECT doc_id, median(t) AS med FROM tt
-           |  WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
-           |hs AS MATERIALIZED (SELECT tt.doc_id,
-           |    CAST(sum(CASE WHEN NOT (u = 0 AND v = 0) AND t > med
-           |      THEN 1::BIGINT << (u * 8 + v - 1) ELSE 0 END) AS BIGINT) AS ph
-           |  FROM tt JOIN md ON tt.doc_id = md.doc_id GROUP BY tt.doc_id),
-           |ckd AS MATERIALIZED (SELECT doc_id, ph,
-           |    q::VARCHAR || ':' || ((ph >> (q * 8)) & 255)::VARCHAR AS ck
-           |  FROM hs, (SELECT unnest(generate_series(0, ${MultimodalOps.PhashChunks - 1})) AS q) qs),
-           |bounded AS (SELECT doc_id, ph, ck FROM (
-           |    SELECT doc_id, ph, ck, count(*) OVER (PARTITION BY ck) AS bn FROM ckd)
-           |  WHERE bn <= $cap),
-           |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-           |    CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
-           |  FROM bounded a JOIN bounded b ON a.ck = b.ck AND a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.ph, b.ph)) <= $hm)
-           |SELECT a_id, b_id, hamming FROM pairs ORDER BY a_id, b_id""".stripMargin
-      }),
+      Some(phashDupOracle("17 + (doc_id % 4) * 6", "")),
+    ),
+
+    // the COMPRESSED-image leg of perceptual dedup: the same integer
+    // DCT over genuinely PNG-round-tripped pixels (chunk CRCs, zlib,
+    // filter inversion all live) — the decoded grid is the payload
+    // bytes top-down under pngParams' geometry, so the oracle is the
+    // shared pHash chain at the PNG widths
+    "image_phash_dup_png" -> QueryDef(
+      (s, d) => MultimodalOps.imagePhashDupPng(Tables.documents(s, d)),
+      Some(phashDupOracle("19 + (doc_id % 4) * 8", ""))),
+
+    // quarantine-aware variant: the pngQuarantine bit-rot injection
+    // (doc_id % 3 == 2, one flipped byte INSIDE the zlib stream)
+    // composed into the dedup pipeline — a rejected container is
+    // skipped as a row, never a failed job, and its garbage bits
+    // never enter the pair graph; the oracle drops the same
+    // deterministic slice
+    "image_phash_dup_png_quarantined" -> QueryDef(
+      (s, d) => MultimodalOps.imagePhashDupPng(Tables.documents(s, d),
+        quarantine = true),
+      Some(phashDupOracle("19 + (doc_id % 4) * 8",
+        " AND NOT (doc_id % 3 = 2)"))),
 
     "multimodal_features" -> QueryDef(
       (s, d) => MultimodalOps.imageFeatures(Tables.documents(s, d)),

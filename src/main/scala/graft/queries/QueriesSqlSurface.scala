@@ -353,6 +353,44 @@ private[graft] trait QueriesSqlSurface extends QueriesOracleHelpers {
              |  round(l + b, 4) AS forecast_next
              |FROM rec ORDER BY event_type, day""".stripMargin)),
 
+    // Holt-Winters level+trend+SEASON (additive, 7-slot rotation over
+    // the observed day sequence, causal all-zero seasonal seeding):
+    // the same recursive-CTE replay widened to carry the seasonal
+    // LIST column, its one updated position rewritten per step with a
+    // list comprehension over generate_series
+    "events_holt_winters" -> QueryDef(
+      (s, d) => EventsOps.holtWintersDaily(Tables.events(s, d)),
+      Some {
+        // l' repeated verbatim inside b'/s' (no lambda lets in SQL);
+        // identical op sequence to the Spark fold -> bit-equal doubles
+        val lN = "(s2.x - r.s[((s2.i - 1) % 7) + 1]) * 0.5 + (r.l + r.b) * 0.5"
+        s"""WITH RECURSIVE daily AS (SELECT event_type,
+           |    strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS day,
+           |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS x
+           |  FROM events GROUP BY 1, 2),
+           |seq AS MATERIALIZED (SELECT event_type, day, x,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+           |  FROM daily),
+           |rec AS (
+           |  SELECT event_type, day, x, i, x AS l, 0.0::DOUBLE AS b,
+           |    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS s
+           |  FROM seq WHERE i = 1
+           |  UNION ALL
+           |  SELECT s2.event_type, s2.day, s2.x, s2.i,
+           |    $lN AS l,
+           |    (($lN) - r.l) * 0.25 + r.b * 0.75 AS b,
+           |    list_transform(generate_series(1, 7), j ->
+           |      CASE WHEN j = ((s2.i - 1) % 7) + 1
+           |        THEN (s2.x - ($lN)) * 0.25 + r.s[j] * 0.75
+           |        ELSE r.s[j] END) AS s
+           |  FROM rec r JOIN seq s2 ON s2.event_type = r.event_type AND s2.i = r.i + 1)
+           |SELECT event_type, day, round(x, 2) AS sum_value,
+           |  round(l, 4) AS level, round(b, 4) AS trend,
+           |  round(s[((i - 1) % 7) + 1], 4) AS season,
+           |  round(l + b + s[(i % 7) + 1], 4) AS forecast_next
+           |FROM rec ORDER BY event_type, day""".stripMargin
+      }),
+
     // robust outliers: median/MAD over exact integer cents (exact
     // percentile buffers bounded by the distinct-cents domain; the
     // even-count midpoint is exact binary, so counts carry zero

@@ -17,11 +17,10 @@ class RegistryCompositionSpec extends AnyFunSuite {
       "every registry query is oracle-gated (the round-10 invariant)")
   }
 
-  test("registry count matches the declared round-16 surface") {
-    // 255 at round 15 + ann_ivfadc + ann_ivfadc_recall_eval +
-    // ann_recall_nprobe_sweep + 6 NSW + events_holt_trend +
-    // image_phash_dup + fuzzy_reorder_resolve = 267
-    assert(Queries.registry.size === 267,
+  test("registry count matches the declared round-17 surface") {
+    // 267 at round 16 + ann_nsw_compacted + events_holt_winters +
+    // image_phash_dup_png + image_phash_dup_png_quarantined = 271
+    assert(Queries.registry.size === 271,
       s"got ${Queries.registry.size}: update this pin when adding queries")
   }
 }
