@@ -196,7 +196,32 @@ object ResolutionOps {
       .agg(count(lit(1)).as("rtruth"),
         coalesce(sum(col("hit_union").cast("long")), lit(0L)).as("rfu"),
         coalesce(sum(col("hit_sorted").cast("long")), lit(0L)).as("rfs"))
-    val rows = agg.crossJoin(revAgg).select(explode(array(
+    // the MULTI-FIELD class (the fuzzy_multikey_pairs gate's blocking):
+    // truth = record pairs within MaxEditDistance AND PriceBandCents
+    // over the distinct (name, cents) domain; the conjunction key
+    // reaches a pair iff a name key hits AND the base bands differ by
+    // at most 1 — the latter is ALWAYS true inside the truth set
+    // (pigeonhole), measured here rather than assumed, next to the
+    // name-only comparator showing the price conjunction costs zero
+    // recall while multiplying block selectivities
+    val recs = distinctRecords(part)
+    val ra = recs.select(col("p_name").as("name_a"), col("cents").as("ca"))
+    val rb = recs.select(col("p_name").as("name_b"), col("cents").as("cb"))
+    val nameHit =
+      tok("name_a", 0) === tok("name_b", 0) ||
+        tok("name_a", 1) === tok("name_b", 1) ||
+        sortedTokenSet(col("name_a")) === sortedTokenSet(col("name_b"))
+    val bandHit = abs(expr(s"ca DIV $PriceBandCents") -
+      expr(s"cb DIV $PriceBandCents")) <= 1L
+    val priceAgg = ra.crossJoin(broadcast(rb))
+      .where(col("name_a") < col("name_b") ||
+        (col("name_a") === col("name_b") && col("ca") < col("cb")))
+      .where(levenshtein(col("name_a"), col("name_b"), MaxEditDistance) >= 0 &&
+        abs(col("ca") - col("cb")) <= PriceBandCents)
+      .agg(count(lit(1)).as("ptruth"),
+        coalesce(sum((nameHit && bandHit).cast("long")), lit(0L)).as("pfc"),
+        coalesce(sum(nameHit.cast("long")), lit(0L)).as("pfn"))
+    val rows = agg.crossJoin(revAgg).crossJoin(priceAgg).select(explode(array(
       struct(lit("first_token").as("strategy"), lit("typo").as("pair_class"),
         col("f1").as("found"), col("truth")),
       struct(lit("first_last_union").as("strategy"), lit("typo").as("pair_class"),
@@ -206,7 +231,13 @@ object ResolutionOps {
       struct(lit("first_last_union").as("strategy"), lit("reorder").as("pair_class"),
         col("rfu").as("found"), col("rtruth").as("truth")),
       struct(lit("sorted_set_union").as("strategy"), lit("reorder").as("pair_class"),
-        col("rfs").as("found"), col("rtruth").as("truth")))).as("r"))
+        col("rfs").as("found"), col("rtruth").as("truth")),
+      struct(lit("conjunction_priceband").as("strategy"),
+        lit("price_typo").as("pair_class"),
+        col("pfc").as("found"), col("ptruth").as("truth")),
+      struct(lit("sorted_set_union").as("strategy"),
+        lit("price_typo").as("pair_class"),
+        col("pfn").as("found"), col("ptruth").as("truth")))).as("r"))
     rows
       .select(col("r.strategy").as("strategy"),
         col("r.pair_class").as("pair_class"), col("r.found").as("found"),
@@ -214,6 +245,71 @@ object ResolutionOps {
         TextAnalysisOps.det4(
           col("r.found").cast("double") / col("r.truth")).as("recall"))
       .orderBy("strategy", "pair_class")
+  }
+
+  /** Price-band width in exact cents for the multi-field leg: two
+    * records are the same listing only if their prices sit within
+    * $5 of each other, and each record blocks into band
+    * `cents DIV 500` AND the band above — pigeonhole: |Δ| ≤ width ⇒
+    * the two records' base bands differ by at most 1 ⇒ they share at
+    * least one exploded band, so the PRICE side of the blocking has
+    * candidate recall 1 by construction (the pHash-chunk argument on
+    * a numeric axis). */
+  val PriceBandCents = 500L
+
+  /** The entity domain of the multi-field leg: distinct
+    * (name, exact-cents) records — same name at two prices is two
+    * listings. */
+  private def distinctRecords(part: DataFrame): DataFrame =
+    part.select(col("p_name"),
+      floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .distinct()
+
+  /** MULTI-FIELD record linkage — blocking composed ACROSS fields,
+    * the standard multi-key ER shape: the block key is the
+    * CONJUNCTION of a name key (the proven first/last/sorted-set
+    * union) and an overlapping price band, so a candidate must look
+    * alike on BOTH axes before the verifier ever runs. Each record
+    * explodes to 3 name keys × 2 bands = 6 block rows (constants);
+    * the join stays a plain equi-join on the composite key, and the
+    * conjunction multiplies selectivities — a popular first token no
+    * longer floods a block unless the prices collide too, which is
+    * exactly why multi-field blocking is how production ER scales.
+    * Verifier: banded levenshtein ≤ [[MaxEditDistance]] AND
+    * |Δcents| ≤ [[PriceBandCents]] — the price side of the
+    * conjunction loses nothing by pigeonhole (measured, not assumed:
+    * [[fuzzyRecallEval]]'s price_typo rows).
+    */
+  def fuzzyMultiKeyPairs(part: DataFrame): DataFrame = {
+    val recs = distinctRecords(part)
+    val toks = split(col("p_name"), " ")
+    val blocked = recs
+      .withColumn("nk", explode(array_distinct(array(
+        concat(lit("f:"), toks.getItem(0)),
+        concat(lit("l:"), element_at(toks, -1)),
+        concat(lit("s:"), sortedTokenSet(col("p_name")))))))
+      .withColumn("band", explode(array(
+        expr(s"cents DIV $PriceBandCents"),
+        expr(s"cents DIV $PriceBandCents") + 1L)))
+      .select(col("p_name"), col("cents"),
+        concat(col("nk"), lit("@"), col("band")).as("blk"))
+    val a = blocked.select(col("blk"), col("p_name").as("name_a"),
+      col("cents").as("ca"))
+    val b = blocked.select(col("blk"), col("p_name").as("name_b"),
+      col("cents").as("cb"))
+    a.join(b, Seq("blk"))
+      .where(col("name_a") < col("name_b") ||
+        (col("name_a") === col("name_b") && col("ca") < col("cb")))
+      .select("name_a", "ca", "name_b", "cb").distinct()
+      .where(levenshtein(col("name_a"), col("name_b"), MaxEditDistance) >= 0 &&
+        abs(col("ca") - col("cb")) <= PriceBandCents)
+      .select(col("name_a"), col("name_b"),
+        round(col("ca") / 100.0, 2).as("price_a"),
+        round(col("cb") / 100.0, 2).as("price_b"),
+        levenshtein(col("name_a"), col("name_b"), MaxEditDistance)
+          .cast("long").as("dist"),
+        abs(col("ca") - col("cb")).as("price_diff_c"))
+      .orderBy("name_a", "name_b", "price_a", "price_b")
   }
 
   /** The reorder-robust RESOLUTION leg — the use case the sorted-set

@@ -517,6 +517,42 @@ private[graft] trait QueriesSqlSurface extends QueriesOracleHelpers {
              |FROM part p JOIN cn USING (p_name)
              |GROUP BY canon ORDER BY canon""".stripMargin)),
 
+    // MULTI-FIELD record linkage: the block key is the CONJUNCTION
+    // of a name key (first/last/sorted-set union) and an overlapping
+    // price band (cents DIV 500 and the band above — pigeonhole
+    // recall 1 on the price axis), so candidates must look alike on
+    // both fields before the verifier runs; equi-join only, 6 block
+    // rows per record, verify = banded levenshtein AND |delta cents|
+    "fuzzy_multikey_pairs" -> QueryDef(
+      (s, d) => ResolutionOps.fuzzyMultiKeyPairs(Tables.part(s, d)),
+      Some {
+        val sset = (c: String) =>
+          s"array_to_string(list_sort(list_distinct(string_split($c, ' '))), ' ')"
+        val w = ResolutionOps.PriceBandCents
+        s"""WITH recs AS (SELECT DISTINCT p_name,
+           |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents FROM part),
+           |b1 AS (SELECT p_name, cents, unnest(list_distinct([
+           |    'f:' || split_part(p_name, ' ', 1),
+           |    'l:' || string_split(p_name, ' ')[-1],
+           |    's:' || ${sset("p_name")}])) AS nk FROM recs),
+           |b2 AS (SELECT p_name, cents, nk,
+           |    unnest([cents // $w, cents // $w + 1]) AS band FROM b1),
+           |blocks AS (SELECT p_name, cents, nk || '@' || band::VARCHAR AS blk FROM b2),
+           |cand AS (SELECT DISTINCT a.p_name AS name_a, a.cents AS ca,
+           |    b.p_name AS name_b, b.cents AS cb
+           |  FROM blocks a JOIN blocks b USING (blk)
+           |  WHERE a.p_name < b.p_name
+           |     OR (a.p_name = b.p_name AND a.cents < b.cents))
+           |SELECT name_a, name_b,
+           |  round(ca / 100.0, 2) AS price_a, round(cb / 100.0, 2) AS price_b,
+           |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+           |  CAST(abs(ca - cb) AS BIGINT) AS price_diff_c
+           |FROM cand
+           |WHERE levenshtein(name_a, name_b) <= ${ResolutionOps.MaxEditDistance}
+           |  AND abs(ca - cb) <= $w
+           |ORDER BY name_a, name_b, price_a, price_b""".stripMargin
+      }),
+
     // blocking-recall eval (the ann_recall_eval discipline applied to
     // record linkage): unblocked banded-levenshtein truth over the
     // distinct-name domain vs what each blocking strategy can reach —
@@ -549,7 +585,34 @@ private[graft] trait QueriesSqlSurface extends QueriesOracleHelpers {
            |      OR string_split(na, ' ')[-1] = string_split(nb, ' ')[-1]
            |    THEN 1 ELSE 0 END), 0) AS rfu,
            |  count(*) AS rfs
-           |  FROM rv WHERE na <> nb)
+           |  FROM rv WHERE na <> nb),
+           |recs AS (SELECT DISTINCT p_name,
+           |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents FROM part),
+           |pt AS (SELECT a.p_name AS na, a.cents AS ca, b.p_name AS nb, b.cents AS cb
+           |  FROM recs a JOIN recs b
+           |    ON (a.p_name < b.p_name OR (a.p_name = b.p_name AND a.cents < b.cents))
+           |  WHERE levenshtein(a.p_name, b.p_name) <= ${ResolutionOps.MaxEditDistance}
+           |    AND abs(a.cents - b.cents) <= ${ResolutionOps.PriceBandCents}),
+           |pf AS (SELECT count(*) AS ptruth,
+           |  coalesce(sum(CASE WHEN (split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+           |      OR string_split(na, ' ')[-1] = string_split(nb, ' ')[-1]
+           |      OR ${sset("na")} = ${sset("nb")})
+           |      AND abs(ca // ${ResolutionOps.PriceBandCents}
+           |              - cb // ${ResolutionOps.PriceBandCents}) <= 1
+           |    THEN 1 ELSE 0 END), 0) AS pfc,
+           |  coalesce(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+           |      OR string_split(na, ' ')[-1] = string_split(nb, ' ')[-1]
+           |      OR ${sset("na")} = ${sset("nb")}
+           |    THEN 1 ELSE 0 END), 0) AS pfn
+           |  FROM pt)
+           |SELECT 'conjunction_priceband' AS strategy, 'price_typo' AS pair_class,
+           |  CAST(pfc AS BIGINT) AS found, CAST(ptruth AS BIGINT) AS truth,
+           |  ${TextAnalysisOps.det4Sql("pfc::DOUBLE / ptruth")} AS recall FROM pf
+           |UNION ALL
+           |SELECT 'sorted_set_union', 'price_typo', CAST(pfn AS BIGINT),
+           |  CAST(ptruth AS BIGINT),
+           |  ${TextAnalysisOps.det4Sql("pfn::DOUBLE / ptruth")} FROM pf
+           |UNION ALL
            |SELECT 'first_last_union' AS strategy, 'reorder' AS pair_class,
            |  CAST(rfu AS BIGINT) AS found, CAST(rtruth AS BIGINT) AS truth,
            |  ${TextAnalysisOps.det4Sql("rfu::DOUBLE / rtruth")} AS recall FROM r

@@ -19,8 +19,9 @@ class RegistryCompositionSpec extends AnyFunSuite {
 
   test("registry count matches the declared round-17 surface") {
     // 267 at round 16 + ann_nsw_compacted + events_holt_winters +
-    // image_phash_dup_png + image_phash_dup_png_quarantined = 271
-    assert(Queries.registry.size === 271,
+    // image_phash_dup_png + image_phash_dup_png_quarantined +
+    // fuzzy_multikey_pairs = 272
+    assert(Queries.registry.size === 272,
       s"got ${Queries.registry.size}: update this pin when adding queries")
   }
 }
