@@ -32,11 +32,13 @@ class NswAdaptiveSpec extends AnyFunSuite {
     assert(auto === pinned)
   }
 
-  test("replica shape: hash-spread seeds survive sparse ids and per-leg pair work stays ~n^1.5") {
+  test("100x replica shape: hash-spread seeds survive sparse ids and per-leg pair work stays ~n^1.5") {
     VectorFunctions.register(spark)
-    // the mk10x/mk100x replication model: byte-identical copies,
-    // vec_id shifted by 1e9 per copy
-    val rep = (0 until 10)
+    // the mk100x replication model at its real copy count: 100
+    // byte-identical copies, vec_id shifted by 1e9 per copy — the
+    // dense-duplicate worst case at the exact scale the standing
+    // 100x artifacts gate
+    val rep = (0 until 100)
       .map(c => emb.select(
         (col("vec_id") + lit(c * 1000000000L)).as("vec_id"),
         col("embedding")))
@@ -44,7 +46,7 @@ class NswAdaptiveSpec extends AnyFunSuite {
       .cache()
     val n = rep.count()
     val (k, stride) = SimilarityOps.semAdaptiveParams(n)
-    assert(k === 71) // ceil(sqrt(5000))
+    assert(k === 224) // ceil(sqrt(50000))
 
     val target = math.pow(n.toDouble, 1.5)
     for (mod <- SimilarityOps.NswMods) {

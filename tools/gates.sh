@@ -8,25 +8,47 @@ log=/tmp/gates.log
 : > "$log"
 stage() { echo "=== $1 ===" | tee -a "$log"; }
 
+# Disk-headroom pre-flight + per-stage spill reclaim (VERDICT r16
+# item 4): the r16 chain filled /tmp mid-run and salted 22 spurious
+# IOException failures into the committed test reports. Every stage
+# now starts from a clean spill dir and a verified headroom floor.
+SPILL=${SPARK_LOCAL_DIR:-/tmp/graft_spill}
+headroom() {
+  rm -rf "$SPILL" /root/repo/.tmp && mkdir -p "$SPILL"
+  avail_gb=$(df -BG --output=avail /tmp | tail -1 | tr -dc 0-9)
+  if [ "$avail_gb" -lt 40 ]; then
+    echo "ABORT: only ${avail_gb}G free on /tmp (need 40G)" | tee -a "$log"
+    exit 1
+  fi
+  echo "headroom: ${avail_gb}G free" >> "$log"
+}
+
+headroom
 stage "sf0.01 cold"
 SPARK_GRAFT_CPUS=32 tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/v_001 2>/dev/null | tail -1 | tee -a "$log"
 python3 tools/check.py /root/testdata/sf0.01 /tmp/v_001 2>&1 | tail -1 | tee -a "$log"
+headroom
 stage "sf0.01 warm"
 SPARK_GRAFT_CPUS=32 tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/v_001 2>/dev/null | tail -1 | tee -a "$log"
 python3 tools/check.py /root/testdata/sf0.01 /tmp/v_001 2>&1 | tail -1 | tee -a "$log"
+headroom
 stage "sf0.1"
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g tools/run.sh graft.Verify /root/testdata/sf0.1 /tmp/v_01 2>/dev/null | tail -1 | tee -a "$log"
 python3 tools/check.py /root/testdata/sf0.1 /tmp/v_01 CORRECTNESS_sf0.1.json 2>&1 | tail -1 | tee -a "$log"
+headroom
 stage "local4"
 SPARK_GRAFT_CPUS=4 SPARK_DRIVER_MEM=16g tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/v_l4 2>/dev/null | tail -1 | tee -a "$log"
 python3 tools/check.py /root/testdata/sf0.01 /tmp/v_l4 CORRECTNESS_local4.json 2>&1 | tail -1 | tee -a "$log"
+headroom
 stage "10x"
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g tools/run.sh graft.Verify /tmp/sf1 /tmp/v_10x 2>/dev/null | tail -1 | tee -a "$log"
 python3 tools/check.py /tmp/sf1 /tmp/v_10x CORRECTNESS_10x.json 2>&1 | tail -1 | tee -a "$log"
+headroom
 stage "skew"
 # 60g: at 48g the r16 run hit GCLocker starvation ("Retried waiting
 # for GCLocker too often") and the JVM died mid-registry — the codec
 # seams' java.util.zip JNI critical regions under a nearly-full heap
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=60g tools/run.sh graft.Verify /tmp/sfskew /tmp/v_skew 2>/dev/null | tail -1 | tee -a "$log"
 python3 tools/check.py /tmp/sfskew /tmp/v_skew CORRECTNESS_skew.json 2>&1 | tail -1 | tee -a "$log"
+rm -rf "$SPILL"
 echo "=== ALL GATES DONE ===" | tee -a "$log"

@@ -11,8 +11,18 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
+# Explicit, cleanable shuffle/spill dir (VERDICT r16 item 4): the gate
+# chain used to scatter block-manager dirs under /tmp and fill the
+# filesystem mid-run; one named dir lets gates.sh reclaim it between
+# stages and makes the disk cost observable. java.io.tmpdir stays
+# /tmp on purpose — Fixtures.ensure keys its write-once index layouts
+# off it, and those must SURVIVE across gate stages (the warm stage
+# exists to prove their reuse).
+SPILL=${SPARK_LOCAL_DIR:-/tmp/graft_spill}
+mkdir -p "$SPILL"
 exec java $ADD_OPENS \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.local.dir="$SPILL" \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$CLS" "$@"
