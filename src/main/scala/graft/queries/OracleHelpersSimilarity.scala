@@ -493,12 +493,12 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
        |a$tag AS MATERIALIZED (SELECT vec_id, cid, embedding FROM (
        |    SELECT e.vec_id, c.cid, e.embedding, row_number() OVER (
        |      PARTITION BY e.vec_id
-       |      ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS crank
+       |      ORDER BY round(${cos64Sql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS crank
        |    FROM $rel e CROSS JOIN c$tag c) WHERE crank = 1),
        |g$tag AS (SELECT vec_id AS src, dst FROM (
        |    SELECT a.vec_id, b.vec_id AS dst, row_number() OVER (
        |      PARTITION BY a.vec_id
-       |      ORDER BY round(${cosSql("a.embedding", "b.embedding")}, 6) DESC, b.vec_id) AS rn
+       |      ORDER BY round(${cos64Sql("a.embedding", "b.embedding")}, 6) DESC, b.vec_id) AS rn
        |    FROM $pairA a JOIN $pairB b
        |      ON a.cid = b.cid AND b.vec_id <> a.vec_id) WHERE rn <= $g)""".stripMargin
   }
@@ -527,14 +527,14 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
          |  LEFT JOIN v${r - 1} v ON n.probe_id = v.probe_id AND n.vec_id = v.vec_id
          |  WHERE v.vec_id IS NULL),
          |v$r AS MATERIALIZED (SELECT * FROM v${r - 1} UNION ALL
-         |  SELECT u.probe_id, u.vec_id, ${cosSql("p.pv", "w.embedding")} AS score
+         |  SELECT u.probe_id, u.vec_id, ${cos64Sql("p.pv", "w.embedding")} AS score
          |  FROM u$r u JOIN p ON u.probe_id = p.probe_id
          |    JOIN verts w ON u.vec_id = w.vec_id)""".stripMargin
     }.mkString(",\n")
     s"""verts AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings $liveWhere),
        |p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
        |v0 AS MATERIALIZED (SELECT p.probe_id, w.vec_id,
-       |    ${cosSql("p.pv", "w.embedding")} AS score
+       |    ${cos64Sql("p.pv", "w.embedding")} AS score
        |  FROM p CROSS JOIN verts w
        |  WHERE w.vec_id < $ent AND w.vec_id <> p.probe_id),
        |$roundCtes
