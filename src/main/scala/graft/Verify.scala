@@ -12,6 +12,11 @@ object Verify {
       case _ => sys.error("usage: Verify <sfDir> <outDir> [query ...]")
     }
     def selected(name: String): Boolean = only.isEmpty || only(name)
+    // fail fast on unknown names (the Bench discipline): a typo'd
+    // subset would otherwise dump nothing and look like a clean run
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,6 +39,7 @@ object Verify {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.delete)
       }
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
         val dest = Paths.get(outDir, name)
@@ -45,6 +51,7 @@ object Verify {
           Files.writeString(dest.resolve("_GRAFT_STAMP"), runStamp)
         } catch { case e: Throwable =>
           rmTree(dest)
+          failed ::= name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -67,5 +74,24 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Refuse to exit 0 on an incomplete dump (VERDICT r17 ask #8):
+    // round 17's driver artifact was a silent `{}` because a partial
+    // run still looked like success. Everything above still runs —
+    // the partial outputs and oracle json stay on disk for diagnosis
+    // — but the exit code now says the truth.
+    val expected =
+      SparkEntry.queries.count { case (n, _) => selected(n) }
+    val code = exitCode(expected, failed)
+    if (code != 0) {
+      System.err.println(s"[verify] INCOMPLETE: dumped " +
+        s"${expected - failed.size}/$expected; failed: " +
+        failed.sorted.mkString(", "))
+      sys.exit(code)
+    }
   }
+
+  /** 0 only when every selected query dumped; unit-tested so the
+    * guard can't rot (testing `main` would kill the JVM). */
+  private[graft] def exitCode(expected: Int, failed: Seq[String]): Int =
+    if (failed.nonEmpty || expected <= 0) 1 else 0
 }

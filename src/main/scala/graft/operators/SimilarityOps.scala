@@ -633,8 +633,10 @@ object SimilarityOps {
     * footers instead of a few full ones. The rewrite shuffles rows to
     * their partition key (`repartition(centroid_id)`) so each writer
     * task owns whole partitions and emits ONE file per list, then
-    * commits by directory rename — readers see either the old layout
-    * or the new one, never a half-rewritten mix. Row content is
+    * commits by [[publishDir]]'s rename-aside — a crash leaves the
+    * old layout (recoverable at `_old`) or the new one, never
+    * neither; the publish is single-process, not a concurrent-reader
+    * protocol. Row content is
     * untouched (proven in [[IndexMaintenanceSpec]] along with probe
     * equality before/after).
     */
@@ -656,14 +658,34 @@ object SimilarityOps {
     kept
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp.getPath)
-    val live = new java.io.File(listsDir)
+    publishDir(tmp, new java.io.File(listsDir))
+  }
+
+  /** Crash-safer publish for the compaction rewrites: the staged
+    * directory replaces the live one via rename-ASIDE (live →
+    * live_old, staging → live, delete live_old), so no instant
+    * exists with NO layout on disk — the previous rm-then-move left
+    * a window where a crash stranded the new copy at `*_compacting`
+    * with the old one already gone. A leftover `_old` dir from a
+    * crashed earlier publish is reclaimed first. Single-process
+    * discipline still applies: this is crash-robust, not a
+    * concurrent-writer commit protocol (that would need a manifest).
+    * Deletion null-guards `listFiles()` (null on a dir that vanished
+    * or errored mid-walk — treat as already empty, don't NPE with a
+    * half-deleted tree behind).
+    */
+  private[graft] def publishDir(staging: java.io.File,
+                                live: java.io.File): Unit = {
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
       f.delete(); ()
     }
-    rm(live)
-    java.nio.file.Files.move(tmp.toPath, live.toPath)
-    ()
+    val old = new java.io.File(live.getPath + "_old")
+    rm(old)
+    if (live.exists()) java.nio.file.Files.move(live.toPath, old.toPath)
+    java.nio.file.Files.move(staging.toPath, live.toPath)
+    rm(old)
   }
 
   /** Steady-state ANN over the upserted index: probe the
@@ -2258,8 +2280,9 @@ object SimilarityOps {
     * adjacency storage forever. The rewrite hash-clusters edges by
     * src into [[NswCompactFiles]] whole files (one file per writer
     * task — the small-files tax of per-batch appends paid down) and
-    * publishes by directory rename: readers see the old layout or
-    * the new one, never a half-rewritten mix. Any `batch_id=`
+    * publishes by [[publishDir]]'s rename-aside: a crash leaves the
+    * old layout (recoverable at `_old`) or the new one, never
+    * neither (single-process publish). Any `batch_id=`
     * partitioning of the streamed layout is deliberately flattened —
     * compaction is where append history stops mattering.
     */
@@ -2276,14 +2299,7 @@ object SimilarityOps {
       .select(col("src"), col("dst"))
       .repartition(NswCompactFiles, col("src"))
       .write.mode("overwrite").parquet(tmp.getPath)
-    val live = new java.io.File(edgesDir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(live)
-    java.nio.file.Files.move(tmp.toPath, live.toPath)
-    ()
+    publishDir(tmp, new java.io.File(edgesDir))
   }
 
   /** Write-once COMPACTED graph layout: a byte-equivalent copy of

@@ -8,13 +8,46 @@ Optional third arg: a path to write a CORRECTNESS_r{N}.json-shaped
 report (per-query rows/schema/hash match), so the 10x gate at /tmp/sf1
 is a standing artifact (CORRECTNESS_10x.json) instead of judge
 archaeology."""
-import json, math, os, sys
+import fcntl, json, math, os, shutil, sys
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 report_path = sys.argv[3] if len(sys.argv) > 3 else None
 report = {}
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# Refuse to bless a vacuous run (VERDICT r17 ask #8): an empty oracle
+# dump means Verify never completed — writing a {} report (or "0/0
+# match") would read as green to everything downstream. Checked FIRST,
+# before the lock/spill side effects: the refusal must be free.
+if not oracle:
+    sys.exit(f"ABORT: {outdir}/oracle_sql.json is empty — refusing to "
+             "compare/report a vacuous run (the r17 silent-{} failure)")
+
+# Heavy-harness serialization (VERDICT r17 ask #2): the r17 driver
+# artifacts were poisoned by a 42 GB DuckDB 100x check co-running with
+# the driver's verify/bench window. Block on the same lockfile run.sh
+# and gates.sh take; GRAFT_LOCK_HELD marks a parent already holding it.
+if not os.environ.get("GRAFT_LOCK_HELD"):
+    _lock = open("/tmp/graft_heavy.lock", "w")
+    fcntl.flock(_lock, fcntl.LOCK_EX)
+
+# Disk-headroom pre-flight mirroring gates.sh's (VERDICT r17 finding
+# #3: the manual check.py path filled /tmp with DuckDB spill and
+# errored 4 oracle rows on ENOSPC mid-gate). Start from a clean spill
+# dir, verify the floor, and BOUND the spill so a runaway oracle
+# errors loudly instead of exhausting the filesystem under everything
+# else on the host.
+_spill = "/tmp/duckdb_spill"
+shutil.rmtree(_spill, ignore_errors=True)
+os.makedirs(_spill, exist_ok=True)
+_free_gb = shutil.disk_usage("/tmp").free // 2**30
+_need_gb = int(os.environ.get("GRAFT_MIN_HEADROOM_GB", "40"))
+if _free_gb < _need_gb:
+    sys.exit(f"ABORT: only {_free_gb}G free on /tmp (need {_need_gb}G)")
+_temp_cap = os.environ.get("GRAFT_DUCKDB_TEMP_CAP",
+                           f"{max(10, _free_gb - 15)}GiB")
 
 # One FRESH connection per oracle query. The heavy rebuild oracles
 # (IVF-PQ at the 100x fixture) reliably pass on a fresh connection
@@ -28,6 +61,10 @@ report = {}
 def connect():
     c = duckdb.connect()
     c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    try:
+        c.execute(f"SET max_temp_directory_size='{_temp_cap}'")
+    except duckdb.Error:
+        pass  # older duckdb without the cap setting
     c.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '80GB')}'")
     c.execute(f"SET threads={os.environ.get('GRAFT_DUCKDB_THREADS', '8')}")
     c.execute("SET preserve_insertion_order=false")
@@ -38,7 +75,6 @@ def connect():
 
 con = connect()
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
 
 
@@ -120,6 +156,9 @@ if report_path:
             except Exception:
                 n = None
             record(name, spark_rows=n, err="no_oracle")
+    if not report:
+        sys.exit(f"ABORT: zero rows to report — refusing to write an "
+                 f"empty {report_path} (the r17 silent-{{}} failure)")
     with open(report_path, "w") as f:
         json.dump(dict(sorted(report.items())), f, indent=2)
     print(f"report -> {report_path}")

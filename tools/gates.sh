@@ -4,6 +4,12 @@
 # one line per stage to /tmp/gates.log.
 set -e
 cd /root/repo
+# Heavy-harness serialization (VERDICT r17 ask #2): the whole chain
+# holds the shared lock; run.sh and check.py skip re-acquiring via
+# GRAFT_LOCK_HELD (re-entrancy for child processes).
+if [ -z "${GRAFT_LOCK_HELD:-}" ]; then
+  exec env GRAFT_LOCK_HELD=1 flock /tmp/graft_heavy.lock "$0" "$@"
+fi
 log=/tmp/gates.log
 : > "$log"
 stage() { echo "=== $1 ===" | tee -a "$log"; }
@@ -12,7 +18,15 @@ stage() { echo "=== $1 ===" | tee -a "$log"; }
 # item 4): the r16 chain filled /tmp mid-run and salted 22 spurious
 # IOException failures into the committed test reports. Every stage
 # now starts from a clean spill dir and a verified headroom floor.
+# SPILL is ALWAYS the dedicated graft_spill subdir (r17 advice: with
+# SPARK_LOCAL_DIR=/tmp the raw value would make headroom() wipe /tmp
+# itself, destroying the write-once /tmp/graft_* fixture caches);
+# run.sh applies the same normalization so we clean what it dirties.
 SPILL=${SPARK_LOCAL_DIR:-/tmp/graft_spill}
+case "$SPILL" in
+  */graft_spill) : ;;
+  *) SPILL="${SPILL%/}/graft_spill" ;;
+esac
 headroom() {
   rm -rf "$SPILL" /root/repo/.tmp && mkdir -p "$SPILL"
   avail_gb=$(df -BG --output=avail /tmp | tail -1 | tr -dc 0-9)

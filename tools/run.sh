@@ -3,6 +3,16 @@
 # sbt runMain). Usage: tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
 set -euo pipefail
 CLS=$1; shift
+# Heavy-harness serialization (VERDICT r17 ask #2): at most ONE heavy
+# job — Verify/Bench JVM, gates.sh stage, or a check.py oracle pass —
+# runs at a time. Round 17's empty CORRECTNESS artifact and 3.8x bench
+# were a 42 GB DuckDB 100x check co-running with the driver's evidence
+# window; every entry point now blocks on the same lockfile. The
+# GRAFT_LOCK_HELD guard makes the lock re-entrant for a holder's child
+# processes (gates.sh stages call run.sh + check.py).
+if [ -z "${GRAFT_LOCK_HELD:-}" ]; then
+  exec env GRAFT_LOCK_HELD=1 flock /tmp/graft_heavy.lock "$0" "$CLS" "$@"
+fi
 ADD_OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
          java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
@@ -18,7 +28,15 @@ done
 # /tmp on purpose — Fixtures.ensure keys its write-once index layouts
 # off it, and those must SURVIVE across gate stages (the warm stage
 # exists to prove their reuse).
+# The dir is ALWAYS the dedicated graft_spill subdir of whatever
+# SPARK_LOCAL_DIR names (r17 advice: gates.sh rm-rf's $SPILL between
+# stages — SPARK_LOCAL_DIR=/tmp must never make that wipe /tmp
+# itself). Same normalization as gates.sh, so they clean what we dirty.
 SPILL=${SPARK_LOCAL_DIR:-/tmp/graft_spill}
+case "$SPILL" in
+  */graft_spill) : ;;
+  *) SPILL="${SPILL%/}/graft_spill" ;;
+esac
 mkdir -p "$SPILL"
 exec java $ADD_OPENS \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
