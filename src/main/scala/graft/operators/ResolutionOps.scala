@@ -86,6 +86,12 @@ object ResolutionOps {
     val b = blockedNames(part).select(col("blk"), col("p_name").as("name_b"))
     a.join(b, Seq("blk"))
       .where(col("name_a") < col("name_b"))
+      // length-band pre-filter, implied by every consumer's
+      // levenshtein ≤ MaxEditDistance verifier (edit distance is at
+      // least the length difference): prunes before the pair-dedup
+      // shuffle and the per-pair DP
+      .where(abs(length(col("name_a")) - length(col("name_b")))
+        <= MaxEditDistance)
       .select(col("name_a"), col("name_b"))
       .distinct()
   }
@@ -146,14 +152,19 @@ object ResolutionOps {
     * first∪last union.
     *
     * == Scale shape ==
-    * The truth side is inherently quadratic in the name domain —
-    * that is what makes it GROUND TRUTH, and why it lives in an eval
-    * query, not the production path. At gate SFs the distinct-name
-    * domain is model-sized (the broadcast below); at 100 TB the same
-    * eval runs over a deterministic SAMPLE of the name domain —
-    * recall is a statistical property, so a sampled truth estimates
-    * it without the full quadratic pass (the ann_recall_eval probe
-    * sample, applied to pairs).
+    * The truth side is inherently quadratic in its domain — that is
+    * what makes it GROUND TRUTH, and why it lives in an eval query,
+    * not the production path. The distinct-NAME domain is model-sized
+    * at every SF (names collide heavily), so the typo/reorder truth
+    * passes run it whole; the RECORD domain (name × exact cents) is
+    * corpus-shaped, so its truth pass runs over [[sampledRecords]] —
+    * a deterministic md5 hash-sample whose rate derives from
+    * `count(*)` on both engines ([[TruthSampleHashSql]], shared
+    * verbatim with the oracle). Recall is a statistical property; a
+    * ~[[FuzzyTruthSampleTarget]]-record sample estimates it with a
+    * bounded ~target² pass at ANY corpus size (the ann_recall_eval
+    * probe-sample precedent), and below ~4·target records the sample
+    * is the full domain (d = 1), keeping small-SF gates exhaustive.
     */
   def fuzzyRecallEval(part: DataFrame): DataFrame = {
     def tok(c: String, i: Int) =
@@ -198,13 +209,19 @@ object ResolutionOps {
         coalesce(sum(col("hit_sorted").cast("long")), lit(0L)).as("rfs"))
     // the MULTI-FIELD class (the fuzzy_multikey_pairs gate's blocking):
     // truth = record pairs within MaxEditDistance AND PriceBandCents
-    // over the distinct (name, cents) domain; the conjunction key
-    // reaches a pair iff a name key hits AND the base bands differ by
-    // at most 1 — the latter is ALWAYS true inside the truth set
-    // (pigeonhole), measured here rather than assumed, next to the
-    // name-only comparator showing the price conjunction costs zero
-    // recall while multiplying block selectivities
-    val recs = distinctRecords(part)
+    // over the SAMPLED distinct (name, cents) domain (r17 verdict #2:
+    // the record domain is the corpus, not a model — a full quadratic
+    // pass over it was the registry's most expensive row and is
+    // impossible at 100 TB; recall is a statistical property, so the
+    // deterministic [[sampledRecords]] hash-sample estimates it, the
+    // ann_recall_eval probe-sample precedent applied to pairs; at
+    // gate SFs below ~4·target the sample IS the full domain). The
+    // conjunction key reaches a pair iff a name key hits AND the base
+    // bands differ by at most 1 — the latter is ALWAYS true inside
+    // the truth set (pigeonhole), measured here rather than assumed,
+    // next to the name-only comparator showing the price conjunction
+    // costs zero recall while multiplying block selectivities
+    val recs = sampledRecords(part)
     val ra = recs.select(col("p_name").as("name_a"), col("cents").as("ca"))
     val rb = recs.select(col("p_name").as("name_b"), col("cents").as("cb"))
     val nameHit =
@@ -213,11 +230,24 @@ object ResolutionOps {
         sortedTokenSet(col("name_a")) === sortedTokenSet(col("name_b"))
     val bandHit = abs(expr(s"ca DIV $PriceBandCents") -
       expr(s"cb DIV $PriceBandCents")) <= 1L
-    val priceAgg = ra.crossJoin(broadcast(rb))
+    // FACTORIZED truth enumeration (not blocking — completeness is by
+    // construction): the levenshtein predicate only sees names, so
+    // the exhaustive quadratic pass runs over the sampled DISTINCT
+    // NAME domain (model-sized — names collide heavily), and record
+    // pairs inherit membership through a plain equi-join on both
+    // names before the row-local cents window. Identical truth SET to
+    // the record-level cross join, with the DP count dropping from
+    // |records|² to |names|² (sf0.1: 9.4M → 4k).
+    val sNames = recs.select(col("p_name")).distinct()
+    val m = sNames.select(col("p_name").as("name_a"))
+      .crossJoin(broadcast(sNames.select(col("p_name").as("name_b"))))
+      .where(col("name_a") <= col("name_b"))
+      .where(levenshtein(col("name_a"), col("name_b"), MaxEditDistance) >= 0)
+    val priceAgg = ra.join(broadcast(m), Seq("name_a"))
+      .join(rb, Seq("name_b"))
       .where(col("name_a") < col("name_b") ||
         (col("name_a") === col("name_b") && col("ca") < col("cb")))
-      .where(levenshtein(col("name_a"), col("name_b"), MaxEditDistance) >= 0 &&
-        abs(col("ca") - col("cb")) <= PriceBandCents)
+      .where(abs(col("ca") - col("cb")) <= PriceBandCents)
       .agg(count(lit(1)).as("ptruth"),
         coalesce(sum((nameHit && bandHit).cast("long")), lit(0L)).as("pfc"),
         coalesce(sum(nameHit.cast("long")), lit(0L)).as("pfn"))
@@ -245,6 +275,50 @@ object ResolutionOps {
         TextAnalysisOps.det4(
           col("r.found").cast("double") / col("r.truth")).as("recall"))
       .orderBy("strategy", "pair_class")
+  }
+
+  /** Target size of the sampled record-domain ground truth in
+    * [[fuzzyRecallEval]]'s price_typo rows: the sample keeps roughly
+    * this many records, so the quadratic truth pass costs
+    * ~target² banded comparisons REGARDLESS of corpus size. 4096²
+    * ≈ 17M pairs — seconds on one node, and a large enough pair
+    * population that the recall estimate's sampling error is noise
+    * (the truth set at sf0.1 still has thousands of positive pairs).
+    */
+  val FuzzyTruthSampleTarget = 4096L
+
+  /** Deterministic hash of the (p_name, cents) record for the
+    * sampled ground truth — shared VERBATIM with the DuckDB oracle
+    * (both engines evaluate this exact SQL string): the first 8 hex
+    * chars of `md5(p_name#cents)` read as a base-16 integer, uniform
+    * on [0, 16⁸). A record enters the truth sample iff
+    * `hash % d = 0` with `d = greatest(1, n DIV target)` derived
+    * from `count(*)` on both sides (the semAdaptiveParams
+    * discipline), so d=1 — the FULL truth, bit-identical to the
+    * unsampled eval — at gate SFs up to ~4·target records, and the
+    * sample stays ~target-sized from there to 100 TB. md5/substring/
+    * instr/CAST behave identically in Spark and DuckDB (checked:
+    * same digest, same 1-based instr, same BIGINT arithmetic); the
+    * CAST keeps the 16⁷-scaled term out of 32-bit overflow.
+    */
+  val TruthSampleHashSql: String = (1 to 8).map { i =>
+    s"CAST(instr('0123456789abcdef', substring(md5(concat(p_name, '#', " +
+      s"cents)), $i, 1)) - 1 AS BIGINT) * ${math.pow(16, 8 - i).toLong}"
+  }.mkString("(", " + ", ")")
+
+  /** The sampled record domain: every record at small n (d = 1),
+    * a deterministic ~[[FuzzyTruthSampleTarget]]-record hash sample
+    * at scale. The one-row `d` table broadcasts; the filter is
+    * row-local — no shuffle is added to the truth pass, its join
+    * input just shrinks quadratically.
+    */
+  private def sampledRecords(part: DataFrame): DataFrame = {
+    val recs = distinctRecords(part)
+    val dd = recs.agg(
+      expr(s"greatest(1, count(1) DIV $FuzzyTruthSampleTarget)").as("d"))
+    recs.crossJoin(broadcast(dd))
+      .where(expr(s"$TruthSampleHashSql % d = 0"))
+      .select(col("p_name"), col("cents"))
   }
 
   /** Price-band width in exact cents for the multi-field leg: two
@@ -275,6 +349,10 @@ object ResolutionOps {
     * conjunction multiplies selectivities — a popular first token no
     * longer floods a block unless the prices collide too, which is
     * exactly why multi-field blocking is how production ER scales.
+    * Measured at sf0.1 (r18, the verdict's "does the band actually
+    * prune" question): 39.8M block-join pairs under the name keys
+    * alone vs 7.7M under the ±1-band conjunction — a 5.2× prune on
+    * this catalog, with recall 1 on the price axis by pigeonhole.
     * Verifier: banded levenshtein ≤ [[MaxEditDistance]] AND
     * |Δcents| ≤ [[PriceBandCents]] — the price side of the
     * conjunction loses nothing by pigeonhole (measured, not assumed:
@@ -283,31 +361,80 @@ object ResolutionOps {
   def fuzzyMultiKeyPairs(part: DataFrame): DataFrame = {
     val recs = distinctRecords(part)
     val toks = split(col("p_name"), " ")
+    // per-RECORD derived columns (first/last token, length, base
+    // band) are computed once per block row here — NOT inside the
+    // join's filters, where every string split would re-run per
+    // JOINED pair (~6M× instead of ~100k×; measured ~5 s of the
+    // row's cost at sf0.1 before this hoist)
     val blocked = recs
       .withColumn("nk", explode(array_distinct(array(
         concat(lit("f:"), toks.getItem(0)),
         concat(lit("l:"), element_at(toks, -1)),
         concat(lit("s:"), sortedTokenSet(col("p_name")))))))
-      .withColumn("band", explode(array(
-        expr(s"cents DIV $PriceBandCents"),
-        expr(s"cents DIV $PriceBandCents") + 1L)))
-      .select(col("p_name"), col("cents"),
+      .withColumn("base", expr(s"cents DIV $PriceBandCents"))
+      .withColumn("band", explode(array(col("base"), col("base") + 1L)))
+      .select(col("p_name"), col("cents"), col("base"), col("band"),
+        toks.getItem(0).as("t0"), element_at(toks, -1).as("tl"),
+        length(col("p_name")).as("len"),
         concat(col("nk"), lit("@"), col("band")).as("blk"))
-    val a = blocked.select(col("blk"), col("p_name").as("name_a"),
-      col("cents").as("ca"))
+    val a = blocked.select(col("blk"), col("band"),
+      col("p_name").as("name_a"), col("cents").as("ca"),
+      col("base").as("base_a"), col("t0").as("t0a"), col("tl").as("tla"),
+      col("len").as("len_a"))
     val b = blocked.select(col("blk"), col("p_name").as("name_b"),
-      col("cents").as("cb"))
+      col("cents").as("cb"), col("base").as("base_b"),
+      col("t0").as("t0b"), col("tl").as("tlb"), col("len").as("len_b"))
     a.join(b, Seq("blk"))
       .where(col("name_a") < col("name_b") ||
         (col("name_a") === col("name_b") && col("ca") < col("cb")))
-      .select("name_a", "ca", "name_b", "cb").distinct()
-      .where(levenshtein(col("name_a"), col("name_b"), MaxEditDistance) >= 0 &&
-        abs(col("ca") - col("cb")) <= PriceBandCents)
+      // cheap pre-filters IMPLIED by the verifier (so the output set
+      // is untouched): edit distance ≥ |length difference|, and the
+      // exact price window is a subtraction — both prune before the
+      // expensive per-pair work
+      .where(abs(col("len_a") - col("len_b")) <= MaxEditDistance)
+      .where(abs(col("ca") - col("cb")) <= PriceBandCents)
+      // CANONICAL-BLOCK emission replaces pair dedup (r17 verdict #5:
+      // the row's real cost was the distinct() shuffling ~6M joined
+      // rows to collapse the ≤ 3-name-key × ≤ 2-band duplicates —
+      // measured 8 of its 12 s at sf0.1). A pair's shared block set
+      // is computable ROW-LOCALLY from the two names and prices, so
+      // each pair elects exactly one canonical block — the highest-
+      // priority shared name key (f: > l: > s:) at the highest
+      // shared band (= greatest of the two base bands; the two
+      // explode rows share it iff |Δcents| ≤ band width, which the
+      // verifier already guarantees) — and only that block's row
+      // survives. Emission is exactly-once by construction: no
+      // distinct(), no shuffle, the dedup costs two comparisons per
+      // joined row. This is the scale win at 100 TB — the pair-dedup
+      // shuffle grew with block fan-out × candidates, the canonical
+      // filter is free.
+      .where(
+        when(col("blk").startsWith("f:"), lit(true))
+          .when(col("blk").startsWith("l:"), col("t0a") =!= col("t0b"))
+          .otherwise(col("t0a") =!= col("t0b") &&
+            col("tla") =!= col("tlb")))
+      .where(col("band") === greatest(col("base_a"), col("base_b")))
+      // the expensive DP runs once per DISTINCT NAME PAIR, not once
+      // per record pair: names repeat across records (the premise of
+      // the price axis — one listing name at many prices), so the
+      // banded levenshtein dedupes onto the name-pair domain — the
+      // NAME-domain block join ([[candidatePairs]], a superset of the
+      // surviving pairs' unequal names since sharing `nk@band`
+      // implies sharing `nk`) plus the dist-0 diagonal for same-name-
+      // different-price pairs — and ~3.4M record candidates inherit
+      // the verdict through a broadcast hash probe instead of ~3.4M
+      // DPs (sf0.1: 164 name pairs carry every verdict)
+      .join(broadcast(candidatePairs(part)
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b"), MaxEditDistance))
+        .where(col("dist") >= 0)
+        .unionByName(distinctNames(part).select(
+          col("p_name").as("name_a"), col("p_name").as("name_b"),
+          lit(0).as("dist")))), Seq("name_a", "name_b"))
       .select(col("name_a"), col("name_b"),
         round(col("ca") / 100.0, 2).as("price_a"),
         round(col("cb") / 100.0, 2).as("price_b"),
-        levenshtein(col("name_a"), col("name_b"), MaxEditDistance)
-          .cast("long").as("dist"),
+        col("dist").cast("long").as("dist"),
         abs(col("ca") - col("cb")).as("price_diff_c"))
       .orderBy("name_a", "name_b", "price_a", "price_b")
   }

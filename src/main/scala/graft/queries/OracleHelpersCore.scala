@@ -49,6 +49,42 @@ private[graft] trait OracleHelpersCore {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  /** Staging CTE for the disk-bounded NSW build oracles (r18, from
+    * the r17 verdict's #3): embeddings pre-projected ONCE to 64
+    * scalar DOUBLE columns `d1..d64` plus the staged norm `nrm` =
+    * sqrt(Σ dᵢ²). The n×K assignment and n×√n neighbor joins then
+    * score via [[cos64ColsSql]] and project only (id, id, score) —
+    * three narrow columns through every window sort instead of two
+    * 64-float LISTs per row, which is what exhausted >75 GB of
+    * DuckDB spill in the r17 100× refresh. The CASE is the loud
+    * dimension guard (r17 advice): a non-64-dim embedding raises
+    * `error(...)` instead of silently reading NULL past the end of
+    * the list and degenerating every score.
+    */
+  protected def emb64Cte(name: String): String = {
+    val dcols = (1 to 64).map(i => s"d$i").mkString(", ")
+    val proj = (1 to 64).map(i => s"embedding[$i]::DOUBLE AS d$i").mkString(", ")
+    val sq = (1 to 64).map(i => s"d$i * d$i").mkString(" + ")
+    s"""$name AS MATERIALIZED (SELECT vec_id, $dcols,
+       |    CASE WHEN ok THEN sqrt($sq)
+       |         ELSE error('embedding dim <> 64 in $name') END AS nrm
+       |  FROM (SELECT vec_id, len(embedding) = 64 AS ok, $proj
+       |        FROM embeddings))""".stripMargin
+  }
+
+  /** [[cos64Sql]] over two [[emb64Cte]] relations' scalar columns:
+    * the same 64 products in the same left-to-right order, divided by
+    * the two staged norms. Bit-identical to cos64Sql — projection
+    * commutes with arithmetic (`dᵢ = embedding[i]::DOUBLE` is staged,
+    * not recomputed differently), and `sqrt(dot(a,a))` is a pure
+    * per-vector function, so hoisting it per vector instead of
+    * per pair returns the identical double.
+    */
+  protected def cos64ColsSql(a: String, b: String): String = {
+    val dot = (1 to 64).map(i => s"$a.d$i * $b.d$i").mkString("(", " + ", ")")
+    s"($dot / ($a.nrm * $b.nrm))"
+  }
+
   protected def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(generate_series(1, len($a)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"

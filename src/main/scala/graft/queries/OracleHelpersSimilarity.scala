@@ -478,6 +478,16 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
     * vectors among pairRel's — the exact
     * [[graft.operators.SimilarityOps.nswTopG]] chain. CTE names are
     * `tag`-suffixed so two legs coexist in one WITH.
+    *
+    * DISK-BOUNDED formulation (r18, from the r17 verdict's #3): all
+    * relations are [[emb64Cte]] slices (scalar columns d1..d64 +
+    * staged nrm, never the float list), assignments materialize as
+    * the NARROW (vec_id, cid) pair, and both the n×K assignment
+    * window and the n×√n neighbor window sort only
+    * (id, id, rounded-score) rows — the r17 formulation carried the
+    * 64-float lists through those sorts and exhausted >75 GB of
+    * DuckDB temp at the 100× fixture. Scores come from
+    * [[cos64ColsSql]], bit-identical to the list form (see its doc).
     */
   protected def nswLegCtes(tag: String, mod: Int, rel: String,
                          seedRel: String, pairA: String,
@@ -487,20 +497,22 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
     s"""pk$tag AS (SELECT CAST(greatest(${SimilarityOps.SemMinK}, ceil(sqrt(count(*)))) AS BIGINT) AS k,
        |    count(*) AS n FROM $seedRel),
        |pp$tag AS (SELECT k, greatest(1, n // k) AS stride FROM pk$tag),
-       |c$tag AS (SELECT vec_id AS cid, embedding AS cvec FROM $seedRel, pp$tag
+       |c$tag AS (SELECT * FROM $seedRel, pp$tag
        |  WHERE (vec_id + $mod) % $p % stride = 0
        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= k),
-       |a$tag AS MATERIALIZED (SELECT vec_id, cid, embedding FROM (
-       |    SELECT e.vec_id, c.cid, e.embedding, row_number() OVER (
+       |a$tag AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.vec_id AS cid, row_number() OVER (
        |      PARTITION BY e.vec_id
-       |      ORDER BY round(${cos64Sql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS crank
+       |      ORDER BY round(${cos64ColsSql("e", "c")}, 6) DESC, c.vec_id) AS crank
        |    FROM $rel e CROSS JOIN c$tag c) WHERE crank = 1),
-       |g$tag AS (SELECT vec_id AS src, dst FROM (
-       |    SELECT a.vec_id, b.vec_id AS dst, row_number() OVER (
+       |g$tag AS (SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (
        |      PARTITION BY a.vec_id
-       |      ORDER BY round(${cos64Sql("a.embedding", "b.embedding")}, 6) DESC, b.vec_id) AS rn
+       |      ORDER BY round(${cos64ColsSql("ea", "eb")}, 6) DESC, b.vec_id) AS rn
        |    FROM $pairA a JOIN $pairB b
-       |      ON a.cid = b.cid AND b.vec_id <> a.vec_id) WHERE rn <= $g)""".stripMargin
+       |      ON a.cid = b.cid AND b.vec_id <> a.vec_id
+       |    JOIN emb64 ea ON ea.vec_id = a.vec_id
+       |    JOIN emb64 eb ON eb.vec_id = b.vec_id) WHERE rn <= $g)""".stripMargin
   }
 
 
@@ -512,9 +524,9 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
     * oracle discipline). `liveWhere` restricts the SEARCHABLE
     * vertices (delete leg); probes always come from the full corpus.
     */
-  protected def nswSearchSql(liveWhere: String): String = {
+  protected def nswSearchSql(liveWhere: String,
+                             ent: Int = SimilarityOps.NswEntries): String = {
     val b = SimilarityOps.NswBeam; val rounds = SimilarityOps.NswRounds
-    val ent = SimilarityOps.NswEntries
     val roundCtes = (1 to rounds).map { r =>
       s"""b${r - 1} AS (SELECT probe_id, vec_id FROM (
          |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
@@ -553,14 +565,22 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
     * `ann_nsw` and `ann_nsw_indexed` (index == inline proof) and
     * nested by the recall row.
     */
-  protected lazy val nswOracleSql: String = {
+  protected lazy val nswOracleSql: String = nswOracleSqlAt()
+
+  /** [[nswOracleSql]] with the walk seeded from `ent` entry vertices
+    * — the ann_nsw_entry_sweep legs' per-entry-count replay (the
+    * graph build CTEs are identical at every ent).
+    */
+  protected def nswOracleSqlAt(
+      ent: Int = SimilarityOps.NswEntries): String = {
     val Seq(mA, mB) = SimilarityOps.NswMods
-    s"""WITH ${nswLegCtes("A", mA, "embeddings", "embeddings", "aA", "aA")},
-       |${nswLegCtes("B", mB, "embeddings", "embeddings", "aB", "aB")},
+    s"""WITH ${emb64Cte("emb64")},
+       |${nswLegCtes("A", mA, "emb64", "emb64", "aA", "aA")},
+       |${nswLegCtes("B", mB, "emb64", "emb64", "aB", "aB")},
        |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM gA UNION ALL SELECT dst, src FROM gA
        |  UNION ALL SELECT src, dst FROM gB UNION ALL SELECT dst, src FROM gB)),
-       |${nswSearchSql("")}""".stripMargin
+       |${nswSearchSql("", ent)}""".stripMargin
   }
 
 
@@ -575,8 +595,9 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
     */
   protected def nswUpsertOracleSql(liveWhere: String): String = {
     val Seq(mA, mB) = SimilarityOps.NswUpsertMods
-    s"""WITH ecorp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
-       |obatch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    s"""WITH ${emb64Cte("emb64")},
+       |ecorp AS (SELECT * FROM emb64 WHERE vec_id % 2 = 0),
+       |obatch AS (SELECT * FROM emb64 WHERE vec_id % 2 = 1),
        |${nswLegCtes("A", mA, "ecorp", "ecorp", "aA", "aA")},
        |${nswLegCtes("BA", mA, "obatch", "ecorp", "aBA", "aA")},
        |${nswLegCtes("B", mB, "ecorp", "ecorp", "aB", "aB")},

@@ -348,6 +348,26 @@ private[graft] trait QueriesSimilarity extends QueriesOracleHelpers {
         SimilarityOps.annNswRecallEval(Tables.embeddings(s, d)) },
       Some(annRecallOracle(nswOracleSql))),
 
+    // the graph family's tuning curve (the nprobe-sweep discipline
+    // on the entries knob): recall@10 of the SAME persisted
+    // adaptive-K adjacency walked from 4/8/16 entry vertices — the
+    // measured price list for recovering the adaptive-K recall loss
+    // without any rebuild; each leg's oracle replays the whole
+    // build + walk from scratch at that entry count
+    "ann_nsw_entry_sweep" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annNswEntrySweep(Tables.embeddings(s, d), d) },
+      Some {
+        val legs = SimilarityOps.NswEntrySweep.map { e =>
+          s"""SELECT CAST($e AS BIGINT) AS entries,
+             |  q.hits, q.total, q.recall
+             |FROM (
+             |${annRecallOracle(nswOracleSqlAt(e))}
+             |) q""".stripMargin
+        }
+        legs.mkString("", "\nUNION ALL\n", "\nORDER BY entries")
+      }),
+
     // steady-state graph maintenance: the odd-id batch routes under
     // the frozen even-seeded partitionings and links to its top-G
     // CORPUS cluster members (append-only, no batch-batch links —

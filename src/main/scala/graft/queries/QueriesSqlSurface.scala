@@ -588,8 +588,11 @@ private[graft] trait QueriesSqlSurface extends QueriesOracleHelpers {
            |  FROM rv WHERE na <> nb),
            |recs AS (SELECT DISTINCT p_name,
            |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents FROM part),
+           |dd AS (SELECT greatest(1, count(*) // ${ResolutionOps.FuzzyTruthSampleTarget}) AS d FROM recs),
+           |srec AS (SELECT p_name, cents FROM recs, dd
+           |  WHERE ${ResolutionOps.TruthSampleHashSql} % d = 0),
            |pt AS (SELECT a.p_name AS na, a.cents AS ca, b.p_name AS nb, b.cents AS cb
-           |  FROM recs a JOIN recs b
+           |  FROM srec a JOIN srec b
            |    ON (a.p_name < b.p_name OR (a.p_name = b.p_name AND a.cents < b.cents))
            |  WHERE levenshtein(a.p_name, b.p_name) <= ${ResolutionOps.MaxEditDistance}
            |    AND abs(a.cents - b.cents) <= ${ResolutionOps.PriceBandCents}),

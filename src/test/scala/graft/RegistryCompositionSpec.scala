@@ -17,11 +17,9 @@ class RegistryCompositionSpec extends AnyFunSuite {
       "every registry query is oracle-gated (the round-10 invariant)")
   }
 
-  test("registry count matches the declared round-17 surface") {
-    // 267 at round 16 + ann_nsw_compacted + events_holt_winters +
-    // image_phash_dup_png + image_phash_dup_png_quarantined +
-    // fuzzy_multikey_pairs = 272
-    assert(Queries.registry.size === 272,
+  test("registry count matches the declared round-18 surface") {
+    // 272 at round 17 + ann_nsw_entry_sweep = 273
+    assert(Queries.registry.size === 273,
       s"got ${Queries.registry.size}: update this pin when adding queries")
   }
 }

@@ -52,7 +52,18 @@ class RoundingStabilitySpec extends AnyFunSuite {
     // round-15 wave C: the sample's hash-derived priorities are
     // row-local doubles and the estimator sums integer micro-units,
     // but the rank windows must not depend on partitioning
-    "priority_sample_weighted", "priority_sample_estimate")
+    "priority_sample_weighted", "priority_sample_estimate",
+    // round-17/18 additions (r17 verdict #7): the Holt/Holt-Winters
+    // ordered prefix folds emit round-4 doubles from a sequential
+    // recurrence — any partition-order leak flips the whole suffix;
+    // the PNG pHash rows carry the corrupt-row quarantine path whose
+    // decode/verdict must be row-local; the fuzzy rows rank/round
+    // prices and ratio off the hash-sampled truth; the NSW walk and
+    // its entries sweep rank round-6 scores across beam rounds
+    "events_holt_trend", "events_holt_winters",
+    "image_phash_dup_png", "image_phash_dup_png_quarantined",
+    "fuzzy_multikey_pairs", "fuzzy_recall_eval", "fuzzy_reorder_resolve",
+    "ann_nsw", "ann_nsw_entry_sweep")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)

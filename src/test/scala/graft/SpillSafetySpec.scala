@@ -117,6 +117,19 @@ class SpillSafetySpec extends AnyFunSuite {
     }
   }
 
+  test("events_holt_winters is spill-safe (ordered prefix fold window)") {
+    // the Holt-Winters recurrence rides a collect_list over a
+    // running per-event_type window — the per-group day series IS
+    // the buffered group (r17 verdict #7). Forcing the window buffer
+    // to spill after 16 rows makes the fixture's ~30-day series take
+    // the external-sorter path a years-long series takes at scale;
+    // the fold is order-sensitive, so a reordered or dropped spill
+    // row would flip every level/trend/season after it
+    assertSpillSafe("events_holt_winters") {
+      Queries.queries("events_holt_winters")(spark, TestSpark.Sf0001)
+    }
+  }
+
   test("dup_components hot-hub memory bound: buffered join side is key-unique") {
     // the components loop has no window: its per-round sort-merge
     // join buffers one join-key group at a time, and the buffered
