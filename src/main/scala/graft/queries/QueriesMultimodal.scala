@@ -24,17 +24,28 @@ private[graft] trait QueriesMultimodal extends QueriesOracleHelpers {
       yield s"($k, $n, ${MultimodalOps.PhashDct(k)(n)})").mkString(", ")
     val hm = MultimodalOps.PhashMaxHamming
     val cap = MultimodalOps.PhashMaxBucket
-    s"""WITH prm AS (SELECT doc_id, text, $wExpr AS w,
-       |    octet_length(CAST(text AS BLOB)) AS len FROM documents),
-       |el AS (SELECT doc_id, text, w, len, (len + w - 1) // w AS h
+    // BYTE-level pixel replay (r18): the engine renders the UTF-8
+    // BYTES of `text` (cast to binary), so the oracle decodes the hex
+    // dump of the same bytes — two nibble lookups per pixel — instead
+    // of per-CHAR ascii(). On pure-ASCII corpora the two are
+    // identical, but the 100x fixture's ©-suffixed copies are
+    // multi-byte, where the old char form both diverged from the
+    // engine and errored outright on its CAST(text AS BLOB) length.
+    s"""WITH prm AS (SELECT doc_id, hex(encode(text)) AS hx, $wExpr AS w,
+       |    octet_length(encode(text)) AS len FROM documents),
+       |el AS (SELECT doc_id, hx, w, len, (len + w - 1) // w AS h
        |  FROM prm WHERE len >= 7 * w + 1$docFilter),
-       |pr AS (SELECT doc_id, w, h, len, text,
+       |pr AS (SELECT doc_id, w, h, len, hx,
        |    unnest(generate_series(0, h - 1)) AS r FROM el),
-       |pc AS (SELECT doc_id, w, h, r, len, text,
+       |pc AS (SELECT doc_id, w, h, r, len, hx,
        |    unnest(generate_series(0, w - 1)) AS c FROM pr),
        |cells AS (SELECT doc_id, (r * 8) // h AS i, (c * 8) // w AS j,
        |    CASE WHEN r * w + c < len
-       |      THEN ascii(substring(text, r * w + c + 1, 1)) ELSE 0 END AS v
+       |      THEN (instr('0123456789ABCDEF',
+       |             substring(hx, (r * w + c) * 2 + 1, 1)) - 1) * 16
+       |         + (instr('0123456789ABCDEF',
+       |             substring(hx, (r * w + c) * 2 + 2, 1)) - 1)
+       |      ELSE 0 END AS v
        |  FROM pc),
        |cm AS MATERIALIZED (SELECT doc_id, i, j,
        |    CAST(sum(v) AS BIGINT) // count(*) AS p
