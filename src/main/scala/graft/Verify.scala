@@ -57,22 +57,7 @@ object Verify {
       }
     }
     Files.writeString(Paths.get(outDir, "run_stamp.txt"), runStamp)
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => selected(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    writeOracleJson(outDir, selected)
     spark.stop()
     // Refuse to exit 0 on an incomplete dump (VERDICT r17 ask #8):
     // round 17's driver artifact was a silent `{}` because a partial
@@ -94,4 +79,50 @@ object Verify {
     * guard can't rot (testing `main` would kill the JVM). */
   private[graft] def exitCode(expected: Int, failed: Seq[String]): Int =
     if (failed.nonEmpty || expected <= 0) 1 else 0
+
+  /** Dump the selected oracle SQL as `outDir/oracle_sql.json`.
+    * JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL would otherwise
+    * make the driver's json.load fail and silently zero the round's
+    * correctness.
+    */
+  private[graft] def writeOracleJson(outDir: String,
+                                     selected: String => Boolean): Unit = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    ()
+  }
+}
+
+/** Regenerate ONLY `oracle_sql.json` for an existing Verify dump —
+  * the oracle-iteration fast path: query outputs are a pure function
+  * of the ENGINE, so after editing oracle SQL the standing dump (and
+  * its per-query stamps) stays valid and only the comparison text
+  * needs refreshing. No Spark session; prints nothing but the path.
+  * Usage: OracleDump <outDir> [query ...]
+  */
+object OracleDump {
+  def main(args: Array[String]): Unit = {
+    val (outDir, only) = args.toList match {
+      case out :: rest => (out, rest.toSet)
+      case _ => sys.error("usage: OracleDump <outDir> [query ...]")
+    }
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    Verify.writeOracleJson(outDir,
+      name => only.isEmpty || only(name))
+    println(s"$outDir/oracle_sql.json")
+  }
 }

@@ -481,13 +481,18 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
     *
     * DISK-BOUNDED formulation (r18, from the r17 verdict's #3): all
     * relations are [[emb64Cte]] slices (scalar columns d1..d64 +
-    * staged nrm, never the float list), assignments materialize as
-    * the NARROW (vec_id, cid) pair, and both the n×K assignment
-    * window and the n×√n neighbor window sort only
-    * (id, id, rounded-score) rows — the r17 formulation carried the
-    * 64-float lists through those sorts and exhausted >75 GB of
-    * DuckDB temp at the 100× fixture. Scores come from
-    * [[cos64ColsSql]], bit-identical to the list form (see its doc).
+    * staged nrm, never the float list), and the ROUNDED score is
+    * staged in its own MATERIALIZED narrow CTE (`s`/`ps`: two ids +
+    * one double, ~2 GB at the 100× fixture's 90M-row joins) BEFORE
+    * each ranking window. Both halves are load-bearing: the r17
+    * list-carrying form exhausted >75 GB of DuckDB temp, and even
+    * with scalar columns an ORDER BY that computes the cosine INSIDE
+    * the window makes DuckDB materialize the window's input columns
+    * — all 130 doubles per pair, ~59 GiB OOM, measured — rather than
+    * the one computed key. Ranking on the staged `rs` is the same
+    * ranking (the window ordered by round(score, 6) already; ties by
+    * id unchanged), and scores come from [[cos64ColsSql]],
+    * bit-identical to the list form (see its doc).
     */
   protected def nswLegCtes(tag: String, mod: Int, rel: String,
                          seedRel: String, pairA: String,
@@ -500,19 +505,23 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
        |c$tag AS (SELECT * FROM $seedRel, pp$tag
        |  WHERE (vec_id + $mod) % $p % stride = 0
        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= k),
+       |s$tag AS MATERIALIZED (SELECT e.vec_id, c.vec_id AS cid,
+       |    round(${cos64ColsSql("e", "c")}, 6) AS rs
+       |  FROM $rel e CROSS JOIN c$tag c),
        |a$tag AS MATERIALIZED (SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.vec_id AS cid, row_number() OVER (
-       |      PARTITION BY e.vec_id
-       |      ORDER BY round(${cos64ColsSql("e", "c")}, 6) DESC, c.vec_id) AS crank
-       |    FROM $rel e CROSS JOIN c$tag c) WHERE crank = 1),
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY rs DESC, cid) AS crank
+       |    FROM s$tag) WHERE crank = 1),
+       |ps$tag AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${cos64ColsSql("ea", "eb")}, 6) AS rs
+       |  FROM $pairA a JOIN $pairB b
+       |    ON a.cid = b.cid AND b.vec_id <> a.vec_id
+       |  JOIN emb64 ea ON ea.vec_id = a.vec_id
+       |  JOIN emb64 eb ON eb.vec_id = b.vec_id),
        |g$tag AS (SELECT src, dst FROM (
-       |    SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (
-       |      PARTITION BY a.vec_id
-       |      ORDER BY round(${cos64ColsSql("ea", "eb")}, 6) DESC, b.vec_id) AS rn
-       |    FROM $pairA a JOIN $pairB b
-       |      ON a.cid = b.cid AND b.vec_id <> a.vec_id
-       |    JOIN emb64 ea ON ea.vec_id = a.vec_id
-       |    JOIN emb64 eb ON eb.vec_id = b.vec_id) WHERE rn <= $g)""".stripMargin
+       |    SELECT src, dst, row_number() OVER (
+       |      PARTITION BY src ORDER BY rs DESC, dst) AS rn
+       |    FROM ps$tag) WHERE rn <= $g)""".stripMargin
   }
 
 
