@@ -110,6 +110,13 @@ object Verify {
   * of the ENGINE, so after editing oracle SQL the standing dump (and
   * its per-query stamps) stays valid and only the comparison text
   * needs refreshing. No Spark session; prints nothing but the path.
+  *
+  * Subset semantics (ADVICE r18): with query names given, the dump's
+  * existing oracle_sql.json keys are PRESERVED — the named queries'
+  * SQL plus every key already in the file are rewritten from HEAD, so
+  * a targeted oracle refresh never shrinks a standing dump's checked
+  * coverage. A key in the old file that no longer exists at HEAD is
+  * dropped with a stderr warning (rename/retirement, not silence).
   * Usage: OracleDump <outDir> [query ...]
   */
 object OracleDump {
@@ -121,8 +128,20 @@ object OracleDump {
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    val existingFile = Paths.get(outDir, "oracle_sql.json")
+    val existing: Set[String] =
+      if (only.nonEmpty && Files.exists(existingFile)) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(existingFile))
+        import scala.jdk.CollectionConverters._
+        node.fieldNames().asScala.toSet
+      } else Set.empty
+    val gone = existing.diff(SparkEntry.oracleSql.keySet)
+    if (gone.nonEmpty)
+      System.err.println("[oracledump] dropping keys absent at HEAD: " +
+        gone.toSeq.sorted.mkString(", "))
     Verify.writeOracleJson(outDir,
-      name => only.isEmpty || only(name))
+      name => only.isEmpty || only(name) || existing(name))
     println(s"$outDir/oracle_sql.json")
   }
 }

@@ -163,8 +163,9 @@ object ResolutionOps {
     * verbatim with the oracle). Recall is a statistical property; a
     * ~[[FuzzyTruthSampleTarget]]-record sample estimates it with a
     * bounded ~target² pass at ANY corpus size (the ann_recall_eval
-    * probe-sample precedent), and below ~4·target records the sample
-    * is the full domain (d = 1), keeping small-SF gates exhaustive.
+    * probe-sample precedent), and below 2·target (8192) records the
+    * sample is the full domain (d = 1), keeping small-SF gates
+    * exhaustive.
     */
   def fuzzyRecallEval(part: DataFrame): DataFrame = {
     def tok(c: String, i: Int) =
@@ -215,7 +216,8 @@ object ResolutionOps {
     // impossible at 100 TB; recall is a statistical property, so the
     // deterministic [[sampledRecords]] hash-sample estimates it, the
     // ann_recall_eval probe-sample precedent applied to pairs; at
-    // gate SFs below ~4·target the sample IS the full domain). The
+    // gate SFs below 2·target (8192) the sample IS the full domain).
+    // The
     // conjunction key reaches a pair iff a name key hits AND the base
     // bands differ by at most 1 — the latter is ALWAYS true inside
     // the truth set (pigeonhole), measured here rather than assumed,
@@ -295,7 +297,8 @@ object ResolutionOps {
     * `hash % d = 0` with `d = greatest(1, n DIV target)` derived
     * from `count(*)` on both sides (the semAdaptiveParams
     * discipline), so d=1 — the FULL truth, bit-identical to the
-    * unsampled eval — at gate SFs up to ~4·target records, and the
+    * unsampled eval — at gate SFs below 2·target (8192) records
+    * (d = n DIV target exceeds 1 from 2·target up), and the
     * sample stays ~target-sized from there to 100 TB. md5/substring/
     * instr/CAST behave identically in Spark and DuckDB (checked:
     * same digest, same 1-based instr, same BIGINT arithmetic); the

@@ -2117,7 +2117,8 @@ object SimilarityOps {
   def annNswOverEdges(probesSrc: DataFrame, vertices: DataFrame,
                       edges: DataFrame, nProbes: Int = 10,
                       k: Int = 10,
-                      entryCount: Int = NswEntries): DataFrame = {
+                      entryCount: Int = NswEntries,
+                      beam: Int = NswBeam): DataFrame = {
     VectorFunctions.register(probesSrc.sparkSession)
     val verts = vertices.select(col("vec_id"), col("embedding"))
     val probes = probesSrc.where(col("vec_id") < nProbes)
@@ -2132,9 +2133,9 @@ object SimilarityOps {
           VectorFunctions.cosine(col("probe_vec"), col("embedding"))
             .as("score")))
     for (_ <- 1 to NswRounds) {
-      val beam = visited.withColumn("rn", row_number().over(wB))
-        .where(col("rn") <= NswBeam).select("probe_id", "vec_id")
-      val unseen = beam.join(edges, beam("vec_id") === edges("src"))
+      val front = visited.withColumn("rn", row_number().over(wB))
+        .where(col("rn") <= beam).select("probe_id", "vec_id")
+      val unseen = front.join(edges, front("vec_id") === edges("src"))
         .select(col("probe_id"), col("dst").as("vec_id")).distinct()
         .where(col("vec_id") =!= col("probe_id"))
         .join(visited.select("probe_id", "vec_id"),
@@ -2166,9 +2167,19 @@ object SimilarityOps {
   def annNsw(emb: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame =
     annNswOverEdges(emb, emb, nswEdges(emb, NswMods), nProbes, k)
 
-  /** Recall@k of the graph walk vs brute force. */
-  def annNswRecallEval(emb: DataFrame, k: Int = 10): DataFrame =
-    recallVsExact(emb, annNsw(emb, k = k), k)
+  /** Recall@k of the graph walk vs brute force. The approx side
+    * walks the PERSISTED adjacency ([[nswIndexDir]]) rather than
+    * re-running the inline build (r18 verdict #5: the eval row was
+    * double-paying the ~n^1.5 construction that `ann_nsw` and
+    * `ann_nsw_indexed` already gate — ~500 s of the 100× bench for
+    * zero extra evidence). index == inline is hash-proven by
+    * `ann_nsw_indexed` sharing `nswOracleSql` verbatim, so the
+    * metric row's semantics are unchanged; the entry-sweep row set
+    * the precedent.
+    */
+  def annNswRecallEval(emb: DataFrame, sfDir: String,
+                       k: Int = 10): DataFrame =
+    recallVsExact(emb, annNswIndexed(emb, sfDir, k = k), k)
 
   /** Entry-count tuning curve for the graph family — the measured
     * price list for the adaptive-K recall loss (r17 verdict #6: the
@@ -2202,6 +2213,33 @@ object SimilarityOps {
 
   /** The swept entry counts; shared with the generated oracle. */
   val NswEntrySweep: Seq[Int] = Seq(4, 8, 16)
+
+  /** Beam-width tuning curve for the graph family (r18 verdict #7 —
+    * the lever the entry-sweep doc promised to price): recall@10 of
+    * the SAME persisted adaptive-K adjacency walked at beam ∈
+    * {8, 16, 32} with entries and rounds fixed at their defaults.
+    * Beam is the walk's second no-rebuild knob: per round the top-
+    * `beam` visited vertices expand, so probe cost grows linearly in
+    * beam (rounds·beam·G scored rows) and stays corpus-size-
+    * independent. With the entry sweep this completes the published
+    * recall/cost surface a deployment tunes against — entries widens
+    * the START of the walk, beam widens every SUBSEQUENT round.
+    */
+  def annNswBeamSweep(emb: DataFrame, sfDir: String,
+                      k: Int = 10): DataFrame = {
+    val edges =
+      emb.sparkSession.read.parquet(nswIndexDir(emb, sfDir))
+    val legs = NswBeamSweep.map { b =>
+      recallVsExact(emb,
+        annNswOverEdges(emb, emb, edges, k = k, beam = b), k)
+        .select(lit(b.toLong).as("beam"),
+          col("hits"), col("total"), col("recall"))
+    }
+    legs.reduce(_.unionByName(_)).orderBy("beam")
+  }
+
+  /** The swept beam widths; shared with the generated oracle. */
+  val NswBeamSweep: Seq[Int] = Seq(8, 16, 32)
 
   /** Write-once persisted adjacency — the state a graph index
     * actually keeps: ~2·mods·G edge rows per vector (ids only; the

@@ -60,8 +60,14 @@ private[graft] trait OracleHelpersCore {
     * dimension guard (r17 advice): a non-64-dim embedding raises
     * `error(...)` instead of silently reading NULL past the end of
     * the list and degenerating every score.
+    *
+    * `name` names the CTE; `source` (ADVICE r18) names the relation
+    * read — defaulting to the `embeddings` table, overridable so a
+    * future oracle can stage the same narrow form over a different
+    * relation (it must expose `vec_id` and a 64-float `embedding`).
     */
-  protected def emb64Cte(name: String): String = {
+  protected def emb64Cte(name: String,
+                         source: String = "embeddings"): String = {
     val dcols = (1 to 64).map(i => s"d$i").mkString(", ")
     val proj = (1 to 64).map(i => s"embedding[$i]::DOUBLE AS d$i").mkString(", ")
     val sq = (1 to 64).map(i => s"d$i * d$i").mkString(" + ")
@@ -69,7 +75,7 @@ private[graft] trait OracleHelpersCore {
        |    CASE WHEN ok THEN sqrt($sq)
        |         ELSE error('embedding dim <> 64 in $name') END AS nrm
        |  FROM (SELECT vec_id, len(embedding) = 64 AS ok, $proj
-       |        FROM embeddings))""".stripMargin
+       |        FROM $source))""".stripMargin
   }
 
   /** [[cos64Sql]] over two [[emb64Cte]] relations' scalar columns:

@@ -534,8 +534,9 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
     * vertices (delete leg); probes always come from the full corpus.
     */
   protected def nswSearchSql(liveWhere: String,
-                             ent: Int = SimilarityOps.NswEntries): String = {
-    val b = SimilarityOps.NswBeam; val rounds = SimilarityOps.NswRounds
+                             ent: Int = SimilarityOps.NswEntries,
+                             beam: Int = SimilarityOps.NswBeam): String = {
+    val b = beam; val rounds = SimilarityOps.NswRounds
     val roundCtes = (1 to rounds).map { r =>
       s"""b${r - 1} AS (SELECT probe_id, vec_id FROM (
          |    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
@@ -577,11 +578,13 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
   protected lazy val nswOracleSql: String = nswOracleSqlAt()
 
   /** [[nswOracleSql]] with the walk seeded from `ent` entry vertices
-    * — the ann_nsw_entry_sweep legs' per-entry-count replay (the
-    * graph build CTEs are identical at every ent).
+    * and expanding `beam` per round — the ann_nsw_entry_sweep /
+    * ann_nsw_beam_sweep legs' per-knob replay (the graph build CTEs
+    * are identical at every ent/beam).
     */
   protected def nswOracleSqlAt(
-      ent: Int = SimilarityOps.NswEntries): String = {
+      ent: Int = SimilarityOps.NswEntries,
+      beam: Int = SimilarityOps.NswBeam): String = {
     val Seq(mA, mB) = SimilarityOps.NswMods
     s"""WITH ${emb64Cte("emb64")},
        |${nswLegCtes("A", mA, "emb64", "emb64", "aA", "aA")},
@@ -589,7 +592,7 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
        |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM gA UNION ALL SELECT dst, src FROM gA
        |  UNION ALL SELECT src, dst FROM gB UNION ALL SELECT dst, src FROM gB)),
-       |${nswSearchSql("", ent)}""".stripMargin
+       |${nswSearchSql("", ent, beam)}""".stripMargin
   }
 
 

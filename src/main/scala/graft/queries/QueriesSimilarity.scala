@@ -342,10 +342,13 @@ private[graft] trait QueriesSimilarity extends QueriesOracleHelpers {
     // recall@10 of the graph walk vs brute force: 0.73 at sf0.01
     // under the adaptive-K (~n^1.5) build — still the best of the
     // seven families, because the walk scores ~300 candidates
-    // EXACTLY (no routing cliff, no quantization blur)
+    // EXACTLY (no routing cliff, no quantization blur). The approx
+    // side walks the persisted adjacency (index == inline is
+    // hash-proven by ann_nsw_indexed), so the eval never re-pays
+    // the build
     "ann_nsw_recall_eval" -> QueryDef(
       (s, d) => { VectorFunctions.register(s)
-        SimilarityOps.annNswRecallEval(Tables.embeddings(s, d)) },
+        SimilarityOps.annNswRecallEval(Tables.embeddings(s, d), d) },
       Some(annRecallOracle(nswOracleSql))),
 
     // the graph family's tuning curve (the nprobe-sweep discipline
@@ -366,6 +369,26 @@ private[graft] trait QueriesSimilarity extends QueriesOracleHelpers {
              |) q""".stripMargin
         }
         legs.mkString("", "\nUNION ALL\n", "\nORDER BY entries")
+      }),
+
+    // the graph family's SECOND no-rebuild knob (r18 verdict #7 —
+    // the lever the entry-sweep doc promised to price): recall@10 of
+    // the same persisted adjacency walked at beam ∈ {8, 16, 32};
+    // entries widens the walk's start, beam widens every subsequent
+    // round, probe cost linear in beam, corpus-size-independent;
+    // each leg's oracle replays build + walk at that beam width
+    "ann_nsw_beam_sweep" -> QueryDef(
+      (s, d) => { VectorFunctions.register(s)
+        SimilarityOps.annNswBeamSweep(Tables.embeddings(s, d), d) },
+      Some {
+        val legs = SimilarityOps.NswBeamSweep.map { b =>
+          s"""SELECT CAST($b AS BIGINT) AS beam,
+             |  q.hits, q.total, q.recall
+             |FROM (
+             |${annRecallOracle(nswOracleSqlAt(beam = b))}
+             |) q""".stripMargin
+        }
+        legs.mkString("", "\nUNION ALL\n", "\nORDER BY beam")
       }),
 
     // steady-state graph maintenance: the odd-id batch routes under

@@ -17,9 +17,9 @@ class RegistryCompositionSpec extends AnyFunSuite {
       "every registry query is oracle-gated (the round-10 invariant)")
   }
 
-  test("registry count matches the declared round-18 surface") {
-    // 272 at round 17 + ann_nsw_entry_sweep = 273
-    assert(Queries.registry.size === 273,
+  test("registry count matches the declared round-19 surface") {
+    // 273 at round 18 + ann_nsw_beam_sweep = 274
+    assert(Queries.registry.size === 274,
       s"got ${Queries.registry.size}: update this pin when adding queries")
   }
 }
