@@ -479,50 +479,84 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
     * [[graft.operators.SimilarityOps.nswTopG]] chain. CTE names are
     * `tag`-suffixed so two legs coexist in one WITH.
     *
-    * DISK-BOUNDED formulation (r18, from the r17 verdict's #3): all
-    * relations are [[emb64Cte]] slices (scalar columns d1..d64 +
-    * staged nrm, never the float list), and the ROUNDED score is
-    * staged in its own MATERIALIZED narrow CTE (`s`/`ps`: two ids +
-    * one double, ~2 GB at the 100× fixture's 90M-row joins) BEFORE
-    * each ranking window. Both halves are load-bearing: the r17
-    * list-carrying form exhausted >75 GB of DuckDB temp, and even
-    * with scalar columns an ORDER BY that computes the cosine INSIDE
-    * the window makes DuckDB materialize the window's input columns
-    * — all 130 doubles per pair, ~59 GiB OOM, measured — rather than
-    * the one computed key. Ranking on the staged `rs` is the same
-    * ranking (the window ordered by round(score, 6) already; ties by
-    * id unchanged), and scores come from [[cos64ColsSql]],
-    * bit-identical to the list form (see its doc).
+    * DISK-BOUNDED formulation, third generation (r19; the r17
+    * list-carrying form exhausted >75 GB of DuckDB temp and the r18
+    * staged-narrow-CTE form still hit the 59 GiB cap at the 100×
+    * fixture — MATERIALIZED pair CTEs live for the whole query and
+    * the ranking windows sort the full ~10⁸–10⁹-row pair volume).
+    * This form never materializes or globally sorts the big
+    * intermediates at all:
+    *
+    *  - ASSIGNMENT is a single streaming hash aggregate: the n×K
+    *    scored cross join flows into `arg_max(cid, val)` per vector,
+    *    with (rs, -cid) encoded into ONE BIGINT
+    *    (`round(rs·10⁶)·2⁴² − cid` — rs is already 6-dp rounded, so
+    *    the scaled term is an exact integer and the encoding is a
+    *    strictly monotone map of the (rs DESC, cid ASC) ranking;
+    *    2⁴² > any vec_id, guarded loudly in c$tag). ~n groups of
+    *    fixed-width state, zero temp, replacing an n×K MATERIALIZED
+    *    CTE + window sort (duckdb 1.0 has no arg_max top-n or struct
+    *    comparators, hence the scalar encoding).
+    *  - TOP-G pairing is sliced by cluster (`a.cid % NswOracleSlices`):
+    *    a vector belongs to exactly ONE cluster per leg, so per-slice
+    *    row_number windows are globally correct, each window's narrow
+    *    (src, dst, rs) input is an OPERATOR buffer of 1/slices of the
+    *    pair volume — freed when its slice completes, never a
+    *    query-lifetime CTE — and the slice filter pushes into the
+    *    pair join, so total cosine work stays 1×. The score is a
+    *    plain projected column, never computed inside the window's
+    *    ORDER BY (the r18 lesson: that makes DuckDB materialize all
+    *    130 source doubles per pair instead of the one key).
+    *
+    * All relations are [[emb64Cte]] slices (scalar d1..d64 + staged
+    * nrm, never the float list); scores come from [[cos64ColsSql]],
+    * bit-identical to the list form (see its doc). g$tag stays
+    * MATERIALIZED — it is model-sized (≤ n·G rows) and the upsert
+    * oracle references each leg twice.
     */
   protected def nswLegCtes(tag: String, mod: Int, rel: String,
                          seedRel: String, pairA: String,
                          pairB: String): String = {
     val g = SimilarityOps.NswG
     val p = graft.functions.expressions.CmsHash.P
+    val slices = NswOracleSlices
+    val sliceSelects = (0 until slices).map { i =>
+      s"""  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (
+         |      PARTITION BY src ORDER BY rs DESC, dst) AS rn
+         |    FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |        round(${cos64ColsSql("ea", "eb")}, 6) AS rs
+         |      FROM $pairA a JOIN $pairB b
+         |        ON a.cid = b.cid AND b.vec_id <> a.vec_id
+         |      JOIN emb64 ea ON ea.vec_id = a.vec_id
+         |      JOIN emb64 eb ON eb.vec_id = b.vec_id
+         |      WHERE a.cid % $slices = $i)) WHERE rn <= $g""".stripMargin
+    }.mkString("\nUNION ALL\n")
     s"""pk$tag AS (SELECT CAST(greatest(${SimilarityOps.SemMinK}, ceil(sqrt(count(*)))) AS BIGINT) AS k,
        |    count(*) AS n FROM $seedRel),
        |pp$tag AS (SELECT k, greatest(1, n // k) AS stride FROM pk$tag),
-       |c$tag AS (SELECT * FROM $seedRel, pp$tag
+       |c$tag AS (SELECT * FROM (SELECT * FROM $seedRel, pp$tag
        |  WHERE (vec_id + $mod) % $p % stride = 0
-       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= k),
-       |s$tag AS MATERIALIZED (SELECT e.vec_id, c.vec_id AS cid,
-       |    round(${cos64ColsSql("e", "c")}, 6) AS rs
-       |  FROM $rel e CROSS JOIN c$tag c),
-       |a$tag AS MATERIALIZED (SELECT vec_id, cid FROM (
-       |    SELECT vec_id, cid, row_number() OVER (
-       |      PARTITION BY vec_id ORDER BY rs DESC, cid) AS crank
-       |    FROM s$tag) WHERE crank = 1),
-       |ps$tag AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |    round(${cos64ColsSql("ea", "eb")}, 6) AS rs
-       |  FROM $pairA a JOIN $pairB b
-       |    ON a.cid = b.cid AND b.vec_id <> a.vec_id
-       |  JOIN emb64 ea ON ea.vec_id = a.vec_id
-       |  JOIN emb64 eb ON eb.vec_id = b.vec_id),
-       |g$tag AS (SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (
-       |      PARTITION BY src ORDER BY rs DESC, dst) AS rn
-       |    FROM ps$tag) WHERE rn <= $g)""".stripMargin
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= k)
+       |  WHERE CASE WHEN vec_id < 4398046511104 THEN true
+       |        ELSE error('centroid id >= 2^42 breaks the argmax encoding') END),
+       |a$tag AS MATERIALIZED (SELECT e.vec_id,
+       |    arg_max(c.vec_id,
+       |      CAST(round(round(${cos64ColsSql("e", "c")}, 6) * 1000000) AS BIGINT)
+       |        * 4398046511104 - c.vec_id) AS cid
+       |  FROM $rel e CROSS JOIN c$tag c
+       |  GROUP BY e.vec_id),
+       |g$tag AS MATERIALIZED (
+       |$sliceSelects)""".stripMargin
   }
+
+  /** Cluster hash-slices per leg of the NSW build oracles' top-G
+    * pairing — bounds each ranking window's buffered input to
+    * ~1/slices of the pair volume. Correct at ANY value ≥ 1 (slicing
+    * by cluster partitions the srcs); 16 keeps the per-slice buffer
+    * under ~2 GB at the 100× fixture's measured pair skew.
+    */
+  protected val NswOracleSlices: Int = 16
 
 
   /** The bounded best-first beam search of the NSW oracles, unrolled
