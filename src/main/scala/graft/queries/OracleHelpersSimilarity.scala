@@ -497,16 +497,35 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
     *    fixed-width state, zero temp, replacing an n×K MATERIALIZED
     *    CTE + window sort (duckdb 1.0 has no arg_max top-n or struct
     *    comparators, hence the scalar encoding).
-    *  - TOP-G pairing is sliced by cluster (`a.cid % NswOracleSlices`):
-    *    a vector belongs to exactly ONE cluster per leg, so per-slice
-    *    row_number windows are globally correct, each window's narrow
-    *    (src, dst, rs) input is an OPERATOR buffer of 1/slices of the
-    *    pair volume — freed when its slice completes, never a
-    *    query-lifetime CTE — and the slice filter pushes into the
-    *    pair join, so total cosine work stays 1×. The score is a
-    *    plain projected column, never computed inside the window's
-    *    ORDER BY (the r18 lesson: that makes DuckDB materialize all
-    *    130 source doubles per pair instead of the one key).
+    *  - TOP-G pairing never gives the optimizer an unbounded build
+    *    side: each leg materializes its assignment WITH the d-columns
+    *    once (`aw$tag` = a$tag ⋈ emb64, n wide rows, ~105 MB at the
+    *    100× fixture), so a slice is ONE self-join of two bounded
+    *    n-row CTE scans. The profiled failure mode this removes:
+    *    with per-slice `JOIN emb64 ea/eb` chains, DuckDB 1.0's
+    *    misestimated join order BUILT hash tables on the multi-
+    *    million-row wide pair side (measured ~10 s and gigabytes per
+    *    build, 16 of them → external joins spilling 130-double rows,
+    *    ~76 G RSS + 56 G temp for two legs).
+    *  - Slicing by cluster (`a.cid % NswOracleSlices`) into per-slice
+    *    MATERIALIZED CTEs: a vector belongs to exactly ONE cluster
+    *    per leg, so per-slice row_number windows are globally
+    *    correct. DuckDB schedules the slice pipelines concurrently,
+    *    which is now FINE because a slice's working set is bounded
+    *    (~0.6 GB at the 100× fixture: one n-row build, a ~P/slices-
+    *    group agg, a narrow window); what a slice persists is only
+    *    its top-G edge rows (≤ n·G/slices). Do NOT "serialize" the
+    *    slices with scalar-subquery dependencies — measured: DuckDB
+    *    plans `(SELECT count(*) FROM sl_{i-1}) >= 0` as a
+    *    BLOCKWISE_NL_JOIN that BUFFERS the wide multi-million-row
+    *    pair stream per slice (~70 GB across 15 deps, 1.7 GB/s of
+    *    temp until the cap).
+    *  - The score reaches the window through an identity hash
+    *    aggregate (GROUP BY (src, dst) with max(rs): every group is
+    *    a single row) so the window's buffered input is the narrow
+    *    (src, dst, rs) triple, never the join's wide rows, and the
+    *    slice filter pushes into the pair join so total cosine work
+    *    stays 1×.
     *
     * All relations are [[emb64Cte]] slices (scalar d1..d64 + staged
     * nrm, never the float list); scores come from [[cos64ColsSql]],
@@ -520,18 +539,25 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
     val g = SimilarityOps.NswG
     val p = graft.functions.expressions.CmsHash.P
     val slices = NswOracleSlices
-    val sliceSelects = (0 until slices).map { i =>
-      s"""  SELECT src, dst FROM (
+    require(pairA.startsWith("a") && pairB.startsWith("a"),
+      s"pair relations must be a-prefixed assignment CTEs: $pairA, $pairB")
+    val (pA, pB) = ("aw" + pairA.stripPrefix("a"), "aw" + pairB.stripPrefix("a"))
+    val sliceCtes = (0 until slices).map { i =>
+      s"""sl${tag}_$i AS MATERIALIZED (
+         |  SELECT src, dst FROM (
          |    SELECT src, dst, row_number() OVER (
          |      PARTITION BY src ORDER BY rs DESC, dst) AS rn
          |    FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
-         |        round(${cos64ColsSql("ea", "eb")}, 6) AS rs
-         |      FROM $pairA a JOIN $pairB b
+         |        max(round(${cos64ColsSql("a", "b")}, 6)) AS rs
+         |      FROM $pA a JOIN $pB b
          |        ON a.cid = b.cid AND b.vec_id <> a.vec_id
-         |      JOIN emb64 ea ON ea.vec_id = a.vec_id
-         |      JOIN emb64 eb ON eb.vec_id = b.vec_id
-         |      WHERE a.cid % $slices = $i)) WHERE rn <= $g""".stripMargin
-    }.mkString("\nUNION ALL\n")
+         |      WHERE a.cid % $slices = $i
+         |      GROUP BY a.vec_id, b.vec_id)) WHERE rn <= $g)""".stripMargin
+    }.mkString(",\n")
+    val sliceUnion = (0 until slices)
+      .map(i => s"  SELECT src, dst FROM sl${tag}_$i")
+      .mkString("\nUNION ALL\n")
+    val dcols = (1 to 64).map(i => s"e.d$i").mkString(", ")
     s"""pk$tag AS (SELECT CAST(greatest(${SimilarityOps.SemMinK}, ceil(sqrt(count(*)))) AS BIGINT) AS k,
        |    count(*) AS n FROM $seedRel),
        |pp$tag AS (SELECT k, greatest(1, n // k) AS stride FROM pk$tag),
@@ -546,8 +572,11 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
        |        * 4398046511104 - c.vec_id) AS cid
        |  FROM $rel e CROSS JOIN c$tag c
        |  GROUP BY e.vec_id),
+       |aw$tag AS MATERIALIZED (SELECT a.vec_id, a.cid, $dcols, e.nrm
+       |  FROM a$tag a JOIN emb64 e ON e.vec_id = a.vec_id),
+       |$sliceCtes,
        |g$tag AS MATERIALIZED (
-       |$sliceSelects)""".stripMargin
+       |$sliceUnion)""".stripMargin
   }
 
   /** Cluster hash-slices per leg of the NSW build oracles' top-G

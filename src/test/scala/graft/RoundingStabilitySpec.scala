@@ -63,7 +63,10 @@ class RoundingStabilitySpec extends AnyFunSuite {
     "events_holt_trend", "events_holt_winters",
     "image_phash_dup_png", "image_phash_dup_png_quarantined",
     "fuzzy_multikey_pairs", "fuzzy_recall_eval", "fuzzy_reorder_resolve",
-    "ann_nsw", "ann_nsw_entry_sweep")
+    "ann_nsw", "ann_nsw_entry_sweep",
+    // round-19: the beam sweep ranks round-6 scores at three beam
+    // widths over the same persisted adjacency
+    "ann_nsw_beam_sweep")
 
   private def canon(r: Row): Seq[Any] = r.toSeq.map {
     case d: Double => java.lang.Double.doubleToRawLongBits(d)
