@@ -38,9 +38,14 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
         |FROM (VALUES (1.0, 1.0), (2.0, 2.0)) AS t(h, v)""".stripMargin.replace("\n", " ")
 
     val out = new StringBuilder
-    val proc = new ProcessBuilder(
+    val pb = new ProcessBuilder(
       "tools/run.sh", "graft.SqlDemo", TestSpark.Sf0001, scalarProbe, aggProbe)
-      .redirectErrorStream(true).start()
+      .redirectErrorStream(true)
+    // a featherweight sf0.001 probe, not a heavy job: skip run.sh's
+    // heavy-harness lock, or this unit test silently queues behind a
+    // running gate chain (observed: 45 min parked behind a 100x check)
+    pb.environment().put("GRAFT_LOCK_HELD", "1")
+    val proc = pb.start()
     scala.io.Source.fromInputStream(proc.getInputStream)
       .getLines().foreach(l => out.append(l).append('\n'))
     val rc = proc.waitFor()
