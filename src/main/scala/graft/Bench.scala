@@ -22,6 +22,16 @@ object Bench {
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    // Serialize with every other heavy job + loadavg pre-flight
+    // (VERDICT r19 ask #2): the r19 driver bench co-ran with something
+    // heavy and its two sibling artifacts disagreed per-query by 5-7x
+    // in both directions. Now ANY Bench invocation — driver's direct
+    // java path included — blocks on the gate chain's lock, waits
+    // (bounded) for the host to idle, and stamps the start loadavg
+    // into every artifact so a contended number can never again read
+    // as a clean one.
+    val lockMode = HeavyLock.acquire()
+    val startLoad = HeavyLock.awaitIdle()
     def selected(name: String): Boolean = only.isEmpty || only(name)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,9 +79,26 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    if (only.isEmpty) java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"sf":"$sfDir"}""")
+    // One run_id stamped into stdout + both artifacts: the r19 verdict
+    // found BENCH_r19.json and BENCH_SUMMARY.json were two DIFFERENT
+    // runs minutes apart — now any pair of artifacts from the same run
+    // carries the same id and a mismatch is self-evident. Writes are
+    // temp-file + atomic rename so a killed run never leaves a
+    // truncated artifact shadowing an older complete one.
+    val runId = f"${System.nanoTime()}%x"
+    val contended = startLoad > 8.0
+    val provenance =
+      s""""run_id":"$runId","lock":"$lockMode","load1_start":$startLoad,"contended":$contended"""
+    def atomicWrite(path: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      val tmp = java.nio.file.Paths.get(path + ".tmp")
+      java.nio.file.Files.writeString(tmp, content)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (only.isEmpty) atomicWrite("BENCH_FULL.json",
+      s"""{"metric":"total","value":$total,"unit":"sec",$provenance,"queries":${qjson(results)},"sf":"$sfDir"}""")
     val headline = Set(
       "wordcount", "wordcount_per_source", "coded_shuffle_sim",
       "q1_pricing", "q9_profit", "q18_large_orders",
@@ -97,11 +124,10 @@ object Bench {
     // from the subset summary would cite a stale artifact — only the
     // full-registry run carries the pointer
     val fullRef = if (only.isEmpty) "\"full\":\"BENCH_FULL.json\"," else ""
-    val summary = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,$fullRef"queries":${qjson(shown)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"sec_per_query":$perQ,$provenance,$fullRef"queries":${qjson(shown)},"sf":"$sfDir"}"""
     // belt-and-braces for the driver's stdout-tail parse: the same
     // summary line also lands in a file next to BENCH_FULL.json
-    if (only.isEmpty) java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary)
+    if (only.isEmpty) atomicWrite("BENCH_SUMMARY.json", summary)
     println(summary)
     spark.stop()
   }

@@ -17,6 +17,12 @@ object Verify {
     val unknown = only.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    // Serialize with every other heavy job (VERDICT r19 ask #2): a
+    // direct `java graft.Verify` — the driver's path — used to bypass
+    // the wrappers' flock and could co-run with a gate chain. No
+    // loadavg wait here: correctness output is contention-immune,
+    // only mutual exclusion matters.
+    HeavyLock.acquire()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -815,6 +815,11 @@ object DedupOps {
     */
   def foldBatchIntoLshIndex(batch: DataFrame, indexDir: String): Unit = {
     val spark = batch.sparkSession
+    // CAS the version slot FIRST ([[IndexVersion]] — the concurrent-
+    // writer contract): a second fold racing this one fails loudly
+    // here, before any append, instead of silently losing its count
+    // merge behind ours
+    val v = IndexVersion.begin(indexDir)
     // the batch band table feeds the append AND the delta counts —
     // materialize once (subtree-duplication discipline)
     val batchBands = Checkpoints.truncate(bandsOf(docShingles(batch)))
@@ -827,6 +832,7 @@ object DedupOps {
           (coalesce(col("corpus_n"), lit(0L)) +
             coalesce(col("delta_n"), lit(0L))).as("corpus_n")),
       indexDir, "band_counts")
+    IndexVersion.commit(indexDir, v)
   }
 
   def lshIndexDir(docs: DataFrame, sfDir: String): String =

@@ -212,6 +212,10 @@ object RetrievalOps {
     */
   def foldBatchIntoPostings(batch: DataFrame, indexDir: String): Unit = {
     val spark = batch.sparkSession
+    // CAS the version slot FIRST ([[IndexVersion]] — the concurrent-
+    // writer contract shared with the LSH fold): a racing fold fails
+    // loudly before mutating instead of losing its lexicon/stats merge
+    val v = IndexVersion.begin(indexDir)
     val nNew = batch.count()
     // the batch postings feed the append AND the lexicon deltas AND
     // the stats delta — materialize once (subtree duplication
@@ -241,6 +245,7 @@ object RetrievalOps {
         .withColumn("avgdl",
           col("total_tf").cast("double") / col("n_token_docs")),
       indexDir, "stats")
+    IndexVersion.commit(indexDir, v)
   }
 
   /** Fixture-keyed location of the postings index (dataset basename +

@@ -2004,8 +2004,16 @@ object SimilarityOps {
   /** Neighbors kept per vector per partitioning leg of the k-NN
     * graph. */
   val NswG = 6
-  /** Beam width of the bounded best-first search. */
-  val NswBeam = 16
+  /** Beam width of the bounded best-first search. Raised 16 → 32
+    * after `ann_nsw_beam_sweep` priced the knob over the SAME
+    * persisted adjacency: recall@10 0.49 / 0.73 / 0.94 at beam
+    * 8/16/32 (sf0.01), probe cost linear in beam and corpus-size-
+    * independent — beam 32 fully recovers (and beats) the retired
+    * quadratic build's 0.81 at ~2× probe, so shipping the default
+    * at 0.73 was leaving measured recall on the table. The sweep
+    * row remains the price list for corpora that want it cheaper.
+    */
+  val NswBeam = 32
   /** Fixed expansion-round budget — probe cost is O(beam · G ·
     * rounds) exact cosines, INDEPENDENT of corpus size. */
   val NswRounds = 4

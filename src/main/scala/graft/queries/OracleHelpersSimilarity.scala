@@ -564,8 +564,8 @@ private[graft] trait OracleHelpersSimilarity { this: OracleHelpersCore =>
        |c$tag AS (SELECT * FROM (SELECT * FROM $seedRel, pp$tag
        |  WHERE (vec_id + $mod) % $p % stride = 0
        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= k)
-       |  WHERE CASE WHEN vec_id < 4398046511104 THEN true
-       |        ELSE error('centroid id >= 2^42 breaks the argmax encoding') END),
+       |  WHERE CASE WHEN vec_id BETWEEN 0 AND 4398046511103 THEN true
+       |        ELSE error('centroid id outside [0, 2^42) breaks the argmax encoding and the modulo slicing') END),
        |a$tag AS MATERIALIZED (SELECT e.vec_id,
        |    arg_max(c.vec_id,
        |      CAST(round(round(${cos64ColsSql("e", "c")}, 6) * 1000000) AS BIGINT)

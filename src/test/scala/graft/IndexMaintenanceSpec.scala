@@ -67,6 +67,48 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "staging dir must be renamed away after the merge commits")
   }
 
+  test("concurrent-writer contract: interleaved folds CAS the version or fail loudly") {
+    import graft.operators.IndexVersion
+    // two writers fold DIFFERENT batches into the SAME index: writer A
+    // claims the v0→v1 slot and stalls mid-fold (simulated by claiming
+    // the slot directly); writer B's whole fold must then refuse —
+    // BEFORE appending anything — rather than merge counts computed
+    // from the pre-A state over A's publish (the lost update the
+    // single-host flock hides in this sandbox but a cluster would hit)
+    val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batchB = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("lshcas").toString
+    DedupOps.writeLshIndex(corpus, dir)
+    assert(IndexVersion.current(dir) === 0L, "fresh build is v0")
+
+    val slotA = IndexVersion.begin(dir) // writer A, mid-fold
+    assert(slotA === 1L)
+    val bandsBefore = spark.read.parquet(s"$dir/bands").count()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      DedupOps.foldBatchIntoLshIndex(batchB, dir)
+    }
+    assert(e.getMessage.contains("v1"), s"loud slot id in: ${e.getMessage}")
+    assert(spark.read.parquet(s"$dir/bands").count() === bandsBefore,
+      "the refused fold must not have appended a single band row")
+
+    // A completes and seals its slot; B retries from the live state
+    // and serializes cleanly behind it — versions advance 1, 2
+    IndexVersion.commit(dir, slotA)
+    assert(IndexVersion.current(dir) === 1L)
+    DedupOps.foldBatchIntoLshIndex(batchB, dir)
+    assert(IndexVersion.current(dir) === 2L,
+      "a completed fold seals exactly one version slot")
+
+    // crash recovery is loud, not silent: an intent marker without its
+    // commit (A crashed mid-fold) blocks the next writer too
+    val crashDir = java.nio.file.Files.createTempDirectory("lshcrash").toString
+    DedupOps.writeLshIndex(corpus, crashDir)
+    IndexVersion.begin(crashDir) // crashed writer: intent, no commit
+    intercept[java.util.ConcurrentModificationException] {
+      DedupOps.foldBatchIntoLshIndex(batchB, crashDir)
+    }
+  }
+
   test("IVF compaction: one file per list partition, identical rows, identical probe") {
     VectorFunctions.register(spark)
     val (centroids, _) = SimilarityOps.lloydIterate(

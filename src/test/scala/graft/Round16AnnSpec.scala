@@ -67,9 +67,10 @@ class Round16AnnSpec extends AnyFunSuite {
     val ivfpq = recallOf(q("ann_ivfpq_recall_eval"))
     assert(nsw >= ivfpq,
       s"exact-scored beam walk ($nsw) must beat quantized routing ($ivfpq)")
-    assert(nsw >= 0.7,
-      s"regression guard: nsw recall $nsw (0.77 at sf0.001, 0.73 at " +
-        "sf0.01 under the adaptive-K build)")
+    assert(nsw >= 0.9,
+      s"regression guard: nsw recall $nsw (0.98 at sf0.001, 0.94 at " +
+        "sf0.01 under the adaptive-K build at the beam-32 default; " +
+        "the beam sweep prices the 0.77/0.59 cheaper walks)")
   }
 
   test("NSW adjacency is bounded by 2 x mods x G edges per vector") {

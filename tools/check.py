@@ -126,21 +126,33 @@ def record(name, **kw):
     report[name] = row
 
 
-def write_report():
+def write_report(in_flight=False):
+    """in_flight: called from the finally block with an exception already
+    propagating. Anything raised HERE (the empty-report sys.exit, a
+    json.load on a corrupt standing artifact in subset-merge mode) would
+    REPLACE that original exception and hide the real crash cause behind
+    'zero rows to report' — so under an in-flight exception this only
+    prints the secondary failure and lets the original propagate."""
     if not report_path:
         return
-    if not report:
-        sys.exit(f"ABORT: zero rows to report — refusing to write an "
-                 f"empty {report_path} (the r17 silent-{{}} failure)")
-    merged = report
-    if subset and os.path.exists(report_path):
-        # Subset re-check: update only the named rows of the standing
-        # artifact — never shrink its coverage.
-        merged = json.load(open(report_path))
-        merged.update(report)
-    with open(report_path, "w") as f:
-        json.dump(dict(sorted(merged.items())), f, indent=2)
-    print(f"report -> {report_path}")
+    try:
+        if not report:
+            sys.exit(f"ABORT: zero rows to report — refusing to write an "
+                     f"empty {report_path} (the r17 silent-{{}} failure)")
+        merged = report
+        if subset and os.path.exists(report_path):
+            # Subset re-check: update only the named rows of the standing
+            # artifact — never shrink its coverage.
+            merged = json.load(open(report_path))
+            merged.update(report)
+        with open(report_path, "w") as f:
+            json.dump(dict(sorted(merged.items())), f, indent=2)
+        print(f"report -> {report_path}")
+    except BaseException as e:
+        if not in_flight:
+            raise
+        print(f"SECONDARY: write_report failed under an in-flight "
+              f"exception: {e!r} — original propagates", file=sys.stderr)
 
 
 # Staleness guard: Verify stamps each query dir with the run's UUID and
@@ -220,9 +232,13 @@ try:
                 except Exception:
                     n = None
                 record(name, spark_rows=n, err="no_oracle")
-finally:
+except BaseException:
     # The report is evidence either way (VERDICT r18 ask #3): a crash
-    # after N green rows must still leave those N rows on disk.
+    # after N green rows must still leave those N rows on disk — but a
+    # secondary failure in the writer must not mask the crash cause.
+    write_report(in_flight=True)
+    raise
+else:
     write_report()
 
 print(f"\n{len(oracle)-fail}/{len(oracle)} queries match")

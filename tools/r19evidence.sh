@@ -64,6 +64,9 @@ step "bench run 2" \
   tools/run.sh graft.Bench
 cp BENCH_FULL.json /tmp/bench_run2.json
 
+# wipe the dump dir first (ADVICE r19: stale query dirs from older runs
+# in /tmp/v100x became permanent no_oracle rows — mirror the v100xb fix)
+rm -rf /tmp/v100x
 step "100x verify (round-19 surface, 65 queries)" \
   env SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
   tools/run.sh graft.Verify /tmp/sf10 /tmp/v100x $Q100X
@@ -79,9 +82,11 @@ step "100xb verify (IVF-PQ + IVFADC rebuild family)" \
 step "100xb check" \
   python3 tools/check.py /tmp/sf10 /tmp/v100xb CORRECTNESS_100xb.json
 
+# pipefail INSIDE the child sh (ADVICE r19: without it the pipeline's
+# status is tee's, and a Bench failure logs PASS with a stale artifact)
 step "100x timing record (Bench subset, warm fixtures)" \
   env SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
-  sh -c "tools/run.sh graft.Bench $Q100X | tail -1 | tee BENCH_100x.json"
+  sh -c "set -o pipefail; tools/run.sh graft.Bench $Q100X | tail -1 | tee BENCH_100x.json"
 
 if [ "$overall" -ne 0 ]; then
   note "R19 EVIDENCE: ONE OR MORE STEPS FAILED (see $log)"
