@@ -49,4 +49,37 @@ object Checkpoints {
         df.localCheckpoint() // eager, executor-local (fast, lossy)
     }
   }
+
+  /** Materialize `df` through a per-invocation scratch parquet dir
+    * and read it back. Unlike [[truncate]], the result carries REAL
+    * size statistics (on-disk bytes), so the planner can still pick
+    * broadcast strategies for small materialized structures — a
+    * localCheckpoint's LogicalRDD reports the default (huge) size and
+    * silently forces sort-merge everywhere downstream (the r20
+    * coorder_triangles find: same walk, 4x slower purely from the
+    * lost stats). Nothing persists across invocations: every call
+    * writes a fresh directory under java.io.tmpdir, reaped on JVM
+    * exit, so oracle runs and benches always recompute from inputs.
+    */
+  def scratchParquet(df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+      s"graft_scratch_${tag}_")
+    scratchDirs.add(dir)
+    df.write.mode("overwrite").parquet(dir.toString)
+    df.sparkSession.read.parquet(dir.toString)
+  }
+
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  sys.addShutdownHook {
+    scratchDirs.forEach { dir =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
+  }
 }

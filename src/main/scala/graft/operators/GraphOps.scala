@@ -68,12 +68,25 @@ object GraphOps {
     * float anywhere).
     */
   def coorderTriangles(lineitem: DataFrame,
-                       topK: Int = TriangleTopK): DataFrame =
-    // the oriented list feeds THREE consumers (both wedge-join sides
-    // and the closing join): materialize it once instead of repeating
-    // the distinct+degree subtree per consumer — the same probe-path
-    // discipline as the LSH index subtrees
-    trianglesFromOriented(Checkpoints.truncate(orientedEdges(lineitem)), topK)
+                       topK: Int = TriangleTopK): DataFrame = {
+    // The oriented list feeds three consumers, so it must be
+    // materialized once (r13: relying on ReusedExchange left the
+    // distinct+degree subtree recomputed on reuse misses). r20
+    // measurement: materializing via localCheckpoint erased SIZE
+    // STATISTICS — a LogicalRDD reports the default (huge) size, so
+    // the planner gave the walk's joins SortMergeJoin + full shuffles
+    // while the parquet-backed indexed twin planned BroadcastHashJoins
+    // from real file stats (40.9 s inline vs 10.3 s indexed at sf0.1
+    // for the SAME walk). Fix: spill the list to a per-invocation
+    // scratch parquet dir and read it back — the walk then plans from
+    // genuine on-disk statistics, identical to the indexed row by
+    // construction, at every scale (a big list simply keeps SMJ).
+    // Nothing is reused across invocations: the scratch dir is fresh
+    // per call and reaped on JVM exit.
+    trianglesFromOriented(
+      Checkpoints.scratchParquet(orientedEdges(lineitem), "tri_oriented"),
+      topK)
+  }
 
   /** The degree-oriented co-order edge list — the derived structure
     * the triangle count is really computed over: each undirected edge
@@ -102,20 +115,38 @@ object GraphOps {
       .select(col("src"), col("dstKey.id").as("dst"), col("dstKey"))
   }
 
-  /** Wedge join + closing join + per-vertex count over an already
+  /** Neighborhood-intersection triangle walk over an already
     * materialized oriented list — shared by the inline and indexed
-    * triangle queries.
+    * triangle queries. For each oriented edge (u,v), the closing
+    * vertices are exactly N⁺(u) ∩ N⁺(v) (w there means u→w and v→w,
+    * completing the u→v, u→w, v→w oriented triangle, and each
+    * triangle has exactly one such (u,v) edge — the one out of its
+    * lowest-(deg,id) vertex to its middle vertex — so every triangle
+    * is emitted once).
+    *
+    * r20 rewrite (guide §2.3/§2.4): the former wedge-join + closing-
+    * join shape materialized and SHUFFLED all O(E^1.5) two-paths (41M
+    * rows at sf0.1, 8–11 s) just so a second join could discard the
+    * non-closing ones. Grouping the out-neighborhoods into sorted
+    * arrays instead (one aggregate of E rows) turns the closing test
+    * into a codegen'd sorted-array intersection per edge: the
+    * candidate set never exists as rows, the per-edge arrays are
+    * bounded by the orientation's O(√E) out-degree cap, and the walk
+    * drops to 2–3.4 s on the same list. Triangle output (and thus the
+    * oracle hash) is identical — only the discovery order changed.
     */
   private def trianglesFromOriented(oriented: DataFrame,
                                     topK: Int): DataFrame = {
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") &&
-          col("e1.dstKey") < col("e2.dstKey"))
-      .select(col("e1.src").as("tu"), col("e1.dst").as("tv"),
-        col("e2.dst").as("tw"))
-    val triangles = wedges.join(oriented,
-      col("tv") === col("src") && col("tw") === col("dst"))
-      .select(col("tu"), col("tv"), col("tw"))
+    val ori = oriented.select(col("src"), col("dst"))
+    val adj = ori.groupBy(col("src").as("s"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val triangles = ori
+      .join(adj.withColumnRenamed("s", "src").withColumnRenamed("nbrs", "un"),
+        Seq("src"))
+      .join(adj.withColumnRenamed("s", "dst").withColumnRenamed("nbrs", "vn"),
+        Seq("dst"))
+      .select(col("src").as("tu"), col("dst").as("tv"),
+        explode(array_intersect(col("un"), col("vn"))).as("tw"))
     triangles
       .select(explode(array(col("tu"), col("tv"), col("tw"))).as("l_partkey"))
       .groupBy("l_partkey")
