@@ -312,23 +312,36 @@ object GraphOps {
     * edges, keep strict improvements against `dist`, merge. Returns
     * (updated dist, improved rows) — `improved` IS the next frontier,
     * and `improved.isEmpty` is Bellman-Ford's convergence test for
-    * free. Both outputs are lineage-truncated (each feeds multiple
-    * consumers next round).
+    * free.
+    *
+    * r20 rework (guide §1.2 — these loops are driver-latency-bound at
+    * gate SFs: the event log showed ~80 sub-100 ms jobs and the wall
+    * time living in scheduling gaps, not tasks): the old shape ran TWO
+    * eager materializations per round (`improved` via left join, then
+    * `newDist` via anti join + union), each a multi-job adaptive
+    * execution. One FULL OUTER join of the candidate minima against
+    * the running table computes both results at once — new distance =
+    * min(old, cand), improved flag = strict improvement — and ONE
+    * truncation materializes them; the next frontier is a filter over
+    * the already-materialized blocks (no extra job). Same values, same
+    * improved set, half the per-round joins and driver round-trips.
     */
   private def relaxStep(edges: DataFrame, dist: DataFrame,
                         frontier: DataFrame): (DataFrame, DataFrame) = {
     val cand = edges.join(frontier, edges("src") === frontier("node"))
-      .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      .groupBy("node").agg(min("dist").as("dist"))
-    val improved = Checkpoints.truncate(
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("cdist"))
+      .groupBy("node").agg(min("cdist").as("cdist"))
+    val merged = Checkpoints.truncate(
       cand.join(dist.select(col("node"), col("dist").as("old")),
-          Seq("node"), "left")
-        .where(col("old").isNull || col("dist") < col("old"))
-        .select(col("node"), col("dist")))
-    val newDist = Checkpoints.truncate(
-      dist.join(improved.select("node"), Seq("node"), "left_anti")
-        .unionByName(improved))
-    (newDist, improved)
+          Seq("node"), "full_outer")
+        .select(col("node"),
+          when(col("old").isNull || (col("cdist").isNotNull &&
+            col("cdist") < col("old")), col("cdist")).otherwise(col("old"))
+            .as("dist"),
+          (col("old").isNull || (col("cdist").isNotNull &&
+            col("cdist") < col("old"))).as("improved")))
+    (merged.select(col("node"), col("dist")),
+      merged.where(col("improved")).select(col("node"), col("dist")))
   }
 
   /** [[deltaRelax]] run to EMPTY-FRONTIER EXHAUSTION — the 100 TB
