@@ -67,4 +67,29 @@ class CheckpointModeSpec extends AnyFunSuite {
     assert(local.length === reliable.length)
     local.zip(reliable).foreach { case (a, b) => assert(a === b) }
   }
+
+  // r20: scratchParquet is the stats-carrying materialization the
+  // triangle walk switched to (a localCheckpoint's LogicalRDD reports
+  // the default huge size and silently forces sort-merge joins
+  // downstream). It must behave as a pure materialization: same rows,
+  // a FRESH directory per call (never a cross-invocation cache), and
+  // real file statistics visible to the planner.
+  test("scratchParquet round-trips rows, is per-invocation, and carries file stats") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val m1 = Checkpoints.scratchParquet(df, "spec")
+    val m2 = Checkpoints.scratchParquet(df, "spec")
+    assert(m1.orderBy("k").collect().toSeq === df.orderBy("k").collect().toSeq)
+    def root(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.sparkPlan.collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.rootPaths.head.toString
+      }.get
+    assert(root(m1) !== root(m2),
+      "scratchParquet must write a fresh dir per call — a shared dir would be cross-run caching")
+    val stats = m1.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats > 0 && stats < 1024L * 1024,
+      s"expected genuine on-disk size statistics, got $stats")
+  }
 }
